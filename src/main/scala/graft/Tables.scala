@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver's synthetic testdata
+  * (TESTDATA.md): TPC-H-ish star schema + events/documents/embeddings.
+  *
+  * Scans are plain `spark.read.parquet` so Catalyst's vectorized reader,
+  * predicate pushdown and column pruning apply — the manual
+  * vertical-partition trick the reference needed
+  * (reference `config/init.sql:27-38`) is subsumed by columnar pruning.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries a TIMESTAMP(NANOS) column, which Spark's
+    * vectorized Parquet reader rejects by default; read nanos as long
+    * (legacy conf) and surface `ts` as a microsecond TimestampType via
+    * integer division (no double round-trip — ns values exceed 2^53). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  /** Session tuned for the target: AQE on, shuffle width sized to the
+    * local core count (the driver passes 32 via local[32]); at cluster
+    * scale the same settings defer partition sizing to AQE. */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

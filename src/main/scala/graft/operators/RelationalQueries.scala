@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Class-A portable relational queries (SURVEY.md §2.8) — the
+  * scan/project/filter/join/agg/top-k operator surface the reference's
+  * pgvector workload sits on, verified row/schema/hash against the
+  * driver's DuckDB oracle.
+  *
+  * Every query is fully ordered (deterministic output) and aliases each
+  * computed column identically in the DataFrame plan and the oracle SQL.
+  *
+  * Scale notes (100 TB stance):
+  *  - dimension joins (`nation`) are explicitly `broadcast()` — no
+  *    shuffle of the fact side;
+  *  - top-k queries rely on Catalyst fusing sort+limit into
+  *    `TakeOrderedAndProject` (per-partition heaps + driver merge of k
+  *    rows — never a global sort);
+  *  - aggregations are partial (map-side combine) by construction;
+  *  - all scans prune columns and push filters into the Parquet reader.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: grouped aggregation with map-side partial agg (TPC-H Q1 shape).
+    "a1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("s_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A2: single-key count agg.
+    "a2_order_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A3: fact-dim equi-join; dim side broadcast (no fact shuffle).
+    "a3_customer_per_nation" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("n_name"))
+    }),
+
+    // A4: anti join (NOT IN with non-null keys ≡ left_anti). Filtered
+    // right side so the result is non-empty at every SF.
+    "a4_customers_without_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // A5: distinct (hash aggregate, partial+final).
+    "a5_distinct_nations" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_nationkey").distinct().orderBy("c_nationkey")
+    }),
+
+    // A6: top-k — Catalyst fuses into TakeOrderedAndProject (the R5+R6
+    // ORDER BY + LIMIT shape of the reference's similarity query).
+    "a6_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // A7: scalar projection (R12's substring-cast year-extraction shape).
+    "a7_part_projection" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("un"),
+          substring(col("p_partkey").cast("string"), 1, 4).as("pfx"))
+        .orderBy("p_partkey")
+        .limit(100)
+    }),
+
+    // A8: lower/trim/LIKE predicate (R11's classification shape).
+    "a8_supplier_name_like" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .filter(col("s_name").isNotNull &&
+          lower(trim(col("s_name"))).like("%supplier%"))
+        .select("s_suppkey")
+        .orderBy("s_suppkey")
+    }),
+
+    // A9: set operation (INTERSECT = distinct semi semantics).
+    "a9_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.intersect(o).orderBy("c_custkey")
+    }),
+
+    // A10: distinct aggregate (expand + two-phase agg).
+    "a10_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(countDistinct("o_orderpriority").as("dp"))
+        .orderBy("o_custkey")
+        .limit(100)
+    }),
+
+    // A11: null-safe equality (R9's IS NOT DISTINCT FROM shape) over a
+    // nullable-derived key using <=>.
+    "a11_nullsafe_match" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("k", when(col("value") > 100, col("event_type")))
+      e.filter(col("k") <=> lit(null: String))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // A12: date/time grouping over the events table. Hour rendered as a
+    // string and the double measure summed as exact integer cents so the
+    // cross-engine hash cannot drift on timezone or float-sum order.
+    "a12_events_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).cast("string").as("h"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+        .orderBy("h", "event_type")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS s_qty,
+        | COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", ""),
+    "a2_order_priority" ->
+      "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "a3_customer_per_nation" ->
+      "SELECT n_name, COUNT(*) AS cnt FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY cnt DESC, n_name",
+    "a4_customers_without_orders" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) ORDER BY c_custkey",
+    "a5_distinct_nations" ->
+      "SELECT DISTINCT c_nationkey FROM customer ORDER BY c_nationkey",
+    "a6_topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "a7_part_projection" ->
+      "SELECT p_partkey, UPPER(p_name) AS un, SUBSTRING(CAST(p_partkey AS VARCHAR), 1, 4) AS pfx FROM part ORDER BY p_partkey LIMIT 100",
+    "a8_supplier_name_like" ->
+      "SELECT s_suppkey FROM supplier WHERE s_name IS NOT NULL AND LOWER(TRIM(s_name)) LIKE '%supplier%' ORDER BY s_suppkey",
+    "a9_intersect" ->
+      "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey",
+    "a10_distinct_agg" ->
+      "SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS dp FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100",
+    "a11_nullsafe_match" ->
+      "SELECT COUNT(*) AS cnt FROM (SELECT CASE WHEN value > 100 THEN event_type END AS k FROM events) WHERE k IS NOT DISTINCT FROM NULL",
+    "a12_events_hourly" ->
+      "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents FROM events GROUP BY 1, 2 ORDER BY h, event_type",
+  )
+}
