@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over embedding columns (SURVEY.md §2.2 R1–R7 +
+  * the ANN scale path from §7.1 step 10).
+  *
+  * The reference's entire query surface is one exact brute-force cosine
+  * top-k (reference `src/lib/database.py:299-309` — no ANN index is
+  * ever created, see `config/init.sql:27-38`). That shape is ideal for
+  * Spark: an embarrassingly parallel vectorized scan + codegen'd scalar
+  * cosine + `TakeOrderedAndProject` (per-partition heap, driver merges
+  * k rows — no global sort, no shuffle of the corpus).
+  *
+  * Scale design (100 TB):
+  *  - single-query top-k moves only k rows off each partition;
+  *  - many-query top-k uses a map-side-combining bounded-heap
+  *    Aggregator (partial top-k per partition per query, merged) —
+  *    never a per-key global sort, never collect_list of a corpus;
+  *  - the LSH path prunes the scanned fraction: bucket equality is a
+  *    pushable predicate, and a corpus written partitioned by
+  *    `lsh_bucket` gets partition pruning, reading ~1/2^bits of data.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k of `df` against one query vector.
+    * Similarity is rounded to `roundTo` decimals before filter/sort so
+    * results are reproducible bit-for-bit across engines and partition
+    * orders (raw doubles differ in the last ulp across accumulation
+    * orders). Ties break on `tieBreak`. */
+  def topK(
+      df: DataFrame,
+      embCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      threshold: Double = -1.0,
+      tieBreak: Seq[String] = Seq.empty,
+      roundTo: Int = 6): DataFrame = {
+    val sim = round(
+      VectorFunctions.cosine_similarity(col(embCol), typedLit(queryVec)), roundTo)
+    df.withColumn("similarity", sim)
+      .filter(col("similarity") >= threshold)
+      .orderBy(desc("similarity") +: tieBreak.map(asc): _*)
+      .limit(k)
+  }
+
+  /** (similarity, id) pair kept by the bounded heap. */
+  case class Scored(similarity: Double, id: Long)
+
+  /** Bounded top-k heap Aggregator: partial (map-side) top-k per
+    * partition, merged associatively — the scalable form of
+    * "top-k per query key" (never collect_list, never per-key sort of
+    * the full corpus). Buffer is a sorted Vector capped at k (k is
+    * small; O(k) insert is fine and keeps the buffer encodable). */
+  class TopKAggregator(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def insert(buf: Seq[Scored], s: Scored): Seq[Scored] = {
+      val merged = (buf :+ s).sortBy(x => (-x.similarity, x.id))
+      if (merged.size > k) merged.take(k) else merged
+    }
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = insert(b, a)
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+      (b1 ++ b2).sortBy(x => (-x.similarity, x.id)).take(k)
+    override def finish(r: Seq[Scored]): Seq[Scored] = r
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** For every row of `queries`, the top-k most-similar rows of
+    * `corpus` (exact). The small query set is broadcast against the
+    * corpus scan (one pass over the corpus regardless of query count),
+    * then the bounded-heap aggregator reduces map-side. Output:
+    * (query_id, neighbor_id, similarity). */
+  def crossTopK(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryEmbCol: String,
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusEmbCol: String,
+      k: Int,
+      roundTo: Int = 6): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      col(queryEmbCol).as("q_emb"))
+    val c = corpus.select(
+      col(corpusIdCol).cast("long").as("c_id"),
+      col(corpusEmbCol).as("c_emb"))
+    val scored = c.join(broadcast(q))
+      .select(
+        col("query_id"),
+        round(VectorFunctions.cosine_similarity(col("c_emb"), col("q_emb")),
+          roundTo).as("similarity"),
+        col("c_id").as("id"))
+    val agg = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    scored
+      .groupBy("query_id")
+      .agg(agg(col("similarity"), col("id")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("hit"))
+      .select(
+        col("query_id"),
+        col("hit.id").as("neighbor_id"),
+        col("hit.similarity").as("similarity"))
+  }
+
+  // ---------------------------------------------------------------
+  // LSH (random hyperplane / SimHash-for-vectors) approximate path
+  // ---------------------------------------------------------------
+
+  /** Deterministic gaussian hyperplanes: seed → bits × dim matrix. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val r = new java.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Signature column: bit i = (dot(v, h_i) >= 0), packed into a long.
+    * Built from codegen'd DotProduct expressions — no UDF. */
+  def lshBucket(embCol: Column, planes: Array[Array[Double]]): Column = {
+    planes.zipWithIndex.map { case (h, i) =>
+      when(VectorFunctions.dot_product(embCol, typedLit(h)) >= 0.0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: restrict the scan to corpus rows in the query
+    * vector's LSH bucket (plus all buckets at Hamming distance ≤
+    * `probes` for multi-probe recall), then exact cosine within.
+    * With the corpus pre-partitioned by `lsh_bucket` this is partition
+    * pruning: it reads ~((1+probes·bits)/2^bits) of the data. */
+  def lshTopK(
+      corpus: DataFrame,
+      embCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      bits: Int = 12,
+      probes: Int = 1,
+      seed: Long = 42L,
+      roundTo: Int = 6,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val dim = queryVec.length
+    val planes = hyperplanes(bits, dim, seed)
+    def sig(v: Array[Double]): Long =
+      planes.zipWithIndex.map { case (h, i) =>
+        val d = h.zip(v).map { case (a, b) => a * b }.sum
+        if (d >= 0.0) 1L << i else 0L
+      }.sum
+    val qSig = sig(queryVec)
+    // multi-probe: query bucket + neighbors at hamming distance <= probes
+    val buckets: Seq[Long] =
+      if (probes <= 0) Seq(qSig)
+      else qSig +: (0 until bits).map(i => qSig ^ (1L << i))
+    val bucketed = corpus.withColumn("lsh_bucket", lshBucket(col(embCol), planes))
+    topK(
+      bucketed.filter(col("lsh_bucket").isin(buckets: _*)),
+      embCol, queryVec, k, threshold = -1.0, tieBreak = tieBreak,
+      roundTo = roundTo)
+  }
+
+  /** Materialize a corpus with its LSH bucket — written
+    * `partitionBy("lsh_bucket")` this gives partition-pruned ANN. */
+  def withLshBucket(
+      corpus: DataFrame, embCol: String, bits: Int = 12, dim: Int,
+      seed: Long = 42L): DataFrame =
+    corpus.withColumn("lsh_bucket", lshBucket(col(embCol), hyperplanes(bits, dim, seed)))
+}
