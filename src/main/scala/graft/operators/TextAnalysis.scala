@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting,
+  * shingling. All are built from `org.apache.spark.sql.functions._`
+  * (codegen'd, narrow, shuffle-free) — at 100 TB these run as pure map
+  * stages over the document scan with full column pruning.
+  *
+  * Extends the reference's text surface (its only text analysis is the
+  * embedder's tokenize + term-frequency + diversity features,
+  * reference `src/lib/embedding.py:77,88-89,105-107`) to the operator
+  * set an LLM-data pipeline needs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space split, keeping empties — matches
+    * the chunker's and the oracle's `string_split(text, ' ')`). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Type-token ratio — the reference's vocabulary-diversity factor
+    * (reference `src/lib/embedding.py:105-107`) as a standalone op. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Mean token length; for single-space-joined text this is
+    * (chars - (n-1)) / n — pure arithmetic, identical in any engine. */
+  def avgTokenLength(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text)
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+    "a", "an", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  def stopwordCount(text: Column, stops: Seq[String] = EnglishStopwords): Column =
+    size(filter(tokens(text), t => array_contains(typedLit(stops), t))).cast("long")
+
+  def stopwordRatio(text: Column, stops: Seq[String] = EnglishStopwords): Column =
+    stopwordCount(text, stops).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length, vocabulary diversity,
+    * stopword presence — the standard cheap heuristics for filtering
+    * web-scale corpora. Deterministic arithmetic (rounded to 6). */
+  def qualityScore(text: Column): Column = {
+    val lengthScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val diversity = typeTokenRatio(text)
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lengthScore + diversity + stopScore) / 3.0, 6)
+  }
+
+  // -------------------------------------------------------------
+  // Language identification (stopword/char-class heuristic)
+  // -------------------------------------------------------------
+
+  val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "que", "y", "en", "un", "una", "es"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "dans", "il", "qui", "pas", "sur"))
+
+  /** Heuristic language ID: CJK char ratio → "zh"; else argmax of
+    * per-language stopword hit counts over lowercased tokens; "und"
+    * when nothing matches. Built entirely from array HOFs — the argmax
+    * is `array_max` over (score, lang) structs (struct ordering =
+    * lexicographic on fields, ties break to the later language code —
+    * deterministic). */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val cjkChars = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val scored = array(StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      struct(
+        size(filter(toks, t => array_contains(typedLit(stops), t))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(cjkChars * 5 >= length(text), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // -------------------------------------------------------------
+  // Fingerprinting / shingling
+  // -------------------------------------------------------------
+
+  /** Canonical document fingerprint: md5 of the lowercased,
+    * whitespace-collapsed, trimmed text. Stable across engines. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Word n-gram shingles (distinct), via sequence+transform — the
+    * input to MinHash and Jaccard dedup. 1-indexed like the oracle's
+    * list operations. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    array_distinct(
+      when(count > 0,
+        transform(sequence(lit(1), greatest(count, lit(1))),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array_distinct(array(array_join(toks, " ")))))
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ingest.Chunker
+
+/** Driver-checked text-analysis, chunking and dedup queries over the
+  * documents table. Oracle SQL is DuckDB dialect (list functions) —
+  * semantics match the Spark built-in array HOFs exactly; all floating
+  * outputs are exact-integer divisions or rounded, so hashes are
+  * engine-stable. Non-SQL-expressible ops (MinHash, SimHash, LSH,
+  * lang-ID) are declared without oracles (rows-only driver check) and
+  * verified by ScalaTest property/golden specs instead. */
+object TextQueries {
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1: token counting + type-token ratio (E3 as standalone ops).
+    "t1_token_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+        round(TextAnalysis.typeTokenRatio(col("text")), 6).as("ttr"))
+        .orderBy("doc_id")
+    }),
+
+    // T2: canonical md5 fingerprint (document identity at scale).
+    "t2_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // T3: quality scoring (length/diversity/stopword heuristics).
+    "t3_quality" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // T4: language ID (heuristic; no SQL oracle — rows-only + spec).
+    "t4_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // C1: chunk counts — the whitespace chunker's cardinality is
+    // ceil(n_tokens / maxTokens), SQL-checkable.
+    "c1_chunk_counts" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(Chunker.chunksCol(col("text"), 32)).cast("long").as("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
+    // C2: exploded chunks with ordinal + per-chunk token size for a
+    // sample of documents (full materialization checked by hash).
+    "c2_chunks" -> ((s, dir) => {
+      Chunker.chunkDocuments(
+          docs(s, dir).filter(col("doc_id") < 50).select("doc_id", "text"),
+          "text", maxTokens = 16)
+        .select(col("doc_id"), col("chunk_number"), col("chunk_text"),
+          col("chunk_size").cast("long").as("chunk_size"))
+        .orderBy("doc_id", "chunk_number")
+    }),
+
+    // D1: exact dedup on a key expression (hash-groupBy; first-writer-
+    // wins representative = min id, the reference's R10 semantics).
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedupKey(docs(s, dir),
+          array_join(slice(split(col("text"), " ", -1), 1, 5), " "), "doc_id")
+        .orderBy("dedup_key")
+    }),
+
+    // D2: exact bigram-Jaccard near-dup pairs (the dedup oracle; the
+    // scale path is d3's MinHash banding, verified against this).
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 2,
+          threshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // D3: MinHash+LSH candidate pairs verified by exact Jaccard —
+    // rows-only driver check; recall-vs-d2 asserted in ScalaTest.
+    "d3_minhash_neardup" -> ((s, dir) => {
+      Dedup.minHashNearDupPairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.4, shingleN = 2, numHashes = 64, bands = 16)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // D4: SimHash near-dup pairs (rows-only; spec-verified).
+    "d4_simhash_neardup" -> ((s, dir) => {
+      Dedup.simHashNearDupPairs(docs(s, dir), "doc_id", "text",
+          maxHamming = 10, blocks = 4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // D5: embedding-cosine near-dup via LSH buckets (rows-only;
+    // recall vs exact v4 asserted in ScalaTest).
+    "d5_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.3, bits = 6)
+        .orderBy("a_id", "b_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / len(string_split(text, ' ')), 6) AS ttr
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "t2_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "t3_quality" -> {
+      val stops = TextAnalysis.EnglishStopwords
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($stops, t))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS ttr
+         |  FROM documents)
+         | SELECT doc_id, n_tokens, n_stop,
+         |  ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + ttr +
+         |    LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0, 6)
+         |    AS quality
+         | FROM m ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+    },
+    "c1_chunk_counts" ->
+      """SELECT doc_id, CAST(CEIL(len(string_split(text, ' ')) / 32.0) AS BIGINT)
+        | AS n_chunks FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""),
+    "c2_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk
+        |  FROM documents WHERE doc_id < 50),
+        | ch AS (SELECT doc_id,
+        |  CAST(i - 1 AS INT) AS chunk_number,
+        |  array_to_string(tk[(i-1)*16+1 : (i-1)*16+16], ' ') AS chunk_text,
+        |  CAST(LEAST(16, len(tk) - (i-1)*16) AS BIGINT) AS chunk_size
+        |  FROM toks, UNNEST(range(1, CAST(CEIL(len(tk)/16.0) AS BIGINT) + 1)) AS u(i))
+        | SELECT doc_id, chunk_number, chunk_text, chunk_size FROM ch
+        | ORDER BY doc_id, chunk_number""".stripMargin.replaceAll("\n", ""),
+    "d1_exact_dedup" ->
+      """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS dedup_key,
+        | COUNT(*) AS cnt, MIN(doc_id) AS keep_id
+        | FROM documents GROUP BY 1 ORDER BY dedup_key"""
+        .stripMargin.replaceAll("\n", ""),
+    "d2_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents))
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""),
+  )
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupTextSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+  lazy val embs = Tables.load(spark, sfDir, "embeddings")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash near-dup recovers the exact-jaccard near-dup pairs") {
+    val exact = pairSet(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.4))
+    val minhash = pairSet(
+      Dedup.minHashNearDupPairs(docs, "doc_id", "text", 0.4, 2, 64, 16))
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    // exact-verify step makes minhash ⊆ exact; banding recall should be
+    // high at jaccard ≥ 0.4 with 16 bands × 4 rows
+    assert(minhash.subsetOf(exact))
+    assert(minhash.size >= exact.size * 9 / 10,
+      s"recall too low: ${minhash.size}/${exact.size}")
+  }
+
+  test("simhash near-dup pairs overlap jaccard near-dups; hamming sane") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5))
+    val sim = Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 10, blocks = 4)
+    val simPairs = pairSet(sim)
+    // near-identical docs must collapse to nearby simhashes
+    val recalled = exact.intersect(simPairs)
+    assert(exact.isEmpty || recalled.size >= exact.size / 2,
+      s"simhash recalled ${recalled.size}/${exact.size}")
+    val hams = sim.select(col("hamming").cast("long")).collect().map(_.getLong(0))
+    assert(hams.forall(h => h >= 0 && h <= 10))
+  }
+
+  test("embedding LSH near-dup ⊆ exact cosine near-dup, decent recall") {
+    val a = embs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = embs.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("similarity", round(
+        functions.VectorFunctions.cosine_similarity(col("a_emb"), col("b_emb")), 6))
+      .filter(col("similarity") >= 0.3)
+    val exactPairs = pairSet(exact)
+    val lsh = pairSet(Dedup.embeddingNearDupPairs(
+      embs, "vec_id", "embedding", dim = 64, threshold = 0.3, bits = 6))
+    assert(lsh.subsetOf(exactPairs))
+    if (exactPairs.nonEmpty) {
+      // 6-bit single-table LSH on 0.3-cosine pairs is a coarse filter;
+      // just assert it finds something and prunes something
+      assert(lsh.nonEmpty, "LSH found no near-dup pairs")
+    }
+  }
+
+  test("exact full-text dedup keeps one row per fingerprint") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha  beta gamma"), // ws-collapse dup
+      (3L, "ALPHA beta GAMMA"), (4L, "totally different")) // case dup
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
+  test("langId identifies obvious languages") {
+    import spark.implicits._
+    val rows = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("der Hund ist nicht mit der Katze", "de"),
+      ("el perro y la gata en un parque", "es"),
+      ("le chien est dans la maison et il dort", "fr"),
+      ("你好世界这是一个测试", "zh"),
+      ("qwerty zxcvb", "und"))
+    val got = rows.map(_._1).toDF("text")
+      .select(col("text"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.foreach { case (t, want) => assert(got(t) == want, s"for '$t'") }
+  }
+
+  test("quality score within [0,1] and orders garbage below prose") {
+    import spark.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and it was good for all of the animals in the forest that day",
+      "a a a a a a a a a a a a")
+      .toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+    val qs = df.collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    assert(qs(0) > qs(1))
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    import spark.implicits._
+    val fps = Seq("Hello  World", "hello world", "HELLO\tWORLD ")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getString(0)).distinct
+    assert(fps.length == 1)
+  }
+}
