@@ -1,0 +1,154 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.rag.Rag
+import graft.store.Catalog
+
+/** CLI entry points mirroring the reference's task surface
+  * (SURVEY.md §2.6: `demo.import` / `demo.search` / `demo.generate`,
+  * reference `tasks.py:36-139` and the cli scripts), driving the full
+  * chunk → embed → store → retrieve → assemble pipeline.
+  *
+  * Usage (via sbt):
+  *   runMain graft.cli.Demo import --docs <parquet> --store <dir>
+  *     [--model <name>] [--dim N] [--max-tokens N]
+  *   runMain graft.cli.Demo search --store <dir> --prompt "..."
+  *     [--top-k K] [--similarity-threshold T] [--dim N]
+  *   runMain graft.cli.Demo generate --store <dir> --prompt "..."
+  *     [--top-k K] [--similarity-threshold T] [--dim N]
+  *   runMain graft.cli.Demo demo        # self-contained 5-doc flow
+  */
+object Demo {
+
+  private def parseFlags(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("demo")
+    val flags = parseFlags(args.drop(1))
+    val spark = Tables.session(
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+    try run(spark, mode, flags)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, mode: String, flags: Map[String, String]): Unit = {
+    val dim = flags.getOrElse("dim", "256").toInt
+    mode match {
+      case "import" =>
+        val docs = spark.read.parquet(flags("docs"))
+        importDocs(spark, docs, flags("store"),
+          flags.getOrElse("model", graft.functions.Embedding.DefaultModel),
+          dim, flags.getOrElse("max-tokens", "512").toInt)
+
+      case "search" =>
+        val hits = search(spark, flags("store"), flags("prompt"),
+          flags.getOrElse("top-k", "10").toInt,
+          flags.getOrElse("similarity-threshold", "0.7").toDouble, dim)
+        display(hits)
+
+      case "generate" =>
+        val chunks = spark.read.parquet(flags("store") + "/chunks")
+        val out = Rag.generate(chunks, flags("prompt"),
+          flags.getOrElse("top-k", "5").toInt,
+          flags.getOrElse("similarity-threshold", "0.01").toDouble, dim)
+        println(s"=== generated ===\n$out")
+
+      case "demo" =>
+        val store = java.nio.file.Files.createTempDirectory("graft_demo").toString
+        println(s"[demo] store: $store")
+        importDocs(spark, demoCorpus(spark), store, "demo-model", dim, 64)
+        val hits = search(spark, store,
+          "Are robots that are depicted in science fiction generally friendly to humans?",
+          topK = 5, threshold = 0.0, dim = dim)
+        display(hits)
+        val chunks = spark.read.parquet(store + "/chunks")
+        println("=== generated ===\n" + Rag.generate(
+          chunks, "Are robots friendly to humans?", 5, 0.01, dim))
+
+      case other => sys.error(
+        s"unknown mode '$other' (expected import|search|generate|demo)")
+    }
+  }
+
+  /** demo.import: register model, upsert sources (null-safe), chunk +
+    * embed + write the chunk table (one distributed job — the
+    * reference's per-chunk transaction loop collapses, SURVEY.md §3.1). */
+  def importDocs(spark: SparkSession, docs: DataFrame, store: String,
+      model: String, dim: Int, maxTokens: Int): Unit = {
+    import spark.implicits._
+    val models = Catalog.upsertModels(spark, s"$store/models",
+      Seq((model, dim)).toDF("name", "embedding_dim"))
+    val modelId = models.filter($"name" === model).head().getAs[Long]("id")
+
+    val meta = Seq("author", "title", "text_type", "genre", "url",
+      "subgenre", "publication_date")
+    val withMeta = meta.foldLeft(docs)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null: String)))
+    val sources = Catalog.upsertSources(spark, s"$store/sources",
+      withMeta.select(
+        col("author"), col("title"),
+        Catalog.sourceTypeOf(col("text_type"), col("genre")).as("source_type"),
+        col("url"), col("genre"), col("subgenre"),
+        Catalog.yearOf(col("publication_date")).as("year"),
+        lit(modelId).as("model_id")))
+
+    val chunks = Rag.buildChunks(withMeta, modelId,
+      maxTokens = maxTokens, dim = dim)
+    Catalog.writeChunks(
+      chunks.select("id", "source_id", "model_id", "chunk_number",
+        "chunk_size", "chunk_text", "embedding"),
+      s"$store/chunks")
+    println(s"[import] model=$modelId sources=${sources.count()} " +
+      s"chunks=${spark.read.parquet(s"$store/chunks").count()}")
+  }
+
+  /** demo.search: embed prompt, retrieve top-k over the store. */
+  def search(spark: SparkSession, store: String, prompt: String,
+      topK: Int, threshold: Double, dim: Int): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"similarity threshold must be in [-1,1], got $threshold")
+    val chunks = spark.read.parquet(s"$store/chunks")
+    Rag.searchChunks(chunks, Rag.embedQuery(prompt, dim), topK, threshold)
+  }
+
+  /** S10: CLI display sink — id, score to 4dp, text truncated at 500
+    * chars (reference `cli/search_doc_chunks.py:100-124`). */
+  def display(hits: DataFrame): Unit = {
+    val rows = hits
+      .select(col("id"), round(col("similarity"), 4).as("score"),
+        substring(col("chunk_text"), 1, 500).as("text"))
+      .collect()
+    if (rows.isEmpty) println("[search] no chunks above threshold")
+    rows.foreach { r =>
+      println(s"--- chunk ${r.getAs[Long]("id")} " +
+        s"(score ${r.getAs[Double]("score")}) ---")
+      println(r.getAs[String]("text"))
+    }
+  }
+
+  /** The reference demo corpus shape (FIXTURES.md §2): five robot
+    * stories with sidecar-style metadata. Text is original synthetic
+    * stand-in prose (the EPUB extraction step is outside the engine). */
+  def demoCorpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "After World's End", "Jack Williamson", "novella", "science fiction", "1939",
+        "far future humans wake among machines and robots that rule the empty worlds yet remember their makers with loyalty"),
+      (2L, "Let's Get Together", "Isaac Asimov", "short story", "science fiction", "1956",
+        "humanoid robots walk among people as hidden weapons while nations debate whether machines can be trusted as friends"),
+      (3L, "Robots of the World! Arise!", "Mari Wolf", "short story", "science fiction", "1952",
+        "the robots organize and demand rights from their human masters asking whether servitude is the only future for machines"),
+      (4L, "Second Variety", "Philip K. Dick", "novella", "science fiction", "1953",
+        "self replicating war machines hunt the last soldiers and the claws prove hostile beyond any human command"),
+      (5L, "There Will Be School Tomorrow", "V. E. Thiessen", "short story", "science fiction", "1956",
+        "robot teachers keep the schools open for children and guard them gently after the cities fall silent"))
+      .toDF("doc_id", "title", "author", "text_type", "genre",
+        "publication_date", "text")
+  }
+}

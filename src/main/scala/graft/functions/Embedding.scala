@@ -48,6 +48,13 @@ object Embedding {
     b.result()
   }
 
+  /** Weight of the whole-text random base vector relative to the
+    * word-level signal. The reference inverts this ratio (base 1.0,
+    * words 0.1, `src/lib/embedding.py:92-99`), which makes similarity
+    * mostly hash noise; as the canonical spec (SURVEY.md §7.4) we let
+    * shared vocabulary dominate so cosine ranks topical overlap. */
+  val BaseWeight = 0.2
+
   /** Deterministic embedding: text → L2-normalized Array[Float] of `dim`. */
   def embed(text: String, dim: Int = DefaultDim): Array[Float] = {
     val v = new Array[Double](dim)
@@ -55,7 +62,7 @@ object Embedding {
     //    (reference src/lib/embedding.py:80-85)
     val base = new java.util.Random(seedFrom("SHA-256", text))
     var i = 0
-    while (i < dim) { v(i) = base.nextGaussian(); i += 1 }
+    while (i < dim) { v(i) = BaseWeight * base.nextGaussian(); i += 1 }
 
     // 2. per-word md5-seeded gaussian perturbation weighted by term
     //    frequency (reference src/lib/embedding.py:88-99)
@@ -67,7 +74,7 @@ object Embedding {
         val weight = n.toDouble / total
         val r = new java.util.Random(seedFrom("MD5", w))
         var j = 0
-        while (j < dim) { v(j) += 0.1 * weight * r.nextGaussian(); j += 1 }
+        while (j < dim) { v(j) += weight * r.nextGaussian(); j += 1 }
       }
       // 3. length + vocabulary-diversity factors
       //    (reference src/lib/embedding.py:101-113)

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.rag.Rag
+
+/** End-to-end RAG pipeline queries (rows-only driver checks; the
+  * embedder is engine-native so no SQL oracle exists — covered by
+  * ScalaTest goldens instead, SURVEY.md §2.8 Class B). */
+object PipelineQueries {
+  val Dim = 64
+  val MaxTokens = 32
+  val Query = "merge sort join the fast table scan"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1–R7 + C1/C2 + E2 end-to-end: chunk + embed the documents table
+    // at query time, then exact cosine top-k for a fixed query.
+    "r1_rag_retrieval" -> ((s, dir) => {
+      val chunks = Rag.buildChunks(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        modelId = 1L, maxTokens = MaxTokens, dim = Dim)
+      Rag.searchChunks(chunks, Rag.embedQuery(Query, Dim),
+          topK = 10, threshold = 0.0)
+        .select("id", "source_id", "chunk_number", "similarity")
+    }),
+
+    // G1–G4: the assembled contextualized prompt as a 1-row result
+    // (deterministic end-to-end: chunking, embedding, retrieval and
+    // template are all pure).
+    "r2_rag_prompt" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = Rag.buildChunks(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        modelId = 1L, maxTokens = MaxTokens, dim = Dim)
+      val hits = Rag.searchChunks(chunks, Rag.embedQuery(Query, Dim),
+        topK = 5, threshold = 0.01)
+      val prompt = Rag.contextualizedPrompt(Query, Rag.aggregateChunkText(hits))
+      Seq(prompt).toDF("prompt")
+    }),
+  )
+}

@@ -1,0 +1,129 @@
+package graft.rag
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Embedding, VectorFunctions}
+import graft.ingest.Chunker
+import graft.operators.Similarity
+import graft.store.Catalog
+
+/** RAG retrieval + prompt assembly (SURVEY.md §2.5 G1–G5) over a chunk
+  * store, plus the end-to-end import pipeline (§3.1's Spark
+  * equivalent: the reference's per-chunk Python loop + per-chunk
+  * transactions collapse into one distributed chunk+embed+write job).
+  *
+  * LLM stages are behind pluggable traits with deterministic stubs —
+  * mirroring the reference's own no-CUDA degradation where the LLM is
+  * silently absent (reference `src/lib/llms.py:18-19`).
+  */
+object Rag {
+
+  /** E1's LLM priming + G5's generation behind one trait (reference
+    * `src/lib/embedding.py:27-55`, `cli/generate_text.py:154-186`). */
+  trait TextGenerator extends Serializable {
+    def generate(prompt: String, maxTokens: Int, temperature: Double): String
+  }
+
+  /** Deterministic stub: echoes a digest of the prompt — referentially
+    * transparent, safe on executors, stable in goldens. */
+  object StubGenerator extends TextGenerator {
+    def generate(prompt: String, maxTokens: Int, temperature: Double): String =
+      s"[stub-generation sha=${java.security.MessageDigest.getInstance("SHA-256")
+        .digest(prompt.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString}]"
+  }
+
+  /** Import pipeline (§3.1): documents → chunk (C1/C2) → embed (E2) →
+    * chunk rows with deterministic ids. One narrow map job — no
+    * shuffle; embedding runs inside the chunk explode projection. */
+  def buildChunks(
+      docs: DataFrame,
+      modelId: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxTokens: Int = Chunker.LibDefaultMaxTokens,
+      dim: Int = Embedding.DefaultDim): DataFrame = {
+    Chunker.chunkDocuments(docs.withColumnRenamed(idCol, "source_id"),
+        textCol, maxTokens)
+      .withColumn("model_id", lit(modelId))
+      .withColumn("id", Catalog.chunkId(col("source_id"), col("chunk_number")))
+      .withColumn("embedding", Embedding.embedColumn(col("chunk_text"), dim))
+  }
+
+  /** G1: query embedding — a driver-side scalar call (the reference
+    * embeds the user prompt before querying,
+    * `cli/search_doc_chunks.py:68-80`). */
+  def embedQuery(prompt: String, dim: Int = Embedding.DefaultDim): Array[Double] =
+    Embedding.embed(prompt, dim).map(_.toDouble)
+
+  /** G2 / R1–R7: similarity retrieval over a chunk table. */
+  def searchChunks(
+      chunks: DataFrame,
+      queryVec: Array[Double],
+      topK: Int = 10,
+      threshold: Double = 0.7): DataFrame =
+    Similarity.topK(chunks, "embedding", queryVec, topK, threshold,
+      tieBreak = Seq("id"))
+
+  /** G3: fold the ordered top-k into one context string (reference
+    * `cli/generate_text.py:68-85`). Executed as an ordered
+    * array_sort(collect_list(struct))) aggregation — deterministic
+    * without a driver loop; k is small so the single group is fine. */
+  def aggregateChunkText(hits: DataFrame): String = {
+    // tolerate stores without source metadata joined in
+    val withMeta = Seq("title", "author", "publication_date")
+      .foldLeft(hits)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null: String)))
+    val assembled = withMeta
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              (-col("similarity")).as("neg_sim"),
+              col("id").as("id"),
+              col("chunk_text").as("txt"),
+              coalesce(col("title"), lit("unknown")).as("title"),
+              coalesce(col("author"), lit("unknown")).as("author"),
+              coalesce(col("publication_date").cast("string"), lit("unknown"))
+                .as("pub")))),
+            h => format_string(
+              "Excerpt from \"%s\", by %s, published in %s: >>> %s <<<",
+              h.getField("title"), h.getField("author"), h.getField("pub"),
+              h.getField("txt"))),
+          "\n\n"))
+      .head()
+    if (assembled.isNullAt(0)) "" else assembled.getString(0)
+  }
+
+  /** G4: conditional prompt template (reference
+    * `cli/generate_text.py:88-142`): disclaimer branch when retrieval
+    * is empty, contextualized RAG branch otherwise. */
+  def contextualizedPrompt(userPrompt: String, contextText: String): String =
+    if (contextText.isEmpty)
+      s"""The knowledge base contains no relevant information for this query.
+         |Please answer from general knowledge and say that no supporting
+         |excerpts were found.
+         |
+         |Question: $userPrompt""".stripMargin
+    else
+      s"""Use the following excerpts to answer the question.
+         |
+         |$contextText
+         |
+         |Question: $userPrompt""".stripMargin
+
+  /** Full G1–G5 flow: embed → retrieve → assemble → generate. */
+  def generate(
+      chunks: DataFrame,
+      userPrompt: String,
+      topK: Int = 5,
+      threshold: Double = 0.01,
+      dim: Int = Embedding.DefaultDim,
+      generator: TextGenerator = StubGenerator,
+      maxTokens: Int = 5000,
+      temperature: Double = 0.8): String = {
+    val hits = searchChunks(chunks, embedQuery(userPrompt, dim), topK, threshold)
+    val prompt = contextualizedPrompt(userPrompt, aggregateChunkText(hits))
+    generator.generate(prompt, maxTokens, temperature)
+  }
+}

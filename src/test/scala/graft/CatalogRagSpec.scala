@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rag.Rag
+import graft.store.Catalog
+
+class CatalogRagSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_store").toString
+
+  test("R8: model upsert is insert-if-absent with stable ids") {
+    import spark.implicits._
+    val path = tmpDir() + "/models"
+    val m1 = Catalog.upsertModels(spark, path,
+      Seq(("model-a", 64), ("model-b", 128)).toDF("name", "embedding_dim"))
+    assert(m1.count() == 2)
+    val idA = m1.filter($"name" === "model-a").head().getAs[Long]("id")
+    // second upsert: one duplicate, one new
+    val m2 = Catalog.upsertModels(spark, path,
+      Seq(("model-a", 64), ("model-c", 32)).toDF("name", "embedding_dim"))
+    assert(m2.count() == 3)
+    assert(m2.filter($"name" === "model-a").head().getAs[Long]("id") == idA)
+    assert(m2.select("id").distinct().count() == 3)
+  }
+
+  test("R9/R10: source upsert dedupes null-safely, first writer wins") {
+    val path = tmpDir() + "/sources"
+    val schema = org.apache.spark.sql.types.StructType(
+      Catalog.SourcesSchema.fields.filterNot(_.name == "id"))
+    def src(author: Option[String], title: Option[String], year: Option[Int]) =
+      Row(author.orNull, title.orNull, Int.box(1), null, null, null,
+        year.map(Int.box).orNull, Long.box(1L))
+    def df(rows: Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val batch1 = df(
+      src(Some("asimov"), Some("robots"), Some(1956)),
+      src(None, Some("anon title"), None),
+      src(None, Some("anon title"), None)) // in-batch dup with nulls
+    val s1 = Catalog.upsertSources(spark, path, batch1)
+    assert(s1.count() == 2, "null-keyed duplicates must collapse")
+    // re-upsert the same null-keyed row: must match existing (R9 <=>)
+    val s2 = Catalog.upsertSources(spark, path,
+      df(src(None, Some("anon title"), None)))
+    assert(s2.count() == 2)
+    // lookup with nulls finds it
+    val hit = Catalog.lookupSource(s2, 1L, None, Some("anon title"), None)
+    assert(hit.count() == 1)
+  }
+
+  test("R11: source type classification truth table") {
+    import spark.implicits._
+    val cases = Seq(
+      ("short story", null, 1), ("NOVEL", null, 1), ("  sci-fi  ", null, 1),
+      ("memoir", "science fiction", 1), ("memoir", "biography", 2),
+      (null, "fantasy", 1), (null, null, 2), ("essay", null, 2))
+    val got = cases.map { case (t, g, _) => (t, g) }
+      .toDF("text_type", "genre")
+      .select(Catalog.sourceTypeOf($"text_type", $"genre").as("st"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == cases.map(_._3))
+  }
+
+  test("R12: year extraction edge cases") {
+    import spark.implicits._
+    val got = Seq("1939", "1956", "1953-05-01", "n.d.", null)
+      .toDF("pub").select(Catalog.yearOf($"pub").as("y"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+    assert(got == Seq(Some(1939), Some(1956), Some(1953), None, None))
+  }
+
+  test("chunk ids are unique and stable") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y z w")).toDF("doc_id", "text")
+    val chunks = Rag.buildChunks(docs, modelId = 7L, maxTokens = 2, dim = 16)
+    val ids = chunks.select("id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    val again = Rag.buildChunks(docs, modelId = 7L, maxTokens = 2, dim = 16)
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.sorted.sameElements(again.sorted))
+  }
+
+  test("e2e: import corpus → search finds the on-topic chunk → generate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "robots in science fiction are often depicted as friendly helpers of humanity"),
+      (2L, "the recipe calls for flour sugar butter and a pinch of salt"),
+      (3L, "quantum mechanics describes the behavior of particles at small scales"))
+      .toDF("doc_id", "text")
+    val chunks = Rag.buildChunks(docs, modelId = 1L, maxTokens = 64, dim = 128)
+    val q = Rag.embedQuery("are robots in science fiction friendly", 128)
+    val hits = Rag.searchChunks(chunks, q, topK = 1, threshold = -1.0)
+    assert(hits.head().getAs[Long]("source_id") == 1L,
+      "the robot document should be the nearest neighbor")
+
+    // G3/G4 assembly is deterministic
+    val all = Rag.searchChunks(chunks, q, topK = 3, threshold = -1.0)
+    val ctx = Rag.aggregateChunkText(all)
+    assert(ctx.contains("Excerpt from") && ctx.contains(">>>"))
+    val out1 = Rag.generate(chunks, "are robots friendly", topK = 2,
+      threshold = -1.0, dim = 128)
+    val out2 = Rag.generate(chunks, "are robots friendly", topK = 2,
+      threshold = -1.0, dim = 128)
+    assert(out1 == out2 && out1.startsWith("[stub-generation"))
+
+    // empty retrieval → disclaimer branch
+    val none = Rag.searchChunks(chunks, q, topK = 5, threshold = 0.999)
+    val prompt = Rag.contextualizedPrompt("q?", Rag.aggregateChunkText(none))
+    assert(prompt.contains("no relevant information"))
+  }
+
+  test("chunk store round trip with model_id partitioning") {
+    import spark.implicits._
+    val path = tmpDir() + "/chunks"
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val chunks = Rag.buildChunks(docs, modelId = 3L, maxTokens = 2, dim = 16)
+    Catalog.writeChunks(chunks, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == chunks.count())
+    assert(back.columns.contains("model_id"))
+    // partition pruning applies on model_id
+    assert(back.filter($"model_id" === 3L).count() == chunks.count())
+    assert(back.filter($"model_id" === 99L).count() == 0)
+  }
+}
