@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.operators.{EventQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,11 +36,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++
-      TextQueries.queries ++ PipelineQueries.queries
+      TextQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops → driver
     * records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++ TextQueries.oracleSql
+    RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++
+      TextQueries.oracleSql ++ EventQueries.oracleSql
 }

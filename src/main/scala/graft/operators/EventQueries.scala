@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Driver-checked event-log queries: sessionization, per-key ranking,
+  * and JSON-ish property extraction — the batch faces of the streaming
+  * operators (graft.streaming.EventStreams); the streaming forms are
+  * asserted equal to these in StreamingSpec. */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: gap-based sessionization (lag + running-sum window) rolled
+    // up to per-session stats. One shuffle on user_id; per-user sort.
+    "s1_session_stats" -> ((s, dir) => {
+      EventStreams.sessionStats(Tables.events(s, dir))
+        .orderBy("user_id", "session_number")
+    }),
+
+    // S2: top event_type per user (window row_number over count agg).
+    "s2_top_event_type" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id").orderBy(desc("cnt"), asc("event_type"))
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "cnt")
+        .orderBy("user_id")
+    }),
+
+    // J1: property extraction from the JSON-ish props column
+    // (regexp-based; engine-portable, null on no-match under ANSI).
+    "j1_props_extract" -> ((s, dir) => {
+      val k = regexp_extract(col("props"), "([0-9]+)", 1)
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          when(k =!= "", k.cast("long")).as("k"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_session_stats" ->
+      """WITH o AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) us
+        |   FROM events),
+        | b AS (SELECT user_id, event_id, us,
+        |   CASE WHEN lag(us) OVER w IS NULL
+        |     OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | sn AS (SELECT user_id, us,
+        |   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_number FROM b)
+        | SELECT user_id, session_number, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us
+        | FROM sn GROUP BY user_id, session_number
+        | ORDER BY user_id, session_number""".stripMargin.replaceAll("\n", ""),
+    "s2_top_event_type" ->
+      """SELECT user_id, event_type, cnt FROM (
+        |  SELECT user_id, event_type, cnt,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY cnt DESC, event_type) AS rn
+        |  FROM (SELECT user_id, event_type, COUNT(*) AS cnt FROM events
+        |        GROUP BY user_id, event_type))
+        | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", ""),
+    "j1_props_extract" ->
+      """SELECT event_id, CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '')
+        | AS BIGINT) AS k FROM events ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", ""),
+  )
+}

@@ -26,6 +26,17 @@ object PipelineQueries {
         .select("id", "source_id", "chunk_number", "similarity")
     }),
 
+    // M1: multimodal feature extraction — binary assets → batched
+    // per-partition stub decode → feature vectors (rows-only check;
+    // determinism + schema asserted in MultimodalSpec).
+    "m1_media_features" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticAssets(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.extractFeatures(assets, featureDim = 16)
+        .select(col("asset_id"), col("media_type"), col("n_bytes"))
+        .orderBy("asset_id")
+    }),
+
     // G1–G4: the assembled contextualized prompt as a 1-row result
     // (deterministic end-to-end: chunking, embedding, retrieval and
     // template are all pure).

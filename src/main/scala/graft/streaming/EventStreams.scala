@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Event-stream operators: gap-based sessionization and watermarked
+  * windowed aggregation, in both batch (window functions) and
+  * Structured Streaming (stateful) forms.
+  *
+  * The reference has no streaming surface (batch CLIs only, SURVEY.md
+  * §2.7); this is the §7.1-step-10 extension: ingest is append-only, so
+  * the same transforms run as `readStream` → `writeStream` unchanged.
+  *
+  * Scale notes: sessionization shuffles once on user_id (both forms);
+  * the batch form's window sort is per-user (bounded); the streaming
+  * form holds one small state record per active user, dropped by
+  * watermark — the 100 TB-friendly shape for unbounded event logs.
+  */
+object EventStreams {
+
+  val SessionGapSeconds: Long = 1800L // 30 min
+
+  /** Batch sessionization: session break where the gap from the
+    * previous event of the same user exceeds `gapSeconds`; session
+    * number = running sum of breaks. Timestamps compared in epoch
+    * microseconds (exact integers, engine-portable). */
+  def sessionize(events: DataFrame, gapSeconds: Long = SessionGapSeconds): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(w)
+    events
+      .withColumn("brk",
+        when(prev.isNull || us - prev > gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("session_number",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("brk")
+  }
+
+  /** Per-session stats (the oracle-checked rollup). */
+  def sessionStats(events: DataFrame, gapSeconds: Long = SessionGapSeconds): DataFrame =
+    sessionize(events, gapSeconds)
+      .groupBy("user_id", "session_number")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+
+  // -------------------------------------------------------------
+  // Structured Streaming forms
+  // -------------------------------------------------------------
+
+  /** Hourly tumbling-window counts as a stream with a 1-hour
+    * watermark. Identical semantics to the batch date_trunc rollup
+    * once all data is processed. */
+  def streamingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sv"))
+
+  case class Ev(event_id: Long, ts_us: Long, user_id: Long)
+  case class SessionState(sessions: List[(Long, Long, Long, Long)])
+  case class SessionOut(user_id: Long, session_number: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState:
+    * per-user state carries the open session across micro-batches;
+    * finished sessions are emitted when a gap closes them. On a static
+    * source processed to completion this matches `sessionStats` for
+    * all closed sessions; the final open session per user remains in
+    * state (emitted here on timeout in a live stream). */
+  def streamingSessionize(
+      events: Dataset[Ev], gapSeconds: Long = SessionGapSeconds): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          // (session_number, n, start, end)
+          var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+          var current = sessions.headOption
+          var closed = List.empty[SessionOut]
+          sorted.foreach { e =>
+            current match {
+              case Some((num, n, s, end)) if e.ts_us - end <= gapSeconds * 1000000L =>
+                current = Some((num, n + 1, s, e.ts_us))
+              case Some((num, n, s, end)) =>
+                closed ::= SessionOut(userId, num, n, s, end)
+                current = Some((num + 1, 1L, e.ts_us, e.ts_us))
+              case None =>
+                current = Some((1L, 1L, e.ts_us, e.ts_us))
+            }
+          }
+          state.update(SessionState(current.toList))
+          closed.reverseIterator
+      }
+  }
+
+  /** Run a streaming query over a static parquet dir to completion via
+    * the memory sink; returns the collected result table. The harness
+    * for asserting stream == batch. */
+  def runToCompletion(
+      streamDf: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
+    val q = streamDf.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamDf.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def eventsSchemaDf = Tables.events(spark, sfDir)
+
+  /** readStream needs a directory source; stage the single parquet
+    * file into a temp dir. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly window agg equals batch rollup once complete") {
+    val batch = eventsSchemaDf
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    // stream from the same parquet file: fixed schema, ts converted the
+    // same way as Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(Tables.load(spark, sfDir, "events").schema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val result = EventStreams.runToCompletion(
+      EventStreams.streamingHourly(raw), "hourly_test", OutputMode.Append)
+    // append mode emits only watermark-closed windows; on a bounded
+    // source AvailableNow closes everything except possibly the last
+    // window — compare as subset + cardinality sanity
+    val got = result.select("h", "event_type", "cnt").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.subsetOf(batch), "stream emitted a row batch doesn't have")
+    assert(got.size >= batch.size - 10,
+      s"stream emitted ${got.size} of ${batch.size} windows")
+  }
+
+  test("stateful streaming sessionization matches batch closed sessions") {
+    import spark.implicits._
+    val batch = EventStreams.sessionStats(eventsSchemaDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(Tables.load(spark, sfDir, "events").schema)
+      .parquet(streamDir)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      .as[EventStreams.Ev]
+    val result = EventStreams.runToCompletion(
+      EventStreams.streamingSessionize(raw).toDF(),
+      "sessions_test", OutputMode.Append)
+    val got = result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // the stream emits only CLOSED sessions; each user's final session
+    // stays in state → expect batch minus one open session per user
+    val users = eventsSchemaDf.select("user_id").distinct().count()
+    assert(got.subsetOf(batch),
+      s"streaming emitted sessions not in batch, e.g. ${(got -- batch).take(3)}")
+    assert(got.size == batch.size - users,
+      s"expected ${batch.size} - $users closed sessions, got ${got.size}")
+  }
+}
