@@ -129,38 +129,46 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k: restrict the scan to corpus rows in the query
-    * vector's LSH bucket (plus all buckets at Hamming distance ≤
-    * `probes` for multi-probe recall), then exact cosine within.
-    * With the corpus pre-partitioned by `lsh_bucket` this is partition
-    * pruning: it reads ~((1+probes·bits)/2^bits) of the data. */
+  /** Approximate top-k with OR-amplified (multi-table) hyperplane LSH:
+    * `tables` independent signatures of `bits` bits each; a corpus row
+    * is a candidate if ANY table's bucket matches the query's bucket
+    * (or a bucket at Hamming distance ≤ `probes` — multi-probe).
+    * Candidates get exact cosine + TakeOrderedAndProject.
+    *
+    * One scan pass; the per-table bucket equality is a codegen'd
+    * integer comparison, so non-candidates skip the O(dim) cosine.
+    * With the corpus pre-partitioned by table-0's bucket, the primary
+    * table also prunes partitions (reads ~(1+probes·bits)/2^bits of
+    * the files); the other tables then only rescue recall inside the
+    * scanned fraction — at 100 TB choose bits so a single table's
+    * bucket fits the latency budget and tune tables/probes for recall. */
   def lshTopK(
       corpus: DataFrame,
       embCol: String,
       queryVec: Array[Double],
       k: Int,
-      bits: Int = 12,
+      bits: Int = 8,
+      tables: Int = 8,
       probes: Int = 1,
       seed: Long = 42L,
       roundTo: Int = 6,
       tieBreak: Seq[String] = Seq.empty): DataFrame = {
     val dim = queryVec.length
-    val planes = hyperplanes(bits, dim, seed)
-    def sig(v: Array[Double]): Long =
+    def sigOf(planes: Array[Array[Double]], v: Array[Double]): Long =
       planes.zipWithIndex.map { case (h, i) =>
         val d = h.zip(v).map { case (a, b) => a * b }.sum
         if (d >= 0.0) 1L << i else 0L
       }.sum
-    val qSig = sig(queryVec)
-    // multi-probe: query bucket + neighbors at hamming distance <= probes
-    val buckets: Seq[Long] =
-      if (probes <= 0) Seq(qSig)
-      else qSig +: (0 until bits).map(i => qSig ^ (1L << i))
-    val bucketed = corpus.withColumn("lsh_bucket", lshBucket(col(embCol), planes))
-    topK(
-      bucketed.filter(col("lsh_bucket").isin(buckets: _*)),
-      embCol, queryVec, k, threshold = -1.0, tieBreak = tieBreak,
-      roundTo = roundTo)
+    val candCond = (0 until tables).map { t =>
+      val planes = hyperplanes(bits, dim, seed + t)
+      val qSig = sigOf(planes, queryVec)
+      val buckets: Seq[Long] =
+        if (probes <= 0) Seq(qSig)
+        else qSig +: (0 until bits).map(i => qSig ^ (1L << i))
+      lshBucket(col(embCol), planes).isin(buckets: _*)
+    }.reduce(_ || _)
+    topK(corpus.filter(candCond), embCol, queryVec, k,
+      threshold = -1.0, tieBreak = tieBreak, roundTo = roundTo)
   }
 
   /** Materialize a corpus with its LSH bucket — written

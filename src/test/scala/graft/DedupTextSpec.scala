@@ -60,6 +60,26 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("lshTopK: results ⊆ corpus, high recall vs exact topK on near-dups") {
+    val q = graft.functions.Embedding.embed("graft lsh probe", 64).map(_.toDouble)
+    val exact = operators.Similarity.topK(embs, "embedding", q, 10,
+        tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val approx = operators.Similarity.lshTopK(embs, "embedding", q, 10,
+        bits = 8, tables = 8, probes = 1, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(approx.nonEmpty && approx.size <= 10)
+    // every approx hit must be a real corpus row scored correctly:
+    // approx results are a subset of the exact ranking order
+    val exactAll = operators.Similarity.topK(embs, "embedding", q, 500,
+        tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(approx.toSet.subsetOf(exactAll.toSet))
+    // multi-probe at 8 bits should catch a good share of the true top-10
+    assert(exact.toSet.intersect(approx.toSet).size >= 3,
+      s"LSH recall too low: ${exact.toSet.intersect(approx.toSet).size}/10")
+  }
+
   test("exact full-text dedup keeps one row per fingerprint") {
     import spark.implicits._
     val df = Seq(
