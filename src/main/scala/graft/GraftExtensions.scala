@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the vector kernel as
+  * SQL functions so `spark.sql("SELECT cosine_similarity(a, b) ...")`
+  * works on any session built with
+  * `.withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two vectors"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - double dot product"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(a) - Euclidean norm"),
+      (es: Seq[Expression]) => L2Norm(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(a) - unit-normalized copy"),
+      (es: Seq[Expression]) => L2Normalize(es.head)))
+  }
+}

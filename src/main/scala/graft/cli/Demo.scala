@@ -71,8 +71,20 @@ object Demo {
         println("=== generated ===\n" + Rag.generate(
           chunks, "Are robots friendly to humans?", 5, 0.01, dim))
 
+      case "scan" =>
+        // S1/S2/S5/S6: identify + dispatch + sidecar-join a raw dir
+        val scanned = graft.sources.Sources.withSidecarMetadata(
+          graft.sources.Sources.ingestionReadyScan(spark, flags("dir")),
+          spark, flags("dir"))
+        scanned.select("path", "mime", "action", "metadata")
+          .orderBy("path")
+          .collect()
+          .foreach(r => println(s"[scan] ${r.getAs[String]("path")} " +
+            s"mime=${r.getAs[String]("mime")} action=${r.getAs[String]("action")} " +
+            s"meta=${Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map())}"))
+
       case other => sys.error(
-        s"unknown mode '$other' (expected import|search|generate|demo)")
+        s"unknown mode '$other' (expected import|search|generate|scan|demo)")
     }
   }
 
