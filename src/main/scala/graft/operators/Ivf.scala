@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor: the second scale
+  * path beside hyperplane LSH (SURVEY.md §7.1 step 10).
+  *
+  * Index build is a batch job (the north-star decomposition: batch
+  * index build fits Spark; assignment is a narrow map): train a small
+  * centroid codebook on a driver-side sample (deterministic k-means,
+  * spherical/cosine variant), then assign every corpus row to its
+  * nearest centroid cell as a column. A corpus written
+  * `partitionBy("ivf_cell")` turns query-time cell selection into
+  * partition pruning: a query scans nprobe/nlist of the data.
+  *
+  * Query: score the codebook on the driver (nlist ≪ corpus, O(nlist·dim)),
+  * keep the top `nprobe` cells, filter + exact cosine top-k within.
+  */
+object Ivf {
+
+  case class IvfModel(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+    def dim: Int = centroids.head.length
+
+    private def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Cells ranked by centroid-query cosine (centroids are unit
+      * norm, so dot = cosine up to the query's constant norm). */
+    def rankCells(query: Array[Double]): Array[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (dot(c, query), i) }
+        .sortBy { case (d, i) => (-d, i) }
+        .map(_._2)
+  }
+
+  private def l2n(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Deterministic spherical k-means on a sampled subset. The sample
+    * is the `sampleSize` lowest-id rows (stable across runs and
+    * partitionings); init = evenly strided sample vectors. Driver-side
+    * by design: the codebook is tiny and training data is a sample —
+    * this is index BUILD, not a per-query cost. */
+  def train(
+      corpus: DataFrame, idCol: String, embCol: String,
+      nlist: Int, iters: Int = 5, sampleSize: Int = 2048): IvfModel = {
+    val sample = corpus
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .orderBy(idCol)
+      .limit(sampleSize)
+      .collect()
+      .map(r => l2n(r.getSeq[Double](1).toArray))
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+
+    var centroids = Array.tabulate(nlist)(i =>
+      sample(i * sample.length / nlist))
+    for (_ <- 0 until iters) {
+      val model = IvfModel(centroids)
+      val assigned = sample.groupBy(v => model.rankCells(v).head)
+      centroids = Array.tabulate(nlist) { c =>
+        assigned.get(c) match {
+          case Some(vs) =>
+            val acc = new Array[Double](vs.head.length)
+            vs.foreach { v =>
+              var i = 0; while (i < acc.length) { acc(i) += v(i); i += 1 }
+            }
+            l2n(acc)
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    IvfModel(centroids)
+  }
+
+  /** Nearest-centroid cell as a column expression: array_max over
+    * (dot, -idx) structs — all codegen'd dot products, no UDF. */
+  def cellOf(emb: Column, model: IvfModel): Column = {
+    val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorFunctions.dot_product(emb, typedLit(c)).as("score"),
+        lit(-i).as("negidx"))
+    }: _*)
+    (-array_max(scored).getField("negidx")).cast("int")
+  }
+
+  /** Assign every row its IVF cell (write with partitionBy("ivf_cell")
+    * for partition-pruned search). */
+  def assign(corpus: DataFrame, embCol: String, model: IvfModel): DataFrame =
+    corpus.withColumn("ivf_cell", cellOf(col(embCol), model))
+
+  /** ANN search: top-k within the query's `nprobe` nearest cells. */
+  def search(
+      indexed: DataFrame, embCol: String, queryVec: Array[Double],
+      model: IvfModel, k: Int, nprobe: Int,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val cells = model.rankCells(l2n(queryVec)).take(nprobe).toSeq
+    Similarity.topK(
+      indexed.filter(col("ivf_cell").isin(cells: _*)),
+      embCol, queryVec, k, threshold = -1.0, tieBreak = tieBreak)
+  }
+}

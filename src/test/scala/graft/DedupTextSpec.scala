@@ -80,6 +80,42 @@ class DedupTextSpec extends AnyFunSuite {
       s"LSH recall too low: ${exact.toSet.intersect(approx.toSet).size}/10")
   }
 
+  test("IVF: assignment covers all rows; search recall reasonable; pruning real") {
+    val model = operators.Ivf.train(embs, "vec_id", "embedding", nlist = 16)
+    assert(model.nlist == 16 && model.dim == 64)
+    val indexed = operators.Ivf.assign(embs, "embedding", model).cache()
+    assert(indexed.filter(col("ivf_cell").isNull).count() == 0)
+    val cells = indexed.groupBy("ivf_cell").count().count()
+    assert(cells > 8, s"expected spread over cells, got $cells")
+
+    val q = graft.functions.Embedding.embed("graft ivf probe", 64).map(_.toDouble)
+    val exact = operators.Similarity.topK(embs, "embedding", q, 10,
+      tieBreak = Seq("vec_id")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = operators.Ivf.search(indexed, "embedding", q, model,
+      k = 10, nprobe = 8, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    val recall = exact.intersect(approx).size
+    assert(recall >= 5, s"IVF recall too low: $recall/10 at nprobe=8/16")
+    // pruning is real: nprobe=1 scans a strict subset
+    val scanned1 = indexed.filter(col("ivf_cell") ===
+      model.rankCells(q).head).count()
+    assert(scanned1 < embs.count())
+    indexed.unpersist()
+  }
+
+  test("native MinHashSignature expression bit-equals the HOF reference") {
+    val sh = operators.TextAnalysis.shingles(col("text"), 2)
+    val both = docs.limit(100).select(
+      operators.Dedup.minHashSignature(sh, 64, 42L).as("native"),
+      operators.Dedup.minHashSignatureHof(sh, 64, 42L).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("exact full-text dedup keeps one row per fingerprint") {
     import spark.implicits._
     val df = Seq(

@@ -50,6 +50,38 @@ class StreamingSpec extends AnyFunSuite {
       s"stream emitted ${got.size} of ${batch.size} windows")
   }
 
+  test("streaming chunk ingest: readStream docs → chunk+embed → parquet append") {
+    // the §7.1-step-10 extension: ingest is append-only, so the batch
+    // chunk pipeline runs unchanged as a stream
+    val docsDir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val outDir = java.nio.file.Files.createTempDirectory("chunks_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+
+    val docsSchema = Tables.load(spark, sfDir, "documents").schema
+    val stream = spark.readStream.schema(docsSchema).parquet(docsDir.toString)
+      .select("doc_id", "text")
+    val chunks = graft.rag.Rag.buildChunks(stream, modelId = 1L,
+      maxTokens = 32, dim = 32)
+    val q = chunks.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = graft.rag.Rag.buildChunks(
+      Tables.load(spark, sfDir, "documents").select("doc_id", "text"),
+      modelId = 1L, maxTokens = 32, dim = 32)
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("id").distinct().count() == batch.count())
+  }
+
   test("stateful streaming sessionization matches batch closed sessions") {
     import spark.implicits._
     val batch = EventStreams.sessionStats(eventsSchemaDf)
