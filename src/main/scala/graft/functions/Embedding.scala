@@ -55,6 +55,26 @@ object Embedding {
     * shared vocabulary dominate so cosine ranks topical overlap. */
   val BaseWeight = 0.2
 
+  /** Per-JVM memo of word perturbation vectors: the same word's
+    * gaussian vector is re-derived for every document containing it —
+    * with a Zipfian vocabulary that's the dominant embedding cost.
+    * The cache is pure memoization (values are a pure function of
+    * (word, dim)), so results are identical with or without it, under
+    * any executor placement or retry. Bounded: cleared wholesale when
+    * it exceeds `MaxCachedWords` entries (vocabularies are Zipf — the
+    * hot head re-fills immediately). */
+  private val MaxCachedWords = 65536
+  private val wordVecCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Double]]()
+
+  private def wordVector(w: String, dim: Int): Array[Double] = {
+    if (wordVecCache.size > MaxCachedWords) wordVecCache.clear()
+    wordVecCache.computeIfAbsent((w, dim), { case (word, d) =>
+      val r = new java.util.Random(seedFrom("MD5", word))
+      Array.fill(d)(r.nextGaussian())
+    })
+  }
+
   /** Deterministic embedding: text → L2-normalized Array[Float] of `dim`. */
   def embed(text: String, dim: Int = DefaultDim): Array[Float] = {
     val v = new Array[Double](dim)
@@ -72,9 +92,9 @@ object Embedding {
       val tf = ws.groupMapReduce(identity)(_ => 1)(_ + _)
       tf.toSeq.sortBy(_._1).foreach { case (w, n) =>
         val weight = n.toDouble / total
-        val r = new java.util.Random(seedFrom("MD5", w))
+        val wv = wordVector(w, dim)
         var j = 0
-        while (j < dim) { v(j) += weight * r.nextGaussian(); j += 1 }
+        while (j < dim) { v(j) += weight * wv(j); j += 1 }
       }
       // 3. length + vocabulary-diversity factors
       //    (reference src/lib/embedding.py:101-113)

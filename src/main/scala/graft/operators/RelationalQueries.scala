@@ -124,6 +124,45 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // A13: exact quantiles (sort-based percentile; interpolation
+    // rounded since the two engines interpolate with different op
+    // order on identical sorted doubles).
+    "a13_median_price" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A14: ROLLUP grouping sets (subtotals + grand total); null
+    // ordering pinned explicitly — Spark defaults NULLS FIRST, DuckDB
+    // NULLS LAST.
+    "a14_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // A15: EXCEPT set operation.
+    "a15_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      c.except(o).orderBy("c_custkey")
+    }),
+
+    // A16: semi join (IN subquery ≡ left_semi).
+    "a16_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -166,5 +205,13 @@ object RelationalQueries {
       "SELECT COUNT(*) AS cnt FROM (SELECT CASE WHEN value > 100 THEN event_type END AS k FROM events) WHERE k IS NOT DISTINCT FROM NULL",
     "a12_events_hourly" ->
       "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents FROM events GROUP BY 1, 2 ORDER BY h, event_type",
+    "a13_median_price" ->
+      "SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "a14_rollup" ->
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "a15_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000 ORDER BY c_custkey",
+    "a16_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) ORDER BY c_custkey",
   )
 }

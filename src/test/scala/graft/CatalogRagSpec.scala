@@ -115,6 +115,37 @@ class CatalogRagSpec extends AnyFunSuite {
     assert(prompt.contains("no relevant information"))
   }
 
+  test("asof join: latest prior right row per key; nulls when none") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "ts", "l_name")
+    val right = Seq((1L, 90L, "c1"), (1L, 150L, "c2"), (1L, 200L, "c3"),
+      (2L, 60L, "c4"))
+      .toDF("k", "ts", "r_name")
+    val got = graft.operators.AsOf.asofJoin(left, right, "k", "ts", Seq("r_name"))
+      .orderBy("k", "ts")
+      .collect()
+      .map(r => (r.getAs[String]("l_name"), Option(r.getAs[String]("asof_r_name"))))
+      .toSeq
+    // p1@100 → c1@90; p2@200 → c3@200 (inclusive); p3@50 → none (c4@60 later)
+    assert(got == Seq(("p1", Some("c1")), ("p2", Some("c3")), ("p3", None)))
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_l_quantity"), count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = graft.operators.Skew.saltedAggregate(
+        li, Seq("l_returnflag"), col("l_orderkey"), buckets = 16,
+        Seq(graft.operators.Skew.sumOf("l_quantity"),
+          graft.operators.Skew.countAll))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
   test("chunk store round trip with model_id partitioning") {
     import spark.implicits._
     val path = tmpDir() + "/chunks"
