@@ -163,6 +163,42 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
+    // A17: running total window (rows frame; cents for exactness).
+    "a17_running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("rt_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // A18: lag window — seconds between a customer's consecutive
+    // orders (epoch seconds: exact integers on both engines).
+    "a18_order_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      // o_orderdate is TIMESTAMP_NTZ; NTZ→LTZ is identity under the
+      // UTC session, and LTZ casts to epoch seconds
+      val sec = col("o_orderdate").cast("timestamp").cast("long")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sec - lag(sec, 1).over(w)).as("gap_s"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // A19: full outer join with null rows on both sides.
+    "a19_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 750)
+        .select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(c("c_custkey"), o("o_custkey"), o("cnt"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_custkey"))
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -213,5 +249,11 @@ object RelationalQueries {
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000 ORDER BY c_custkey",
     "a16_semi" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) ORDER BY c_custkey",
+    "a17_running_total" ->
+      "SELECT o_custkey, o_orderkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt_cents FROM orders ORDER BY o_custkey, o_orderkey",
+    "a18_order_gaps" ->
+      "SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) - lag(CAST(epoch(o_orderdate) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_s FROM orders ORDER BY o_custkey, o_orderkey",
+    "a19_full_outer" ->
+      "SELECT c.c_custkey, o.o_custkey, o.cnt FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 750) c FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey NULLS FIRST, o.o_custkey NULLS FIRST",
   )
 }
