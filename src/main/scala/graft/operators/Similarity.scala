@@ -87,16 +87,23 @@ object Similarity {
       corpusEmbCol: String,
       k: Int,
       roundTo: Int = 6): DataFrame = {
+    // norms hoisted: computed once per row/query, not per pair —
+    // bit-identical to the fused cosine (same sqrt/multiply/divide)
     val q = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
-      col(queryEmbCol).as("q_emb"))
+      col(queryEmbCol).as("q_emb"),
+      VectorFunctions.l2_norm(col(queryEmbCol)).as("q_nrm"))
     val c = corpus.select(
       col(corpusIdCol).cast("long").as("c_id"),
-      col(corpusEmbCol).as("c_emb"))
+      col(corpusEmbCol).as("c_emb"),
+      VectorFunctions.l2_norm(col(corpusEmbCol)).as("c_nrm"))
     val scored = c.join(broadcast(q))
       .select(
         col("query_id"),
-        round(VectorFunctions.cosine_similarity(col("c_emb"), col("q_emb")),
+        round(
+          when(col("c_nrm") === 0.0 || col("q_nrm") === 0.0, 0.0)
+            .otherwise(VectorFunctions.dot_product(col("c_emb"), col("q_emb"))
+              / (col("c_nrm") * col("q_nrm"))),
           roundTo).as("similarity"),
         col("c_id").as("id"))
     val agg = udaf(new TopKAggregator(k), Encoders.product[Scored])

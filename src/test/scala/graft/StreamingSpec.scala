@@ -82,6 +82,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("id").distinct().count() == batch.count())
   }
 
+  test("bucketed tables join shuffle-free; unbucketed same join shuffles") {
+    val li = Tables.load(spark, sfDir, "orders")
+    val cu = Tables.load(spark, sfDir, "customer")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.store.Bucketing.writeBucketed(li, "orders_b", "o_custkey", 8)
+      graft.store.Bucketing.writeBucketed(
+        cu.withColumnRenamed("c_custkey", "o_custkey"), "customer_b",
+        "o_custkey", 8)
+      val bucketed = spark.table("orders_b")
+        .join(spark.table("customer_b"), "o_custkey")
+      assert(graft.store.Bucketing.isShuffleFree(bucketed),
+        "bucketed join must not shuffle:\n" +
+          bucketed.queryExecution.executedPlan.toString.take(2000))
+      assert(bucketed.count() > 0)
+      val unbucketed = li.join(
+        cu.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+      assert(!graft.store.Bucketing.isShuffleFree(unbucketed),
+        "control: unbucketed SMJ should shuffle")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("streaming exact dedup: watermarked dropDuplicates") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(Tables.load(spark, sfDir, "events").schema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // duplicate the stream to create exact dups, then dedup by key
+    val doubled = raw.union(raw)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val result = EventStreams.runToCompletion(
+      doubled.select("event_id"), "dedup_test", OutputMode.Append)
+    val batchCount = Tables.events(spark, sfDir).count()
+    assert(result.count() == batchCount,
+      s"${result.count()} != $batchCount")
+  }
+
   test("stateful streaming sessionization matches batch closed sessions") {
     import spark.implicits._
     val batch = EventStreams.sessionStats(eventsSchemaDf)
