@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, name, usage, "", "")
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "", "", "", "math_funcs", "4.0.0", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((

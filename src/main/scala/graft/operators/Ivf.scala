@@ -84,7 +84,7 @@ object Ivf {
   /** Nearest-centroid cell as a column expression: array_max over
     * (dot, -idx) structs — all codegen'd dot products, no UDF. */
   def cellOf(emb: Column, model: IvfModel): Column = {
-    val scored = array(model.centroids.zipWithIndex.map { case (c, i) =>
+    val scored = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(
         VectorFunctions.dot_product(emb, typedLit(c)).as("score"),
         lit(-i).as("negidx"))

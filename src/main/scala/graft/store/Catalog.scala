@@ -128,7 +128,7 @@ object Catalog {
         nullSafeKeyCond(batch, existing), "left_anti")
       .withColumn("id",
         row_number().over(Window.orderBy("model_id", "author", "title", "year")) + maxId)
-      .select(SourcesSchema.fieldNames.map(col): _*)
+      .select(SourcesSchema.fieldNames.toIndexedSeq.map(col): _*)
     if (!novel.isEmpty)
       novel.write.mode(SaveMode.Append).parquet(path)
     spark.read.schema(SourcesSchema).parquet(path)
