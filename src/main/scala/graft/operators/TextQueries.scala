@@ -53,6 +53,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T5: corpus-level n-gram frequency (explode + count + top-k) —
+    // the vocabulary-analysis shape; map-side partial agg then one
+    // shuffle on the bigram key.
+    "t5_top_bigrams" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("bigram"))
+        .limit(20)
+    }),
+
+    // T6: document-length histogram (bucketed arithmetic, exact ints).
+    "t6_length_histogram" -> ((s, dir) => {
+      docs(s, dir)
+        .select((floor(TextAnalysis.tokenCount(col("text")) / 10L) * 10L)
+          .as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+
     // C1: chunk counts — the whitespace chunker's cardinality is
     // ceil(n_tokens / maxTokens), SQL-checkable.
     "c1_chunk_counts" -> ((s, dir) => {
@@ -145,6 +167,17 @@ object TextQueries {
       """SELECT doc_id, CAST(CEIL(len(string_split(text, ' ')) / 32.0) AS BIGINT)
         | AS n_chunks FROM documents ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
+    "t5_top_bigrams" ->
+      """SELECT bigram, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(list_distinct(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1]))) AS bigram
+        |  FROM (SELECT string_split(text, ' ') tk FROM documents))
+        | GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20"""
+        .stripMargin.replaceAll("\n", ""),
+    "t6_length_histogram" ->
+      """SELECT CAST(FLOOR(len(string_split(text, ' ')) / 10) * 10 AS BIGINT)
+        | AS bucket, COUNT(*) AS cnt FROM documents
+        | GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", ""),
     "c2_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk
         |  FROM documents WHERE doc_id < 50),
