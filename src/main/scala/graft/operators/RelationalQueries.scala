@@ -199,6 +199,29 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_custkey"))
     }),
 
+    // A20: statistical aggregates (avg/stddev). Accumulation order and
+    // algorithm (Welford vs naive) differ across engines at the 1e-9
+    // relative level; rounding to 2 decimals makes the hash stable
+    // while still validating the semantics.
+    "a20_stats" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(avg("o_totalprice"), 2).as("avg_price"),
+          round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // A21: HLL approximate distinct — no cross-engine oracle (sketch
+    // internals differ); relative-error bound asserted in ScalaTest.
+    "a21_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct("l_partkey").as("approx_parts"),
+          approx_count_distinct("l_orderkey").as("approx_orders"))
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -255,5 +278,7 @@ object RelationalQueries {
       "SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) - lag(CAST(epoch(o_orderdate) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_s FROM orders ORDER BY o_custkey, o_orderkey",
     "a19_full_outer" ->
       "SELECT c.c_custkey, o.o_custkey, o.cnt FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 750) c FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey NULLS FIRST, o.o_custkey NULLS FIRST",
+    "a20_stats" ->
+      "SELECT o_orderstatus, ROUND(AVG(o_totalprice), 2) AS avg_price, ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
   )
 }

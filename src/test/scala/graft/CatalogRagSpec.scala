@@ -146,6 +146,16 @@ class CatalogRagSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val r = li.agg(
+      approx_count_distinct("l_partkey"),
+      countDistinct("l_partkey")).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("chunk store round trip with model_id partitioning") {
     import spark.implicits._
     val path = tmpDir() + "/chunks"
