@@ -103,11 +103,14 @@ object TextQueries {
         .orderBy("dedup_key")
     }),
 
-    // D2: exact bigram-Jaccard near-dup pairs (the dedup oracle; the
-    // scale path is d3's MinHash banding, verified against this).
+    // D2: exact bigram-Jaccard near-dup pairs — the O(N²) correctness
+    // oracle, so its input is a bounded sample (doc_id < 1000; the
+    // full sf0.01 corpus) regardless of SF. The corpus-wide path is
+    // d3's MinHash banding, verified against this.
     "d2_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 2,
-          threshold = 0.4)
+      Dedup.ngramJaccardPairs(
+          docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
+          n = 2, threshold = 0.4)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("a_id", "b_id")
     }),
@@ -196,7 +199,8 @@ object TextQueries {
     "d2_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(
         |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents))
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |        WHERE doc_id < 1000))
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
