@@ -75,6 +75,16 @@ object TextQueries {
         .orderBy("bucket")
     }),
 
+    // T7: deterministic hash-bucket train/test split — pure function
+    // of the key (reproducible across runs/engines/cluster sizes; no
+    // leakage when the corpus grows).
+    "t7_train_test_split" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          Sampling.splitLabel(col("doc_id"), 13).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // C1: chunk counts — the whitespace chunker's cardinality is
     // ceil(n_tokens / maxTokens), SQL-checkable.
     "c1_chunk_counts" -> ((s, dir) => {
@@ -181,6 +191,10 @@ object TextQueries {
       """SELECT CAST(FLOOR(len(string_split(text, ' ')) / 10) * 10 AS BIGINT)
         | AS bucket, COUNT(*) AS cnt FROM documents
         | GROUP BY bucket ORDER BY bucket""".stripMargin.replaceAll("\n", ""),
+    "t7_train_test_split" ->
+      """SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        | < 'd' THEN 'train' ELSE 'test' END AS split
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "c2_chunks" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk
         |  FROM documents WHERE doc_id < 50),

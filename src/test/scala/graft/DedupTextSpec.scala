@@ -116,6 +116,28 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic split: stable, disjoint, ~13/16 train; stratified sample exact-rerun") {
+    val (train, test) = operators.Sampling.trainTestSplit(docs, "doc_id", 13)
+    val (train2, _) = operators.Sampling.trainTestSplit(
+      docs.repartition(7), "doc_id", 13)
+    val tIds = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val eIds = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tIds.intersect(eIds).isEmpty)
+    assert(tIds.size + eIds.size == docs.count())
+    // partitioning-independent
+    assert(train2.select("doc_id").collect().map(_.getLong(0)).toSet == tIds)
+    val frac = tIds.size.toDouble / docs.count()
+    assert(frac > 0.70 && frac < 0.92, s"train fraction $frac")
+
+    val sampled = operators.Sampling.stratifiedSample(
+      docs, "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.1))
+    val again = operators.Sampling.stratifiedSample(
+      docs.repartition(5), "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.1))
+    val s1 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(sampled.filter(col("lang") === "fr").count() == 0)
+  }
+
   test("exact full-text dedup keeps one row per fingerprint") {
     import spark.implicits._
     val df = Seq(
