@@ -71,6 +71,27 @@ object Demo {
         println("=== generated ===\n" + Rag.generate(
           chunks, "Are robots friendly to humans?", 5, 0.01, dim))
 
+      case "import-dir" =>
+        // the reference's demo.import shape: raw files + sidecars →
+        // identify → ingest text → register + chunk + embed + store
+        val scanned = graft.sources.Sources.withSidecarMetadata(
+          graft.sources.Sources.ingestionReadyScan(spark, flags("dir")),
+          spark, flags("dir"))
+          .filter(col("action") === "ingest")
+          .select(
+            // bounded to 2^40 so the composite chunk id
+            // (source_id << 20 | chunk_number) cannot overflow a long
+            pmod(xxhash64(col("path")), lit(1L << 40)).as("doc_id"),
+            col("text"),
+            col("metadata")("author").as("author"),
+            col("metadata")("title").as("title"),
+            col("metadata")("text_type").as("text_type"),
+            col("metadata")("genre").as("genre"),
+            col("metadata")("publication_date").as("publication_date"))
+        importDocs(spark, scanned, flags("store"),
+          flags.getOrElse("model", graft.functions.Embedding.DefaultModel),
+          dim, flags.getOrElse("max-tokens", "512").toInt)
+
       case "scan" =>
         // S1/S2/S5/S6: identify + dispatch + sidecar-join a raw dir
         val scanned = graft.sources.Sources.withSidecarMetadata(

@@ -101,6 +101,30 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream correlated join: for each left event, all right
+    * events of the same user within the trailing `windowSeconds`.
+    * Watermarks on both sides bound the join state (right rows are
+    * dropped once older than the watermark minus the window) — the
+    * unbounded-log-safe form of event correlation. Works identically
+    * on batch DataFrames (same expression, no state). */
+  def correlate(
+      left: DataFrame, right: DataFrame,
+      windowSeconds: Long = 1800L,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+      .select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"))
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
+      .select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("l_event_id"), col("user_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Run a streaming query over a static parquet dir to completion via
     * the memory sink; returns the collected result table. The harness
     * for asserting stream == batch. */

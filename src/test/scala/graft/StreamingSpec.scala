@@ -129,6 +129,30 @@ class StreamingSpec extends AnyFunSuite {
       s"${result.count()} != $batchCount")
   }
 
+  test("stream-stream correlated join equals batch join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def raw = spark.readStream
+      .schema(Tables.load(spark, sfDir, "events").schema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = EventStreams.runToCompletion(
+      EventStreams.correlate(
+        raw.filter(col("event_type") === "purchase"),
+        raw.filter(col("event_type") === "click")),
+      "corr_test", OutputMode.Append)
+    val batchEvents = Tables.events(spark, sfDir)
+    val batch = EventStreams.correlate(
+      batchEvents.filter(col("event_type") === "purchase"),
+      batchEvents.filter(col("event_type") === "click"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (sSet, bSet) = (key(streamed), key(batch))
+    assert(bSet.nonEmpty, "batch correlation should find pairs")
+    assert(sSet == bSet,
+      s"stream ${sSet.size} pairs vs batch ${bSet.size}")
+  }
+
   test("stateful streaming sessionization matches batch closed sessions") {
     import spark.implicits._
     val batch = EventStreams.sessionStats(eventsSchemaDf)
