@@ -104,6 +104,17 @@ class DedupTextSpec extends AnyFunSuite {
     indexed.unpersist()
   }
 
+  test("materialized minhash index gives identical near-dup pairs") {
+    val path = java.nio.file.Files.createTempDirectory("mh_index") + "/idx"
+    operators.Dedup.buildMinHashIndex(docs, "doc_id", "text", path)
+    val indexed = operators.Dedup.minHashNearDupPairsFromIndex(
+      spark.read.parquet(path), threshold = 0.4)
+    val direct = operators.Dedup.minHashNearDupPairs(
+      docs, "doc_id", "text", threshold = 0.4)
+    assert(pairSet(indexed) == pairSet(direct))
+    assert(pairSet(indexed).nonEmpty)
+  }
+
   test("native MinHashSignature expression bit-equals the HOF reference") {
     val sh = operators.TextAnalysis.shingles(col("text"), 2)
     val both = docs.limit(100).select(
