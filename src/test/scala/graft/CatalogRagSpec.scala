@@ -146,6 +146,24 @@ class CatalogRagSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("reference demo corpus: import → demo query, deterministic across runs") {
+    // the reference's own e2e shape (FIXTURES.md §2 / tasks.py demo)
+    def run(): Seq[(Long, Double)] = {
+      val store = tmpDir() + "/store"
+      graft.cli.Demo.importDocs(spark, graft.cli.Demo.demoCorpus(spark),
+        store, "demo-model", dim = 256, maxTokens = 64)
+      graft.cli.Demo.search(spark, store,
+        "Are robots that are depicted in science fiction generally friendly to humans?",
+        topK = 5, threshold = 0.0, dim = 256)
+        .select("id", "similarity").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val r1 = run()
+    val r2 = run()
+    assert(r1.nonEmpty, "demo query should retrieve chunks")
+    assert(r1 == r2, "retrieval must be bit-deterministic across imports")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val r = li.agg(
