@@ -104,8 +104,15 @@ object Demo {
             s"mime=${r.getAs[String]("mime")} action=${r.getAs[String]("action")} " +
             s"meta=${Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map())}"))
 
+      case "purge" =>
+        // reference parity: purge.db (tasks.py:142-151) — drop the store
+        val p = new org.apache.hadoop.fs.Path(flags("store"))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val existed = fs.delete(p, true)
+        println(s"[purge] ${flags("store")} deleted=$existed")
+
       case other => sys.error(
-        s"unknown mode '$other' (expected import|search|generate|scan|demo)")
+        s"unknown mode '$other' (expected import|import-dir|search|generate|scan|purge|demo)")
     }
   }
 
