@@ -138,8 +138,25 @@ object Demo {
         Catalog.yearOf(col("publication_date")).as("year"),
         lit(modelId).as("model_id")))
 
+    // resolve each document's catalog source id through the null-safe
+    // unique key (the ids upsertSources assigned are NOT the doc_ids);
+    // chunk ids stay doc-derived so they remain unique even when
+    // null-keyed documents collapse into one source row (R10 semantics)
+    val mapping = withMeta
+      .withColumn("year", Catalog.yearOf(col("publication_date")))
+      .join(broadcast(sources.filter(col("model_id") === modelId).select(
+          col("id").as("catalog_source_id"), col("author").as("s_a"),
+          col("title").as("s_t"), col("year").as("s_y"))),
+        col("author") <=> col("s_a") && col("title") <=> col("s_t") &&
+          col("year") <=> col("s_y"), "left")
+      .select(col("doc_id").as("doc_ref"), col("catalog_source_id"))
+
     val chunks = Rag.buildChunks(withMeta, modelId,
-      maxTokens = maxTokens, dim = dim)
+        maxTokens = maxTokens, dim = dim)
+      .withColumnRenamed("source_id", "doc_ref")
+      .join(broadcast(mapping), Seq("doc_ref"), "left")
+      .withColumn("source_id",
+        coalesce(col("catalog_source_id"), col("doc_ref")))
     Catalog.writeChunks(
       chunks.select("id", "source_id", "model_id", "chunk_number",
         "chunk_size", "chunk_text", "embedding"),

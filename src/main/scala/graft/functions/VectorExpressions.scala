@@ -24,8 +24,17 @@ private[graft] object VectorKernel {
   @inline def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  /** pgvector parity: dimension mismatch is an error, never a silent
+    * prefix comparison (plausible-but-wrong scores are worse than a
+    * failed query). */
+  @inline def checkDims(a: ArrayData, b: ArrayData): Unit =
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.numElements()} vs ${b.numElements()}")
+
   def cosineSimilarity(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    checkDims(a, b)
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -37,7 +46,8 @@ private[graft] object VectorKernel {
   }
 
   def dot(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    checkDims(a, b)
+    val n = a.numElements()
     var s = 0.0; var i = 0
     while (i < n) { s += get(a, aF, i) * get(b, bF, i); i += 1 }
     s
@@ -99,7 +109,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException("vector dimension mismatch: "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = ${getter(left, a, i)};
@@ -131,7 +144,10 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException("vector dimension mismatch: "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (${getter(left, a, i)}) * (${getter(right, b, i)});

@@ -100,7 +100,7 @@ object Multimodal {
   def repartitionByBytes(
       assets: DataFrame, targetBytesPerPartition: Long = 128L << 20): DataFrame = {
     val totalBytes = assets
-      .agg(sum(length(col("content")))).head().getLong(0)
+      .agg(coalesce(sum(length(col("content"))), lit(0L))).head().getLong(0)
     val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
     assets.repartition(parts)
   }

@@ -42,8 +42,12 @@ object AsOf {
       lit(0).as("_side"))
     val u = l.unionByName(r.withColumn("_l", lit(null).cast(l.schema("_l").dataType)),
       allowMissingColumns = true)
-    // right (_side=0) sorts before left (_side=1) at equal ts → inclusive
-    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"))
+    // right (_side=0) sorts before left (_side=1) at equal ts →
+    // inclusive; the payload hash totalizes the order among right rows
+    // sharing (key, ts) so the carried match is deterministic under
+    // any partitioning
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("_side"), xxhash64(col("_r")))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = u
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))

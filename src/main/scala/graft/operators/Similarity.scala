@@ -169,9 +169,17 @@ object Similarity {
     val candCond = (0 until tables).map { t =>
       val planes = hyperplanes(bits, dim, seed + t)
       val qSig = sigOf(planes, queryVec)
-      val buckets: Seq[Long] =
-        if (probes <= 0) Seq(qSig)
-        else qSig +: (0 until bits).map(i => qSig ^ (1L << i))
+      // multi-probe: all buckets within Hamming distance <= probes
+      // (supported up to 2 — bits²/2 buckets is already the practical
+      // ceiling; larger probes clamp to 2)
+      val d1 = (0 until bits).map(i => qSig ^ (1L << i))
+      val d2 = for (i <- 0 until bits; j <- i + 1 until bits)
+        yield qSig ^ (1L << i) ^ (1L << j)
+      val buckets: Seq[Long] = math.min(probes, 2) match {
+        case p if p <= 0 => Seq(qSig)
+        case 1 => qSig +: d1
+        case _ => (qSig +: d1) ++ d2
+      }
       lshBucket(col(embCol), planes).isin(buckets: _*)
     }.reduce(_ || _)
     topK(corpus.filter(candCond), embCol, queryVec, k,

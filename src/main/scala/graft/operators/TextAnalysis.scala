@@ -80,7 +80,7 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }: _*)
     val best = array_max(scored)
-    when(cjkChars * 5 >= length(text), lit("zh"))
+    when(length(text) > 0 && cjkChars * 5 >= length(text), lit("zh"))
       .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }

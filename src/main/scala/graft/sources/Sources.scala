@@ -23,7 +23,6 @@ object Sources {
     * libmagic. Covers the formats the reference's pipeline meets:
     * EPUB/ZIP, PDF, GZIP, PNG, JPEG, HTML, Markdown, plain text. */
   def mimeOf(path: Column, content: Column): Column = {
-    val prefix = substring(content, 1, 8)
     def startsWithBytes(bytes: Array[Byte]): Column =
       substring(content, 1, bytes.length) === lit(bytes)
     when(startsWithBytes("PK\u0003\u0004".getBytes("ISO-8859-1")),
@@ -100,10 +99,12 @@ object Sources {
   /** Minimal YAML-subset parser for the reference's sidecar files
     * (flat `key: value` pairs, comments, quoted strings — the only
     * shapes in the reference's examples dir sidecars). No external
-    * dependency. */
+    * dependency. Comment stripping is quote-aware so values like
+    * `"C# primer"` survive. */
   def parseFlatYaml(text: String): Map[String, String] =
     text.linesIterator
-      .map(_.takeWhile(_ != '#').trim)
+      .map(stripComment)
+      .map(_.trim)
       .filter(l => l.nonEmpty && l.contains(":"))
       .map { l =>
         val Array(k, v @ _*) = l.split(":", 2): @unchecked
@@ -112,9 +113,30 @@ object Sources {
       }
       .toMap
 
+  /** Drop an unquoted trailing `# comment`; `#` inside single or
+    * double quotes is content. */
+  private def stripComment(line: String): String = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case '#' if !inS && !inD => return line.substring(0, i)
+        case _ =>
+      }
+      i += 1
+    }
+    line
+  }
+
   /** Join sidecar metadata onto the scanned sources: sidecars are tiny
     * — read them in the same binaryFile pass, parse to a map column,
-    * and broadcast-join on the base path. */
+    * and broadcast-join on the base path. The reference convention is
+    * `<full filename>.meta.yml` beside the file (reference
+    * `src/lib/documents.py:95`, e.g. `second-variety.epub.meta.yml`),
+    * so the sidecar key is the path minus the `.meta.yml` suffix and
+    * the data file's key is its full path. */
   def withSidecarMetadata(scanned: DataFrame, spark: SparkSession, dir: String): DataFrame = {
     val parse = udf((content: Array[Byte]) =>
       parseFlatYaml(new String(content, "UTF-8")))
@@ -126,7 +148,7 @@ object Sources {
         parse(col("content")).as("metadata"))
     scanned
       .filter(!col("path").endsWith(".meta.yml"))
-      .withColumn("base_path", regexp_replace(col("path"), "\\.[^./]+$", ""))
+      .withColumn("base_path", col("path"))
       .join(broadcast(sidecars), Seq("base_path"), "left")
       .drop("base_path")
   }

@@ -26,9 +26,16 @@ object Bucketing {
       .saveAsTable(tableName)
 
   /** True when the executed plan contains no shuffle exchange — the
-    * property bucketed co-located joins must have. */
+    * property bucketed co-located joins must have. AQE wraps the real
+    * plan in AdaptiveSparkPlanExec (a leaf to collect()), so recurse
+    * into adaptive nodes rather than reporting vacuous truth. */
   def isShuffleFree(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }.isEmpty
+    countShuffles(df.queryExecution.executedPlan) == 0
+
+  private def countShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.collect {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countShuffles(a.executedPlan)
+    }.sum
 }

@@ -71,10 +71,19 @@ object EventStreams {
     * finished sessions are emitted when a gap closes them. On a static
     * source processed to completion this matches `sessionStats` for
     * all closed sessions; the final open session per user remains in
-    * state (emitted here on timeout in a live stream). */
+    * state (emitted here on timeout in a live stream).
+    *
+    * Late data: an event at or before the open session's end merges
+    * into it (extending `start` downward if needed) rather than
+    * rewinding `end` — so out-of-order arrivals within the open
+    * session never fracture it. Events older than the open session's
+    * reach (start − gap) belong to an already-emitted session and are
+    * counted as their own late singleton session (a real pipeline
+    * would route them to a corrections channel). */
   def streamingSessionize(
       events: Dataset[Ev], gapSeconds: Long = SessionGapSeconds): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -82,14 +91,23 @@ object EventStreams {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
           val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
           // (session_number, n, start, end)
-          var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
-          var current = sessions.headOption
+          var current = state.getOption.map(_.sessions).getOrElse(Nil).headOption
           var closed = List.empty[SessionOut]
           sorted.foreach { e =>
             current match {
-              case Some((num, n, s, end)) if e.ts_us - end <= gapSeconds * 1000000L =>
-                current = Some((num, n + 1, s, e.ts_us))
+              case Some((num, n, s, end))
+                  if e.ts_us <= end + gapUs && e.ts_us >= s - gapUs =>
+                // in-order extension OR late arrival inside the open
+                // session's reach: end only moves forward, start only
+                // backward
+                current = Some((num, n + 1,
+                  math.min(s, e.ts_us), math.max(end, e.ts_us)))
+              case Some((num, _, s, _)) if e.ts_us < s - gapUs =>
+                // too late for the open session: emit as a late
+                // singleton, keep the open session untouched
+                closed ::= SessionOut(userId, num, 1L, e.ts_us, e.ts_us)
               case Some((num, n, s, end)) =>
+                // gap exceeded forward: close and start a new session
                 closed ::= SessionOut(userId, num, n, s, end)
                 current = Some((num + 1, 1L, e.ts_us, e.ts_us))
               case None =>

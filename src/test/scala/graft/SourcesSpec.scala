@@ -18,8 +18,11 @@ class SourcesSpec extends AnyFunSuite {
     def w(name: String, bytes: Array[Byte]): Unit =
       Files.write(d.resolve(name), bytes)
     w("story.txt", "once upon a time a robot woke".getBytes("UTF-8"))
-    w("story.meta.yml",
-      "author: Asimov\ntitle: \"Waking\" # comment\npublication_date: 1956\n"
+    // reference convention: sidecar is <full filename>.meta.yml
+    // (reference src/lib/documents.py:95)
+    w("story.txt.meta.yml",
+      ("author: Asimov\ntitle: \"Waking\" # comment\n" +
+        "subtitle: \"C# robots\"\npublication_date: 1956\n")
         .getBytes("UTF-8"))
     w("doc.md", "# heading\nbody text".getBytes("UTF-8"))
     w("book.epub", ("PKfakezipcontent").getBytes("ISO-8859-1"))
@@ -55,7 +58,8 @@ class SourcesSpec extends AnyFunSuite {
     val story = withMeta.filter(col("path").endsWith("story.txt")).head()
     val meta = story.getAs[Map[String, String]]("metadata")
     assert(meta == Map(
-      "author" -> "Asimov", "title" -> "Waking", "publication_date" -> "1956"))
+      "author" -> "Asimov", "title" -> "Waking",
+      "subtitle" -> "C# robots", "publication_date" -> "1956"))
     val md = withMeta.filter(col("path").endsWith("doc.md")).head()
     assert(md.isNullAt(md.fieldIndex("metadata")))
     // sidecars themselves are not rows
