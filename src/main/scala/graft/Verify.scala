@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // sequential by design: concurrent submission of the heavy queries
+    // (pairwise joins + embedding pipelines) thrashes a single local
+    // JVM (measured >4× slower than sequential at sf0.01)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
