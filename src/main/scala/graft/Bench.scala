@@ -24,7 +24,8 @@ object Bench {
     "a12_events_hourly", // time rollup over events
     "s1_session_stats", // window sessionization (shuffle + per-key sort)
     "v1_cosine_topk", // 64-dim exact cosine scan top-k
-    "v4_neardup_pairs", // O(N²) pairwise cosine (2000² at sf0.1)
+    "v6_lsh_topk", // partition-pruned ANN vs v1's full scan
+    "d5_embedding_neardup", // LSH-bucketed near-dup (scale path, not O(N²) v4)
     "d3_minhash_neardup", // MinHash LSH band join + verify (scale path)
     "d4_simhash_neardup", // SimHash block bucketing
     "t1_token_stats", // text HOFs over documents

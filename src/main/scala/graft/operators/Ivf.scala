@@ -97,6 +97,47 @@ object Ivf {
   def assign(corpus: DataFrame, embCol: String, model: IvfModel): DataFrame =
     corpus.withColumn("ivf_cell", cellOf(col(embCol), model))
 
+  /** Ingest-time index build: train the codebook, write the corpus
+    * cell-partitioned (query-time cell selection = partition pruning),
+    * and persist the codebook as a `_model` sidecar (underscore dirs
+    * are invisible to partition discovery) so a fresh process can
+    * search without retraining. */
+  def buildIndex(
+      corpus: DataFrame, idCol: String, embCol: String, path: String,
+      nlist: Int, iters: Int = 5, sampleSize: Int = 2048): IvfModel = {
+    val model = train(corpus, idCol, embCol, nlist, iters, sampleSize)
+    assign(corpus, embCol, model)
+      // one writer task per cell → one file per partition dir (at
+      // larger scale raise this to a few tasks per hot cell)
+      .repartition(col("ivf_cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ivf_cell")
+      .parquet(path)
+    saveModel(corpus.sparkSession, model, s"$path/_model")
+    model
+  }
+
+  /** Persist a codebook as (cell, centroid) parquet. */
+  def saveModel(
+      spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Load a codebook written by saveModel. */
+  def loadModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): IvfModel =
+    IvfModel(
+      spark.read.parquet(path)
+        .orderBy("cell")
+        .collect()
+        .map(r => r.getSeq[Double](1).toArray))
+
   /** ANN search: top-k within the query's `nprobe` nearest cells. */
   def search(
       indexed: DataFrame, embCol: String, queryVec: Array[Double],

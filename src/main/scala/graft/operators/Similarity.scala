@@ -149,6 +149,27 @@ object Similarity {
     * the files); the other tables then only rescue recall inside the
     * scanned fraction — at 100 TB choose bits so a single table's
     * bucket fits the latency budget and tune tables/probes for recall. */
+  /** Driver-side signature of one vector under one hyperplane table. */
+  private def signatureOf(planes: Array[Array[Double]], v: Array[Double]): Long =
+    planes.zipWithIndex.map { case (h, i) =>
+      val d = h.zip(v).map { case (a, b) => a * b }.sum
+      if (d >= 0.0) 1L << i else 0L
+    }.sum
+
+  /** Multi-probe bucket set: the query's bucket plus all buckets
+    * within Hamming distance ≤ `probes` (supported up to 2 — bits²/2
+    * buckets is already the practical ceiling; larger probes clamp). */
+  private def probeBuckets(qSig: Long, bits: Int, probes: Int): Seq[Long] = {
+    val d1 = (0 until bits).map(i => qSig ^ (1L << i))
+    val d2 = for (i <- 0 until bits; j <- i + 1 until bits)
+      yield qSig ^ (1L << i) ^ (1L << j)
+    math.min(probes, 2) match {
+      case p if p <= 0 => Seq(qSig)
+      case 1 => qSig +: d1
+      case _ => (qSig +: d1) ++ d2
+    }
+  }
+
   def lshTopK(
       corpus: DataFrame,
       embCol: String,
@@ -161,29 +182,71 @@ object Similarity {
       roundTo: Int = 6,
       tieBreak: Seq[String] = Seq.empty): DataFrame = {
     val dim = queryVec.length
-    def sigOf(planes: Array[Array[Double]], v: Array[Double]): Long =
-      planes.zipWithIndex.map { case (h, i) =>
-        val d = h.zip(v).map { case (a, b) => a * b }.sum
-        if (d >= 0.0) 1L << i else 0L
-      }.sum
     val candCond = (0 until tables).map { t =>
       val planes = hyperplanes(bits, dim, seed + t)
-      val qSig = sigOf(planes, queryVec)
-      // multi-probe: all buckets within Hamming distance <= probes
-      // (supported up to 2 — bits²/2 buckets is already the practical
-      // ceiling; larger probes clamp to 2)
-      val d1 = (0 until bits).map(i => qSig ^ (1L << i))
-      val d2 = for (i <- 0 until bits; j <- i + 1 until bits)
-        yield qSig ^ (1L << i) ^ (1L << j)
-      val buckets: Seq[Long] = math.min(probes, 2) match {
-        case p if p <= 0 => Seq(qSig)
-        case 1 => qSig +: d1
-        case _ => (qSig +: d1) ++ d2
-      }
-      lshBucket(col(embCol), planes).isin(buckets: _*)
+      val qSig = signatureOf(planes, queryVec)
+      lshBucket(col(embCol), planes).isin(probeBuckets(qSig, bits, probes): _*)
     }.reduce(_ || _)
     topK(corpus.filter(candCond), embCol, queryVec, k,
       threshold = -1.0, tieBreak = tieBreak, roundTo = roundTo)
+  }
+
+  /** Materialize a multi-table LSH index: each corpus row is written
+    * once per table under `partitionBy("table_id", "lsh_bucket")` —
+    * the classic multi-table LSH layout, trading `tables`× storage for
+    * I/O pruning with OR-amplified recall. One pass over the corpus
+    * (the per-table (table_id, bucket) pairs are exploded, not
+    * re-scanned). At query time every table prunes to its own probe
+    * buckets, so the scan touches ~tables·(1+probes·bits)/2^bits of
+    * the stored bytes — and a far smaller fraction of the files. */
+  def buildLshIndex(
+      corpus: DataFrame, embCol: String, dim: Int, path: String,
+      tables: Int = 4, bits: Int = 8, seed: Long = 42L): Unit = {
+    val entries = array((0 until tables).map { t =>
+      struct(
+        lit(t).as("table_id"),
+        lshBucket(col(embCol), hyperplanes(bits, dim, seed + t)).as("lsh_bucket"))
+    }: _*)
+    val cols = corpus.columns.map(col).toIndexedSeq
+    corpus
+      .withColumn("tb", explode(entries))
+      .select(cols :+ col("tb.table_id") :+ col("tb.lsh_bucket"): _*)
+      // one writer task per (table, bucket) → one file per partition
+      // dir, not one per upstream task — the small-files guard that
+      // matters as much at 100 TB (file-listing cost) as locally
+      .repartition(col("table_id"), col("lsh_bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("table_id", "lsh_bucket")
+      .parquet(path)
+  }
+
+  /** Approximate top-k against a materialized LSH index (see
+    * buildLshIndex — same tables/bits/seed must be passed). The filter
+    * references only the two partition columns, so the parquet scan is
+    * partition-pruned to the probe buckets; candidates found by more
+    * than one table are deduplicated by `idCol` before the exact
+    * cosine top-k. */
+  def lshTopKFromIndex(
+      index: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      bits: Int = 8,
+      tables: Int = 4,
+      probes: Int = 1,
+      seed: Long = 42L,
+      roundTo: Int = 6,
+      tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val dim = queryVec.length
+    val candCond = (0 until tables).map { t =>
+      val qSig = signatureOf(hyperplanes(bits, dim, seed + t), queryVec)
+      col("table_id") === t &&
+        col("lsh_bucket").isin(probeBuckets(qSig, bits, probes): _*)
+    }.reduce(_ || _)
+    topK(index.filter(candCond).dropDuplicates(idCol),
+      embCol, queryVec, k, threshold = -1.0, tieBreak = tieBreak,
+      roundTo = roundTo)
   }
 
   /** Materialize a corpus with its LSH bucket — written

@@ -1,0 +1,63 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+
+/** Build-once materialization for ANN indexes (LSH bucket tables, IVF
+  * cell tables, MinHash signature tables).
+  *
+  * The scale stance: index BUILD is an ingest-time batch job, never a
+  * per-query cost. A query against an ANN index must read a
+  * partition-pruned fraction of a pre-partitioned parquet table — the
+  * train/assign/bucket work happened once, when the corpus was written.
+  * This helper gives declared queries that shape: the first invocation
+  * per (dataset, parameters) key builds the index under a stable path;
+  * every later invocation (including every re-run of the same query)
+  * goes straight to the materialized table.
+  *
+  * Completion is marked by a `_IDX_READY` file written after the whole
+  * build (which may be several writes: partitioned corpus + model
+  * sidecar). Underscore-prefixed entries are invisible to Spark's
+  * partition discovery, so the marker and any `_model` sidecar dir can
+  * live inside the index root. A half-built index (no marker) is
+  * deleted and rebuilt.
+  */
+object AnnIndexes {
+
+  /** Index root — kept inside the repo's build dir by default so test
+    * runs never write outside the workspace. */
+  def root: String = sys.env.getOrElse("SPARK_GRAFT_IDX_DIR", "target/graft-idx")
+
+  /** Filesystem-safe key fragment for a dataset dir. */
+  def keyOf(dir: String): String = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Cheap staleness guard: a fingerprint of the source table's file
+    * names + lengths. Regenerated testdata with different content
+    * sizes gets a different index path (metadata-only — no data read;
+    * same-size content swaps are out of scope for a synthetic-data
+    * cache key). */
+  def fingerprint(spark: SparkSession, tablePath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val sig = fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
+        .sorted.mkString("|")
+      f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
+    }
+  }
+
+  /** Run `build` once per `path` (process-wide serialized; re-entry and
+    * concurrent spec suites see the marker). Returns `path`. */
+  def materialize(spark: SparkSession, path: String)(build: => Unit): String =
+    synchronized {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(path + "/_IDX_READY")
+      if (!fs.exists(marker)) {
+        fs.delete(p, true)
+        build
+        fs.create(marker).close()
+      }
+      path
+    }
+}

@@ -38,4 +38,20 @@ object Bucketing {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         countShuffles(a.executedPlan)
     }.sum
+
+  /** (files, partition dirs) the plan's file scans will actually read
+    * after static partition pruning — the number ANN-index queries must
+    * keep small relative to the index's total file count. */
+  def scannedFiles(df: DataFrame): (Long, Long) = {
+    def walk(plan: org.apache.spark.sql.execution.SparkPlan): Seq[(Long, Long)] =
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanLike =>
+          Seq((f.selectedPartitions.totalNumberOfFiles,
+            f.selectedPartitions.partitionCount.toLong))
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+      }.flatten
+    val per = walk(df.queryExecution.executedPlan)
+    (per.map(_._1).sum, per.map(_._2).sum)
+  }
 }

@@ -104,6 +104,58 @@ class DedupTextSpec extends AnyFunSuite {
     indexed.unpersist()
   }
 
+  test("materialized LSH index: equals full-scan LSH and prunes partitions") {
+    val q = graft.functions.Embedding.embed("graft lsh probe", 64).map(_.toDouble)
+    val idx = spark.read.parquet(operators.VectorQueries.lshIndex(spark, sfDir))
+    val fromIndex = operators.Similarity.lshTopKFromIndex(
+      idx, "vec_id", "embedding", q, 10,
+      bits = operators.VectorQueries.LshBits,
+      tables = operators.VectorQueries.LshTables,
+      probes = 1, seed = 42L, tieBreak = Seq("vec_id"))
+    val fullScan = operators.Similarity.lshTopK(
+      embs, "embedding", q, 10,
+      bits = operators.VectorQueries.LshBits,
+      tables = operators.VectorQueries.LshTables,
+      probes = 1, seed = 42L, tieBreak = Seq("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "similarity").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(fromIndex) == rows(fullScan))
+    assert(rows(fromIndex).nonEmpty)
+    // pruning is real: the probe-bucket scan touches a small fraction
+    // of the index's files (static partition pruning, pre-execution)
+    val (prunedFiles, prunedParts) = store.Bucketing.scannedFiles(fromIndex)
+    val (allFiles, allParts) = store.Bucketing.scannedFiles(idx)
+    assert(prunedParts < allParts / 4,
+      s"LSH index scan not pruned: $prunedParts/$allParts partitions")
+    assert(prunedFiles < allFiles / 4,
+      s"LSH index scan not pruned: $prunedFiles/$allFiles files")
+  }
+
+  test("materialized IVF index: equals in-memory IVF and prunes partitions") {
+    val q = graft.functions.Embedding.embed("graft ivf probe", 64).map(_.toDouble)
+    val (path, model) = operators.VectorQueries.ivfIndex(spark, sfDir)
+    val idx = spark.read.parquet(path)
+    val fromIndex = operators.Ivf.search(idx, "embedding", q, model,
+      k = 10, nprobe = 4, tieBreak = Seq("vec_id"))
+    // the same search against a freshly trained+assigned (unmaterialized)
+    // corpus: train is deterministic, so the results must be identical
+    val memModel = operators.Ivf.train(embs, "vec_id", "embedding",
+      nlist = operators.VectorQueries.IvfCells)
+    val inMem = operators.Ivf.search(
+      operators.Ivf.assign(embs, "embedding", memModel), "embedding", q,
+      memModel, k = 10, nprobe = 4, tieBreak = Seq("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "similarity").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows(fromIndex) == rows(inMem))
+    assert(rows(fromIndex).size == 10)
+    val (_, prunedParts) = store.Bucketing.scannedFiles(fromIndex)
+    val (_, allParts) = store.Bucketing.scannedFiles(idx)
+    assert(prunedParts <= 4 && allParts > 8,
+      s"IVF scan not cell-pruned: $prunedParts/$allParts partitions")
+  }
+
   test("materialized minhash index gives identical near-dup pairs") {
     val path = java.nio.file.Files.createTempDirectory("mh_index") + "/idx"
     operators.Dedup.buildMinHashIndex(docs, "doc_id", "text", path)
