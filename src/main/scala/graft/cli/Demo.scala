@@ -19,6 +19,7 @@ import graft.store.Catalog
   *     [--top-k K] [--similarity-threshold T] [--dim N]
   *   runMain graft.cli.Demo generate --store <dir> --prompt "..."
   *     [--top-k K] [--similarity-threshold T] [--dim N]
+  *     [--max-tokens N] [--temperature T]
   *   runMain graft.cli.Demo demo        # self-contained 5-doc flow
   */
 object Demo {
@@ -53,10 +54,14 @@ object Demo {
         display(hits)
 
       case "generate" =>
+        // --max-tokens / --temperature mirror the reference CLI
+        // (cli/generate_text.py:154-186) and plumb to the generator
         val chunks = spark.read.parquet(flags("store") + "/chunks")
         val out = Rag.generate(chunks, flags("prompt"),
           flags.getOrElse("top-k", "5").toInt,
-          flags.getOrElse("similarity-threshold", "0.01").toDouble, dim)
+          flags.getOrElse("similarity-threshold", "0.01").toDouble, dim,
+          maxTokens = flags.getOrElse("max-tokens", "5000").toInt,
+          temperature = flags.getOrElse("temperature", "0.8").toDouble)
         println(s"=== generated ===\n$out")
 
       case "demo" =>
@@ -151,15 +156,31 @@ object Demo {
           col("year") <=> col("s_y"), "left")
       .select(col("doc_id").as("doc_ref"), col("catalog_source_id"))
 
+    // Per-chunk metadata: the document's sidecar metadata merged with
+    // the chunk-level keys the reference adds (documents.py:51-65 —
+    // note its `chunk_size` is the TOKEN CAP, not the chunk's actual
+    // token count, which our chunk_size column carries separately).
+    // import_date is captured once per import run, like the reference.
+    val importDate = java.time.Instant.now().toString
+    val docMeta = map_filter(
+      map(meta.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*),
+      (_, v) => v.isNotNull)
+    val chunkMeta = map_concat(docMeta, map(
+      lit("chunk_tokenizer_model"), col("chunk_tokenizer_model"),
+      lit("chunk_size"), lit(maxTokens).cast("string"),
+      lit("chunk_number"), col("chunk_number").cast("string"),
+      lit("import_date"), lit(importDate)))
+
     val chunks = Rag.buildChunks(withMeta, modelId,
         maxTokens = maxTokens, dim = dim)
       .withColumnRenamed("source_id", "doc_ref")
       .join(broadcast(mapping), Seq("doc_ref"), "left")
       .withColumn("source_id",
         coalesce(col("catalog_source_id"), col("doc_ref")))
+      .withColumn("metadata", chunkMeta)
     Catalog.writeChunks(
       chunks.select("id", "source_id", "model_id", "chunk_number",
-        "chunk_size", "chunk_text", "embedding"),
+        "chunk_size", "chunk_text", "embedding", "metadata"),
       s"$store/chunks")
     println(s"[import] model=$modelId sources=${sources.count()} " +
       s"chunks=${spark.read.parquet(s"$store/chunks").count()}")
@@ -174,17 +195,29 @@ object Demo {
     Rag.searchChunks(chunks, Rag.embedQuery(prompt, dim), topK, threshold)
   }
 
-  /** S10: CLI display sink — id, score to 4dp, text truncated at 500
-    * chars (reference `cli/search_doc_chunks.py:100-124`). */
+  /** S10: CLI display sink — id, score to 4dp, metadata k/v, text
+    * truncated at 500 chars (reference `cli/search_doc_chunks.py:100-124`,
+    * which prints every non-null metadata key before the text). */
   def display(hits: DataFrame): Unit = {
-    val rows = hits
+    val withMeta =
+      if (hits.columns.contains("metadata")) hits
+      else hits.withColumn("metadata",
+        lit(null).cast("map<string,string>"))
+    val rows = withMeta
       .select(col("id"), round(col("similarity"), 4).as("score"),
+        col("metadata"),
         substring(col("chunk_text"), 1, 500).as("text"))
       .collect()
     if (rows.isEmpty) println("[search] no chunks above threshold")
     rows.foreach { r =>
       println(s"--- chunk ${r.getAs[Long]("id")} " +
         s"(score ${r.getAs[Double]("score")}) ---")
+      Option(r.getAs[Map[String, String]]("metadata"))
+        .filter(_.nonEmpty).foreach { m =>
+          println("metadata:")
+          m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            if (v != null) println(s"  $k: $v") }
+        }
       println(r.getAs[String]("text"))
     }
   }

@@ -164,6 +164,32 @@ class CatalogRagSpec extends AnyFunSuite {
     assert(r1 == r2, "retrieval must be bit-deterministic across imports")
   }
 
+  test("chunk metadata round-trips through the store and search results") {
+    // reference parity (documents.py:51-65): chunks carry the doc's
+    // sidecar metadata merged with chunk_tokenizer_model / chunk_size
+    // (the token CAP) / chunk_number / import_date
+    val store = tmpDir() + "/store"
+    graft.cli.Demo.importDocs(spark, graft.cli.Demo.demoCorpus(spark),
+      store, "demo-model", dim = 64, maxTokens = 32)
+    val hits = graft.cli.Demo.search(spark, store,
+      "robot teachers guard the children", topK = 3, threshold = -1.0,
+      dim = 64)
+    assert(hits.columns.contains("metadata"))
+    val m = hits.head().getAs[Map[String, String]]("metadata")
+    assert(m("chunk_tokenizer_model") == "graft/whitespace-v1")
+    assert(m("chunk_size") == "32")
+    assert(m.contains("chunk_number") && m.contains("import_date"))
+    assert(m.contains("title") && m.contains("author") &&
+      m("genre") == "science fiction")
+    // document key/values survive per-chunk: every chunk of a doc has
+    // that doc's title
+    val perDoc = spark.read.parquet(s"$store/chunks")
+      .select(col("source_id"), col("metadata")("title").as("t"))
+      .distinct().groupBy("source_id").count()
+      .filter(col("count") > 1).count()
+    assert(perDoc == 0, "each source must carry exactly one title")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val r = li.agg(
