@@ -43,5 +43,6 @@ object SparkEntry {
     * records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++
-      TextQueries.oracleSql ++ EventQueries.oracleSql
+      TextQueries.oracleSql ++ EventQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

@@ -27,8 +27,9 @@ object PipelineQueries {
     }),
 
     // M1: multimodal feature extraction — binary assets → batched
-    // per-partition stub decode → feature vectors (rows-only check;
-    // determinism + schema asserted in MultimodalSpec).
+    // per-partition stub decode → feature vectors. The SQL-derivable
+    // columns (asset_id, media_type, n_bytes) are oracle-checked; the
+    // stub feature vector is covered by MultimodalSpec determinism.
     "m1_media_features" -> ((s, dir) => {
       val assets = graft.multimodal.Multimodal.syntheticAssets(
         Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -50,5 +51,16 @@ object PipelineQueries {
       val prompt = Rag.contextualizedPrompt(Query, Rag.aggregateChunkText(hits))
       Seq(prompt).toDF("prompt")
     }),
+  )
+
+  /** m1's non-feature columns are plain SQL over `documents`: the
+    * media_type mapping is doc_id % 3 → image/audio/video and n_bytes
+    * is the utf-8 byte length the binary cast produces. */
+  val oracleSql: Map[String, String] = Map(
+    "m1_media_features" ->
+      """SELECT doc_id AS asset_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        | FROM documents ORDER BY asset_id""".stripMargin.replaceAll("\n", ""),
   )
 }

@@ -222,6 +222,49 @@ object RelationalQueries {
           approx_count_distinct("l_orderkey").as("approx_orders"))
     }),
 
+    // A22 (R8): the models insert-if-absent upsert as an oracle-checked
+    // query — two sequential batches with overlapping names against a
+    // fresh store; ids must continue from the first batch's max, new
+    // names ordered by name. The oracle replays both phases in SQL.
+    "a22_model_upsert" -> ((s, dir) => {
+      val store =
+        java.nio.file.Files.createTempDirectory("graft_a22").toString + "/models"
+      def batch(bound: Long) = t(s, dir, "part")
+        .filter(col("p_partkey") <= bound)
+        .select(col("p_brand").as("name"),
+          length(col("p_brand")).as("embedding_dim"))
+      graft.store.Catalog.upsertModels(s, store, batch(5))
+      graft.store.Catalog.upsertModels(s, store, batch(800)).orderBy("id")
+    }),
+
+    // A23 (R9/R10): the sources null-safe first-writer-wins upsert as
+    // an oracle-checked query. The synthetic key mix produces nulls in
+    // author/title/year so the dedup + anti-join must use null-safe
+    // equality (<=> / IS NOT DISTINCT FROM) to avoid re-inserting
+    // null-keyed rows; non-key columns are key-derived constants so
+    // the within-batch dedup is deterministic.
+    "a23_source_upsert" -> ((s, dir) => {
+      val store =
+        java.nio.file.Files.createTempDirectory("graft_a23").toString + "/sources"
+      def batch(bound: Long) = t(s, dir, "customer")
+        .filter(col("c_custkey") <= bound)
+        .select(
+          when(col("c_custkey") % 3 === 0, lit(null))
+            .otherwise(col("c_mktsegment")).cast("string").as("author"),
+          when(col("c_custkey") % 4 === 0, lit(null))
+            .otherwise(concat(lit("t"), (col("c_custkey") % 7).cast("string")))
+            .cast("string").as("title"),
+          lit(1).as("source_type"),
+          lit(null).cast("string").as("url"),
+          lit(null).cast("string").as("genre"),
+          lit(null).cast("string").as("subgenre"),
+          when(col("c_custkey") % 2 === 0, lit(null))
+            .otherwise(lit(1990) + (col("c_custkey") % 5)).cast("int").as("year"),
+          lit(1L).as("model_id"))
+      graft.store.Catalog.upsertSources(s, store, batch(300))
+      graft.store.Catalog.upsertSources(s, store, batch(900)).orderBy("id")
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -280,5 +323,42 @@ object RelationalQueries {
       "SELECT c.c_custkey, o.o_custkey, o.cnt FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 750) c FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey NULLS FIRST, o.o_custkey NULLS FIRST",
     "a20_stats" ->
       "SELECT o_orderstatus, ROUND(AVG(o_totalprice), 2) AS avg_price, ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    // Replays upsertModels' two phases: batch-1 names get row_number
+    // ids; batch-2 adds only novel names, ids continuing from max.
+    "a22_model_upsert" ->
+      """WITH b1 AS (SELECT DISTINCT p_brand AS name FROM part WHERE p_partkey <= 5),
+        | e1 AS (SELECT CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS id, name FROM b1),
+        | n2 AS (SELECT DISTINCT p_brand AS name FROM part
+        |        WHERE p_partkey <= 800 AND p_brand NOT IN (SELECT name FROM e1)),
+        | e2 AS (SELECT (SELECT COALESCE(MAX(id), 0) FROM e1)
+        |          + row_number() OVER (ORDER BY name) AS id, name FROM n2),
+        | u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        | SELECT id, name, CAST(length(name) AS INTEGER) AS embedding_dim
+        | FROM u ORDER BY id""".stripMargin.replaceAll("\n", ""),
+    // Replays upsertSources: null-safe key dedup within batch, null-safe
+    // anti-join against existing, ids by row_number over the key order
+    // (NULLS FIRST to match Spark's default ascending null ordering).
+    "a23_source_upsert" ->
+      """WITH src AS (SELECT c_custkey AS k,
+        |   CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS author,
+        |   CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE 't' || CAST(c_custkey % 7 AS VARCHAR) END AS title,
+        |   CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE CAST(1990 + c_custkey % 5 AS INTEGER) END AS year
+        |  FROM customer),
+        | b1 AS (SELECT DISTINCT author, title, year FROM src WHERE k <= 300),
+        | e1 AS (SELECT CAST(row_number() OVER (ORDER BY author NULLS FIRST, title NULLS FIRST, year NULLS FIRST) AS BIGINT) AS id,
+        |          author, title, year FROM b1),
+        | b2 AS (SELECT DISTINCT author, title, year FROM src WHERE k <= 900),
+        | n2 AS (SELECT * FROM b2 WHERE NOT EXISTS (SELECT 1 FROM e1
+        |   WHERE e1.author IS NOT DISTINCT FROM b2.author
+        |     AND e1.title IS NOT DISTINCT FROM b2.title
+        |     AND e1.year IS NOT DISTINCT FROM b2.year)),
+        | e2 AS (SELECT (SELECT COALESCE(MAX(id), 0) FROM e1)
+        |          + row_number() OVER (ORDER BY author NULLS FIRST, title NULLS FIRST, year NULLS FIRST) AS id,
+        |          author, title, year FROM n2),
+        | u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        | SELECT id, author, title, CAST(1 AS INTEGER) AS source_type,
+        |   CAST(NULL AS VARCHAR) AS url, CAST(NULL AS VARCHAR) AS genre,
+        |   CAST(NULL AS VARCHAR) AS subgenre, year, CAST(1 AS BIGINT) AS model_id
+        | FROM u ORDER BY id""".stripMargin.replaceAll("\n", ""),
   )
 }
