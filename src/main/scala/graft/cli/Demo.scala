@@ -78,9 +78,12 @@ object Demo {
 
       case "import-dir" =>
         // the reference's demo.import shape: raw files + sidecars →
-        // identify → ingest text → register + chunk + embed + store
+        // identify → convert/ingest text → register + chunk + embed +
+        // store. AllFormats includes the pure-JVM EPUB converter, so
+        // the reference's own examples dir ingests end-to-end.
         val scanned = graft.sources.Sources.withSidecarMetadata(
-          graft.sources.Sources.ingestionReadyScan(spark, flags("dir")),
+          graft.sources.Sources.ingestionReadyScan(spark, flags("dir"),
+            graft.sources.Sources.AllFormats),
           spark, flags("dir"))
           .filter(col("action") === "ingest")
           .select(
@@ -100,7 +103,8 @@ object Demo {
       case "scan" =>
         // S1/S2/S5/S6: identify + dispatch + sidecar-join a raw dir
         val scanned = graft.sources.Sources.withSidecarMetadata(
-          graft.sources.Sources.ingestionReadyScan(spark, flags("dir")),
+          graft.sources.Sources.ingestionReadyScan(spark, flags("dir"),
+            graft.sources.Sources.AllFormats),
           spark, flags("dir"))
         scanned.select("path", "mime", "action", "metadata")
           .orderBy("path")

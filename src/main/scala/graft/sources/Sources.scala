@@ -73,6 +73,82 @@ object Sources {
       }
     }
 
+  /** S3 in-engine: pure-JVM EPUB→text. An EPUB is a zip of XHTML
+    * content documents (plus css/images/opf bookkeeping); extraction =
+    * unzip, keep the markup documents, strip tags/entities, join in
+    * entry-name order (parsing the OPF spine for exact reading order
+    * is a refinement — Gutenberg-style epubs name content files in
+    * order). Replaces the reference's pandoc subprocess
+    * (reference `src/lib/sources.py:64-112`) with a dependency-free
+    * converter that runs inside the distributed scan. */
+  val EpubFormat: SourceFormat = new SourceFormat {
+    val mime: String = "application/epub+zip"
+    def toText(content: Array[Byte]): String = {
+      val zis = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var e = zis.getNextEntry
+      while (e != null) {
+        val name = e.getName
+        if (!e.isDirectory && !name.startsWith("META-INF/") &&
+            (name.endsWith(".xhtml") || name.endsWith(".html") ||
+              name.endsWith(".htm")))
+          docs += name -> new String(zis.readAllBytes(), "UTF-8")
+        e = zis.getNextEntry
+      }
+      // a zip with no markup documents is not a readable epub (garbage
+      // that merely starts with "PK" lands here) — fail the row so the
+      // scan's per-row Try yields null text instead of empty text
+      require(docs.nonEmpty, "no xhtml content documents in epub")
+      docs.sortBy(_._1).map(d => htmlToText(d._2))
+        .filter(_.nonEmpty).mkString("\n\n")
+    }
+  }
+
+  /** Every built-in format including the EPUB converter — the registry
+    * the CLI scan/import paths use. */
+  val AllFormats: Seq[SourceFormat] = TextFormats :+ EpubFormat
+
+  /** Markup → plain text: drop head/script/style subtrees, strip tags,
+    * decode character entities, collapse whitespace to single spaces
+    * (the chunker's token delimiter). */
+  def htmlToText(html: String): String = {
+    val noHead = html.replaceAll("(?is)<head\\b.*?</head>", " ")
+    val noScript = noHead.replaceAll("(?is)<(script|style)\\b.*?</\\1>", " ")
+    val noTags = noScript.replaceAll("(?s)<[^>]*>", " ")
+    decodeEntities(noTags).replaceAll("\\s+", " ").trim
+  }
+
+  private val EntityMap = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”")
+
+  /** Decode named + numeric (decimal and hex) character entities;
+    * unknown entities pass through unchanged. */
+  def decodeEntities(s: String): String = {
+    val m = java.util.regex.Pattern.compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);")
+      .matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val e = m.group(1)
+      val rep =
+        if (e.startsWith("#"))
+          scala.util.Try {
+            val cp =
+              if (e.charAt(1) == 'x' || e.charAt(1) == 'X')
+                Integer.parseInt(e.substring(2), 16)
+              else Integer.parseInt(e.substring(1))
+            new String(Character.toChars(cp))
+          }.getOrElse(m.group(0))
+        else EntityMap.getOrElse(e.toLowerCase, m.group(0))
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   /** S5: ingestion-ready scan — read a directory via the binaryFile
     * source, identify, dispatch, and decode the ingestable files to
     * text. One distributed pass; non-ingestable rows keep their
@@ -81,12 +157,19 @@ object Sources {
       spark: SparkSession, dir: String,
       formats: Seq[SourceFormat] = TextFormats): DataFrame = {
     val decoders = formats.map(f => f.mime -> f).toMap
+    // a registered converter promotes its MIME to direct ingestion
+    // (e.g. AllFormats turns the epub "convert" route into "ingest");
+    // a corrupt file yields null text, never a failed job
     val decode = udf((mime: String, content: Array[Byte]) =>
-      decoders.get(mime).map(_.toText(content)))
+      decoders.get(mime)
+        .flatMap(f => scala.util.Try(f.toText(content)).toOption))
+    val handled = decoders.keySet.toSeq
     spark.read.format("binaryFile").load(dir)
       .select(col("path"), col("length"), col("content"))
       .withColumn("mime", mimeOf(col("path"), col("content")))
-      .withColumn("action", ingestActionOf(col("mime")))
+      .withColumn("action",
+        when(col("mime").isin(handled: _*), "ingest")
+          .otherwise(ingestActionOf(col("mime"))))
       .withColumn("text",
         when(col("action") === "ingest", decode(col("mime"), col("content"))))
       .drop("content")

@@ -94,6 +94,76 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0)
   }
 
+  test("EPUB format: zip+xhtml to clean text, promoted to ingest") {
+    // build a tiny epub (zip of xhtml) fixture
+    val d = Files.createTempDirectory("graft_epub")
+    val epub = d.resolve("tale.epub")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(epub))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("mimetype", "application/epub+zip")
+    entry("META-INF/container.xml", "<container/>")
+    entry("OEBPS/ch1.xhtml",
+      """<html><head><style>p{}</style><title>x</title></head>
+        |<body><h1>Chapter &amp; One</h1>
+        |<p>the robot &#x2014; a &quot;friend&quot; &mdash; awoke</p></body></html>"""
+        .stripMargin)
+    entry("OEBPS/ch2.xhtml", "<html><body><p>it dreamed of sheep</p></body></html>")
+    entry("OEBPS/cover.jpg", "notanimage")
+    zos.close()
+    Files.write(d.resolve("tale.epub.meta.yml"),
+      "author: Test Author\ntitle: Tale\n".getBytes("UTF-8"))
+
+    val text = Sources.EpubFormat.toText(Files.readAllBytes(epub))
+    assert(text == "Chapter & One the robot — a \"friend\" — awoke\n\nit dreamed of sheep")
+
+    // scan with the full registry: epub becomes ingest, sidecar joins,
+    // and the text feeds chunking
+    val scanned = Sources.withSidecarMetadata(
+      Sources.ingestionReadyScan(spark, d.toString, Sources.AllFormats),
+      spark, d.toString)
+    val row = scanned.filter(col("path").endsWith("tale.epub")).head()
+    assert(row.getAs[String]("mime") == "application/epub+zip")
+    assert(row.getAs[String]("action") == "ingest")
+    assert(row.getAs[String]("text").contains("robot"))
+    assert(row.getAs[Map[String, String]]("metadata")("author") == "Test Author")
+    val chunks = Rag.buildChunks(
+      scanned.filter(col("action") === "ingest")
+        .select(lit(1L).as("doc_id"), col("text")),
+      modelId = 1L, maxTokens = 4, dim = 16)
+    assert(chunks.count() >= 2)
+  }
+
+  test("reference examples dir ingests end-to-end (epubs + sidecars)") {
+    val refDir = "/root/reference/examples"
+    assume(Files.isDirectory(Paths.get(refDir)), "reference examples absent")
+    val scanned = Sources.withSidecarMetadata(
+      Sources.ingestionReadyScan(spark, refDir, Sources.AllFormats),
+      spark, refDir)
+    val epubs = scanned.filter(col("mime") === "application/epub+zip")
+    assert(epubs.count() == 5)
+    assert(epubs.filter(col("action") =!= "ingest").count() == 0)
+    // every epub extracted real text and carries its sidecar metadata
+    val rows = epubs.select(
+      col("path"), length(col("text")).as("n"),
+      col("metadata")("author").as("author")).collect()
+    assert(rows.forall(_.getAs[Int]("n") > 1000),
+      "epub text extraction should produce substantial text")
+    assert(rows.forall(r => r.getAs[String]("author") != null))
+  }
+
+  test("corrupt pseudo-epub yields null text, not a failed job") {
+    val scanned = Sources.ingestionReadyScan(spark, dir, Sources.AllFormats)
+    val fake = scanned.filter(col("path").endsWith("book.epub")).head()
+    // book.epub is "PK"-prefixed garbage: promoted to ingest by the
+    // registry but the converter fails safely per-row
+    assert(fake.getAs[String]("action") == "ingest")
+    assert(fake.isNullAt(fake.fieldIndex("text")))
+  }
+
   test("ingestion scan feeds the import pipeline end-to-end") {
     val scanned = Sources.ingestionReadyScan(spark, dir)
       .filter(col("action") === "ingest")
