@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
   * frame carries the latest right payload forward onto left rows.
   * No range-join explosion, no per-row subquery: cost is
   * sort-within-partitions of |L|+|R| — the shape that survives 100 TB
-  * event logs (and skewed keys can be salted upstream since the
-  * carried state is a single row).
+  * event logs.
+  *
+  * Skew caveat: a hot key serializes into one partition, and plain
+  * salting is NOT sound here — the carried last-right-row would not
+  * cross salt buckets. The scale-safe remedy is time-range bucketing:
+  * split each hot key's timeline into ranges, compute within-range
+  * as-of plus each range's closing right row, then carry boundary
+  * state into the next range (a second, tiny pass over range
+  * boundaries). Not implemented — the single-shuffle form is the
+  * declared operator; callers with a pathological key should
+  * pre-split by time range.
   */
 object AsOf {
 
