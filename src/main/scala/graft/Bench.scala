@@ -29,6 +29,7 @@ object Bench {
     "d3_minhash_neardup", // MinHash LSH band join + verify (scale path)
     "d4_simhash_neardup", // SimHash block bucketing
     "t1_token_stats", // text HOFs over documents
+    "p1_training_prep", // composed filter→dedup→split pipeline
     "r1_rag_retrieval", // chunk + embed + search end-to-end
     "m1_media_features") // batched binary decode plumbing
 

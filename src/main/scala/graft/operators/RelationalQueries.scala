@@ -265,6 +265,21 @@ object RelationalQueries {
       graft.store.Catalog.upsertSources(s, store, batch(900)).orderBy("id")
     }),
 
+    // A24: grouped top-k (heavy hitters per group) — rank window per
+    // partition key + filter. At scale this shuffles once on the group
+    // key and each partition keeps k rows during the sort (no global
+    // sort, no driver collect).
+    "a24_grouped_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -323,6 +338,13 @@ object RelationalQueries {
       "SELECT c.c_custkey, o.o_custkey, o.cnt FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 750) c FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey NULLS FIRST, o.o_custkey NULLS FIRST",
     "a20_stats" ->
       "SELECT o_orderstatus, ROUND(AVG(o_totalprice), 2) AS avg_price, ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "a24_grouped_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        | FROM orders
+        | QUALIFY rn <= 3 ORDER BY o_orderpriority, rn"""
+        .stripMargin.replaceAll("\n", ""),
     // Replays upsertModels' two phases: batch-1 names get row_number
     // ids; batch-2 adds only novel names, ids continuing from max.
     "a22_model_upsert" ->

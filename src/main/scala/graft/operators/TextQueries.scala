@@ -105,6 +105,92 @@ object TextQueries {
         .orderBy("doc_id", "chunk_number")
     }),
 
+    // T8: PII redaction — email / IPv4 / long-number masking with
+    // per-type match counts (the scrubbing pass every training-data
+    // pipeline runs). The synthetic corpus carries no PII, so the
+    // query plants deterministic PII per row identically in both
+    // engines, then redacts it: the oracle checks both the counters
+    // and the full redacted text. Pure codegen map stage — regex ops
+    // on the scan, no shuffle.
+    "t8_pii_redaction" -> ((s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via "),
+          lit("10.0.0."), pmod(col("doc_id"), lit(256)),
+          lit(" ref "), (col("doc_id") + lit(1234567890L)).cast("string"))
+          .as("text"))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val longnum = "\\d{10,}"
+      withPii.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_email"),
+        regexp_count(col("text"), lit(ip)).as("n_ip"),
+        regexp_count(col("text"), lit(longnum)).as("n_num"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "[EMAIL]"),
+            ip, "[IP]"),
+          longnum, "[NUM]").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // T9: repetition signal (Gopher-style quality heuristic): the
+    // dominance of the single most frequent token per document. Two
+    // keyed aggregations — the distributed shape (explode + partial
+    // aggs), never a per-doc O(n²) HOF.
+    "t9_repetition" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("max_tok_cnt"), sum("c").as("n"))
+        .select(col("doc_id"), col("max_tok_cnt"),
+          round(col("max_tok_cnt").cast("double") / col("n"), 6)
+            .as("top_tok_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // T10: train/eval contamination check — distinct-trigram overlap
+    // between each train document and a held-out eval slice
+    // (doc_id % 50 == 0). Exploded trigram equi-join + count, the
+    // hash-join shape that scales (never pairwise doc comparison);
+    // top-50 most contaminated docs reported.
+    "t10_contamination" -> ((s, dir) => {
+      val tri = docs(s, dir)
+        .filter(TextAnalysis.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("tri"))
+      val evalTris = tri.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select("tri").distinct()
+      tri.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .join(evalTris, "tri")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .orderBy(desc("n_overlap"), asc("doc_id"))
+        .limit(50)
+    }),
+
+    // P1: the composed training-data prep pipeline — quality+length
+    // filter → exact near-dup collapse by canonical fingerprint
+    // (min-id representative) → deterministic hash split → per-split
+    // corpus stats. One declared query exercising the full chain the
+    // engine exists for; every stage is the scale shape (map filters,
+    // one agg per stage, no windows over the whole corpus).
+    "p1_training_prep" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      d.filter(col("quality") >= 0.35 && col("n_tokens").between(20, 2000))
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"),
+          min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+        .select(Sampling.splitLabel(col("doc_id"), 13).as("split"),
+          col("n_tokens"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("split")
+    }),
+
     // D1: exact dedup on a key expression (hash-groupBy; first-writer-
     // wins representative = min id, the reference's R10 semantics).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -210,6 +296,64 @@ object TextQueries {
         | COUNT(*) AS cnt, MIN(doc_id) AS keep_id
         | FROM documents GROUP BY 1 ORDER BY dedup_key"""
         .stripMargin.replaceAll("\n", ""),
+    "t8_pii_redaction" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via '
+        |    || '10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || ' ref ' || CAST(doc_id + 1234567890 AS VARCHAR) AS text
+        |  FROM documents)
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '\d{10,}')) AS INT) AS n_num,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\d{10,}', '[NUM]', 'g') AS redacted
+        | FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "t9_repetition" ->
+      """WITH c AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok)
+        | SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_tok_cnt,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_tok_ratio
+        | FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "t10_contamination" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+        |    AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |  WHERE len(tk) >= 3),
+        | ev AS (SELECT DISTINCT tri FROM sh WHERE doc_id % 50 = 0)
+        | SELECT doc_id, COUNT(*) AS n_overlap FROM sh JOIN ev USING (tri)
+        | WHERE doc_id % 50 <> 0
+        | GROUP BY doc_id ORDER BY n_overlap DESC, doc_id LIMIT 50"""
+        .stripMargin.replaceAll("\n", ""),
+    "p1_training_prep" -> {
+      val stops = TextAnalysis.EnglishStopwords
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH m AS (SELECT doc_id, text,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($stops, t))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS ttr
+         |  FROM documents),
+         | q AS (SELECT doc_id, text, n_tokens,
+         |  ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + ttr +
+         |    LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0, 6)
+         |    AS quality FROM m),
+         | f AS (SELECT doc_id, n_tokens,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM q WHERE quality >= 0.35 AND n_tokens BETWEEN 20 AND 2000),
+         | dd AS (SELECT MIN(doc_id) AS doc_id, arg_min(n_tokens, doc_id) AS n_tokens
+         |  FROM f GROUP BY fp),
+         | sp AS (SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |  < 'd' THEN 'train' ELSE 'test' END AS split, n_tokens FROM dd)
+         | SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT)
+         |  AS sum_tokens FROM sp GROUP BY split ORDER BY split"""
+        .stripMargin.replaceAll("\n", "")
+    },
     "d2_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(
         |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh
