@@ -25,6 +25,7 @@ object Bench {
     "s1_session_stats", // window sessionization (shuffle + per-key sort)
     "v1_cosine_topk", // 64-dim exact cosine scan top-k
     "v6_lsh_topk", // partition-pruned ANN vs v1's full scan
+    "v7_ivf_topk", // nprobe-cell pruned IVF ANN
     "d5_embedding_neardup", // LSH-bucketed near-dup (scale path, not O(N²) v4)
     "d3_minhash_neardup", // MinHash LSH band join + verify (scale path)
     "d4_simhash_neardup", // SimHash block bucketing

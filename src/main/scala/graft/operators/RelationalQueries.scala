@@ -280,6 +280,31 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "rn")
     }),
 
+    // A25: the salted two-phase aggregation as an oracle-checked query
+    // — must be value-identical to the direct GROUP BY (integer-valued
+    // quantities keep double summation exact across phase orders).
+    "a25_salted_agg" -> ((s, dir) => {
+      Skew.saltedAggregate(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_orderkey"),
+          buckets = 16, Seq(Skew.sumOf("l_quantity"), Skew.countAll))
+        .orderBy("l_returnflag")
+    }),
+
+    // A26: approximate per-group quantiles (single-pass bounded-memory
+    // sketch — the 100 TB alternative to a13's exact quantile; sketch
+    // internals differ across engines → rows-only check + ScalaTest
+    // error-bound spec, the a21 pattern).
+    "a26_approx_quantiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4)
+            .as("p50"),
+          round(expr("approx_percentile(o_totalprice, 0.95, 10000)"), 4)
+            .as("p95"))
+        .orderBy("o_orderpriority")
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -338,6 +363,11 @@ object RelationalQueries {
       "SELECT c.c_custkey, o.o_custkey, o.cnt FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 750) c FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey NULLS FIRST, o.o_custkey NULLS FIRST",
     "a20_stats" ->
       "SELECT o_orderstatus, ROUND(AVG(o_totalprice), 2) AS avg_price, ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "a25_salted_agg" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity,
+        | CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+        | GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""),
     "a24_grouped_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         | CAST(row_number() OVER (PARTITION BY o_orderpriority

@@ -218,6 +218,23 @@ class CatalogRagSpec extends AnyFunSuite {
     assert(perDoc == 0, "each source must carry exactly one title")
   }
 
+  test("approx_percentile within 2.5% of exact per group") {
+    // approx_percentile returns an actual element; exact percentile
+    // interpolates — at sf0.001's ~300-row groups the nearest-element
+    // gap (not sketch error) dominates, so the bound is 2.5%
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val rows = o.groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap"),
+        expr("percentile(o_totalprice, 0.5)").as("ex"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap, ex) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(ap - ex) / ex < 0.025, s"approx $ap vs exact $ex")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val r = li.agg(
