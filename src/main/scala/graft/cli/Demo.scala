@@ -16,7 +16,7 @@ import graft.store.Catalog
   *   runMain graft.cli.Demo import --docs <parquet> --store <dir>
   *     [--model <name>] [--dim N] [--max-tokens N]
   *   runMain graft.cli.Demo search --store <dir> --prompt "..."
-  *     [--top-k K] [--similarity-threshold T] [--dim N]
+  *     [--top-k K] [--similarity-threshold T] [--dim N] [--ann exact|lsh]
   *   runMain graft.cli.Demo generate --store <dir> --prompt "..."
   *     [--top-k K] [--similarity-threshold T] [--dim N]
   *     [--max-tokens N] [--temperature T]
@@ -50,7 +50,8 @@ object Demo {
       case "search" =>
         val hits = search(spark, flags("store"), flags("prompt"),
           flags.getOrElse("top-k", "10").toInt,
-          flags.getOrElse("similarity-threshold", "0.7").toDouble, dim)
+          flags.getOrElse("similarity-threshold", "0.7").toDouble, dim,
+          flags.getOrElse("ann", "exact"))
         display(hits)
 
       case "generate" =>
@@ -190,13 +191,25 @@ object Demo {
       s"chunks=${spark.read.parquet(s"$store/chunks").count()}")
   }
 
-  /** demo.search: embed prompt, retrieve top-k over the store. */
+  /** demo.search: embed prompt, retrieve top-k over the store —
+    * exact scan by default, LSH-index-backed with ann="lsh" (the index
+    * path carries the chunk dir's file fingerprint, so a re-import
+    * triggers a rebuild rather than serving a stale index). */
   def search(spark: SparkSession, store: String, prompt: String,
-      topK: Int, threshold: Double, dim: Int): DataFrame = {
+      topK: Int, threshold: Double, dim: Int,
+      ann: String = "exact"): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"similarity threshold must be in [-1,1], got $threshold")
     val chunks = spark.read.parquet(s"$store/chunks")
-    Rag.searchChunks(chunks, Rag.embedQuery(prompt, dim), topK, threshold)
+    val q = Rag.embedQuery(prompt, dim)
+    ann match {
+      case "exact" => Rag.searchChunks(chunks, q, topK, threshold)
+      case "lsh" =>
+        val fp = graft.store.AnnIndexes.fingerprint(spark, s"$store/chunks")
+        Rag.searchChunksAnn(chunks,
+          s"$store/ann_lsh_${fp}_d$dim", q, topK, threshold)
+      case other => sys.error(s"unknown ann mode '$other' (exact|lsh)")
+    }
   }
 
   /** S10: CLI display sink — id, score to 4dp, metadata k/v, text

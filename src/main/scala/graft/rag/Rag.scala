@@ -65,6 +65,31 @@ object Rag {
     Similarity.topK(chunks, "embedding", queryVec, topK, threshold,
       tieBreak = Seq("id"))
 
+  /** ANN retrieval over a chunk store: search a build-once multi-table
+    * LSH index instead of scanning every embedding — the 100 TB form
+    * of `searchChunks` (pgvector's HNSW analogue re-expressed as
+    * partition pruning). The index materializes on first use under
+    * `indexPath` and is keyed to the store's current file set by the
+    * caller (stale after re-import → new path → rebuild). */
+  def searchChunksAnn(
+      chunks: DataFrame,
+      indexPath: String,
+      queryVec: Array[Double],
+      topK: Int = 10,
+      threshold: Double = 0.7,
+      tables: Int = 4,
+      bits: Int = 8): DataFrame = {
+    val spark = chunks.sparkSession
+    graft.store.AnnIndexes.materialize(spark, indexPath) {
+      Similarity.buildLshIndex(chunks, "embedding", queryVec.length,
+        indexPath, tables = tables, bits = bits)
+    }
+    Similarity.lshTopKFromIndex(
+        spark.read.parquet(indexPath), "id", "embedding", queryVec, topK,
+        bits = bits, tables = tables, tieBreak = Seq("id"))
+      .filter(col("similarity") >= threshold)
+  }
+
   /** G3: fold the ordered top-k into one context string (reference
     * `cli/generate_text.py:68-85`). Executed as an ordered
     * array_sort(collect_list(struct))) aggregation — deterministic

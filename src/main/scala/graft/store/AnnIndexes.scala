@@ -40,9 +40,15 @@ object AnnIndexes {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else {
-      val sig = fs.listStatus(p).map(s => s"${s.getPath.getName}:${s.getLen}")
-        .sorted.mkString("|")
-      f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
+      // recursive: partitioned tables append files inside partition
+      // dirs, which a top-level listing would not see
+      val it = fs.listFiles(p, true)
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        names += s"${s.getPath.toUri.getPath.stripPrefix(tablePath)}:${s.getLen}"
+      }
+      f"${scala.util.hashing.MurmurHash3.stringHash(names.sorted.mkString("|"))}%08x"
     }
   }
 

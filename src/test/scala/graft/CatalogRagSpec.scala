@@ -218,6 +218,38 @@ class CatalogRagSpec extends AnyFunSuite {
     assert(perDoc == 0, "each source must carry exactly one title")
   }
 
+  test("ANN store search: subset of exact ranking, rebuilds on re-import") {
+    val store = tmpDir() + "/store"
+    graft.cli.Demo.importDocs(spark, graft.cli.Demo.demoCorpus(spark),
+      store, "demo-model", dim = 64, maxTokens = 32)
+    val prompt = "are robots friendly to humans"
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSeq
+    val exact = ids(graft.cli.Demo.search(spark, store, prompt,
+      topK = 20, threshold = -1.0, dim = 64))
+    val annHits = graft.cli.Demo.search(spark, store, prompt,
+      topK = 5, threshold = -1.0, dim = 64, ann = "lsh")
+    assert(ids(annHits).nonEmpty && ids(annHits).toSet.subsetOf(exact.toSet))
+    // similarity values agree with the exact scan for the same ids
+    val exactSim = graft.cli.Demo.search(spark, store, prompt,
+      topK = 20, threshold = -1.0, dim = 64)
+      .select("id", "similarity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    annHits.select("id", "similarity").collect().foreach { r =>
+      assert(exactSim(r.getLong(0)) == r.getDouble(1))
+    }
+    // re-import changes the chunk file set → a different index path
+    val fp1 = graft.store.AnnIndexes.fingerprint(spark, s"$store/chunks")
+    graft.cli.Demo.importDocs(spark, graft.cli.Demo.demoCorpus(spark)
+        .filter(col("doc_id") === 1L),
+      store, "demo-model", dim = 64, maxTokens = 32)
+    val fp2 = graft.store.AnnIndexes.fingerprint(spark, s"$store/chunks")
+    assert(fp1 != fp2, "re-import must change the index fingerprint")
+    val after = graft.cli.Demo.search(spark, store, prompt,
+      topK = 5, threshold = -1.0, dim = 64, ann = "lsh")
+    assert(ids(after).nonEmpty)
+  }
+
   test("approx_percentile within 2.5% of exact per group") {
     // approx_percentile returns an actual element; exact percentile
     // interpolates — at sf0.001's ~300-row groups the nearest-element
