@@ -72,9 +72,28 @@ object EventQueries {
           when(k =!= "", k.cast("long")).as("k"))
         .orderBy("event_id")
     }),
+
+    // J2: schema'd JSON parsing (from_json, not regex) rolled up per
+    // event_type — the structured-props shape; parsing happens in the
+    // scan projection, aggregation is one keyed shuffle.
+    "j2_json_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "j2_json_rollup" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |  AS sum_k FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", ""),
     "s1_session_stats" ->
       """WITH o AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) us
         |   FROM events),

@@ -38,6 +38,16 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
+    // M2: video frame sampling — the explode shape of a frame
+    // extractor over binary assets (frame count/offsets are
+    // SQL-derivable from the byte length, so fully oracle-checked).
+    "m2_frame_sampling" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticAssets(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.sampleFrames(assets, everyNth = 10)
+        .orderBy("asset_id", "frame_number")
+    }),
+
     // G1–G4: the assembled contextualized prompt as a 1-row result
     // (deterministic end-to-end: chunking, embedding, retrieval and
     // template are all pure).
@@ -57,6 +67,16 @@ object PipelineQueries {
     * media_type mapping is doc_id % 3 → image/audio/video and n_bytes
     * is the utf-8 byte length the binary cast produces. */
   val oracleSql: Map[String, String] = Map(
+    "m2_frame_sampling" ->
+      """WITH v AS (SELECT doc_id AS asset_id,
+        |   octet_length(encode(text)) AS n FROM documents
+        |  WHERE doc_id % 3 = 2),
+        | f AS (SELECT asset_id, CAST(i AS INT) AS frame_number,
+        |   CAST(i * 10 AS INT) AS frame_offset
+        |  FROM v, UNNEST(range(0, GREATEST(CAST(FLOOR(n / 10) AS BIGINT) - 1, 0) + 1))
+        |    AS u(i))
+        | SELECT asset_id, frame_number, frame_offset FROM f
+        | ORDER BY asset_id, frame_number""".stripMargin.replaceAll("\n", ""),
     "m1_media_features" ->
       """SELECT doc_id AS asset_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -211,6 +211,16 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // D6: near-dup pairs → dedup clusters (connected components via
+    // min-label propagation). Bounded input like d2; the oracle
+    // computes the transitive closure with a recursive CTE.
+    "d6_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
+        n = 2, threshold = 0.4)
+      Dedup.dupClusters(pairs).orderBy("id")
+    }),
+
     // D3: MinHash+LSH candidate pairs verified by exact Jaccard —
     // rows-only driver check; recall-vs-d2 asserted in ScalaTest.
     "d3_minhash_neardup" -> ((s, dir) => {
@@ -354,6 +364,22 @@ object TextQueries {
          |  AS sum_tokens FROM sp GROUP BY split ORDER BY split"""
         .stripMargin.replaceAll("\n", "")
     },
+    "d6_dup_clusters" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |        WHERE doc_id < 1000)),
+        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.4),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION ALL SELECT b_id, a_id FROM pr),
+        | reach AS (SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+        | SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id"""
+        .stripMargin.replaceAll("\n", ""),
     "d2_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(
         |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh

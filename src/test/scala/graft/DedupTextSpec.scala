@@ -201,6 +201,17 @@ class DedupTextSpec extends AnyFunSuite {
     assert(sampled.filter(col("lang") === "fr").count() == 0)
   }
 
+  test("dupClusters: min-label connected components over pair graphs") {
+    import spark.implicits._
+    // a 5-chain (forces multiple propagation rounds) + a separate pair
+    val pairs = Seq((4L, 5L), (1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
   test("exact full-text dedup keeps one row per fingerprint") {
     import spark.implicits._
     val df = Seq(
