@@ -23,6 +23,8 @@ object Bench {
     "a6_topk_orders", // TakeOrderedAndProject
     "a12_events_hourly", // time rollup over events
     "s1_session_stats", // window sessionization (shuffle + per-key sort)
+    "s4_asof_skewsafe", // two-phase skew-safe as-of join
+    "t10_contamination", // exploded trigram hash join
     "v1_cosine_topk", // 64-dim exact cosine scan top-k
     "v6_lsh_topk", // partition-pruned ANN vs v1's full scan
     "v7_ivf_topk", // nprobe-cell pruned IVF ANN

@@ -156,10 +156,13 @@ object TextQueries {
     // hash-join shape that scales (never pairwise doc comparison);
     // top-50 most contaminated docs reported.
     "t10_contamination" -> ((s, dir) => {
+      // the exploded trigram projection feeds both the eval and train
+      // subtrees — persist so the corpus is shingled once per run
       val tri = docs(s, dir)
         .filter(TextAnalysis.tokenCount(col("text")) >= 3)
         .select(col("doc_id"),
           explode(TextAnalysis.shingles(col("text"), 3)).as("tri"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val evalTris = tri.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select("tri").distinct()
       tri.filter(pmod(col("doc_id"), lit(50)) =!= 0)

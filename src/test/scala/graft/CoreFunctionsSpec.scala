@@ -124,6 +124,18 @@ class CoreFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunker property: chunks rejoin to the original; sizes ≤ cap") {
+    val textGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dddd")).map(_.mkString(" ")))
+    forAll2(textGen, Gen.chooseNum(1, 7)) { (text, mt) =>
+      val chunks = Chunker.chunkText(text, mt)
+      assert(chunks.mkString(" ") == text,
+        s"lossless rejoin failed for maxTokens=$mt")
+      assert(chunks.forall(_.split(" ", -1).length <= mt))
+      assert(chunks.dropRight(1).forall(_.split(" ", -1).length == mt))
+    }
+  }
+
   test("chunkDocuments: enrichment columns + ordinal") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")

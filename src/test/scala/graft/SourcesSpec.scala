@@ -155,6 +155,13 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[String]("author") != null))
   }
 
+  test("entity decoding: named, decimal, hex; unknown and bare pass through") {
+    assert(Sources.decodeEntities("abc & def < g") == "abc & def < g")
+    assert(Sources.decodeEntities("&#65;&#x42;&amp;&lt;&rsquo;") == "AB&<’")
+    assert(Sources.decodeEntities("&bogus; &#xZZ;") == "&bogus; &#xZZ;")
+    assert(Sources.htmlToText("<p>a<br/>b</p> <b>c</b>") == "a b c")
+  }
+
   test("corrupt pseudo-epub yields null text, not a failed job") {
     val scanned = Sources.ingestionReadyScan(spark, dir, Sources.AllFormats)
     val fake = scanned.filter(col("path").endsWith("book.epub")).head()
