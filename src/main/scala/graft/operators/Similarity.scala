@@ -249,6 +249,53 @@ object Similarity {
       roundTo = roundTo)
   }
 
+  /** Batch ANN: approximate top-k for MANY queries against a
+    * materialized LSH index, fully distributed — no per-query driver
+    * round trip. Each query row is exploded to its (table_id, bucket)
+    * probe pairs (the bucket signature is a column expression, so
+    * query vectors never leave the cluster); the tiny probe table is
+    * broadcast and equi-joined to the index on the partition columns —
+    * the join predicate is on partition columns, so Spark's dynamic
+    * partition pruning can skip unprobed index partitions at runtime.
+    * Per-query top-k via rank window (map-side WindowGroupLimit keeps
+    * ≤k rows per query per partition before the shuffle). */
+  def lshTopKBatchFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 4,
+      seed: Long = 42L,
+      roundTo: Int = 6): DataFrame = {
+    val probes = array((0 until tables).map { t =>
+      struct(
+        lit(t).as("table_id"),
+        lshBucket(col("_qv"), hyperplanes(bits, dim, seed + t)).as("lsh_bucket"))
+    }: _*)
+    val qb = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("_qv"))
+      .withColumn("tb", explode(probes))
+      .select(col("query_id"), col("_qv"),
+        col("tb.table_id").as("table_id"), col("tb.lsh_bucket").as("lsh_bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(desc("similarity"), asc(idCol))
+    index
+      .join(broadcast(qb), Seq("table_id", "lsh_bucket"))
+      .dropDuplicates("query_id", idCol)
+      .withColumn("similarity", round(
+        graft.functions.VectorFunctions.cosine_similarity(col(embCol), col("_qv")),
+        roundTo))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("similarity"))
+  }
+
   /** Materialize a corpus with its LSH bucket — written
     * `partitionBy("lsh_bucket")` this gives partition-pruned ANN. */
   def withLshBucket(

@@ -224,6 +224,22 @@ object TextQueries {
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
+    // D7: the end-to-end dedup decision — drop every cluster member
+    // except the minimum-id representative, keep all unpaired docs
+    // (pairs → components → anti-join; what a real pipeline executes
+    // after d2/d3-style pair detection).
+    "d7_global_dedup" -> ((s, dir) => {
+      val bounded = docs(s, dir).filter(col("doc_id") < 1000)
+      val pairs = Dedup.ngramJaccardPairs(bounded, "doc_id", "text",
+        n = 2, threshold = 0.4)
+      val drop = Dedup.dupClusters(pairs)
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      bounded.select("doc_id")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // D3: MinHash+LSH candidate pairs verified by exact Jaccard —
     // rows-only driver check; recall-vs-d2 asserted in ScalaTest.
     "d3_minhash_neardup" -> ((s, dir) => {
@@ -383,6 +399,24 @@ object TextQueries {
         |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
         | SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id"""
         .stripMargin.replaceAll("\n", ""),
+    "d7_global_dedup" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |        WHERE doc_id < 1000)),
+        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.4),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION ALL SELECT b_id, a_id FROM pr),
+        | reach AS (SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+        | SELECT doc_id FROM documents WHERE doc_id < 1000
+        |  AND doc_id NOT IN (SELECT id FROM lab WHERE id <> label)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d2_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(
         |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh

@@ -156,6 +156,32 @@ class DedupTextSpec extends AnyFunSuite {
       s"IVF scan not cell-pruned: $prunedParts/$allParts partitions")
   }
 
+  test("batch ANN: per-query results subset of exact, decent recall") {
+    val idx = spark.read.parquet(operators.VectorQueries.lshIndex(spark, sfDir))
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val batch = operators.Similarity.lshTopKBatchFromIndex(
+      idx, queries, "qid", "qv", "vec_id", "embedding", k = 5, dim = 64,
+      bits = operators.VectorQueries.LshBits,
+      tables = operators.VectorQueries.LshTables)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // per query: every hit appears in that query's exact top-500 and
+    // overlaps its exact top-5 (the query itself is always bucket-hit)
+    (0L to 4L).foreach { q =>
+      val qv = embs.filter(col("vec_id") === q)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      val exact5 = operators.Similarity.topK(embs, "embedding", qv, 5,
+        tieBreak = Seq("vec_id")).select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got(q).nonEmpty && got(q).size <= 5)
+      assert(got(q).intersect(exact5).nonEmpty, s"query $q: no overlap")
+      assert(got(q).contains(q), s"query $q should find itself")
+    }
+  }
+
   test("materialized minhash index gives identical near-dup pairs") {
     val path = java.nio.file.Files.createTempDirectory("mh_index") + "/idx"
     operators.Dedup.buildMinHashIndex(docs, "doc_id", "text", path)
