@@ -172,6 +172,46 @@ object TextQueries {
         .limit(50)
     }),
 
+    // T11: tf-idf top terms per document — the IR feature-extraction
+    // shape: two keyed aggs (term frequency, doc frequency), a hash
+    // join, a 1-row broadcast for N, rank window for top-3. Natural
+    // log on both engines; scores rounded before ranking.
+    "t11_tfidf_top_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = broadcast(d.agg(count(lit(1)).as("n")))
+      val tf = d.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), asc("tok"))
+      tf.join(dfreq, "tok").crossJoin(n)
+        .withColumn("score",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok"), col("score"))
+        .orderBy(asc("doc_id"), desc("score"), asc("tok"))
+    }),
+
+    // T12: unigram surprise (perplexity-style quality signal): mean
+    // −ln p(token) under the corpus unigram distribution. The exploded
+    // token projection feeds tf, the total and the final join — one
+    // persisted pass.
+    "t12_unigram_surprise" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = broadcast(cnt.agg(sum("c").cast("double").as("tot")))
+      tok.join(cnt, "tok").crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("c").cast("double") / col("tot"))), 6)
+          .as("surprise"))
+        .orderBy("doc_id")
+    }),
+
     // P1: the composed training-data prep pipeline — quality+length
     // filter → exact near-dup collapse by canonical fingerprint
     // (min-id representative) → deterministic hash split → per-split
@@ -383,6 +423,26 @@ object TextQueries {
          |  AS sum_tokens FROM sp GROUP BY split ORDER BY split"""
         .stripMargin.replaceAll("\n", "")
     },
+    "t11_tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+        |  FROM documents),
+        | tf AS (SELECT doc_id, tok, COUNT(*) tf FROM tok GROUP BY doc_id, tok),
+        | df AS (SELECT tok, COUNT(*) df FROM tf GROUP BY tok),
+        | n AS (SELECT COUNT(*) n FROM documents)
+        | SELECT doc_id, tok,
+        |  ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+        | FROM tf JOIN df USING (tok), n
+        | QUALIFY row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, tok) <= 3
+        | ORDER BY doc_id, score DESC, tok""".stripMargin.replaceAll("\n", ""),
+    "t12_unigram_surprise" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+        |  FROM documents),
+        | c AS (SELECT tok, COUNT(*) c FROM tok GROUP BY tok),
+        | t AS (SELECT CAST(SUM(c) AS DOUBLE) tot FROM c)
+        | SELECT doc_id, ROUND(AVG(-ln(c / tot)), 6) AS surprise
+        | FROM tok JOIN c USING (tok), t
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d6_dup_clusters" ->
       """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
         |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
