@@ -62,6 +62,20 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // S5: Spark's built-in session_window — must produce exactly the
+    // sessions the window-function construction (s1) produces, checked
+    // against the same oracle reshaped (no session ordinal; sessions
+    // identified by their bounds).
+    "s5_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .select("user_id", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "start_us")
+    }),
+
     // J1: property extraction from the JSON-ish props column
     // (regexp-based; engine-portable, null on no-match under ANSI).
     "j1_props_extract" -> ((s, dir) => {
@@ -89,6 +103,20 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s5_session_window" ->
+      """WITH o AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) us
+        |   FROM events),
+        | b AS (SELECT user_id, event_id, us,
+        |   CASE WHEN lag(us) OVER w IS NULL
+        |     OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | sn AS (SELECT user_id, us,
+        |   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_number FROM b)
+        | SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us
+        | FROM sn GROUP BY user_id, session_number
+        | ORDER BY user_id, start_us""".stripMargin.replaceAll("\n", ""),
     "j2_json_rollup" ->
       """SELECT event_type, COUNT(*) AS cnt,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)

@@ -305,6 +305,20 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // A27: pivot (crosstab) — per-priority counts spread across order
+    // statuses as columns; the oracle uses portable conditional
+    // aggregation. Pivot values pinned explicitly (never inferred via
+    // an extra scan).
+    "a27_status_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "f_cnt", "O" -> "o_cnt", "P" -> "p_cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -367,6 +381,13 @@ object RelationalQueries {
       """SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity,
         | CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
         | GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""),
+    "a27_status_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+        | CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+        | CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_cnt
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", ""),
     "a24_grouped_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
