@@ -28,6 +28,7 @@ object Bench {
     "v1_cosine_topk", // 64-dim exact cosine scan top-k
     "v6_lsh_topk", // partition-pruned ANN vs v1's full scan
     "v7_ivf_topk", // nprobe-cell pruned IVF ANN
+    "v8_batch_ann", // many-query ANN via broadcast probe join + DPP
     "d5_embedding_neardup", // LSH-bucketed near-dup (scale path, not O(N²) v4)
     "d3_minhash_neardup", // MinHash LSH band join + verify (scale path)
     "d4_simhash_neardup", // SimHash block bucketing

@@ -16,7 +16,7 @@ import graft.store.Catalog
   *   runMain graft.cli.Demo import --docs <parquet> --store <dir>
   *     [--model <name>] [--dim N] [--max-tokens N]
   *   runMain graft.cli.Demo search --store <dir> --prompt "..."
-  *     [--top-k K] [--similarity-threshold T] [--dim N] [--ann exact|lsh]
+  *     [--top-k K] [--similarity-threshold T] [--dim N] [--ann exact|lsh|ivf]
   *   runMain graft.cli.Demo generate --store <dir> --prompt "..."
   *     [--top-k K] [--similarity-threshold T] [--dim N]
   *     [--max-tokens N] [--temperature T]
@@ -202,13 +202,16 @@ object Demo {
       s"similarity threshold must be in [-1,1], got $threshold")
     val chunks = spark.read.parquet(s"$store/chunks")
     val q = Rag.embedQuery(prompt, dim)
+    lazy val fp = graft.store.AnnIndexes.fingerprint(spark, s"$store/chunks")
     ann match {
       case "exact" => Rag.searchChunks(chunks, q, topK, threshold)
       case "lsh" =>
-        val fp = graft.store.AnnIndexes.fingerprint(spark, s"$store/chunks")
         Rag.searchChunksAnn(chunks,
           s"$store/ann_lsh_${fp}_d$dim", q, topK, threshold)
-      case other => sys.error(s"unknown ann mode '$other' (exact|lsh)")
+      case "ivf" =>
+        Rag.searchChunksAnnIvf(chunks,
+          s"$store/ann_ivf_${fp}_d$dim", q, topK, threshold)
+      case other => sys.error(s"unknown ann mode '$other' (exact|lsh|ivf)")
     }
   }
 

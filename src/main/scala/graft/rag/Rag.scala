@@ -90,6 +90,31 @@ object Rag {
       .filter(col("similarity") >= threshold)
   }
 
+  /** IVF variant of `searchChunksAnn`: cell-partitioned index + codebook
+    * sidecar; nlist adapts to the store size at build (a codebook needs
+    * at least as many sample rows as cells). */
+  def searchChunksAnnIvf(
+      chunks: DataFrame,
+      indexPath: String,
+      queryVec: Array[Double],
+      topK: Int = 10,
+      threshold: Double = 0.7,
+      nprobe: Int = 4): DataFrame = {
+    val spark = chunks.sparkSession
+    graft.store.AnnIndexes.materialize(spark, indexPath) {
+      val n = chunks.count()
+      val nlist = math.max(1, math.min(16, (n / 4).toInt))
+      graft.operators.Ivf.buildIndex(chunks, "id", "embedding", indexPath,
+        nlist = nlist)
+    }
+    val model = graft.operators.Ivf.loadModel(spark, s"$indexPath/_model")
+    graft.operators.Ivf.search(
+        spark.read.parquet(indexPath), "embedding", queryVec, model,
+        k = topK, nprobe = math.min(nprobe, model.nlist),
+        tieBreak = Seq("id"))
+      .filter(col("similarity") >= threshold)
+  }
+
   /** G3: fold the ordered top-k into one context string (reference
     * `cli/generate_text.py:68-85`). Executed as an ordered
     * array_sort(collect_list(struct))) aggregation — deterministic

@@ -248,6 +248,12 @@ class CatalogRagSpec extends AnyFunSuite {
     val after = graft.cli.Demo.search(spark, store, prompt,
       topK = 5, threshold = -1.0, dim = 64, ann = "lsh")
     assert(ids(after).nonEmpty)
+    // IVF variant: also a subset of the exact ranking, same scores
+    val ivfHits = graft.cli.Demo.search(spark, store, prompt,
+      topK = 5, threshold = -1.0, dim = 64, ann = "ivf")
+    val exactAfter = ids(graft.cli.Demo.search(spark, store, prompt,
+      topK = 50, threshold = -1.0, dim = 64)).toSet
+    assert(ids(ivfHits).nonEmpty && ids(ivfHits).toSet.subsetOf(exactAfter))
   }
 
   test("approx_percentile within 2.5% of exact per group") {
