@@ -50,6 +50,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def timeOnce(name: String): Double = {
+      // drop persisted intermediates between runs: queries that share
+      // a projection via persist() must re-earn that work every timed
+      // run (CacheManager matches canonicalized plans, so the second
+      // run would otherwise read the first run's cache), and caches
+      // must not accumulate across the suite
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).collect() }
       catch { case e: Throwable =>

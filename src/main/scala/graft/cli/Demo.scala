@@ -86,7 +86,10 @@ object Demo {
           graft.sources.Sources.ingestionReadyScan(spark, flags("dir"),
             graft.sources.Sources.AllFormats),
           spark, flags("dir"))
-          .filter(col("action") === "ingest")
+          // a corrupt file can be promoted to ingest yet fail its
+          // converter (null text) — exclude it or it becomes a phantom
+          // chunk row with null text/embedding in the store
+          .filter(col("action") === "ingest" && col("text").isNotNull)
           .select(
             // bounded to 2^40 so the composite chunk id
             // (source_id << 20 | chunk_number) cannot overflow a long
@@ -203,14 +206,29 @@ object Demo {
     val chunks = spark.read.parquet(s"$store/chunks")
     val q = Rag.embedQuery(prompt, dim)
     lazy val fp = graft.store.AnnIndexes.fingerprint(spark, s"$store/chunks")
+    // re-imports change the fingerprint → a new index dir; sweep the
+    // obsolete siblings so the store doesn't accumulate full-corpus
+    // index copies
+    def sweepStale(prefix: String, keep: String): Unit = {
+      val storeP = new org.apache.hadoop.fs.Path(store)
+      val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(storeP))
+        fs.listStatus(storeP).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith(prefix) && name != keep)
+            fs.delete(st.getPath, true)
+        }
+    }
     ann match {
       case "exact" => Rag.searchChunks(chunks, q, topK, threshold)
       case "lsh" =>
-        Rag.searchChunksAnn(chunks,
-          s"$store/ann_lsh_${fp}_d$dim", q, topK, threshold)
+        val name = s"ann_lsh_${fp}_d$dim"
+        sweepStale("ann_lsh_", name)
+        Rag.searchChunksAnn(chunks, s"$store/$name", q, topK, threshold)
       case "ivf" =>
-        Rag.searchChunksAnnIvf(chunks,
-          s"$store/ann_ivf_${fp}_d$dim", q, topK, threshold)
+        val name = s"ann_ivf_${fp}_d$dim"
+        sweepStale("ann_ivf_", name)
+        Rag.searchChunksAnnIvf(chunks, s"$store/$name", q, topK, threshold)
       case other => sys.error(s"unknown ann mode '$other' (exact|lsh|ivf)")
     }
   }

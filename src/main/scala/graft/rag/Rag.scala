@@ -80,9 +80,9 @@ object Rag {
       tables: Int = 4,
       bits: Int = 8): DataFrame = {
     val spark = chunks.sparkSession
-    graft.store.AnnIndexes.materialize(spark, indexPath) {
+    graft.store.AnnIndexes.materializeAtomic(spark, indexPath) { tmp =>
       Similarity.buildLshIndex(chunks, "embedding", queryVec.length,
-        indexPath, tables = tables, bits = bits)
+        tmp, tables = tables, bits = bits)
     }
     Similarity.lshTopKFromIndex(
         spark.read.parquet(indexPath), "id", "embedding", queryVec, topK,
@@ -93,6 +93,9 @@ object Rag {
   /** IVF variant of `searchChunksAnn`: cell-partitioned index + codebook
     * sidecar; nlist adapts to the store size at build (a codebook needs
     * at least as many sample rows as cells). */
+  private val ivfStoreModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Ivf.IvfModel]
+
   def searchChunksAnnIvf(
       chunks: DataFrame,
       indexPath: String,
@@ -101,13 +104,14 @@ object Rag {
       threshold: Double = 0.7,
       nprobe: Int = 4): DataFrame = {
     val spark = chunks.sparkSession
-    graft.store.AnnIndexes.materialize(spark, indexPath) {
+    graft.store.AnnIndexes.materializeAtomic(spark, indexPath) { tmp =>
       val n = chunks.count()
       val nlist = math.max(1, math.min(16, (n / 4).toInt))
-      graft.operators.Ivf.buildIndex(chunks, "id", "embedding", indexPath,
-        nlist = nlist)
+      ivfStoreModels(indexPath) = graft.operators.Ivf.buildIndex(
+        chunks, "id", "embedding", tmp, nlist = nlist)
     }
-    val model = graft.operators.Ivf.loadModel(spark, s"$indexPath/_model")
+    val model = ivfStoreModels.getOrElseUpdate(indexPath,
+      graft.operators.Ivf.loadModel(spark, s"$indexPath/_model"))
     graft.operators.Ivf.search(
         spark.read.parquet(indexPath), "embedding", queryVec, model,
         k = topK, nprobe = math.min(nprobe, model.nlist),

@@ -52,8 +52,10 @@ object AnnIndexes {
     }
   }
 
-  /** Run `build` once per `path` (process-wide serialized; re-entry and
-    * concurrent spec suites see the marker). Returns `path`. */
+  /** Run `build` once per `path`. The build writes DIRECTLY to `path`
+    * — kept for callers whose build closure hard-codes the
+    * destination. JVM-serialized only; for cross-process safety use
+    * `materializeAtomic`. Returns `path`. */
   def materialize(spark: SparkSession, path: String)(build: => Unit): String =
     synchronized {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -63,6 +65,34 @@ object AnnIndexes {
         fs.delete(p, true)
         build
         fs.create(marker).close()
+      }
+      path
+    }
+
+  /** Cross-process-safe build-once: the closure writes into a private
+    * temp dir which is renamed into place only when complete (marker
+    * written pre-rename). Two racing processes each build their own
+    * temp; the loser's rename sees the winner's dir and discards its
+    * own — no window where a marked-but-partial index is visible. */
+  def materializeAtomic(spark: SparkSession, path: String)(build: String => Unit): String =
+    synchronized {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val marker = new org.apache.hadoop.fs.Path(path + "/_IDX_READY")
+      if (!fs.exists(marker)) {
+        // a dir without a marker is a corpse from a crashed build
+        fs.delete(p, true)
+        val tmp = new org.apache.hadoop.fs.Path(
+          path + "._build_" + java.util.UUID.randomUUID().toString.take(8))
+        try {
+          build(tmp.toString)
+          fs.create(new org.apache.hadoop.fs.Path(tmp, "_IDX_READY")).close()
+          if (!fs.rename(tmp, p)) {
+            // another process won the race with a complete index
+            require(fs.exists(marker), s"rename to $path failed with no winner")
+          }
+        } finally fs.delete(tmp, true)
       }
       path
     }
