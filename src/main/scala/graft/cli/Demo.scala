@@ -117,6 +117,13 @@ object Demo {
             s"mime=${r.getAs[String]("mime")} action=${r.getAs[String]("action")} " +
             s"meta=${Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map())}"))
 
+      case "compact" =>
+        // operational: collapse append-accumulated small files
+        val (before, after) = Catalog.compactChunks(
+          spark, flags("store") + "/chunks",
+          flags.getOrElse("target-mb", "128").toLong << 20)
+        println(s"[compact] files $before -> $after")
+
       case "purge" =>
         // reference parity: purge.db (tasks.py:142-151) — drop the store
         val p = new org.apache.hadoop.fs.Path(flags("store"))
@@ -125,7 +132,7 @@ object Demo {
         println(s"[purge] ${flags("store")} deleted=$existed")
 
       case other => sys.error(
-        s"unknown mode '$other' (expected import|import-dir|search|generate|scan|purge|demo)")
+        s"unknown mode '$other' (expected import|import-dir|search|generate|scan|compact|purge|demo)")
     }
   }
 

@@ -220,6 +220,31 @@ object Similarity {
       .parquet(path)
   }
 
+  /** Incremental maintenance: append new corpus rows into an existing
+    * LSH index without rebuilding — same explode + partitioned write in
+    * Append mode; new files land inside the matching (table_id, bucket)
+    * partition dirs. Hyperplanes are seed-derived, so the SAME
+    * tables/bits/seed must be used. At 100 TB this is the difference
+    * between an O(new-data) nightly job and an O(corpus) rebuild;
+    * periodically compact hot partition dirs if appends are frequent. */
+  def appendToLshIndex(
+      newRows: DataFrame, embCol: String, dim: Int, path: String,
+      tables: Int = 4, bits: Int = 8, seed: Long = 42L): Unit = {
+    val entries = array((0 until tables).map { t =>
+      struct(
+        lit(t).as("table_id"),
+        lshBucket(col(embCol), hyperplanes(bits, dim, seed + t)).as("lsh_bucket"))
+    }: _*)
+    val cols = newRows.columns.map(col).toIndexedSeq
+    newRows
+      .withColumn("tb", explode(entries))
+      .select(cols :+ col("tb.table_id") :+ col("tb.lsh_bucket"): _*)
+      .repartition(col("table_id"), col("lsh_bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("table_id", "lsh_bucket")
+      .parquet(path)
+  }
+
   /** Approximate top-k against a materialized LSH index (see
     * buildLshIndex — same tables/bits/seed must be passed). The filter
     * references only the two partition columns, so the parquet scan is

@@ -164,4 +164,37 @@ object Catalog {
       .write.mode(SaveMode.Append)
       .partitionBy("model_id")
       .parquet(path)
+
+  /** Compact a chunk store: every append adds files, and the small-file
+    * count — not data volume — eventually dominates scan planning. One
+    * coalescing rewrite into a temp dir, then an atomic swap (rename
+    * old out, new in; old removed last so a crash leaves a recoverable
+    * `<path>._old`). Returns (filesBefore, filesAfter). */
+  def compactChunks(
+      spark: SparkSession, path: String,
+      targetBytesPerFile: Long = 128L << 20): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileCount(dir: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(dir, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = fileCount(p)
+    val df = spark.read.parquet(path)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val parts = math.max(1, (totalBytes / targetBytesPerFile).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
+    fs.delete(tmp, true)
+    df.repartition(parts, col("model_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("model_id")
+      .parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: cannot move $path aside")
+    require(fs.rename(tmp, p), s"compact: cannot move compacted store into place")
+    fs.delete(old, true)
+    (before, fileCount(p))
+  }
 }

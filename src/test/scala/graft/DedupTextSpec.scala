@@ -182,6 +182,43 @@ class DedupTextSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental LSH index append equals full rebuild") {
+    val q = graft.functions.Embedding.embed("graft lsh probe", 64).map(_.toDouble)
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 =!= 0)
+    val base = java.nio.file.Files.createTempDirectory("lsh_incr").toString
+    val (incrPath, fullPath) = (s"$base/incr", s"$base/full")
+    operators.Similarity.buildLshIndex(half1, "embedding", 64, incrPath)
+    operators.Similarity.appendToLshIndex(half2, "embedding", 64, incrPath)
+    operators.Similarity.buildLshIndex(embs, "embedding", 64, fullPath)
+    def hits(path: String) =
+      operators.Similarity.lshTopKFromIndex(
+        spark.read.parquet(path), "vec_id", "embedding", q, 10,
+        tieBreak = Seq("vec_id"))
+        .select("vec_id", "similarity").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(incrPath) == hits(fullPath))
+    assert(hits(incrPath).nonEmpty)
+  }
+
+  test("chunk store compaction: same rows, fewer files") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("compact").toString + "/chunks"
+    // 5 small appends → many tiny files
+    (1 to 5).foreach { i =>
+      val docs = Seq((i.toLong, s"alpha beta gamma delta run $i"))
+        .toDF("doc_id", "text")
+      store.Catalog.writeChunks(
+        graft.rag.Rag.buildChunks(docs, modelId = 1L, maxTokens = 2, dim = 8),
+        path)
+    }
+    val beforeRows = spark.read.parquet(path).collect().map(_.toString).sorted
+    val (nBefore, nAfter) = store.Catalog.compactChunks(spark, path)
+    val afterRows = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(afterRows.sameElements(beforeRows), "compaction must not change data")
+    assert(nAfter < nBefore, s"expected fewer files: $nBefore -> $nAfter")
+  }
+
   test("materialized minhash index gives identical near-dup pairs") {
     val path = java.nio.file.Files.createTempDirectory("mh_index") + "/idx"
     operators.Dedup.buildMinHashIndex(docs, "doc_id", "text", path)
