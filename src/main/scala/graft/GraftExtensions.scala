@@ -32,5 +32,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_normalize"),
       info("l2_normalize", "l2_normalize(a) - unit-normalized copy"),
       (es: Seq[Expression]) => L2Normalize(es.head)))
+    // sketch kernels: constant-foldable int/long literals for the
+    // parameters (SQL callers pass literals; non-literal args are a
+    // planning error, reported eagerly)
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(shingles, numHashes, seed) - MinHash sketch as array<bigint>"),
+      (es: Seq[Expression]) => graft.functions.MinHashSignature(
+        es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].longValue())))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => graft.functions.SimHash(es.head)))
   }
 }

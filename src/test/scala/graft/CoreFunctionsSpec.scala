@@ -124,6 +124,33 @@ class CoreFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions injects vector + sketch SQL functions") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // same SparkContext, new session built WITH the extensions (the
+    // shared test session was built without them)
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT
+          | cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+          | minhash_signature(array('a b', 'b c'), 4, 42L) AS mh,
+          | simhash64(array('a', 'b')) AS sh""".stripMargin).head()
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getSeq[Long](1).length == 4)
+      val again = s2.sql("SELECT simhash64(array('a', 'b'))").head().getLong(0)
+      assert(r.getLong(2) == again, "simhash must be deterministic")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("chunker property: chunks rejoin to the original; sizes ≤ cap") {
     val textGen = Gen.chooseNum(0, 60).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dddd")).map(_.mkString(" ")))
