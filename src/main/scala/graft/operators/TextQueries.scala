@@ -85,6 +85,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T13: deterministic stratified sampling — per-stratum hash-bucket
+    // keep fractions (en 50%, de 25%); a pure function of the key, so
+    // re-runs/repartitions keep the exact same rows (unlike
+    // rand()-based sampleBy).
+    "t13_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(docs(s, dir), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // C1: chunk counts — the whitespace chunker's cardinality is
     // ceil(n_tokens / maxTokens), SQL-checkable.
     "c1_chunk_counts" -> ((s, dir) => {
@@ -435,6 +446,16 @@ object TextQueries {
          |  AS sum_tokens FROM sp GROUP BY split ORDER BY split"""
         .stripMargin.replaceAll("\n", "")
     },
+    "t13_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  (strpos('0123456789abcdef',
+        |     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef',
+        |     substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM documents)
+        | SELECT doc_id, lang FROM b
+        | WHERE (lang = 'en' AND bucket < 128) OR (lang = 'de' AND bucket < 64)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t11_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
         |  FROM documents),
