@@ -33,16 +33,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("l2_normalize", "l2_normalize(a) - unit-normalized copy"),
       (es: Seq[Expression]) => L2Normalize(es.head)))
     // sketch kernels: constant-foldable int/long literals for the
-    // parameters (SQL callers pass literals; non-literal args are a
-    // planning error, reported eagerly)
+    // parameters (SQL callers pass literals); arity/foldability/null
+    // are validated here so misuse surfaces as a clean analysis error
+    // naming the contract, not an internal exception
     e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "minhash_signature(shingles, numHashes, seed) - MinHash sketch as array<bigint>"),
-      (es: Seq[Expression]) => graft.functions.MinHashSignature(
-        es.head,
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].longValue())))
+      (es: Seq[Expression]) => {
+        def lit(i: Int, what: String): Number = {
+          require(es.length == 3,
+            s"minhash_signature(shingles, numHashes, seed) takes 3 arguments, got ${es.length}")
+          require(es(i).foldable,
+            s"minhash_signature: $what must be a literal")
+          val v = es(i).eval()
+          require(v != null, s"minhash_signature: $what must not be NULL")
+          v.asInstanceOf[Number]
+        }
+        graft.functions.MinHashSignature(
+          es.head, lit(1, "numHashes").intValue(), lit(2, "seed").longValue())
+      }))
     e.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),

@@ -214,15 +214,20 @@ object Demo {
     val q = Rag.embedQuery(prompt, dim)
     lazy val fp = graft.store.AnnIndexes.fingerprint(spark, s"$store/chunks")
     // re-imports change the fingerprint → a new index dir; sweep the
-    // obsolete siblings so the store doesn't accumulate full-corpus
-    // index copies
+    // obsolete COMPLETED siblings of the same kind and dim so the
+    // store doesn't accumulate full-corpus index copies. In-flight
+    // `._build_` temps and other-dim indexes are left alone, and only
+    // dirs carrying a completion marker are touched (a markerless dir
+    // is either mid-build or a corpse materializeAtomic will replace).
     def sweepStale(prefix: String, keep: String): Unit = {
       val storeP = new org.apache.hadoop.fs.Path(store)
       val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(storeP))
         fs.listStatus(storeP).foreach { st =>
           val name = st.getPath.getName
-          if (name.startsWith(prefix) && name != keep)
+          if (name.startsWith(prefix) && name.endsWith(s"_d$dim") &&
+              name != keep && !name.contains("._build_") &&
+              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_IDX_READY")))
             fs.delete(st.getPath, true)
         }
     }

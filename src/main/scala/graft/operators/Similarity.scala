@@ -201,7 +201,17 @@ object Similarity {
     * the stored bytes — and a far smaller fraction of the files. */
   def buildLshIndex(
       corpus: DataFrame, embCol: String, dim: Int, path: String,
-      tables: Int = 4, bits: Int = 8, seed: Long = 42L): Unit = {
+      tables: Int = 4, bits: Int = 8, seed: Long = 42L): Unit =
+    writeLshIndex(corpus, embCol, dim, path, tables, bits, seed,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** The one explode/partition/write pipeline behind both the full
+    * build and the incremental append — a single definition so the
+    * append-equals-rebuild invariant cannot silently diverge. */
+  private def writeLshIndex(
+      corpus: DataFrame, embCol: String, dim: Int, path: String,
+      tables: Int, bits: Int, seed: Long,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
     val entries = array((0 until tables).map { t =>
       struct(
         lit(t).as("table_id"),
@@ -215,35 +225,29 @@ object Similarity {
       // dir, not one per upstream task — the small-files guard that
       // matters as much at 100 TB (file-listing cost) as locally
       .repartition(col("table_id"), col("lsh_bucket"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .write.mode(mode)
       .partitionBy("table_id", "lsh_bucket")
       .parquet(path)
   }
 
   /** Incremental maintenance: append new corpus rows into an existing
-    * LSH index without rebuilding — same explode + partitioned write in
-    * Append mode; new files land inside the matching (table_id, bucket)
-    * partition dirs. Hyperplanes are seed-derived, so the SAME
-    * tables/bits/seed must be used. At 100 TB this is the difference
-    * between an O(new-data) nightly job and an O(corpus) rebuild;
-    * periodically compact hot partition dirs if appends are frequent. */
+    * LSH index without rebuilding — the same pipeline as the full
+    * build in Append mode; new files land inside the matching
+    * (table_id, bucket) partition dirs. Hyperplanes are seed-derived,
+    * so the SAME tables/bits/seed MUST be passed (a mismatch writes
+    * buckets the query's probes will never select). Like any in-place
+    * table append this is an exclusive-writer step and is not atomic
+    * across partitions: if the job dies mid-write, rebuild the index
+    * (or re-run the append after removing the partial files) — a real
+    * deployment appends into a new snapshot version instead. At 100 TB
+    * it is the difference between an O(new-data) nightly job and an
+    * O(corpus) rebuild; periodically compact hot partition dirs if
+    * appends are frequent. */
   def appendToLshIndex(
       newRows: DataFrame, embCol: String, dim: Int, path: String,
-      tables: Int = 4, bits: Int = 8, seed: Long = 42L): Unit = {
-    val entries = array((0 until tables).map { t =>
-      struct(
-        lit(t).as("table_id"),
-        lshBucket(col(embCol), hyperplanes(bits, dim, seed + t)).as("lsh_bucket"))
-    }: _*)
-    val cols = newRows.columns.map(col).toIndexedSeq
-    newRows
-      .withColumn("tb", explode(entries))
-      .select(cols :+ col("tb.table_id") :+ col("tb.lsh_bucket"): _*)
-      .repartition(col("table_id"), col("lsh_bucket"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("table_id", "lsh_bucket")
-      .parquet(path)
-  }
+      tables: Int = 4, bits: Int = 8, seed: Long = 42L): Unit =
+    writeLshIndex(newRows, embCol, dim, path, tables, bits, seed,
+      org.apache.spark.sql.SaveMode.Append)
 
   /** Approximate top-k against a materialized LSH index (see
     * buildLshIndex — same tables/bits/seed must be passed). The filter

@@ -52,28 +52,14 @@ object AnnIndexes {
     }
   }
 
-  /** Run `build` once per `path`. The build writes DIRECTLY to `path`
-    * — kept for callers whose build closure hard-codes the
-    * destination. JVM-serialized only; for cross-process safety use
-    * `materializeAtomic`. Returns `path`. */
-  def materialize(spark: SparkSession, path: String)(build: => Unit): String =
-    synchronized {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(path + "/_IDX_READY")
-      if (!fs.exists(marker)) {
-        fs.delete(p, true)
-        build
-        fs.create(marker).close()
-      }
-      path
-    }
-
   /** Cross-process-safe build-once: the closure writes into a private
     * temp dir which is renamed into place only when complete (marker
-    * written pre-rename). Two racing processes each build their own
-    * temp; the loser's rename sees the winner's dir and discards its
-    * own — no window where a marked-but-partial index is visible. */
+    * written pre-rename), so a marked-but-partial index is never
+    * visible. Racing processes each build their own temp; a loser
+    * discards its build. Hadoop `rename(src, dst)` with an EXISTING
+    * dst dir moves src INSIDE dst (it does not fail), so the rename is
+    * attempted only when the destination is absent, and a nested
+    * `<path>/<tmpname>` left by a lost race is explicitly removed. */
   def materializeAtomic(spark: SparkSession, path: String)(build: String => Unit): String =
     synchronized {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -81,16 +67,23 @@ object AnnIndexes {
       val fs = p.getFileSystem(conf)
       val marker = new org.apache.hadoop.fs.Path(path + "/_IDX_READY")
       if (!fs.exists(marker)) {
-        // a dir without a marker is a corpse from a crashed build
-        fs.delete(p, true)
         val tmp = new org.apache.hadoop.fs.Path(
           path + "._build_" + java.util.UUID.randomUUID().toString.take(8))
         try {
           build(tmp.toString)
           fs.create(new org.apache.hadoop.fs.Path(tmp, "_IDX_READY")).close()
-          if (!fs.rename(tmp, p)) {
-            // another process won the race with a complete index
-            require(fs.exists(marker), s"rename to $path failed with no winner")
+          // a destination without a marker at this point is a corpse
+          // from a crashed build — replace it; a marked one means
+          // another process finished first — keep theirs
+          if (fs.exists(p) && !fs.exists(marker)) fs.delete(p, true)
+          val renamed = !fs.exists(p) && fs.rename(tmp, p)
+          if (!renamed) {
+            // lost the race; if the exists-check/rename window nested
+            // our temp inside the winner's dir, remove it
+            val nested = new org.apache.hadoop.fs.Path(p, tmp.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+            require(fs.exists(marker),
+              s"index build for $path failed: no winner present")
           }
         } finally fs.delete(tmp, true)
       }

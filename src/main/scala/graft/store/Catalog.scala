@@ -167,14 +167,30 @@ object Catalog {
 
   /** Compact a chunk store: every append adds files, and the small-file
     * count — not data volume — eventually dominates scan planning. One
-    * coalescing rewrite into a temp dir, then an atomic swap (rename
-    * old out, new in; old removed last so a crash leaves a recoverable
-    * `<path>._old`). Returns (filesBefore, filesAfter). */
+    * coalescing rewrite into a temp dir, then a swap.
+    *
+    * EXCLUSIVE-WRITER operation: rows appended between the snapshot
+    * read and the swap would be lost with the old dir — run it like any
+    * table compaction, with writers paused (a real deployment holds a
+    * table lock or compacts into a new snapshot version). A crash
+    * between the two renames leaves `<path>._old`; the next invocation
+    * restores it automatically.
+    *
+    * Files are sized by a range-repartition on (model_id, id): a
+    * single hot model still splits across ~totalBytes/targetBytesPerFile
+    * tasks (hash-partitioning by model_id alone would rebuild one giant
+    * file per model). Returns (filesBefore, filesAfter). */
   def compactChunks(
       spark: SparkSession, path: String,
       targetBytesPerFile: Long = 128L << 20): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    if (!fs.exists(p) && fs.exists(old)) {
+      // recover from a crash between the two swap renames
+      require(fs.rename(old, p), s"compact: cannot restore $path from ._old")
+    }
+    require(fs.exists(p), s"compact: no chunk store at $path")
     def fileCount(dir: org.apache.hadoop.fs.Path): Long = {
       val it = fs.listFiles(dir, true)
       var n = 0L
@@ -187,10 +203,9 @@ object Catalog {
     val parts = math.max(1, (totalBytes / targetBytesPerFile).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
     fs.delete(tmp, true)
-    df.repartition(parts, col("model_id"))
+    df.repartitionByRange(parts, col("model_id"), col("id"))
       .write.mode(SaveMode.Overwrite).partitionBy("model_id")
       .parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "._old")
     fs.delete(old, true)
     require(fs.rename(p, old), s"compact: cannot move $path aside")
     require(fs.rename(tmp, p), s"compact: cannot move compacted store into place")
