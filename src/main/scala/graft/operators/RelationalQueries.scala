@@ -319,6 +319,33 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // A28: CUBE grouping sets (all 4 combinations) — counts only, so
+    // the hash is exact; NULL grouping keys ordered explicitly.
+    "a28_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // A29: RANGE-frame window — for each order, the customer's total
+    // spend (exact cents) within the trailing 30 days by order date.
+    // RANGE frames bound by value, not row count: the event-time
+    // rolling aggregate every activity feed needs.
+    "a29_trailing_spend" -> ((s, dir) => {
+      // NTZ→LTZ is identity under the UTC session; LTZ casts to epoch
+      // seconds (the a18 technique)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0L)
+      t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("trail_cents", sum("cents").over(w))
+        .select("o_custkey", "o_orderkey", "trail_cents")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -381,6 +408,19 @@ object RelationalQueries {
       """SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity,
         | CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
         | GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""),
+    "a28_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+        | GROUP BY CUBE(l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin.replaceAll("\n", ""),
+    "a29_trailing_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+        |   PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS trail_cents
+        | FROM orders ORDER BY o_custkey, o_orderkey"""
         .stripMargin.replaceAll("\n", ""),
     "a27_status_pivot" ->
       """SELECT o_orderpriority,
