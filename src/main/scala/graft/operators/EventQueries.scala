@@ -76,6 +76,20 @@ object EventQueries {
         .orderBy("user_id", "start_us")
     }),
 
+    // S6: interval-correlated event join — every (purchase, click)
+    // pair of the same user with the click in the purchase's trailing
+    // 30 minutes (the batch face of EventStreams.correlate, whose
+    // stream form is asserted equal in StreamingSpec).
+    "s6_correlated_events" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventStreams.correlate(
+          e.filter(col("event_type") === "purchase"),
+          e.filter(col("event_type") === "click"),
+          windowSeconds = 1800L)
+        .select("l_event_id", "user_id", "r_event_id")
+        .orderBy("l_event_id", "r_event_id")
+    }),
+
     // J1: property extraction from the JSON-ish props column
     // (regexp-based; engine-portable, null on no-match under ANSI).
     "j1_props_extract" -> ((s, dir) => {
@@ -117,6 +131,17 @@ object EventQueries {
         |  MIN(us) AS start_us, MAX(us) AS end_us
         | FROM sn GROUP BY user_id, session_number
         | ORDER BY user_id, start_us""".stripMargin.replaceAll("\n", ""),
+    "s6_correlated_events" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   CAST(epoch_us(ts) AS BIGINT) us FROM events),
+        | p AS (SELECT event_id, user_id, us FROM e
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT event_id, user_id, us FROM e
+        |   WHERE event_type = 'click')
+        | SELECT p.event_id AS l_event_id, p.user_id, c.event_id AS r_event_id
+        | FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.us >= p.us - 1800000000 AND c.us <= p.us
+        | ORDER BY l_event_id, r_event_id""".stripMargin.replaceAll("\n", ""),
     "j2_json_rollup" ->
       """SELECT event_type, COUNT(*) AS cnt,
         | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)

@@ -96,6 +96,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T14: per-source corpus rollup — docs, token volume, mean quality
+    // and language breadth by the `source` column (the provenance
+    // dimension every corpus audit groups by).
+    "t14_source_rollup" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          col("lang"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          round(avg("q"), 6).as("mean_quality"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    }),
+
     // C1: chunk counts — the whitespace chunker's cardinality is
     // ceil(n_tokens / maxTokens), SQL-checkable.
     "c1_chunk_counts" -> ((s, dir) => {
@@ -444,6 +462,27 @@ object TextQueries {
          |  < 'd' THEN 'train' ELSE 'test' END AS split, n_tokens FROM dd)
          | SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT)
          |  AS sum_tokens FROM sp GROUP BY split ORDER BY split"""
+        .stripMargin.replaceAll("\n", "")
+    },
+    "t14_source_rollup" -> {
+      val stops = TextAnalysis.EnglishStopwords
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH m AS (SELECT source, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($stops, t))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS ttr
+         |  FROM documents),
+         | q AS (SELECT source, lang, n_tokens,
+         |  ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + ttr +
+         |    LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0, 6)
+         |    AS q FROM m)
+         | SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  ROUND(AVG(q), 6) AS mean_quality,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+         | FROM q GROUP BY source ORDER BY source"""
         .stripMargin.replaceAll("\n", "")
     },
     "t13_stratified_sample" ->
