@@ -485,6 +485,29 @@ object TextQueries {
          | FROM q GROUP BY source ORDER BY source"""
         .stripMargin.replaceAll("\n", "")
     },
+    // langId's argmax = array_max over (score, lang) structs: highest
+    // score wins, ties go to the lexicographically larger code — the
+    // CASE checks fr/es/en/de in that order to reproduce it.
+    "t4_lang_id" -> {
+      def filt(stops: Seq[String]) =
+        s"len(list_filter(tk, x -> list_contains(${
+          stops.map(s => s"'$s'").mkString("[", ",", "]")}, x)))"
+      val l = TextAnalysis.StopwordsByLang
+      s"""WITH t AS (SELECT doc_id, text,
+         |   regexp_split_to_array(lower(text), '\\s+') tk FROM documents),
+         | sc AS (SELECT doc_id, text,
+         |   ${filt(l("en"))} AS en, ${filt(l("de"))} AS de,
+         |   ${filt(l("es"))} AS es, ${filt(l("fr"))} AS fr FROM t),
+         | b AS (SELECT doc_id, text, en, de, es, fr,
+         |   GREATEST(en, de, es, fr) AS mx FROM sc)
+         | SELECT doc_id, CASE
+         |  WHEN len(text) > 0 AND 5 * len(regexp_replace(text,
+         |    '[^\\x{4e00}-\\x{9fff}]', '', 'g')) >= len(text) THEN 'zh'
+         |  WHEN mx > 0 THEN (CASE WHEN fr = mx THEN 'fr'
+         |    WHEN es = mx THEN 'es' WHEN en = mx THEN 'en' ELSE 'de' END)
+         |  ELSE 'und' END AS lang_pred
+         | FROM b ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+    },
     "t13_stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |  (strpos('0123456789abcdef',
