@@ -41,14 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature",
         "minhash_signature(shingles, numHashes, seed) - MinHash sketch as array<bigint>"),
       (es: Seq[Expression]) => {
+        // arity FIRST (before any es(i) access), then per-arg checks
+        require(es.length == 3,
+          s"minhash_signature(shingles, numHashes, seed) takes 3 arguments, got ${es.length}")
         def lit(i: Int, what: String): Number = {
-          require(es.length == 3,
-            s"minhash_signature(shingles, numHashes, seed) takes 3 arguments, got ${es.length}")
           require(es(i).foldable,
             s"minhash_signature: $what must be a literal")
-          val v = es(i).eval()
-          require(v != null, s"minhash_signature: $what must not be NULL")
-          v.asInstanceOf[Number]
+          es(i).eval() match {
+            case n: Number => n
+            case other => throw new IllegalArgumentException(
+              s"minhash_signature: $what must be an integer literal, got $other")
+          }
         }
         graft.functions.MinHashSignature(
           es.head, lit(1, "numHashes").intValue(), lit(2, "seed").longValue())

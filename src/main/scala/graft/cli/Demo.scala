@@ -213,12 +213,13 @@ object Demo {
     val chunks = spark.read.parquet(s"$store/chunks")
     val q = Rag.embedQuery(prompt, dim)
     lazy val fp = graft.store.AnnIndexes.fingerprint(spark, s"$store/chunks")
-    // re-imports change the fingerprint → a new index dir; sweep the
-    // obsolete COMPLETED siblings of the same kind and dim so the
-    // store doesn't accumulate full-corpus index copies. In-flight
-    // `._build_` temps and other-dim indexes are left alone, and only
-    // dirs carrying a completion marker are touched (a markerless dir
-    // is either mid-build or a corpse materializeAtomic will replace).
+    // re-imports change the fingerprint → a new index dir; AFTER the
+    // new index is built (searchChunksAnn* materialize eagerly), sweep
+    // the obsolete COMPLETED siblings of the same kind and dim so the
+    // store doesn't accumulate full-corpus index copies. Sweeping only
+    // after a successful build means one good index always exists;
+    // `._build_` temps and markerless dirs never match (temp names
+    // don't end in _d<dim>, and only marker-complete dirs are deleted).
     def sweepStale(prefix: String, keep: String): Unit = {
       val storeP = new org.apache.hadoop.fs.Path(store)
       val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -226,8 +227,8 @@ object Demo {
         fs.listStatus(storeP).foreach { st =>
           val name = st.getPath.getName
           if (name.startsWith(prefix) && name.endsWith(s"_d$dim") &&
-              name != keep && !name.contains("._build_") &&
-              fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_IDX_READY")))
+              name != keep &&
+              graft.store.AnnIndexes.isComplete(spark, st.getPath))
             fs.delete(st.getPath, true)
         }
     }
@@ -235,12 +236,14 @@ object Demo {
       case "exact" => Rag.searchChunks(chunks, q, topK, threshold)
       case "lsh" =>
         val name = s"ann_lsh_${fp}_d$dim"
+        val hits = Rag.searchChunksAnn(chunks, s"$store/$name", q, topK, threshold)
         sweepStale("ann_lsh_", name)
-        Rag.searchChunksAnn(chunks, s"$store/$name", q, topK, threshold)
+        hits
       case "ivf" =>
         val name = s"ann_ivf_${fp}_d$dim"
+        val hits = Rag.searchChunksAnnIvf(chunks, s"$store/$name", q, topK, threshold)
         sweepStale("ann_ivf_", name)
-        Rag.searchChunksAnnIvf(chunks, s"$store/$name", q, topK, threshold)
+        hits
       case other => sys.error(s"unknown ann mode '$other' (exact|lsh|ivf)")
     }
   }

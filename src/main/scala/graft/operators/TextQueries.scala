@@ -45,7 +45,8 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // T4: language ID (heuristic; no SQL oracle — rows-only + spec).
+    // T4: language ID (heuristic; oracle-checked — the struct-argmax
+    // tie-break and CJK gate are reproduced in SQL below).
     "t4_lang_id" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),

@@ -65,28 +65,47 @@ object AnnIndexes {
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
-      val marker = new org.apache.hadoop.fs.Path(path + "/_IDX_READY")
+      val marker = new org.apache.hadoop.fs.Path(p, MarkerName)
       if (!fs.exists(marker)) {
-        val tmp = new org.apache.hadoop.fs.Path(
-          path + "._build_" + java.util.UUID.randomUUID().toString.take(8))
+        val suffix = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new org.apache.hadoop.fs.Path(path + "._build_" + suffix)
         try {
           build(tmp.toString)
-          fs.create(new org.apache.hadoop.fs.Path(tmp, "_IDX_READY")).close()
-          // a destination without a marker at this point is a corpse
-          // from a crashed build — replace it; a marked one means
-          // another process finished first — keep theirs
-          if (fs.exists(p) && !fs.exists(marker)) fs.delete(p, true)
-          val renamed = !fs.exists(p) && fs.rename(tmp, p)
-          if (!renamed) {
-            // lost the race; if the exists-check/rename window nested
-            // our temp inside the winner's dir, remove it
-            val nested = new org.apache.hadoop.fs.Path(p, tmp.getName)
-            if (fs.exists(nested)) fs.delete(nested, true)
-            require(fs.exists(marker),
-              s"index build for $path failed: no winner present")
+          fs.create(new org.apache.hadoop.fs.Path(tmp, MarkerName)).close()
+          // Clear a crashed build's corpse by renaming it aside first:
+          // rename is the only destructive step, so if a racing winner
+          // replaced the corpse with a COMPLETE index in the meantime,
+          // we detect the marker on the aside copy and put it back
+          // instead of destroying it.
+          if (fs.exists(p)) {
+            val aside = new org.apache.hadoop.fs.Path(path + "._corpse_" + suffix)
+            if (fs.rename(p, aside)) {
+              if (fs.exists(new org.apache.hadoop.fs.Path(aside, MarkerName))) {
+                if (!fs.rename(aside, p)) fs.delete(aside, true)
+              } else fs.delete(aside, true)
+            }
           }
+          if (!fs.exists(p)) fs.rename(tmp, p)
+          // Hadoop rename(src, dst) with dst present moves src INSIDE
+          // dst and still returns true — so regardless of the reported
+          // outcome, undo a race-nested temp and then demand a marked
+          // index is in place (ours or the winner's)
+          val nested = new org.apache.hadoop.fs.Path(p, tmp.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+          require(fs.exists(marker),
+            s"index build for $path failed: no complete index present")
         } finally fs.delete(tmp, true)
       }
       path
     }
+
+  /** Completion-marker filename — the single definition of the marker
+    * protocol (see materializeAtomic). */
+  val MarkerName = "_IDX_READY"
+
+  /** True when `dir` holds a completed index (marker present). */
+  def isComplete(spark: SparkSession, dir: org.apache.hadoop.fs.Path): Boolean = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(dir, MarkerName))
+  }
 }
