@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression suite: the scale properties this engine
+  * claims (top-k never global-sorts, dimensions broadcast, grouped
+  * top-k prunes map-side, aggregations combine partially, scans prune
+  * columns, ANN scans prune partitions) are asserted on the EXECUTED
+  * plans of the declared queries, so a future edit that silently
+  * degrades a plan fails CI rather than a 100 TB run. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) plan string: collect first so adaptive plans are
+    * re-optimized to their executed form. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def planOf(name: String): String =
+    finalPlan(SparkEntry.queries(name)(spark, sfDir))
+
+  test("top-k queries fuse to TakeOrderedAndProject (no global sort)") {
+    Seq("a6_topk_orders", "v1_cosine_topk", "t10_contamination").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n${p.take(1500)}")
+    }
+  }
+
+  test("dimension join broadcasts; no shuffle of the fact side for the join") {
+    val p = planOf("a3_customer_per_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("grouped top-k prunes per-partition via WindowGroupLimit") {
+    val p = planOf("a24_grouped_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
+  test("aggregations are partial (map-side combine): two HashAggregate stages") {
+    val p = planOf("a1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("scans prune columns: projection queries read only what they select") {
+    val df = SparkEntry.queries("a7_part_projection")(spark, sfDir)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanLike => f }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val cols = s.schema.fieldNames.toSet
+      assert(cols.subsetOf(Set("p_partkey", "p_name")),
+        s"a7 should scan only p_partkey/p_name, got $cols")
+    }
+  }
+
+  test("batch ANN join plans dynamic partition pruning on the index scan") {
+    val df = SparkEntry.queries("v8_batch_ann")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p.take(2000))
+  }
+
+  test("exact cosine top-k stays in whole-stage codegen") {
+    val df = SparkEntry.queries("v1_cosine_topk")(spark, sfDir)
+    df.collect()
+    // the tree string marks codegen stages as `*(n) Operator`
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project") || p.contains("*(1) Filter"),
+      p.take(1500))
+  }
+}
