@@ -201,6 +201,54 @@ class DedupTextSpec extends AnyFunSuite {
     assert(hits(incrPath).nonEmpty)
   }
 
+  test("materializeAtomic: builds once, replaces corpses, keeps winners") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("matomic").toString
+    val path = s"$base/idx"
+    var builds = 0
+    def build(tmp: String): Unit = {
+      builds += 1
+      Seq((1L, "x")).toDF("id", "v").write.parquet(tmp)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def marked = fs.exists(
+      new org.apache.hadoop.fs.Path(path, graft.store.AnnIndexes.MarkerName))
+
+    graft.store.AnnIndexes.materializeAtomic(spark, path)(build)
+    assert(builds == 1 && marked)
+    assert(spark.read.parquet(path).count() == 1)
+    // idempotent: a second call must not rebuild
+    graft.store.AnnIndexes.materializeAtomic(spark, path)(build)
+    assert(builds == 1)
+    // corpse (marker missing) → replaced by a fresh build
+    fs.delete(new org.apache.hadoop.fs.Path(path, graft.store.AnnIndexes.MarkerName), false)
+    graft.store.AnnIndexes.materializeAtomic(spark, path)(build)
+    assert(builds == 2 && marked)
+    assert(spark.read.parquet(path).count() == 1)
+    // no leftover build/corpse temps beside the index
+    val siblings = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .map(_.getPath.getName).toSet
+    assert(siblings == Set("idx"), s"unexpected leftovers: $siblings")
+  }
+
+  test("compactChunks recovers a store stranded mid-swap") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("compact_rec").toString + "/chunks"
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    store.Catalog.writeChunks(
+      graft.rag.Rag.buildChunks(docs, modelId = 1L, maxTokens = 2, dim = 8), path)
+    val rows = spark.read.parquet(path).count()
+    // simulate a crash between the two swap renames: store moved aside
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(path + "._old")))
+    val (before, after) = store.Catalog.compactChunks(spark, path)
+    assert(before > 0 && after > 0)
+    assert(spark.read.parquet(path).count() == rows)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "._old")))
+  }
+
   test("chunk store compaction: same rows, fewer files") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("compact").toString + "/chunks"
