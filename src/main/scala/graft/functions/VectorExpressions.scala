@@ -161,6 +161,51 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** l2_distance(a, b): Euclidean distance — pgvector's `<->` operator.
+  * Accumulates Σ(a_i − b_i)² directly in element order (NOT the
+  * |a|²+|b|²−2a·b identity, which cancels catastrophically for nearby
+  * vectors and would diverge from an oracle computing the direct
+  * form). */
+case class L2Distance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "l2_distance"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    VectorKernel.checkDims(a, b)
+    val (aF, bF) = (elemIsFloat(left), elemIsFloat(right))
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = VectorKernel.get(a, aF, i) - VectorKernel.get(b, bF, i)
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException("vector dimension mismatch: "
+         |    + $a.numElements() + " vs " + $b.numElements());
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (${getter(left, a, i)}) - (${getter(right, b, i)});
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** l2_norm(a): Euclidean norm in double precision. */
 case class L2Norm(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -228,6 +273,7 @@ object VectorFunctions {
   def cosine_distance(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.lit(1.0) - cosine_similarity(a, b)
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+  def l2_distance(a: Column, b: Column): Column = col(L2Distance(expr(a), expr(b)))
   def l2_norm(a: Column): Column = col(L2Norm(expr(a)))
   def l2_normalize(a: Column): Column = col(L2Normalize(expr(a)))
 
@@ -239,6 +285,8 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction(
       "dot_product", es => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_distance", es => L2Distance(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "l2_normalize", es => L2Normalize(es.head), "built-in")
   }

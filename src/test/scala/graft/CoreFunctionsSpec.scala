@@ -62,6 +62,27 @@ class CoreFunctionsSpec extends AnyFunSuite {
     assert(math.abs(cos(Array(1f, 2f, 3f), Array(4f, 5f, 6f)) - expect) < 1e-12)
   }
 
+  test("l2_distance: known values, symmetry, triangle vs norm identity") {
+    import spark.implicits._
+    def d(a: Array[Float], b: Array[Float]): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(VectorFunctions.l2_distance(col("a"), col("b")))
+        .head().getDouble(0)
+    assert(d(Array(0f, 0f), Array(3f, 4f)) == 5.0)
+    assert(d(Array(1f, 1f), Array(1f, 1f)) == 0.0)
+    forAll2(vecGen, vecGen) { (a, b) =>
+      if (a.length == b.length) {
+        val ab = d(a, b)
+        assert(ab >= 0.0 && math.abs(ab - d(b, a)) < 1e-12)
+        // consistency with |a−b|² = |a|²+|b|²−2a·b within fp tolerance
+        val viaNorms = math.sqrt(math.max(0.0,
+          a.map(x => x * x.toDouble).sum + b.map(x => x * x.toDouble).sum -
+            2.0 * a.zip(b).map { case (x, y) => x * y.toDouble }.sum))
+        assert(math.abs(ab - viaNorms) < 1e-6, s"$ab vs $viaNorms")
+      }
+    }
+  }
+
   test("dot_product and l2_norm expressions") {
     import spark.implicits._
     val r = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
