@@ -54,7 +54,9 @@ object Bench {
       // a projection via persist() must re-earn that work every timed
       // run (CacheManager matches canonicalized plans, so the second
       // run would otherwise read the first run's cache), and caches
-      // must not accumulate across the suite
+      // must not accumulate across the suite; release also frees
+      // checkpoint blocks the catalog cache cannot see
+      Caches.release(spark)
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).collect() }

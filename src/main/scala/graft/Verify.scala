@@ -25,7 +25,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist() shared projections internally; drop them so
-      // the cache does not accumulate across the ~70-query sweep
+      // the cache does not accumulate across the ~70-query sweep.
+      // Caches.release additionally frees localCheckpoint blocks
+      // (dup-cluster labels) that clearCache cannot see.
+      Caches.release(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -35,7 +35,12 @@ object Demo {
     val spark = Tables.session(
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
     try run(spark, mode, flags)
-    finally spark.stop()
+    finally {
+      // free operator-internal shared caches before shutdown — the
+      // library contract every long-lived caller should follow
+      graft.Caches.release(spark)
+      spark.stop()
+    }
   }
 
   def run(spark: SparkSession, mode: String, flags: Map[String, String]): Unit = {
@@ -220,15 +225,25 @@ object Demo {
     // after a successful build means one good index always exists;
     // `._build_` temps and markerless dirs never match (temp names
     // don't end in _d<dim>, and only marker-complete dirs are deleted).
-    def sweepStale(prefix: String, keep: String): Unit = {
+    // A search in ANOTHER process may still be lazily reading an
+    // old-fingerprint index, so stale dirs get a grace period: only
+    // siblings whose index marker is older than `staleGraceMs` are
+    // deleted — an in-flight reader of the previous snapshot (bounded
+    // by query latency, not hours) finishes before its files vanish.
+    // Within one process the new index is always complete before the
+    // sweep, so the delete is never under the feet of this search.
+    def sweepStale(prefix: String, keep: String,
+        staleGraceMs: Long = 60L * 60 * 1000): Unit = {
       val storeP = new org.apache.hadoop.fs.Path(store)
       val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cutoff = System.currentTimeMillis() - staleGraceMs
       if (fs.exists(storeP))
         fs.listStatus(storeP).foreach { st =>
           val name = st.getPath.getName
           if (name.startsWith(prefix) && name.endsWith(s"_d$dim") &&
               name != keep &&
-              graft.store.AnnIndexes.isComplete(spark, st.getPath))
+              graft.store.AnnIndexes.isComplete(spark, st.getPath) &&
+              st.getModificationTime < cutoff)
             fs.delete(st.getPath, true)
         }
     }

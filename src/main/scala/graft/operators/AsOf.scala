@@ -98,22 +98,35 @@ object AsOf {
     *
     * The closing-row tie-break (max by (ts, xxhash64(payload))) is the
     * same total order `asofJoin` uses, so results are bit-identical to
-    * the single-shuffle form. */
+    * the single-shuffle form.
+    *
+    * `bounds`: optional explicit (lo, hi) of the ts domain (epoch-long
+    * units of `tsCol`). When absent, a min/max pre-aggregation derives
+    * them — one extra scan of both inputs, which at event-log scale is
+    * worth skipping: time ranges are usually known (the partition
+    * you're processing, the day being backfilled), so pass them.
+    * Correctness never depends on the bounds — any ts outside [lo, hi]
+    * still lands in a well-defined (possibly negative or > `buckets`)
+    * bucket and the rescue pass orders buckets numerically — only the
+    * evenness of the range split (skew resistance) does. */
   def asofJoinSkewSafe(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
       rightPayload: Seq[String],
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32,
+      bounds: Option[(Long, Long)] = None): DataFrame = {
     val lCols = left.columns.toSeq
-    // fixed-width ranges over the union ts domain (2-row driver agg)
-    val b = left.select(col(tsCol).cast("long").as("t"))
-      .unionAll(right.select(col(tsCol).cast("long").as("t")))
-      .agg(min("t"), max("t")).head()
-    if (b.isNullAt(0))
-      return asofJoin(left, right, keyCol, tsCol, rightPayload) // empty inputs
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = bounds.getOrElse {
+      // fixed-width ranges over the union ts domain (2-row driver agg)
+      val b = left.select(col(tsCol).cast("long").as("t"))
+        .unionAll(right.select(col(tsCol).cast("long").as("t")))
+        .agg(min("t"), max("t")).head()
+      if (b.isNullAt(0))
+        return asofJoin(left, right, keyCol, tsCol, rightPayload) // empty inputs
+      (b.getLong(0), b.getLong(1))
+    }
     val width = math.max(1L, (hi - lo) / buckets + 1)
     def bucketOf(ts: org.apache.spark.sql.Column) =
       floor((ts.cast("long") - lo) / width).cast("long")

@@ -26,6 +26,21 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run-scoped scratch store for the upsert-replay queries (a22/a23):
+    * a FIXED path under the build dir, cleared at each invocation —
+    * upserts are stateful, so every run must start from an empty store,
+    * and a fixed path means re-runs reuse one directory instead of
+    * littering the temp filesystem (each query name keeps at most one
+    * store on disk; concurrent invocations of the SAME query are out of
+    * scope, as for the ANN index builders). */
+  private def freshStore(s: SparkSession, name: String): String = {
+    val path = s"${graft.store.AnnIndexes.root}/upsert_$name"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: grouped aggregation with map-side partial agg (TPC-H Q1 shape).
     "a1_pricing_summary" -> ((s, dir) => {
@@ -227,8 +242,7 @@ object RelationalQueries {
     // fresh store; ids must continue from the first batch's max, new
     // names ordered by name. The oracle replays both phases in SQL.
     "a22_model_upsert" -> ((s, dir) => {
-      val store =
-        java.nio.file.Files.createTempDirectory("graft_a22").toString + "/models"
+      val store = freshStore(s, "a22") + "/models"
       def batch(bound: Long) = t(s, dir, "part")
         .filter(col("p_partkey") <= bound)
         .select(col("p_brand").as("name"),
@@ -244,8 +258,7 @@ object RelationalQueries {
     // null-keyed rows; non-key columns are key-derived constants so
     // the within-batch dedup is deterministic.
     "a23_source_upsert" -> ((s, dir) => {
-      val store =
-        java.nio.file.Files.createTempDirectory("graft_a23").toString + "/sources"
+      val store = freshStore(s, "a23") + "/sources"
       def batch(bound: Long) = t(s, dir, "customer")
         .filter(col("c_custkey") <= bound)
         .select(

@@ -10,4 +10,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Free the block-manager copies held by a `localCheckpoint(true)`
+    * result. `Dataset.localCheckpoint` materializes the plan into a
+    * persisted RDD wrapped in a `LogicalRDD`; `unpersist` on the
+    * Dataset cannot reach it (the CacheManager never saw it), so
+    * iterative algorithms that checkpoint per round would otherwise
+    * accumulate one full copy of their state per iteration. No-op for
+    * plans that are not checkpoint-backed. */
+  def releaseLocalCheckpoint(df: Dataset[_]): Unit = df match {
+    case c: classic.Dataset[_] =>
+      c.queryExecution.analyzed.foreach {
+        case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    case _ => ()
+  }
 }
