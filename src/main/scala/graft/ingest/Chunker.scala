@@ -32,15 +32,18 @@ object Chunker {
 
   /** Column form via built-in functions only: deterministic, codegen'd.
     * tokens(text) = split(text, ' '); chunk i = slice + array_join. */
-  def chunksCol(text: Column, maxTokens: Int): Column = {
-    val toks = split(text, " ", -1)
-    // number of chunks = ceil(n / maxTokens); build [0, nChunks) and
-    // slice the token array per chunk index.
-    val nChunks = ceil(size(toks).cast("double") / maxTokens).cast("int")
-    transform(
-      sequence(lit(0), greatest(nChunks, lit(1)) - 1),
-      i => array_join(slice(toks, i * maxTokens + 1, lit(maxTokens)), " "))
-  }
+  def chunksCol(text: Column, maxTokens: Int): Column =
+    // bind the split once: `slice(toks, ...)` inside the lambda would
+    // otherwise re-split the document per chunk (no CSE across HOF
+    // lambdas — see TextAnalysis.letBound)
+    graft.operators.TextAnalysis.letBound(split(text, " ", -1)) { toks =>
+      // number of chunks = ceil(n / maxTokens); build [0, nChunks) and
+      // slice the token array per chunk index.
+      val nChunks = ceil(size(toks).cast("double") / maxTokens).cast("int")
+      transform(
+        sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+        i => array_join(slice(toks, i * maxTokens + 1, lit(maxTokens)), " "))
+    }
 
   /** C1+C2: explode a documents DataFrame into enriched chunk rows.
     * Input must have `idCol` and `textCol`; output adds `chunk_number`

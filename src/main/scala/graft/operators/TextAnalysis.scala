@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Let-binding for Column expressions: evaluate `value` ONCE per row
+    * and hand it to `body` as a lambda variable. Catalyst does no
+    * common-subexpression elimination across HOF lambda boundaries, so
+    * an expression subtree referenced inside a lambda body is
+    * re-evaluated on EVERY lambda invocation — e.g. `element_at(split(
+    * text), i)` inside a transform re-splits the whole document per
+    * element, turning an O(tokens) shingle pass into O(tokens²)
+    * (measured 6× on t10's trigram explode at sf0.1). Binding through a
+    * 1-element array + transform makes the value a lambda variable,
+    * which IS shared by nested lambdas. */
+  def letBound(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Whitespace tokens (single-space split, keeping empties — matches
     * the chunker's and the oracle's `string_split(text, ' ')`). */
   def tokens(text: Column): Column = split(text, " ", -1)
@@ -97,13 +110,16 @@ object TextAnalysis {
   /** Word n-gram shingles (distinct), via sequence+transform — the
     * input to MinHash and Jaccard dedup. 1-indexed like the oracle's
     * list operations. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    array_distinct(
-      when(count > 0,
-        transform(sequence(lit(1), greatest(count, lit(1))),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-        .otherwise(array_distinct(array(array_join(toks, " ")))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // bind the token array once per row: the lambda below reads it
+    // n times per shingle position, which would otherwise re-split the
+    // document every time (see letBound)
+    letBound(tokens(text)) { toks =>
+      val count = size(toks) - (n - 1)
+      array_distinct(
+        when(count > 0,
+          transform(sequence(lit(1), greatest(count, lit(1))),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+          .otherwise(array_distinct(array(array_join(toks, " ")))))
+    }
 }

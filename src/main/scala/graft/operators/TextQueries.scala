@@ -190,7 +190,17 @@ object TextQueries {
       // consumers of the trigram explode are DISJOINT doc slices (the
       // pmod filter pushes below the explode), so each doc is shingled
       // exactly once across both branches; a shared cache would only
-      // add a 1M-row cache write
+      // add a 1M-row cache write.
+      // The eval side is BROADCAST: a held-out eval slice is small by
+      // construction (2% of docs here; benchmark suites in general), so
+      // its distinct trigrams ship to every task and the train side —
+      // the 98% bulk — is probed map-side, never shuffled. Without the
+      // hint both exploded sides hash-shuffle on 30-byte trigram
+      // strings, which at 100 TB means re-shuffling the whole training
+      // corpus; with it the only shuffle left is the final per-doc
+      // count (map-side partial agg on doc_id). If an eval set ever
+      // outgrows broadcast, drop the hint and AQE falls back to the
+      // shuffle join.
       val tri = docs(s, dir)
         .filter(TextAnalysis.tokenCount(col("text")) >= 3)
         .select(col("doc_id"),
@@ -198,7 +208,7 @@ object TextQueries {
       val evalTris = tri.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select("tri").distinct()
       tri.filter(pmod(col("doc_id"), lit(50)) =!= 0)
-        .join(evalTris, "tri")
+        .join(broadcast(evalTris), "tri")
         .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
         .orderBy(desc("n_overlap"), asc("doc_id"))
         .limit(50)
@@ -211,10 +221,9 @@ object TextQueries {
     "t11_tfidf_top_terms" -> ((s, dir) => {
       val d = docs(s, dir)
       val n = broadcast(d.agg(count(lit(1)).as("n")))
-      val tf = d.select(col("doc_id"),
+      val tf = graft.Caches.shared(d.select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(desc("score"), asc("tok"))
@@ -232,9 +241,8 @@ object TextQueries {
     // token projection feeds tf, the total and the final join — one
     // persisted pass.
     "t12_unigram_surprise" -> ((s, dir) => {
-      val tok = docs(s, dir).select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tok = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok")))
       val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
       val tot = broadcast(cnt.agg(sum("c").cast("double").as("tot")))
       tok.join(cnt, "tok").crossJoin(tot)
