@@ -32,6 +32,7 @@ object Bench {
     "d5_embedding_neardup", // LSH-bucketed near-dup (scale path, not O(N²) v4)
     "d3_minhash_neardup", // MinHash LSH band join + verify (scale path)
     "d4_simhash_neardup", // SimHash block bucketing
+    "d8_repeated_passages", // passage-level exact dedup (chunk fingerprints)
     "t1_token_stats", // text HOFs over documents
     "p1_training_prep", // composed filter→dedup→split pipeline
     "r1_rag_retrieval", // chunk + embed + search end-to-end

@@ -90,6 +90,42 @@ object EventQueries {
         .orderBy("l_event_id", "r_event_id")
     }),
 
+    // S7: ordered conversion funnel — per user, the furthest stage
+    // reached in view → click-after-view → purchase-after-that-click,
+    // each step within 24h of the previous (strict event-time
+    // ordering, earliest qualifying event per stage), rolled up to
+    // users per stage. Three keyed aggregations all partitioned on
+    // user_id — Catalyst reuses one exchange across the chain, so at
+    // 100 TB this is a single shuffle of the event log plus joins
+    // between small per-user tables.
+    "s7_funnel" -> ((s, dir) => {
+      val stepUs = 86400000000L // 24h per funnel step
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + stepUs)
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + stepUs)
+        .groupBy("user_id").agg(min("us").as("t3"))
+      e.select("user_id").distinct()
+        .join(t1.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+        .join(t2.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+        .join(t3.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+        .select(coalesce(
+          when(col("s3") === 1, lit(3L)),
+          when(col("s2") === 1, lit(2L)),
+          when(col("s1") === 1, lit(1L)),
+          lit(0L)).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    }),
+
     // J1: property extraction from the JSON-ish props column
     // (regexp-based; engine-portable, null on no-match under ANSI).
     "j1_props_extract" -> ((s, dir) => {
@@ -169,6 +205,26 @@ object EventQueries {
         |  FROM (SELECT user_id, event_type, COUNT(*) AS cnt FROM events
         |        GROUP BY user_id, event_type))
         | WHERE rn = 1 ORDER BY user_id""".stripMargin.replaceAll("\n", ""),
+    "s7_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   CAST(epoch_us(ts) AS BIGINT) us FROM events),
+        | t1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |   WHERE event_type = 'click' AND us > t1.t1
+        |     AND us <= t1.t1 + 86400000000 GROUP BY e.user_id),
+        | t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |   WHERE event_type = 'purchase' AND us > t2.t2
+        |     AND us <= t2.t2 + 86400000000 GROUP BY e.user_id),
+        | st AS (SELECT u.user_id,
+        |   CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |        WHEN t2.user_id IS NOT NULL THEN 2
+        |        WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id))
+        | SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+        | FROM st GROUP BY stage ORDER BY stage""".stripMargin.replaceAll("\n", ""),
     "j1_props_extract" ->
       """SELECT event_id, CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '')
         | AS BIGINT) AS k FROM events ORDER BY event_id"""

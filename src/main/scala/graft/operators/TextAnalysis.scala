@@ -33,6 +33,20 @@ object TextAnalysis {
     * the chunker's and the oracle's `string_split(text, ' ')`). */
   def tokens(text: Column): Column = split(text, " ", -1)
 
+  /** BPE-ish pre-tokenization pattern: a letter run, digit run, or
+    * punctuation run, each optionally glued to one preceding space —
+    * the GPT-2-style pre-tokenizer shape restricted to a regex subset
+    * with identical leftmost-first semantics in Java regex and RE2
+    * (no \s classes, no backreferences), so counts are engine-portable. */
+  val BpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** The BPE-ish pre-token pieces of `text` (array<string>). A tokenizer
+    * proxy for token-budget accounting when the real BPE merges table
+    * isn't in the data plane — piece counts upper-bound BPE token counts
+    * and track them closely on natural text. Pure codegen'd map work. */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def distinctTokenCount(text: Column): Column =

@@ -274,6 +274,32 @@ object TextQueries {
         .orderBy("split")
     }),
 
+    // T15: BPE-ish token accounting — pieces from the regex
+    // pre-tokenizer vs whitespace tokens, the budget signal an LLM
+    // pipeline reports per document. Pure map stage (regex in the scan
+    // projection), no shuffle before the final order.
+    "t15_bpe_tokens" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        size(TextAnalysis.bpePieces(col("text"))).cast("long").as("n_pieces"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("pieces_per_token",
+          round(col("n_pieces").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // D8: cross-document repeated passages — chunk every doc into
+    // fixed token windows, fingerprint each chunk, keep fingerprints
+    // seen in ≥2 distinct docs. The passage-level face of exact dedup
+    // (the "same boilerplate paragraph in thousands of pages" case):
+    // explode + two keyed aggs, never a pairwise comparison — at
+    // 100 TB this is one shuffle of (fp, doc_id) pairs after map-side
+    // distinct, linear in corpus size.
+    "d8_repeated_passages" -> ((s, dir) => {
+      Dedup.repeatedPassages(docs(s, dir), "doc_id", "text", maxTokens = 16)
+        .orderBy("fp")
+    }),
+
     // D1: exact dedup on a key expression (hash-groupBy; first-writer-
     // wins representative = min id, the reference's R10 semantics).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -410,6 +436,24 @@ object TextQueries {
         |  FROM toks, UNNEST(range(1, CAST(CEIL(len(tk)/16.0) AS BIGINT) + 1)) AS u(i))
         | SELECT doc_id, chunk_number, chunk_text, chunk_size FROM ch
         | ORDER BY doc_id, chunk_number""".stripMargin.replaceAll("\n", ""),
+    "t15_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_pieces,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | ROUND(CAST(len(regexp_extract_all(text,
+        |   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS DOUBLE)
+        |  / len(string_split(text, ' ')), 6) AS pieces_per_token
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "d8_repeated_passages" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+        | ch AS (SELECT doc_id,
+        |  md5(array_to_string(tk[(i-1)*16+1 : (i-1)*16+16], ' ')) AS fp
+        |  FROM toks, UNNEST(range(1, CAST(CEIL(len(tk)/16.0) AS BIGINT) + 1)) AS u(i)),
+        | d AS (SELECT DISTINCT doc_id, fp FROM ch)
+        | SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        | FROM d GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp"""
+        .stripMargin.replaceAll("\n", ""),
     "d1_exact_dedup" ->
       """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS dedup_key,
         | COUNT(*) AS cnt, MIN(doc_id) AS keep_id

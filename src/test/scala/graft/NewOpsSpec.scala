@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Unit coverage for the round-3 operators: BPE-ish pre-tokenization
+  * (t15), repeated-passage detection (d8), conversion funnel (s7).
+  * Cross-engine values are driver-gated by their DuckDB oracles; these
+  * specs pin the algebraic properties. */
+class NewOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("bpePieces reconstructs single-spaced text exactly") {
+    // every space in single-spaced text glues to its following piece,
+    // so concatenating the pieces is the identity — nothing dropped,
+    // nothing duplicated
+    val bad = docs.select(col("doc_id"), col("text"),
+        concat_ws("", TextAnalysis.bpePieces(col("text"))).as("rejoined"))
+      .filter(col("rejoined") =!= col("text"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("bpePieces matches java.util.regex reference on sample docs") {
+    val pat = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+    val rows = docs.limit(50)
+      .select(col("text"), TextAnalysis.bpePieces(col("text")).as("p"))
+      .collect()
+    rows.foreach { r =>
+      val m = pat.matcher(r.getString(0))
+      val expected = Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).toSeq
+      assert(r.getSeq[String](1) == expected)
+    }
+  }
+
+  test("repeated passages: planted duplicate docs share every chunk fingerprint") {
+    // plant exact copies of 5 docs under new ids — every chunk of a
+    // copied doc is now a cross-document repeated passage
+    val base = docs.select("doc_id", "text")
+    val planted = base.unionByName(
+      base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val repeated = graft.operators.Dedup
+      .repeatedPassages(planted, "doc_id", "text", maxTokens = 16)
+      .collect().map(_.getString(0)).toSet
+    val plantedFps = graft.ingest.Chunker.chunkDocuments(
+        base.filter(col("doc_id") < 5), "text", maxTokens = 16)
+      .select(md5(col("chunk_text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(plantedFps.nonEmpty)
+    assert(plantedFps.subsetOf(repeated),
+      s"${plantedFps.diff(repeated).size} planted chunks missing from d8")
+    // and first_doc is the original, not the planted copy
+    val firsts = graft.operators.Dedup
+      .repeatedPassages(planted, "doc_id", "text", maxTokens = 16)
+      .filter(col("fp").isin(plantedFps.toSeq: _*))
+      .select("first_doc").collect().map(_.getLong(0))
+    assert(firsts.forall(_ < 100000L))
+  }
+
+  test("funnel stages partition the user population") {
+    val e = Tables.events(spark, sfDir)
+    val stages = SparkEntry.queries("s7_funnel")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stages.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(stages.values.sum == e.select("user_id").distinct().count(),
+      "every user lands in exactly one stage")
+  }
+}
