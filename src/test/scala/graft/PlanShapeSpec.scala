@@ -65,6 +65,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p.take(2000))
   }
 
+  test("t10 probes the eval side via broadcast: train bulk never shuffles on trigrams") {
+    // AQE's tree string appends the pre-adaptive "== Initial Plan ==";
+    // assert against the executed final section only
+    val p = planOf("t10_contamination").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // exactly one trigram-keyed exchange may exist: the SMALL eval
+    // side's own distinct before it broadcasts; the train bulk reaches
+    // the join with no exchange of its exploded trigrams
+    assert("Exchange hashpartitioning\\(tri".r.findAllIn(p).size <= 1,
+      p.take(2000))
+  }
+
+  test("funnel reuses one user_id exchange across its aggregation chain") {
+    val p = planOf("s7_funnel")
+    assert(p.contains("ReusedExchange"), p.take(2000))
+  }
+
+  test("repeated passages aggregates partially before its one (fp) shuffle") {
+    val p = planOf("d8_repeated_passages")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("exact cosine top-k stays in whole-stage codegen") {
     val df = SparkEntry.queries("v1_cosine_topk")(spark, sfDir)
     df.collect()
