@@ -51,14 +51,22 @@ object EventQueries {
     // S4: the same as-of semantics through the skew-safe two-phase
     // form (time-range buckets + boundary-summary rescue) — must be
     // bit-identical to s3, checked against the same native ASOF oracle.
+    // Bucket bounds come from parquet FOOTER statistics (metadata-only;
+    // ts is physical INT64 nanos → micros is monotone ts/1000), so the
+    // min/max pre-scan of both inputs is skipped; bounds are
+    // correctness-neutral (they shape the range split only) and absent
+    // stats fall back to the scan inside asofJoinSkewSafe.
     "s4_asof_skewsafe" -> ((s, dir) => {
       val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
       val purchases = e.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "us")
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+      val bounds = graft.store.ParquetStats
+        .longColumnBounds(s, s"$dir/events.parquet", "ts")
+        .map { case (loNs, hiNs) => (loNs / 1000, hiNs / 1000) }
       AsOf.asofJoinSkewSafe(purchases, clicks, "user_id", "us",
-          rightPayload = Seq("click_id"), buckets = 16)
+          rightPayload = Seq("click_id"), buckets = 16, bounds = bounds)
         .orderBy("event_id")
     }),
 

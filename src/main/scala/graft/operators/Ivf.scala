@@ -117,6 +117,25 @@ object Ivf {
     model
   }
 
+  /** Incremental index maintenance: assign NEW rows with the EXISTING
+    * codebook and append them cell-partitioned — O(new data), no
+    * retrain, no rewrite of resident cells. This is IVF's standing
+    * add-after-train contract: the codebook is fixed at build time and
+    * new vectors land in their nearest existing cell; centroid drift
+    * is handled by a periodic full rebuild (a compaction job), never
+    * per batch. Returns the loaded codebook so callers can search
+    * immediately. */
+  def appendToIndex(
+      newRows: DataFrame, embCol: String, path: String): IvfModel = {
+    val model = loadModel(newRows.sparkSession, s"$path/_model")
+    assign(newRows, embCol, model)
+      .repartition(col("ivf_cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("ivf_cell")
+      .parquet(path)
+    model
+  }
+
   /** Persist a codebook as (cell, centroid) parquet. */
   def saveModel(
       spark: org.apache.spark.sql.SparkSession, model: IvfModel,

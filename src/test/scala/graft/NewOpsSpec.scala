@@ -64,6 +64,55 @@ class NewOpsSpec extends AnyFunSuite {
     assert(firsts.forall(_ < 100000L))
   }
 
+  test("parquet footer bounds equal the scanned min/max (metadata-only)") {
+    val fromFooter = graft.store.ParquetStats
+      .longColumnBounds(spark, s"$sfDir/events.parquet", "ts")
+    assert(fromFooter.isDefined, "events.ts should carry footer stats")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scanned = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .selectExpr("min(ts)", "max(ts)").head()
+    assert(fromFooter.get == ((scanned.getLong(0), scanned.getLong(1))))
+    // absent column / absent table → None, never a wrong range
+    assert(graft.store.ParquetStats
+      .longColumnBounds(spark, s"$sfDir/events.parquet", "no_such").isEmpty)
+    assert(graft.store.ParquetStats
+      .longColumnBounds(spark, s"$sfDir/nope.parquet", "ts").isEmpty)
+  }
+
+  test("IVF append assigns with the frozen codebook; search sees both halves") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append")
+    val path = dir.toString + "/idx"
+    try {
+      val built = graft.operators.Ivf.buildIndex(
+        half1, "vec_id", "embedding", path, nlist = 8)
+      val appended = graft.operators.Ivf.appendToIndex(half2, "embedding", path)
+      // append reuses the build-time codebook verbatim
+      assert(appended.centroids.map(_.toSeq).toSeq ==
+        built.centroids.map(_.toSeq).toSeq)
+      // the appended index answers searches over the FULL corpus
+      // identically to a same-codebook assignment of all rows
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val fromIndex = graft.operators.Ivf.search(
+          spark.read.parquet(path), "embedding", q, built, k = 10,
+          nprobe = 8, tieBreak = Seq("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val fromAssign = graft.operators.Ivf.search(
+          graft.operators.Ivf.assign(embs, "embedding", built),
+          "embedding", q, built, k = 10, nprobe = 8,
+          tieBreak = Seq("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(fromIndex == fromAssign)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("funnel stages partition the user population") {
     val e = Tables.events(spark, sfDir)
     val stages = SparkEntry.queries("s7_funnel")(spark, sfDir).collect()
