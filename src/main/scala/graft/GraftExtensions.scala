@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Norm, L2Normalize}
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2Norm, L2Normalize}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - double dot product"),
       (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("l2_distance"),
+      info("l2_distance", "l2_distance(a, b) - Euclidean distance (pgvector <->)"),
+      (es: Seq[Expression]) => L2Distance(es.head, es(1))))
     e.injectFunction((
       FunctionIdentifier("l2_norm"),
       info("l2_norm", "l2_norm(a) - Euclidean norm"),

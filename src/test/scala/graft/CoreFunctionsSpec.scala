@@ -161,9 +161,11 @@ class CoreFunctionsSpec extends AnyFunSuite {
         """SELECT
           | cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
           | minhash_signature(array('a b', 'b c'), 4, 42L) AS mh,
-          | simhash64(array('a', 'b')) AS sh""".stripMargin).head()
+          | simhash64(array('a', 'b')) AS sh,
+          | l2_distance(array(3.0F, 0.0F), array(0.0F, 4.0F)) AS d""".stripMargin).head()
       assert(r.getDouble(0) == 1.0)
       assert(r.getSeq[Long](1).length == 4)
+      assert(r.getDouble(3) == 5.0)
       val again = s2.sql("SELECT simhash64(array('a', 'b'))").head().getLong(0)
       assert(r.getLong(2) == again, "simhash must be deterministic")
     } finally {
