@@ -153,8 +153,13 @@ object Demo {
 
     val meta = Seq("author", "title", "text_type", "genre", "url",
       "subgenre", "publication_date")
+    // absent sidecar columns become TYPED null strings — a bare
+    // lit(null) is NullType, which parquet persists as BOOLEAN and the
+    // next upsert's read then fails on the string/boolean mismatch
+    // (surfaced by multi-batch streaming ingest)
     val withMeta = meta.foldLeft(docs)((d, c) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, lit(null: String)))
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast("string")))
     val sources = Catalog.upsertSources(spark, s"$store/sources",
       withMeta.select(
         col("author"), col("title"),

@@ -23,6 +23,38 @@ class StreamingSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("streaming ingest equals batch import (shared pipeline, 3 micro-batches)") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+    // 3 files + maxFilesPerTrigger=1 → 3 micro-batches, exercising the
+    // cross-batch null-safe source dedup and chunk appends
+    docs.repartition(3).write.parquet(s"$tmp/docs")
+    val schema = spark.read.parquet(s"$tmp/docs").schema
+    val q = graft.streaming.StreamingIngest.ingestStream(
+      spark, s"$tmp/docs", schema, s"$tmp/stream_store", "spec-model",
+      dim = 16, maxTokens = 32)
+    q.awaitTermination()
+    graft.cli.Demo.importDocs(spark, docs, s"$tmp/batch_store",
+      "spec-model", dim = 16, maxTokens = 32)
+
+    val sc = spark.read.parquet(s"$tmp/stream_store/chunks")
+    val bc = spark.read.parquet(s"$tmp/batch_store/chunks")
+    assert(sc.count() == bc.count())
+    // chunk ids are deterministic (doc, ordinal) composites, so the
+    // two stores must agree row-for-row on id + content
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "chunk_number", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(keyed(sc) == keyed(bc))
+    // and retrieval over the two stores is indistinguishable
+    val qv = graft.rag.Rag.embedQuery("row batch table", 16)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      graft.rag.Rag.searchChunks(df, qv, topK = 5, threshold = -1.0)
+        .select("id", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hits(sc) == hits(bc))
+  }
+
   test("streaming hourly window agg equals batch rollup once complete") {
     val batch = eventsSchemaDf
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
