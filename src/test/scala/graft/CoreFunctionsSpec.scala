@@ -174,6 +174,25 @@ class CoreFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingles property: let-bound column form equals the Scala reference") {
+    import spark.implicits._
+    def reference(text: String, n: Int): Seq[String] = {
+      val toks = text.split(" ", -1).toSeq
+      val all =
+        if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      all.distinct
+    }
+    val textGen = Gen.chooseNum(0, 30).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "a")).map(_.mkString(" ")))
+    forAll2(textGen, Gen.chooseNum(1, 4)) { (text, n) =>
+      val got = Seq(text).toDF("t")
+        .select(graft.operators.TextAnalysis.shingles(col("t"), n))
+        .head().getSeq[String](0)
+      assert(got == reference(text, n), s"text='$text' n=$n")
+    }
+  }
+
   test("chunker property: chunks rejoin to the original; sizes ≤ cap") {
     val textGen = Gen.chooseNum(0, 60).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dddd")).map(_.mkString(" ")))
