@@ -113,6 +113,34 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN: 16x code compression; re-ranked recall vs exact L2 top-k") {
+    import org.apache.spark.sql.functions.{asc, col, round, typedLit}
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val model = graft.operators.Pq.train(embs, "vec_id", "embedding",
+      m = 8, k = 16)
+    assert(model.dim == 64 && model.m == 8)
+    val encoded = graft.operators.Pq.encode(embs, "embedding", model)
+    // 8 ints vs 64 floats — the compression the operator exists for
+    assert(encoded.select("pq_code").head().getSeq[Int](0).length == 8)
+
+    val q = graft.operators.VectorQueries.probeVec
+    val exact = embs
+      .withColumn("d", round(graft.functions.VectorFunctions
+        .l2_distance(col("embedding"), typedLit(q.toSeq)), 6))
+      .orderBy(asc("d"), asc("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = graft.operators.Pq.search(encoded, "vec_id", "embedding",
+        q, model, topK = 10, refine = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
+    // training determinism: same sample → same codebook
+    val again = graft.operators.Pq.train(embs, "vec_id", "embedding",
+      m = 8, k = 16)
+    assert(again.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq)
+  }
+
   test("funnel stages partition the user population") {
     val e = Tables.events(spark, sfDir)
     val stages = SparkEntry.queries("s7_funnel")(spark, sfDir).collect()
