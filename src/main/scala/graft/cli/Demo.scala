@@ -264,7 +264,12 @@ object Demo {
         val hits = Rag.searchChunksAnnIvf(chunks, s"$store/$name", q, topK, threshold)
         sweepStale("ann_ivf_", name)
         hits
-      case other => sys.error(s"unknown ann mode '$other' (exact|lsh|ivf)")
+      case "pq" =>
+        val name = s"ann_pq_${fp}_d$dim"
+        val hits = Rag.searchChunksAnnPq(chunks, s"$store/$name", q, topK, threshold)
+        sweepStale("ann_pq_", name)
+        hits
+      case other => sys.error(s"unknown ann mode '$other' (exact|lsh|ivf|pq)")
     }
   }
 

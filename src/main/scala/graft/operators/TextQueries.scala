@@ -330,6 +330,17 @@ object TextQueries {
       Dedup.dupClusters(pairs).orderBy("id")
     }),
 
+    // D9: the same clusters via alternating star contraction
+    // (large-star/small-star) — O(log n) rounds regardless of
+    // component shape, vs d6's O(diameter) label propagation. Output
+    // contract is identical, so it shares d6's recursive-CTE oracle.
+    "d9_dup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
+        n = 2, threshold = 0.4)
+      Dedup.dupClustersStar(pairs).orderBy("id")
+    }),
+
     // D7: the end-to-end dedup decision — drop every cluster member
     // except the minimum-id representative, keep all unpaired docs
     // (pairs → components → anti-join; what a real pipeline executes
@@ -380,6 +391,25 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
   )
+
+  /** Transitive-closure CC oracle (DuckDB recursive CTE) shared by the
+    * label-propagation (d6) and star-contraction (d9) cluster queries. */
+  private val DupClustersOracle: String =
+    """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
+      |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
+      |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+      |        WHERE doc_id < 1000)),
+      | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.4),
+      | e AS (SELECT a_id AS src, b_id AS dst FROM pr
+      |  UNION ALL SELECT b_id, a_id FROM pr),
+      | reach AS (SELECT src AS id, src AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+      | SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id"""
+      .stripMargin.replaceAll("\n", "")
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -591,22 +621,10 @@ object TextQueries {
         | SELECT doc_id, ROUND(AVG(-ln(c / tot)), 6) AS surprise
         | FROM tok JOIN c USING (tok), t
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
-    "d6_dup_clusters" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
-        |        WHERE doc_id < 1000)),
-        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.4),
-        | e AS (SELECT a_id AS src, b_id AS dst FROM pr
-        |  UNION ALL SELECT b_id, a_id FROM pr),
-        | reach AS (SELECT src AS id, src AS r FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
-        | SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id"""
-        .stripMargin.replaceAll("\n", ""),
+    "d6_dup_clusters" -> DupClustersOracle,
+    // identical output contract (component min labels over the same
+    // pair graph), so the star-contraction form shares the oracle
+    "d9_dup_clusters_star" -> DupClustersOracle,
     "d7_global_dedup" ->
       """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
         |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s

@@ -119,6 +119,48 @@ object Rag {
       .filter(col("similarity") >= threshold)
   }
 
+  private val pqStoreModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pq.PqModel]
+
+  /** PQ-backed store search: ADC lookup-table scan over the encoded
+    * chunk table (build-once, codebook sidecar), exact-cosine re-rank
+    * of the candidate set — same scores and threshold semantics as the
+    * exact scan, approximation only in WHICH candidates reach the
+    * re-rank. Codebook size adapts to tiny stores (k ≤ rows, m chosen
+    * to divide the dimension). */
+  def searchChunksAnnPq(
+      chunks: DataFrame,
+      indexPath: String,
+      queryVec: Array[Double],
+      topK: Int = 10,
+      threshold: Double = 0.7,
+      refine: Int = 4): DataFrame = {
+    val spark = chunks.sparkSession
+    graft.store.AnnIndexes.materializeAtomic(spark, indexPath) { tmp =>
+      val n = chunks.count()
+      val dim = queryVec.length
+      val m = Seq(8, 4, 2, 1).find(dim % _ == 0).get
+      val k = math.max(1, math.min(16, n.toInt))
+      val model = graft.operators.Pq.train(chunks, "id", "embedding",
+        m = m, k = k)
+      pqStoreModels(indexPath) = model
+      graft.operators.Pq.encode(chunks, "embedding", model)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      graft.operators.Pq.saveModel(spark, model, s"$tmp/_model")
+    }
+    val model = pqStoreModels.getOrElseUpdate(indexPath,
+      graft.operators.Pq.loadModel(spark, s"$indexPath/_model"))
+    val lut = model.adcTable(queryVec)
+    val cands = spark.read.parquet(indexPath)
+      .withColumn("adc",
+        graft.operators.Pq.adcScoreCol(col("pq_code"), lut, model.k))
+      .orderBy(asc("adc"), asc("id"))
+      .limit(topK * refine)
+      .drop("adc")
+    graft.operators.Similarity.topK(cands, "embedding", queryVec,
+      topK, threshold, tieBreak = Seq("id"))
+  }
+
   /** G3: fold the ordered top-k into one context string (reference
     * `cli/generate_text.py:68-85`). Executed as an ordered
     * array_sort(collect_list(struct))) aggregation — deterministic

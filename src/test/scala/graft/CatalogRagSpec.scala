@@ -254,6 +254,10 @@ class CatalogRagSpec extends AnyFunSuite {
     val exactAfter = ids(graft.cli.Demo.search(spark, store, prompt,
       topK = 50, threshold = -1.0, dim = 64)).toSet
     assert(ids(ivfHits).nonEmpty && ids(ivfHits).toSet.subsetOf(exactAfter))
+    // PQ variant: exact-cosine re-rank means scores also match exact
+    val pqHits = graft.cli.Demo.search(spark, store, prompt,
+      topK = 5, threshold = -1.0, dim = 64, ann = "pq")
+    assert(ids(pqHits).nonEmpty && ids(pqHits).toSet.subsetOf(exactAfter))
   }
 
   test("approx_percentile within 2.5% of exact per group") {

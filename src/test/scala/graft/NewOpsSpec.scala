@@ -141,6 +141,29 @@ class NewOpsSpec extends AnyFunSuite {
       model.codebooks.flatten.flatten.toSeq)
   }
 
+  test("star-contraction CC equals min-label CC on near-dup pairs") {
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      docs.filter(col("doc_id") < 200), "doc_id", "text", 2, 0.4)
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = labelMap(graft.operators.Dedup.dupClusters(pairs))
+    val viaStar = labelMap(graft.operators.Dedup.dupClustersStar(pairs))
+    assert(viaStar.nonEmpty && viaStar == viaProp)
+    Caches.release(spark)
+  }
+
+  test("star-contraction CC converges in O(log n) rounds on a deep chain") {
+    import spark.implicits._
+    // a 60-node path: min-label propagation needs 59 rounds (diameter),
+    // star contraction a handful — this is the shape that motivates it
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = graft.operators.Dedup.dupClustersStar(chain, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 60)
+    assert(labels.values.forall(_ == 0L), "one component rooted at 0")
+    Caches.release(spark)
+  }
+
   test("funnel stages partition the user population") {
     val e = Tables.events(spark, sfDir)
     val stages = SparkEntry.queries("s7_funnel")(spark, sfDir).collect()
