@@ -178,6 +178,46 @@ object Pq {
       .drop("adc")
   }
 
+  /** IVFPQ index build — the composed layout (FAISS's production
+    * shape): rows carry BOTH an IVF cell (coarse quantizer →
+    * partitionBy → query-time partition pruning) and a PQ code (fine
+    * quantizer → ADC scoring inside the scanned cells). A query reads
+    * nprobe/nlist of the FILES and does m table lookups per surviving
+    * row — I/O pruning and flop compression multiply. */
+  def buildIvfPqIndex(
+      corpus: DataFrame, idCol: String, embCol: String, path: String,
+      nlist: Int, m: Int = 8, k: Int = 16): (Ivf.IvfModel, PqModel) = {
+    val spark = corpus.sparkSession
+    val coarse = Ivf.train(corpus, idCol, embCol, nlist)
+    val fine = train(corpus, idCol, embCol, m, k)
+    Ivf.assign(corpus, embCol, coarse)
+      .withColumn("pq_code", encodeCol(col(embCol), fine))
+      .repartition(col("ivf_cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ivf_cell")
+      .parquet(path)
+    Ivf.saveModel(spark, coarse, s"$path/_coarse")
+    saveModel(spark, fine, s"$path/_model")
+    (coarse, fine)
+  }
+
+  /** IVFPQ search: prune to the query's nprobe nearest cells
+    * (partition filter on the cell column — only those files are
+    * read), ADC-rank the survivors, exact re-rank the candidates. */
+  def searchIvfPq(
+      indexed: DataFrame, idCol: String, embCol: String,
+      queryVec: Array[Double], coarse: Ivf.IvfModel, fine: PqModel,
+      topK: Int, nprobe: Int, refine: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    val q = {
+      val n = math.sqrt(queryVec.map(x => x * x).sum)
+      if (n == 0.0) queryVec else queryVec.map(_ / n)
+    }
+    val cells = coarse.rankCells(q).take(nprobe).toSeq
+    search(indexed.filter(col("ivf_cell").isin(cells: _*)),
+      idCol, embCol, queryVec, fine, topK, refine, roundTo)
+  }
+
   /** Persist a codebook as (subspace, cell, centroid) parquet. */
   def saveModel(spark: SparkSession, model: PqModel, path: String): Unit = {
     import spark.implicits._

@@ -141,6 +141,42 @@ class NewOpsSpec extends AnyFunSuite {
       model.codebooks.flatten.flatten.toSeq)
   }
 
+  test("IVFPQ: partition-pruned scan + ADC recall vs exact L2 top-k") {
+    import org.apache.spark.sql.functions.{asc, col, round, typedLit}
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+    val path = dir.toString + "/idx"
+    try {
+      val (coarse, fine) = graft.operators.Pq.buildIvfPqIndex(
+        embs, "vec_id", "embedding", path, nlist = 8, m = 8, k = 16)
+      val q = graft.operators.VectorQueries.probeVec
+      val hits = graft.operators.Pq.searchIvfPq(
+        spark.read.parquet(path), "vec_id", "embedding", q,
+        coarse, fine, topK = 10, nprobe = 4, refine = 4)
+      val approx = hits.select("vec_id").collect().map(_.getLong(0)).toSet
+      // the scan must touch only the probed cells' partitions (compare
+      // against an unpruned scan of the same index)
+      val (prunedFiles, prunedParts) = graft.store.Bucketing.scannedFiles(hits)
+      val full = spark.read.parquet(path)
+      full.count()
+      val (allFiles, allParts) = graft.store.Bucketing.scannedFiles(full)
+      assert(prunedParts <= 4 && allParts >= 7,
+        s"IVFPQ scan not cell-pruned: $prunedParts/$allParts partitions")
+      assert(prunedFiles < allFiles,
+        s"IVFPQ scan not file-pruned: $prunedFiles/$allFiles")
+      val exact = embs
+        .withColumn("d", round(graft.functions.VectorFunctions
+          .l2_distance(col("embedding"), typedLit(q.toSeq)), 6))
+        .orderBy(asc("d"), asc("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.4, s"IVFPQ recall@10 too low: $recall")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("star-contraction CC equals min-label CC on near-dup pairs") {
     val pairs = graft.operators.Dedup.ngramJaccardPairs(
       docs.filter(col("doc_id") < 200), "doc_id", "text", 2, 0.4)
