@@ -124,6 +124,19 @@ object TextAnalysis {
   /** Word n-gram shingles (distinct), via sequence+transform — the
     * input to MinHash and Jaccard dedup. 1-indexed like the oracle's
     * list operations. */
+  /** All n-gram OCCURRENCES in order (no dedup — the counting form
+    * n-gram language models need; `shingles` below is the distinct
+    * set-form for Jaccard/MinHash). Docs with < n tokens yield an
+    * empty array. */
+  def ngrams(text: Column, n: Int): Column =
+    letBound(tokens(text)) { toks =>
+      val count = size(toks) - (n - 1)
+      when(count > 0,
+        transform(sequence(lit(1), greatest(count, lit(1))),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+
   def shingles(text: Column, n: Int): Column =
     // bind the token array once per row: the lambda below reads it
     // n times per shingle position, which would otherwise re-split the

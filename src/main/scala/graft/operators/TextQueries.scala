@@ -252,6 +252,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T16: bigram-LM cross-entropy — mean −ln p(w_i | w_{i-1}) under
+    // corpus counts (add-one-free MLE; the document's first token has
+    // no history and is excluded). Extends t12's unigram surprise to a
+    // conditional model: two keyed aggs (bigram and history counts),
+    // a broadcast-eligible join on the history key, one final per-doc
+    // agg — the n-gram-LM scoring shape at corpus scale.
+    "t16_bigram_surprise" -> ((s, dir) => {
+      val bi = graft.Caches.shared(docs(s, dir)
+        .filter(TextAnalysis.tokenCount(col("text")) >= 2)
+        .select(col("doc_id"),
+          explode(TextAnalysis.ngrams(col("text"), 2)).as("bg")))
+      val bgCnt = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      val hist = bgCnt
+        .groupBy(substring_index(col("bg"), " ", 1).as("h"))
+        .agg(sum("c_bg").as("c_h"))
+      bi.join(bgCnt, "bg")
+        .join(hist, substring_index(col("bg"), " ", 1) === col("h"))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("c_bg").cast("double") / col("c_h"))), 6)
+          .as("surprise"))
+        .orderBy("doc_id")
+    }),
+
     // P1: the composed training-data prep pipeline — quality+length
     // filter → exact near-dup collapse by canonical fingerprint
     // (min-id representative) → deterministic hash split → per-split
@@ -613,6 +636,17 @@ object TextQueries {
         | QUALIFY row_number() OVER (PARTITION BY doc_id
         |   ORDER BY score DESC, tok) <= 3
         | ORDER BY doc_id, score DESC, tok""".stripMargin.replaceAll("\n", ""),
+    "t16_bigram_surprise" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |   WHERE len(string_split(text, ' ')) >= 2),
+        | bi AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg, tk[i] AS h
+        |   FROM tk, UNNEST(range(1, len(tk))) u(i)),
+        | cb AS (SELECT bg, COUNT(*) c_bg FROM bi GROUP BY bg),
+        | ch AS (SELECT h, COUNT(*) c_h FROM bi GROUP BY h)
+        | SELECT doc_id, ROUND(AVG(-ln(c_bg / CAST(c_h AS DOUBLE))), 6)
+        |   AS surprise
+        | FROM bi JOIN cb USING (bg) JOIN ch USING (h)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t12_unigram_surprise" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
         |  FROM documents),
