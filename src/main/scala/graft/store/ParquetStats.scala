@@ -26,6 +26,51 @@ import org.apache.spark.sql.SparkSession
   */
 object ParquetStats {
 
+  /** Per-FILE (min, max) of a physical INT64 column — the granularity
+    * scan pruning operates at (a filter outside a file's range skips
+    * it entirely via its footer). Files without usable stats are
+    * omitted. Used by the layout specs to measure how sharply a
+    * clustering scheme (sort vs Z-order) localizes each column. */
+  def perFileLongBounds(
+      spark: SparkSession, tablePath: String, colName: String): Seq[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val out = Seq.newBuilder[(Long, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+          && !n.startsWith(".")) {
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var ok = false
+          reader.getFooter.getBlocks.forEach { block =>
+            block.getColumns.forEach { c =>
+              if (c.getPath.toDotString == colName) {
+                val s = c.getStatistics
+                if (s != null && !s.isEmpty && s.hasNonNullValue)
+                  (s.genericGetMin, s.genericGetMax) match {
+                    case (mn: java.lang.Long, mx: java.lang.Long) =>
+                      lo = math.min(lo, mn.longValue())
+                      hi = math.max(hi, mx.longValue())
+                      ok = true
+                    case _ => ()
+                  }
+              }
+            }
+          }
+          if (ok) out += ((lo, hi))
+        } finally reader.close()
+      }
+    }
+    out.result()
+  }
+
   /** Merged (min, max) of a physical INT64 column across every parquet
     * file under `tablePath`, from footer statistics only. None if the
     * table is missing, empty, or any chunk lacks stats. */

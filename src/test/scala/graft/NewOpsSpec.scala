@@ -141,6 +141,43 @@ class NewOpsSpec extends AnyFunSuite {
       model.codebooks.flatten.flatten.toSeq)
   }
 
+  test("Z-order layout localizes BOTH columns' per-file ranges") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+    try {
+      // baseline: single-column sort — primary razor-sharp, secondary
+      // spans the full domain in every file
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(s"$dir/sorted")
+      graft.store.Layout.writeZOrdered(li, s"$dir/zorder",
+        "l_orderkey", "l_partkey", files = 8)
+
+      def meanWidth(path: String, c: String): Double = {
+        val bounds = graft.store.ParquetStats.perFileLongBounds(spark, path, c)
+        assert(bounds.size >= 4, s"expected several files at $path")
+        bounds.map { case (lo, hi) => (hi - lo).toDouble }.sum / bounds.size
+      }
+      val plainSecondary = meanWidth(s"$dir/sorted", "l_partkey")
+      val zSecondary = meanWidth(s"$dir/zorder", "l_partkey")
+      val zPrimary = meanWidth(s"$dir/zorder", "l_orderkey")
+      // single-column sort leaves the secondary spanning ~the full
+      // domain per file; z-order must narrow it materially
+      assert(zSecondary < plainSecondary * 0.7,
+        s"z-order should narrow the secondary column: $zSecondary vs $plainSecondary")
+      // and the primary column's locality survives interleaving (files
+      // cover rectangles, not the full domain)
+      val merged = graft.store.ParquetStats
+        .longColumnBounds(spark, s"$dir/zorder", "l_orderkey").get
+      assert(zPrimary < (merged._2 - merged._1) * 0.8,
+        s"z-order primary ranges should not span the domain: $zPrimary of ${merged._2 - merged._1}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("IVFPQ: partition-pruned scan + ADC recall vs exact L2 top-k") {
     import org.apache.spark.sql.functions.{asc, col, round, typedLit}
     val embs = Tables.load(spark, sfDir, "embeddings")
