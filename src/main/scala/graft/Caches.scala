@@ -35,6 +35,12 @@ import org.apache.spark.storage.StorageLevel
   * queries, which drops the same blocks; `release` additionally runs
   * non-persist cleanups (e.g. localCheckpoint block frees) and empties
   * the registry.
+  *
+  * Lifecycle safety net: the registry would otherwise hold strong
+  * references to a session (and every registered plan) forever if the
+  * app stops the session without releasing; a SparkListener installed
+  * at first registration drops the session's entries on
+  * ApplicationEnd.
   */
 object Caches {
 
@@ -53,7 +59,28 @@ object Caches {
     * blocks held by a returned result). */
   def registerCleanup(spark: SparkSession)(f: () => Unit): Unit =
     registry.synchronized {
-      registry.getOrElseUpdate(spark, ArrayBuffer.empty) += f
+      val buf = registry.get(spark) match {
+        case Some(b) => b
+        case None =>
+          // First registration for this session: drop its entries when
+          // the underlying context stops, so an app that stops a
+          // session without calling release doesn't retain the session
+          // (and every registered plan) through this registry forever.
+          // The cleanups are not RUN at that point — the context's
+          // cached blocks die with it; only the references are dropped.
+          val b = ArrayBuffer.empty[() => Unit]
+          registry.put(spark, b)
+          spark.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+                registry.synchronized { registry.remove(spark) }
+                ()
+              }
+            })
+          b
+      }
+      buf += f
     }
 
   /** Run and drop every cleanup registered against `spark`. Safe to

@@ -104,6 +104,9 @@ object Rag {
       threshold: Double = 0.7,
       nprobe: Int = 4): DataFrame = {
     val spark = chunks.sparkSession
+    if (emptyStoreNeedsIndex(spark, chunks, indexPath))
+      return Similarity.topK(chunks, "embedding", queryVec, topK, threshold,
+        tieBreak = Seq("id"))
     graft.store.AnnIndexes.materializeAtomic(spark, indexPath) { tmp =>
       val n = chunks.count()
       val nlist = math.max(1, math.min(16, (n / 4).toInt))
@@ -122,6 +125,17 @@ object Rag {
   private val pqStoreModels =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pq.PqModel]
 
+  /** True when a quantization-trained index would have to be BUILT from
+    * an empty store — Ivf/Pq codebooks need sample rows, so callers
+    * short-circuit to the exact scan (same empty result the exact and
+    * LSH paths return) instead of crashing in train. The isEmpty probe
+    * runs only when no completed index exists, so a warm store pays no
+    * extra job per search. */
+  private def emptyStoreNeedsIndex(
+      spark: SparkSession, chunks: DataFrame, indexPath: String): Boolean =
+    !graft.store.AnnIndexes.isComplete(
+      spark, new org.apache.hadoop.fs.Path(indexPath)) && chunks.isEmpty
+
   /** PQ-backed store search: ADC lookup-table scan over the encoded
     * chunk table (build-once, codebook sidecar), exact-cosine re-rank
     * of the candidate set — same scores and threshold semantics as the
@@ -136,6 +150,9 @@ object Rag {
       threshold: Double = 0.7,
       refine: Int = 4): DataFrame = {
     val spark = chunks.sparkSession
+    if (emptyStoreNeedsIndex(spark, chunks, indexPath))
+      return Similarity.topK(chunks, "embedding", queryVec, topK, threshold,
+        tieBreak = Seq("id"))
     graft.store.AnnIndexes.materializeAtomic(spark, indexPath) { tmp =>
       val n = chunks.count()
       val dim = queryVec.length

@@ -1,7 +1,10 @@
 package graft.store
 
-import org.apache.hadoop.fs.Path
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.ColumnChunkMetaData
 import org.apache.parquet.hadoop.util.HadoopInputFile
 
 import org.apache.spark.sql.SparkSession
@@ -19,56 +22,103 @@ import org.apache.spark.sql.SparkSession
   * same information mid-plan.)
   *
   * Conservative by construction: any file/chunk without usable
-  * statistics → None, and callers fall back to the scan. Bounds from
+  * statistics → the file (per-file form) or the whole merge (merged
+  * form) is discarded, and callers fall back to the scan. Bounds from
   * footers are exact min/max, but callers must only use them where
   * approximate bounds are CORRECTNESS-NEUTRAL (asofJoinSkewSafe's
   * bucket split is such a case — bounds shape skew resistance only).
   */
 object ParquetStats {
 
-  /** Per-FILE (min, max) of a physical INT64 column — the granularity
-    * scan pruning operates at (a filter outside a file's range skips
-    * it entirely via its footer). Files without usable stats are
-    * omitted. Used by the layout specs to measure how sharply a
-    * clustering scheme (sort vs Z-order) localizes each column. */
-  def perFileLongBounds(
-      spark: SparkSession, tablePath: String, colName: String): Seq[(Long, Long)] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(tablePath)
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return Nil
-    val out = Seq.newBuilder[(Long, Long)]
+  /** Data files under `root`, recursively (skips `_`/`.` entries). */
+  private def listParquetFiles(fs: FileSystem, root: Path): Seq[Path] = {
+    val b = Seq.newBuilder[Path]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
       val n = st.getPath.getName
       if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
-          && !n.startsWith(".")) {
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
-        try {
-          var lo = Long.MaxValue
-          var hi = Long.MinValue
-          var ok = false
-          reader.getFooter.getBlocks.forEach { block =>
-            block.getColumns.forEach { c =>
-              if (c.getPath.toDotString == colName) {
-                val s = c.getStatistics
-                if (s != null && !s.isEmpty && s.hasNonNullValue)
-                  (s.genericGetMin, s.genericGetMax) match {
-                    case (mn: java.lang.Long, mx: java.lang.Long) =>
-                      lo = math.min(lo, mn.longValue())
-                      hi = math.max(hi, mx.longValue())
-                      ok = true
-                    case _ => ()
-                  }
-              }
-            }
+          && !n.startsWith(".")) b += st.getPath
+    }
+    b.result()
+  }
+
+  /** Per-file outcome of merging one column's chunk statistics.
+    * Mutable accumulator so the per-chunk step is a plain method call —
+    * no non-local `return` inside the parquet API's Java lambdas (which
+    * only works via NonLocalReturnControl and is gone in Scala 3). */
+  private final class BoundsAcc(colName: String) {
+    var lo: Long = Long.MaxValue
+    var hi: Long = Long.MinValue
+    var rows: Long = 0L
+    var sawValue = false
+    /** False once ANY populated row group lacks usable INT64 stats for
+      * the column — the conservative contract both entry points share. */
+    var allChunksHaveStats = true
+
+    def addBlock(columns: java.util.List[ColumnChunkMetaData], rowCount: Long): Unit = {
+      rows += rowCount
+      columns.asScala.find(_.getPath.toDotString == colName) match {
+        case None =>
+          if (rowCount > 0) allChunksHaveStats = false
+        case Some(c) =>
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue)
+            allChunksHaveStats = false
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              lo = math.min(lo, mn.longValue())
+              hi = math.max(hi, mx.longValue())
+              sawValue = true
+            case _ => allChunksHaveStats = false // not a physical INT64 column
           }
-          if (ok) out += ((lo, hi))
-        } finally reader.close()
       }
     }
-    out.result()
+
+    def result: Option[(Long, Long)] =
+      if (allChunksHaveStats && sawValue && rows > 0 && lo <= hi) Some((lo, hi))
+      else None
+  }
+
+  /** Merged (min, max) of one file's chunk stats; None unless EVERY
+    * populated row group carried usable stats (a file with some
+    * stat-less chunks would otherwise report understated bounds). */
+  private def fileBounds(
+      conf: org.apache.hadoop.conf.Configuration, f: Path, colName: String,
+      acrossFiles: BoundsAcc = null): Option[(Long, Long)] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+    try {
+      val acc = new BoundsAcc(colName)
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        acc.addBlock(block.getColumns, block.getRowCount)
+      }
+      if (acrossFiles != null) {
+        acrossFiles.rows += acc.rows
+        if (!acc.allChunksHaveStats) acrossFiles.allChunksHaveStats = false
+        if (acc.sawValue) {
+          acrossFiles.lo = math.min(acrossFiles.lo, acc.lo)
+          acrossFiles.hi = math.max(acrossFiles.hi, acc.hi)
+          acrossFiles.sawValue = true
+        }
+      }
+      acc.result
+    } finally reader.close()
+  }
+
+  /** Per-FILE (min, max) of a physical INT64 column — the granularity
+    * scan pruning operates at (a filter outside a file's range skips
+    * it entirely via its footer). Files where any populated row group
+    * lacks stats are omitted entirely, mirroring longColumnBounds'
+    * conservative contract. Used by the layout specs to measure how
+    * sharply a clustering scheme (sort vs Z-order) localizes a
+    * column. */
+  def perFileLongBounds(
+      spark: SparkSession, tablePath: String, colName: String): Seq[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Nil
+    else listParquetFiles(fs, root).flatMap(f => fileBounds(conf, f, colName))
   }
 
   /** Merged (min, max) of a physical INT64 column across every parquet
@@ -79,47 +129,20 @@ object ParquetStats {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return None
-    val files = {
-      val it = fs.listFiles(root, true)
-      val b = Seq.newBuilder[Path]
-      while (it.hasNext) {
-        val st = it.next()
-        val n = st.getPath.getName
-        if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
-            && !n.startsWith(".")) b += st.getPath
-      }
-      b.result()
-    }
-    if (files.isEmpty) return None
-    var lo = Long.MaxValue
-    var hi = Long.MinValue
-    var rows = 0L
-    files.foreach { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-      try {
-        val blocks = reader.getFooter.getBlocks
-        blocks.forEach { block =>
-          rows += block.getRowCount
-          var found = false
-          block.getColumns.forEach { c =>
-            if (c.getPath.toDotString == colName) {
-              found = true
-              val st = c.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue)
-                return None // a chunk without stats poisons the merge
-              (st.genericGetMin, st.genericGetMax) match {
-                case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  lo = math.min(lo, mn.longValue())
-                  hi = math.max(hi, mx.longValue())
-                case _ => return None // not a physical INT64 column
-              }
-            }
-          }
-          if (!found && block.getRowCount > 0) return None
+    if (!fs.exists(root)) None
+    else {
+      val files = listParquetFiles(fs, root)
+      if (files.isEmpty) None
+      else {
+        val acc = new BoundsAcc(colName)
+        val it = files.iterator
+        // a single stat-less chunk poisons the merge — stop reading footers
+        while (it.hasNext && acc.allChunksHaveStats) {
+          fileBounds(conf, it.next(), colName, acrossFiles = acc)
+          ()
         }
-      } finally reader.close()
+        acc.result
+      }
     }
-    if (rows == 0 || lo > hi) None else Some((lo, hi))
   }
 }

@@ -287,6 +287,20 @@ class CatalogRagSpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("quantized ANN search on an empty store returns empty, not a crash") {
+    import spark.implicits._
+    // Ivf/Pq codebooks need sample rows to train; an empty store must
+    // degrade to the exact path's empty result (ADVICE r3)
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val chunks = Rag.buildChunks(docs, modelId = 1L, maxTokens = 8, dim = 16)
+    val q = Rag.embedQuery("anything", dim = 16)
+    val idx = tmpDir()
+    assert(Rag.searchChunksAnnPq(chunks, idx + "/pq", q, topK = 3,
+      threshold = -1.0).count() == 0)
+    assert(Rag.searchChunksAnnIvf(chunks, idx + "/ivf", q, topK = 3,
+      threshold = -1.0).count() == 0)
+  }
+
   test("chunk store round trip with model_id partitioning") {
     import spark.implicits._
     val path = tmpDir() + "/chunks"
