@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (Array(sfDir, outDir), rest) = args.splitAt(2)
+    // optional 3rd arg: comma-separated query-name filter (local
+    // iteration on one query without the ~70-query sweep)
+    val only: Set[String] = rest.headOption
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +22,9 @@ object Verify {
     // sequential by design: concurrent submission of the heavy queries
     // (pairwise joins + embedding pipelines) thrashes a single local
     // JVM (measured >4× slower than sequential at sf0.01)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

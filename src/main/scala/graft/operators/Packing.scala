@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay documents end-to-end in a deterministic order
+  * (by id) and assign each one its starting offset in the concatenated
+  * token stream, then the fixed-size context window ("pack") that
+  * offset lands in — the standard pre-training step that turns a
+  * ragged corpus into dense ctx-sized training examples.
+  *
+  * The naive formulation is a running total over the whole corpus —
+  * `SUM(n_tokens) OVER (ORDER BY id)` — which Spark executes as a
+  * single-partition Window: one task sorts and scans 100 TB. This
+  * implementation is the classic two-phase distributed prefix sum
+  * instead:
+  *
+  *   1. range-repartition by id (so partitions hold contiguous id
+  *      ranges in global order) and compute each row's prefix WITHIN
+  *      its partition (per-partition Window — parallel, no skew);
+  *   2. aggregate one subtotal row per partition (a few hundred rows,
+  *      not corpus rows), prefix-sum THAT tiny list (the only
+  *      unpartitioned window, over #partitions rows), and broadcast-join
+  *      the partition base offsets back.
+  *
+  * Global offset = partition base + local prefix. The result is
+  * identical for ANY partition count — range boundaries shift work
+  * between phases but never change the global order — which is also
+  * what makes it deterministic under AQE re-planning.
+  */
+object Packing {
+
+  /** Adds `start_offset` (first-token position of this row in the
+    * concatenated stream), `pack_id` (= start_offset / ctxSize) and
+    * `n_spans` (how many ctx windows the row touches; rows longer than
+    * ctxSize straddle several). `idCol` must be unique — it defines
+    * the packing order. */
+  def withPackOffsets(
+      df: DataFrame, idCol: String, tokensCol: String,
+      ctxSize: Int, numParts: Int = 0): DataFrame = {
+    require(ctxSize > 0, "ctxSize must be positive")
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, col(idCol))
+      .withColumn("_part", spark_partition_id())
+    // Phase 1: local prefix (exclusive) inside each id-range partition.
+    val wLocal = Window.partitionBy("_part").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_local_end", sum(col(tokensCol)).over(wLocal))
+    // Phase 2: one row per partition; the unpartitioned window runs
+    // over #partitions rows, not corpus rows.
+    val wParts = Window.orderBy("_part")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = ranged.groupBy("_part")
+      .agg(sum(col(tokensCol)).as("_part_total"))
+      .withColumn("_base",
+        coalesce(sum(col("_part_total")).over(wParts) - col("_part_total"), lit(0L)))
+      .select("_part", "_base")
+    local
+      .join(broadcast(bases), "_part")
+      .withColumn("start_offset", col("_base") + col("_local_end") - col(tokensCol))
+      .withColumn("pack_id", floor(col("start_offset") / ctxSize))
+      .withColumn("n_spans",
+        when(col(tokensCol) > 0,
+          floor((col("start_offset") + col(tokensCol) - lit(1)) / ctxSize)
+            - col("pack_id") + lit(1))
+          .otherwise(lit(1L)))
+      .drop("_part", "_local_end", "_base")
+  }
+
+  /** Per-pack roll-up: how many documents start in each ctx window,
+    * their token volume, id range, and how many straddle into the next
+    * window — the packing audit a data pipeline reports before
+    * materializing training examples. */
+  def packSummary(
+      df: DataFrame, idCol: String, tokensCol: String,
+      ctxSize: Int): DataFrame =
+    withPackOffsets(df, idCol, tokensCol, ctxSize)
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("sum_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        sum(when(col("n_spans") > 1, 1L).otherwise(0L)).as("n_split"))
+}

@@ -297,6 +297,20 @@ object TextQueries {
         .orderBy("split")
     }),
 
+    // P2: sequence packing — documents laid end-to-end in doc_id
+    // order, each assigned the 512-token context window its first
+    // token lands in; per-pack audit (docs, tokens, id range, window
+    // straddles). The Spark side is the two-phase distributed prefix
+    // sum (operators.Packing) — per-partition local prefixes plus one
+    // tiny per-partition-base window — never the single-partition
+    // `SUM OVER (ORDER BY id)` the oracle below is allowed to use.
+    "p2_sequence_packing" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packSummary(d, "doc_id", "n_tokens", ctxSize = 512)
+        .orderBy("pack_id")
+    }),
+
     // T15: BPE-ish token accounting — pieces from the regex
     // pre-tokenizer vs whitespace tokens, the budget signal an LLM
     // pipeline reports per document. Pure map stage (regex in the scan
@@ -329,6 +343,23 @@ object TextQueries {
       Dedup.exactDedupKey(docs(s, dir),
           array_join(slice(split(col("text"), " ", -1), 1, 5), " "), "doc_id")
         .orderBy("dedup_key")
+    }),
+
+    // D10: incremental dedup of a new batch against the already-seen
+    // corpus through a broadcast Bloom pre-filter + exact anti-join
+    // rescue — result provably identical to a plain anti-join (no
+    // false negatives; positives re-checked exactly), so it is fully
+    // oracle-checked even though a probabilistic sketch sits on the
+    // scale path. Seen = every third doc's fingerprint; batch = the
+    // rest.
+    "d10_bloom_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val seen = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val incoming = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      Dedup.incrementalDedupBloom(incoming, seen, "fp")
+        .select("doc_id")
+        .orderBy("doc_id")
     }),
 
     // D2: exact bigram-Jaccard near-dup pairs — the O(N²) correctness
@@ -489,6 +520,18 @@ object TextQueries {
         |  FROM toks, UNNEST(range(1, CAST(CEIL(len(tk)/16.0) AS BIGINT) + 1)) AS u(i))
         | SELECT doc_id, chunk_number, chunk_text, chunk_size FROM ch
         | ORDER BY doc_id, chunk_number""".stripMargin.replaceAll("\n", ""),
+    "p2_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        | c AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS st FROM t)
+        | SELECT st // 512 AS pack_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  CAST(SUM(CASE WHEN n > 0 AND (st + n - 1) // 512 > st // 512
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+        | FROM c GROUP BY pack_id ORDER BY pack_id"""
+        .stripMargin.replaceAll("\n", ""),
     "t15_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text,
@@ -676,6 +719,13 @@ object TextQueries {
         | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
         | SELECT doc_id FROM documents WHERE doc_id < 1000
         |  AND doc_id NOT IN (SELECT id FROM lab WHERE id <> label)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "d10_bloom_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        | SELECT doc_id FROM f WHERE doc_id % 3 <> 0
+        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 = 0)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d2_ngram_jaccard" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Packing, TextAnalysis}
+
+/** Unit coverage for the round-4 operators. Cross-engine values are
+  * driver-gated by DuckDB oracles; these specs pin the algebraic
+  * properties and the scale-shape invariants. */
+class Round4OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  private def tokenized =
+    docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+
+  test("packing: two-phase prefix sum equals the naive global window") {
+    val twoPhase = Packing.withPackOffsets(tokenized, "doc_id", "n", ctxSize = 512)
+      .select("doc_id", "start_offset", "pack_id", "n_spans")
+    val naive = tokenized
+      .withColumn("start_offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n"),
+          lit(0L)))
+      .withColumn("pack_id", floor(col("start_offset") / 512))
+      .withColumn("n_spans",
+        floor((col("start_offset") + col("n") - 1) / 512) - col("pack_id") + 1)
+      .select("doc_id", "start_offset", "pack_id", "n_spans")
+    assert(twoPhase.exceptAll(naive).isEmpty && naive.exceptAll(twoPhase).isEmpty)
+  }
+
+  test("packing: offsets are invariant to the partition count") {
+    val a = Packing.withPackOffsets(tokenized, "doc_id", "n", 512, numParts = 3)
+      .select("doc_id", "start_offset").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Packing.withPackOffsets(tokenized, "doc_id", "n", 512, numParts = 17)
+      .select("doc_id", "start_offset").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("bloom incremental dedup equals the plain anti-join") {
+    val d = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val seen = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 =!= 0)
+    val bloom = graft.operators.Dedup
+      .incrementalDedupBloom(batch, seen, "fp", fpp = 0.05)
+      .select("doc_id")
+    val exact = batch.join(seen.select("fp").distinct(), Seq("fp"), "left_anti")
+      .select("doc_id")
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+  }
+
+  test("bloom incremental dedup drops planted copies of seen docs") {
+    val d = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val seen = d.filter(col("doc_id") < 100)
+    // batch: 10 exact copies of seen docs (new ids) + 10 genuinely new
+    val copies = seen.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("fp"))
+    val fresh = d.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+    val kept = graft.operators.Dedup
+      .incrementalDedupBloom(copies.unionByName(fresh), seen, "fp")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (100L until 110L).toSet)
+  }
+
+  test("packing: offsets tile the token stream with no gaps or overlap") {
+    val rows = Packing.withPackOffsets(tokenized, "doc_id", "n", 64)
+      .select("doc_id", "n", "start_offset", "n_spans")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    var expected = 0L
+    rows.foreach { case (id, n, st, spans) =>
+      assert(st == expected, s"doc $id starts at $st, expected $expected")
+      // span count is exactly the number of 64-token windows touched
+      assert(spans == (st + math.max(n, 1) - 1) / 64 - st / 64 + 1)
+      expected += n
+    }
+  }
+}
