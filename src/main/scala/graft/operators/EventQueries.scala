@@ -134,6 +134,31 @@ object EventQueries {
         .orderBy("stage")
     }),
 
+    // S8: time-series gap-fill — per-user hourly event counts with
+    // every silent hour between that user's first and last activity
+    // materialized as an explicit zero row (the resample step before
+    // any windowed rate/anomaly model). The hour spine is generated
+    // PER ENTITY (sequence(min_hour, max_hour) exploded from the
+    // per-user span row) — output is linear in Σ user-span-hours, and
+    // there is no global calendar × entity cross-join. The span agg
+    // and the hourly counts share one cached two-column projection;
+    // the final left join shuffles on the composite (user, hour) key.
+    "s8_gapfill" -> ((s, dir) => {
+      val e = graft.Caches.shared(
+        Tables.events(s, dir).filter(col("user_id") < 50)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr")))
+      val cnt = e.groupBy("user_id", "hr").agg(count(lit(1)).as("cnt"))
+      val spine = e.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+            .as("hr"))
+      spine.join(cnt, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr").cast("string").as("hr"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("user_id", "hr")
+    }),
+
     // J1: property extraction from the JSON-ish props column
     // (regexp-based; engine-portable, null on no-match under ANSI).
     "j1_props_extract" -> ((s, dir) => {
@@ -237,6 +262,18 @@ object EventQueries {
       """SELECT event_id, CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '')
         | AS BIGINT) AS k FROM events ORDER BY event_id"""
         .stripMargin.replaceAll("\n", ""),
+    "s8_gapfill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr FROM events
+        |   WHERE user_id < 50),
+        | c AS (SELECT user_id, hr, COUNT(*) AS cnt FROM e GROUP BY user_id, hr),
+        | s AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e
+        |   GROUP BY user_id),
+        | h AS (SELECT user_id,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM s)
+        | SELECT h.user_id, CAST(h.hr AS VARCHAR) AS hr,
+        |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        | FROM h LEFT JOIN c ON h.user_id = c.user_id AND h.hr = c.hr
+        | ORDER BY 1, 2""".stripMargin.replaceAll("\n", ""),
     "s3_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |   CAST(epoch_us(ts) AS BIGINT) us FROM events),

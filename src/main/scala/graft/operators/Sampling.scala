@@ -32,6 +32,41 @@ object Sampling {
       labeled.filter(col("split") === "test").drop("split"))
   }
 
+  /** Deterministic mixture oversampling — the data-mixture step of a
+    * pre-training pipeline, where each source gets an epoch weight
+    * (wiki 3.5×, curated 2×, raw crawl 0.5×, …). A row with weight w
+    * is emitted floor(w) times, plus once more for the frac(w)
+    * fraction of key-hash space — so over many rows each source's
+    * token share converges to its weight, yet every copy decision is
+    * a pure function of the key: reproducible across runs, engines
+    * and cluster layouts, and stable when the corpus grows (the same
+    * properties as [[splitLabel]]). Copies materialize via
+    * sequence+explode in the scan projection — a map-side row
+    * generator, no shuffle and no driver loop; downstream shuffles
+    * see the post-mixture row count, which is the point (the mixture
+    * is decided before the expensive stages, not by re-reading the
+    * corpus w times). Fractional parts are quantized to 1/256; rows
+    * whose weight rounds to zero copies are dropped. Output gains a
+    * `copy` ordinal (1..n) so downstream packing/shuffling can keep
+    * copies apart. */
+  def mixtureOversample(
+      df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], default: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(w => w >= 0.0 && w <= 64.0))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    def copies(w: Double): Column = {
+      val base = math.floor(w).toLong
+      val extra = math.round((w - math.floor(w)) * 256).toInt
+      lit(base) + when(bucket < extra, 1L).otherwise(0L)
+    }
+    val nCopies = weights.foldLeft(copies(default)) {
+      case (acc, (src, w)) => when(col(sourceCol) === src, copies(w)).otherwise(acc)
+    }
+    df.withColumn("copy",
+      explode(when(nCopies >= 1L, sequence(lit(1L), nCopies))))
+  }
+
   /** Deterministic per-stratum downsampling: keep a row iff its key
     * hash falls in the stratum's keep-fraction of bucket space.
     * Unlike rand()-based sampleBy, re-runs and re-partitions keep the

@@ -97,6 +97,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T17: data-mixture oversampling — per-source epoch weights
+    // (src0 3×, src1 2.5×, src2 1.5×, src3 0.5×, src4 0.25×, rest 1×)
+    // applied as deterministic hash-quantized copy counts; every copy
+    // decision is a pure function of doc_id, so the oracle replays it
+    // exactly. The explode is a map-side row generator in the scan
+    // projection — the mixture happens before any shuffle.
+    "t17_mixture_epochs" -> ((s, dir) => {
+      Sampling.mixtureOversample(docs(s, dir), "source", "doc_id",
+          Map("src0" -> 3.0, "src1" -> 2.5, "src2" -> 1.5,
+            "src3" -> 0.5, "src4" -> 0.25))
+        .select("doc_id", "copy", "source")
+        .orderBy("doc_id", "copy")
+    }),
+
     // T14: per-source corpus rollup — docs, token volume, mean quality
     // and language breadth by the `source` column (the provenance
     // dimension every corpus audit groups by).
@@ -295,6 +309,31 @@ object TextQueries {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
         .orderBy("split")
+    }),
+
+    // T18: quality deciles — every doc binned into exact corpus-wide
+    // score deciles (docs with equal scores share a decile). The naive
+    // form is ntile(10) OVER (ORDER BY q) — a single-partition sort of
+    // the corpus. This is the scale shape instead: aggregate to the
+    // per-score histogram (q is ROUNDED to 6dp, so the value domain is
+    // capped at ~10⁶ rows no matter the corpus size), prefix-sum that
+    // bounded histogram, and derive each score's decile from its
+    // cumulative rank — corpus rows are touched only by the one keyed
+    // groupBy.
+    "t18_quality_deciles" -> ((s, dir) => {
+      val q = docs(s, dir)
+        .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      val hist = q.groupBy("q").agg(count(lit(1)).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("q")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val n = broadcast(q.agg(count(lit(1)).as("n")))
+      hist.withColumn("before", sum("c").over(wCum) - col("c"))
+        .crossJoin(n)
+        .withColumn("decile", floor(col("before") * 10 / col("n")) + 1)
+        .groupBy("decile")
+        .agg(sum("c").as("n_docs"), min("q").as("min_q"), max("q").as("max_q"))
+        .orderBy("decile")
     }),
 
     // P2: sequence packing — documents laid end-to-end in doc_id
@@ -520,6 +559,29 @@ object TextQueries {
         |  FROM toks, UNNEST(range(1, CAST(CEIL(len(tk)/16.0) AS BIGINT) + 1)) AS u(i))
         | SELECT doc_id, chunk_number, chunk_text, chunk_size FROM ch
         | ORDER BY doc_id, chunk_number""".stripMargin.replaceAll("\n", ""),
+    "t18_quality_deciles" -> {
+      val stops = TextAnalysis.EnglishStopwords
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($stops, t))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS ttr
+         |  FROM documents),
+         | q AS (SELECT ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + ttr +
+         |    LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0, 6)
+         |    AS q FROM m),
+         | c AS (SELECT q, COUNT(*) AS c FROM q GROUP BY q),
+         | cc AS (SELECT q, c, CAST(SUM(c) OVER (ORDER BY q
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT)
+         |    AS bf FROM c),
+         | n AS (SELECT COUNT(*) AS n FROM q)
+         | SELECT (bf * 10) // n + 1 AS decile, CAST(SUM(c) AS BIGINT) AS n_docs,
+         |  MIN(q) AS min_q, MAX(q) AS max_q
+         | FROM cc, n GROUP BY decile ORDER BY decile"""
+        .stripMargin.replaceAll("\n", "")
+    },
     "p2_sequence_packing" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
@@ -667,6 +729,24 @@ object TextQueries {
         | SELECT doc_id, lang FROM b
         | WHERE (lang = 'en' AND bucket < 128) OR (lang = 'de' AND bucket < 64)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "t17_mixture_epochs" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  (strpos('0123456789abcdef',
+        |     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef',
+        |     substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM documents),
+        | w AS (SELECT doc_id, source, CASE source
+        |   WHEN 'src0' THEN 3
+        |   WHEN 'src1' THEN 2 + CASE WHEN bucket < 128 THEN 1 ELSE 0 END
+        |   WHEN 'src2' THEN 1 + CASE WHEN bucket < 128 THEN 1 ELSE 0 END
+        |   WHEN 'src3' THEN 0 + CASE WHEN bucket < 128 THEN 1 ELSE 0 END
+        |   WHEN 'src4' THEN 0 + CASE WHEN bucket < 64 THEN 1 ELSE 0 END
+        |   ELSE 1 END AS n FROM b)
+        | SELECT doc_id, CAST(u.copy AS BIGINT) AS copy, source
+        | FROM w, UNNEST(range(1, n + 1)) AS u(copy)
+        | WHERE n >= 1 ORDER BY doc_id, copy"""
+        .stripMargin.replaceAll("\n", ""),
     "t11_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
         |  FROM documents),

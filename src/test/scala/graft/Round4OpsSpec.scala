@@ -69,6 +69,49 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(kept == (100L until 110L).toSet)
   }
 
+  test("mixture oversampling: copy counts bracket the weight; share converges") {
+    val w = Map("src0" -> 2.5, "src1" -> 0.5)
+    val out = graft.operators.Sampling
+      .mixtureOversample(docs, "source", "doc_id", w, default = 1.0)
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n")).collect()
+    perDoc.foreach { r =>
+      val wt = w.getOrElse(r.getString(1), 1.0)
+      val n = r.getLong(2)
+      assert(n == math.floor(wt).toLong || n == math.ceil(wt).toLong,
+        s"doc ${r.getLong(0)} (${r.getString(1)}): $n copies for weight $wt")
+    }
+    // fractional weights are realized by the hash split: over the
+    // whole stratum the mean copy count sits between floor and ceil
+    val bySrc = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    w.foreach { case (src, wt) =>
+      val ratio = bySrc.getOrElse(src, 0L).toDouble / base(src)
+      assert(math.abs(ratio - wt) < 0.5, s"$src share $ratio vs weight $wt")
+    }
+    // weight-0 strata vanish entirely
+    val zero = graft.operators.Sampling
+      .mixtureOversample(docs, "source", "doc_id", Map("src0" -> 0.0))
+      .filter(col("source") === "src0").count()
+    assert(zero == 0)
+  }
+
+  test("quality deciles partition the corpus into ordered, disjoint score ranges") {
+    val rows = graft.operators.TextQueries
+      .queries("t18_quality_deciles")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getDouble(3) < hi.getDouble(2),
+          s"decile ${lo.getLong(0)} max overlaps decile ${hi.getLong(0)} min")
+      case _ => ()
+    }
+  }
+
   test("packing: offsets tile the token stream with no gaps or overlap") {
     val rows = Packing.withPackOffsets(tokenized, "doc_id", "n", 64)
       .select("doc_id", "n", "start_offset", "n_spans")
