@@ -92,6 +92,23 @@ object Ivf {
     (-array_max(scored).getField("negidx")).cast("int")
   }
 
+  /** The row's top-`p` nearest cells as an array<int> — multi-probe
+    * ASSIGNMENT (the index-side dual of query-time nprobe): a vector
+    * sitting on a cell boundary is indexed under both neighbors, so a
+    * near-dup pair split by the boundary still shares a cell. Work
+    * scales linearly in p (p copies of each row in the cell join),
+    * recall rises much faster — the boundary loss is the dominant
+    * miss mode for cell-pruned pair detection. */
+  def topCellsOf(emb: Column, model: IvfModel, p: Int): Column = {
+    val scored = array(model.centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(
+        VectorFunctions.dot_product(emb, typedLit(c)).as("score"),
+        lit(-i).as("negidx"))
+    }: _*)
+    transform(slice(sort_array(scored, asc = false), 1, p),
+      s => (-s.getField("negidx")).cast("int"))
+  }
+
   /** Assign every row its IVF cell (write with partitionBy("ivf_cell")
     * for partition-pruned search). */
   def assign(corpus: DataFrame, embCol: String, model: IvfModel): DataFrame =

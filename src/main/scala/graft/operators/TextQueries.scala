@@ -483,6 +483,19 @@ object TextQueries {
           "vec_id", "embedding", dim = 64, threshold = 0.3, bits = 6)
         .orderBy("a_id", "b_id")
     }),
+
+    // D11: semantic dedup (SemDeDup shape) — k-means cells, within-cell
+    // near-dup components collapsed to min-id representatives; returns
+    // the KEPT vector ids. Rows-only (the seeded k-means codebook has
+    // no SQL oracle); kept-set invariant + recall vs the exact
+    // pairwise oracle asserted in ScalaTest.
+    "d11_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(
+          Tables.load(s, dir, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", nCells = 16, threshold = 0.3)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
   )
 
   /** Transitive-closure CC oracle (DuckDB recursive CTE) shared by the

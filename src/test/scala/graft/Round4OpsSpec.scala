@@ -112,6 +112,40 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: kept set has no within-cell near-dup pair left") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val model = graft.operators.Ivf.train(emb, "vec_id", "embedding", nlist = 16)
+    val kept = graft.operators.Dedup
+      .semanticDedup(emb, "vec_id", "embedding", nCells = 16, threshold = 0.3)
+    val leftover = graft.operators.Dedup
+      .semanticNearDupPairs(kept, "vec_id", "embedding", model, threshold = 0.3)
+      .count()
+    assert(leftover == 0)
+    // and dedup only ever removes rows, never invents them
+    assert(kept.count() <= emb.count())
+    assert(kept.join(emb, Seq("vec_id"), "left_anti").isEmpty)
+    graft.Caches.release(spark)
+  }
+
+  test("semantic dedup cells capture most exact near-dup pairs") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val model = graft.operators.Ivf.train(emb, "vec_id", "embedding", nlist = 16)
+    val cellPairs = graft.operators.Dedup
+      .semanticNearDupPairs(emb, "vec_id", "embedding", model, threshold = 0.3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact pairwise oracle (corpus is small at sf0.001)
+    val exact = graft.operators.VectorQueries
+      .queries("v4_neardup_pairs")(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(cellPairs.subsetOf(exact), "within-cell pairs must be exact-verified")
+    val recall = cellPairs.size.toDouble / exact.size
+    assert(recall >= 0.5, s"cell recall $recall below 0.5")
+    graft.Caches.release(spark)
+  }
+
   test("packing: offsets tile the token stream with no gaps or overlap") {
     val rows = Packing.withPackOffsets(tokenized, "doc_id", "n", 64)
       .select("doc_id", "n", "start_offset", "n_spans")
