@@ -159,6 +159,24 @@ object EventQueries {
         .orderBy("user_id", "hr")
     }),
 
+    // S9: forward fill (last observation carried forward) — per-user,
+    // the latest non-null reading at each event time. Sensor/metric
+    // streams are sparse; models want a dense value column. Click
+    // events are treated as the null-reading rows (the synthetic table
+    // has no nulls), then `last(ignoreNulls) OVER (user, time)` fills
+    // them — one shuffle on user_id, per-key sort, the same shape as
+    // sessionization; never a global sort or a self-join.
+    "s9_forward_fill" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") =!= "click", round(col("value"), 6)).as("v"))
+        .withColumn("v_filled", last("v", ignoreNulls = true).over(w))
+        .select("event_id", "v_filled")
+        .orderBy("event_id")
+    }),
+
     // J1: property extraction from the JSON-ish props column
     // (regexp-based; engine-portable, null on no-match under ANSI).
     "j1_props_extract" -> ((s, dir) => {
@@ -262,6 +280,12 @@ object EventQueries {
       """SELECT event_id, CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '')
         | AS BIGINT) AS k FROM events ORDER BY event_id"""
         .stripMargin.replaceAll("\n", ""),
+    "s9_forward_fill" ->
+      """SELECT event_id, last_value(
+        |   CASE WHEN event_type <> 'click' THEN ROUND(value, 6) END
+        |   IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", ""),
     "s8_gapfill" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr FROM events
         |   WHERE user_id < 50),

@@ -179,6 +179,50 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // U1: URL canonicalization — the web-corpus dedup key. Every
+    // crawler stores a raw URL; exact dedup needs the canonical form:
+    // scheme+host lowercased, www. stripped, default port / query /
+    // fragment dropped, trailing slash trimmed; plus the registrable
+    // domain (last two host labels) and TLD for blocklist joins and
+    // per-domain rollups. The corpus is synthetic, so URLs are planted
+    // deterministically per row (mixed case, default port, utm params,
+    // fragment) identically in both engines — pure regexp map stage in
+    // the scan projection, no shuffle before the final order.
+    "u1_url_canonical" -> ((s, dir) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val raw = concat(lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(20)),
+        lit("."), tld, lit(":443/Docs/"), col("doc_id"),
+        lit("/?utm_source=feed&ref="), col("doc_id"), lit("#top"))
+      val host = lower(regexp_extract(raw, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+      val bare = regexp_replace(host, "^www\\.", "")
+      val path = regexp_replace(
+        regexp_extract(raw, "^[A-Za-z0-9+.:-]+://[^/?#]+([^?#]*)", 1),
+        "/$", "")
+      docs(s, dir).select(
+        col("doc_id"),
+        concat(lower(regexp_extract(raw, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)),
+          lit("://"), bare, path).as("url_norm"),
+        regexp_extract(bare, "([^.]+\\.[^.]+)$", 1).as("domain"),
+        regexp_extract(bare, "\\.([^.]+)$", 1).as("tld"))
+        .orderBy("doc_id")
+    }),
+
+    // U2: per-domain corpus rollup over the canonical domains — the
+    // blocklist/audit aggregation (docs and token volume per
+    // registrable domain). One keyed shuffle after the regexp map.
+    "u2_domain_rollup" -> ((s, dir) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val domain = concat(lit("site"), pmod(col("doc_id"), lit(20)),
+        lit("."), tld)
+      docs(s, dir).select(domain.as("domain"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("domain")
+    }),
+
     // T9: repetition signal (Gopher-style quality heuristic): the
     // dominance of the single most frequent token per document. Two
     // keyed aggregations — the distributed shape (explode + partial
@@ -645,6 +689,32 @@ object TextQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
         |    '\d{10,}', '[NUM]', 'g') AS redacted
         | FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "u1_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) || '.' ||
+        |  (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+        |  || ':443/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |  '/?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR) || '#top' AS raw
+        |  FROM documents),
+        | p AS (SELECT doc_id,
+        |  lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(raw,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '^www\.', '') AS bare,
+        |  regexp_replace(regexp_extract(raw,
+        |    '^[A-Za-z0-9+.:-]+://[^/?#]+([^?#]*)', 1), '/$', '') AS path
+        |  FROM u)
+        | SELECT doc_id, scheme || '://' || bare || path AS url_norm,
+        |  regexp_extract(bare, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  regexp_extract(bare, '\.([^.]+)$', 1) AS tld
+        | FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "u2_domain_rollup" ->
+      """SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.' ||
+        |  (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+        |  AS domain,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        | FROM documents GROUP BY domain ORDER BY domain"""
+        .stripMargin.replaceAll("\n", ""),
     "t9_repetition" ->
       """WITH c AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
         |   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
