@@ -71,6 +71,27 @@ object Packing {
       .drop("_part", "_local_end", "_base")
   }
 
+  /** The materialized packing plan: one row per (document, context
+    * window) segment — a document spanning several ctx windows emits
+    * one row per window with the token count that lands in it. This is
+    * what the example writer executes: every window's segments sum to
+    * exactly ctxSize (except the final window), with documents split
+    * at window boundaries. Pure map stage on top of
+    * [[withPackOffsets]] — the explode generates at most
+    * ceil(n/ctxSize)+1 rows per doc, no extra shuffle. */
+  def packSegments(
+      df: DataFrame, idCol: String, tokensCol: String,
+      ctxSize: Int): DataFrame =
+    withPackOffsets(df, idCol, tokensCol, ctxSize)
+      .filter(col(tokensCol) > 0)
+      .withColumn("span_idx", explode(sequence(lit(0L), col("n_spans") - 1)))
+      .withColumn("pack_id", col("pack_id") + col("span_idx"))
+      .withColumn("seg_tokens",
+        least(col("start_offset") + col(tokensCol),
+            (col("pack_id") + 1) * ctxSize)
+          - greatest(col("start_offset"), col("pack_id") * ctxSize))
+      .drop("span_idx")
+
   /** Per-pack roll-up: how many documents start in each ctx window,
     * their token volume, id range, and how many straddle into the next
     * window — the packing audit a data pipeline reports before

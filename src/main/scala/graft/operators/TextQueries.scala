@@ -394,6 +394,52 @@ object TextQueries {
         .orderBy("pack_id")
     }),
 
+    // P3: the materialized packing plan — one row per (doc, window)
+    // segment with the token count landing in that window; documents
+    // split at 512-token boundaries. What the training-example writer
+    // executes after p2's audit; segments of every non-final window
+    // sum to exactly 512 (pinned in spec).
+    "p3_pack_segments" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packSegments(d, "doc_id", "n_tokens", ctxSize = 512)
+        .select("doc_id", "pack_id", "seg_tokens")
+        .orderBy("doc_id", "pack_id")
+    }),
+
+    // T19: leakage-safe grouped split — train/test assignment hashed
+    // on the GROUP key (registrable domain, as planted in u1/u2), not
+    // the row key, so near-duplicate pages from one site can never
+    // straddle the split boundary (the contamination mode row-level
+    // splits are blind to). Same pure-hash reproducibility contract as
+    // t7.
+    "t19_grouped_split" -> ((s, dir) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val domain = concat(lit("site"), pmod(col("doc_id"), lit(20)),
+        lit("."), tld)
+      docs(s, dir).select(col("doc_id"), domain.as("domain"))
+        .withColumn("split", Sampling.splitLabel(col("domain"), 13))
+        .orderBy("doc_id")
+    }),
+
+    // T20: per-source quality z-score — how a doc's quality sits
+    // within ITS OWN source's distribution (corpus-wide thresholds
+    // over-prune clean sources and under-prune noisy ones). Two-level
+    // shape: one keyed agg for per-source moments, broadcast join
+    // back, map-stage normalize.
+    "t20_quality_zscore" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val m = q.groupBy("source").agg(
+        avg("q").as("mu"), stddev_samp(col("q")).as("sd"))
+      q.join(broadcast(m), "source")
+        .select(col("doc_id"),
+          when(col("sd") > 0, round((col("q") - col("mu")) / col("sd"), 4))
+            .as("z"))
+        .orderBy("doc_id")
+    }),
+
     // T15: BPE-ish token accounting — pieces from the regex
     // pre-tokenizer vs whitespace tokens, the budget signal an LLM
     // pipeline reports per document. Pure map stage (regex in the scan
@@ -651,6 +697,46 @@ object TextQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split
         | FROM c GROUP BY pack_id ORDER BY pack_id"""
         .stripMargin.replaceAll("\n", ""),
+    "p3_pack_segments" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        | c AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS st FROM t),
+        | sp AS (SELECT doc_id, n, st, st // 512 AS p0,
+        |   (st + n - 1) // 512 - st // 512 + 1 AS spans FROM c WHERE n > 0)
+        | SELECT doc_id, p0 + u.i AS pack_id,
+        |  LEAST(st + n, (p0 + u.i + 1) * 512)
+        |   - GREATEST(st, (p0 + u.i) * 512) AS seg_tokens
+        | FROM sp, UNNEST(range(0, spans)) AS u(i)
+        | ORDER BY doc_id, pack_id""".stripMargin.replaceAll("\n", ""),
+    "t19_grouped_split" ->
+      """WITH d AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.' ||
+        |  (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+        |  AS domain FROM documents)
+        | SELECT doc_id, domain, CASE WHEN substring(md5(domain), 1, 1) < 'd'
+        |  THEN 'train' ELSE 'test' END AS split
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "t20_quality_zscore" -> {
+      val stops = TextAnalysis.EnglishStopwords
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH m AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($stops, t))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS ttr
+         |  FROM documents),
+         | q AS (SELECT doc_id, source,
+         |  ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + ttr +
+         |    LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0, 6)
+         |    AS q FROM m),
+         | s AS (SELECT source, AVG(q) AS mu, STDDEV_SAMP(q) AS sd
+         |  FROM q GROUP BY source)
+         | SELECT doc_id, CASE WHEN sd > 0 THEN ROUND((q - mu) / sd, 4) END AS z
+         | FROM q JOIN s USING (source) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", "")
+    },
     "t15_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text,

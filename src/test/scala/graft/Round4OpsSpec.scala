@@ -146,6 +146,24 @@ class Round4OpsSpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("pack segments: every non-final window sums to exactly ctxSize") {
+    val segs = Packing.packSegments(tokenized, "doc_id", "n", ctxSize = 128)
+      .groupBy("pack_id").agg(sum("seg_tokens").as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = tokenized.agg(sum("n")).collect()(0).getLong(0)
+    assert(segs.init.forall(_._2 == 128L))
+    assert(segs.map(_._2).sum == total)
+    assert(segs.map(_._1).toSeq == (0L until segs.length))
+  }
+
+  test("grouped split: every domain lands wholly in one split") {
+    val leaky = graft.operators.TextQueries
+      .queries("t19_grouped_split")(spark, sfDir)
+      .groupBy("domain").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky == 0)
+  }
+
   test("packing: offsets tile the token stream with no gaps or overlap") {
     val rows = Packing.withPackOffsets(tokenized, "doc_id", "n", 64)
       .select("doc_id", "n", "start_offset", "n_spans")
