@@ -37,6 +37,10 @@ object Bench {
     "d8_repeated_passages", // passage-level exact dedup (chunk fingerprints)
     "t1_token_stats", // text HOFs over documents
     "p1_training_prep", // composed filter→dedup→split pipeline
+    "p2_sequence_packing", // two-phase distributed prefix sum
+    "d10_bloom_incremental", // broadcast Bloom prefilter + anti-join rescue
+    "d11_semantic_dedup", // k-means cells + within-cell CC collapse
+    "t18_quality_deciles", // bounded-histogram decile binning
     "r1_rag_retrieval", // chunk + embed + search end-to-end
     "m1_media_features") // batched binary decode plumbing
 

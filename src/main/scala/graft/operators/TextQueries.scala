@@ -578,11 +578,14 @@ object TextQueries {
     // near-dup components collapsed to min-id representatives; returns
     // the KEPT vector ids. Rows-only (the seeded k-means codebook has
     // no SQL oracle); kept-set invariant + recall vs the exact
-    // pairwise oracle asserted in ScalaTest.
+    // pairwise oracle asserted in ScalaTest. Threshold 0.45 is the
+    // near-duplicate bar on this corpus (the 0.3 band is the diffuse
+    // similar-topic mass — deduping there collapses 89% of the corpus
+    // and densifies the CC graph for nothing).
     "d11_semantic_dedup" -> ((s, dir) => {
       Dedup.semanticDedup(
           Tables.load(s, dir, "embeddings").select("vec_id", "embedding"),
-          "vec_id", "embedding", nCells = 16, threshold = 0.3)
+          "vec_id", "embedding", nCells = 16, threshold = 0.45)
         .select("vec_id")
         .orderBy("vec_id")
     }),

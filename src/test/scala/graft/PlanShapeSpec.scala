@@ -23,6 +23,28 @@ class PlanShapeSpec extends AnyFunSuite {
   private def planOf(name: String): String =
     finalPlan(SparkEntry.queries(name)(spark, sfDir))
 
+  /** Collect matching nodes across AQE boundaries: AdaptiveSparkPlanExec
+    * and materialized query stages hide their subtrees from a plain
+    * `collect`, so unwrap them recursively. */
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = pf.lift(p).toSeq
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(deepCollect(_)(pf))
+  }
+
+  private def windowsOf(df: DataFrame) = {
+    df.collect()
+    deepCollect(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+  }
+
   test("top-k queries fuse to TakeOrderedAndProject (no global sort)") {
     Seq("a6_topk_orders", "v1_cosine_topk", "t10_contamination").foreach { q =>
       val p = planOf(q)
@@ -87,6 +109,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
+  }
+
+  test("sequence packing never windows the corpus in one partition") {
+    // the only unpartitioned Window may run over the per-partition
+    // subtotals (one row per partition); the corpus-wide Window must be
+    // partitioned by _part. Assert: every Window with an empty
+    // partition spec sits above the tiny groupBy(_part) aggregate,
+    // i.e. below it there is a HashAggregate, not the raw scan.
+    val windows = windowsOf(SparkEntry.queries("p2_sequence_packing")(spark, sfDir))
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      if (w.partitionSpec.isEmpty)
+        assert(deepCollect(w) {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty,
+          "unpartitioned Window must consume the per-partition subtotal agg, not corpus rows")
+    }
+  }
+
+  test("bloom incremental dedup: the anti-join sees only the filtered sliver") {
+    // both union branches must carry the mightContain filter below the
+    // join/union — i.e. no unionByName of two full scans
+    val df = SparkEntry.queries("d10_bloom_incremental")(spark, sfDir)
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    // the UDF predicate appears at least twice (kept branch + candidate branch)
+    assert("mightContain|UDF".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("quality deciles aggregate the corpus before any unpartitioned window") {
+    val windows = windowsOf(SparkEntry.queries("t18_quality_deciles")(spark, sfDir))
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(deepCollect(w) {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty,
+        "the decile window must run over the per-score histogram, not corpus rows")
+    }
+  }
+
+  test("mixture oversampling explodes map-side: no shuffle below the generator") {
+    val df = SparkEntry.queries("t17_mixture_epochs")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, p.take(1500))
+    // nothing below the Generate (later in the tree string) exchanges
+    assert(!p.substring(gen).contains("Exchange hashpartitioning"),
+      p.substring(gen).take(1500))
   }
 
   test("exact cosine top-k stays in whole-stage codegen") {
