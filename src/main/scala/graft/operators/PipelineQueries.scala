@@ -48,6 +48,17 @@ object PipelineQueries {
         .orderBy("asset_id", "frame_number")
     }),
 
+    // R3: hybrid retrieval — BM25 over chunk text fused with the exact
+    // cosine ranking by reciprocal rank (rows-only: the vector leg
+    // embeds engine-natively; leg agreement and determinism are
+    // asserted in CatalogRagSpec).
+    "r3_hybrid_retrieval" -> ((s, dir) => {
+      val chunks = Rag.buildChunks(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        modelId = 1L, maxTokens = MaxTokens, dim = Dim)
+      Rag.searchChunksHybrid(chunks, Query, topK = 10, dim = Dim)
+    }),
+
     // G1–G4: the assembled contextualized prompt as a 1-row result
     // (deterministic end-to-end: chunking, embedding, retrieval and
     // template are all pure).

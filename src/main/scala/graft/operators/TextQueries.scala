@@ -589,6 +589,56 @@ object TextQueries {
         .select("vec_id")
         .orderBy("vec_id")
     }),
+
+    // U3: per-domain frequency cap — keep at most `cap` docs per
+    // registrable domain, chosen by key-hash order (not arrival
+    // order), the de-biasing step that stops a single crawled mega-
+    // domain from dominating the corpus. Deterministic: the kept set
+    // is a pure function of (domain, md5(doc_id)), stable across
+    // runs, engines and partitionings. Scale shape: one shuffle on
+    // domain; the rank<=cap filter compiles to WindowGroupLimit, so
+    // each map partition forwards at most cap rows per domain instead
+    // of sorting whole domains (asserted in PlanShapeSpec).
+    "u3_domain_cap" -> ((s, dir) => {
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val domain = concat(lit("site"), pmod(col("doc_id"), lit(20)),
+        lit("."), tld)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), domain.as("domain"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    }),
+
+    // B1: BM25 keyword top-k — the lexical retrieval half of hybrid
+    // search. Tokens are filtered to the query terms inside the scan
+    // projection before the explode, so the shuffle carries only
+    // query-term occurrences; corpus stats and per-term df broadcast;
+    // rounded-score TakeOrderedAndProject finishes.
+    "b1_bm25_topk" -> ((s, dir) => {
+      Bm25.topK(docs(s, dir), "text", "doc_id",
+        Seq("spark", "shuffle", "partition"), k = 20)
+    }),
+
+    // B2: reciprocal-rank fusion of two bounded rankings — BM25
+    // (lexical) fused with a length ranking standing in for any second
+    // scorer. Both inputs are top-50-bounded before the fuse, so the
+    // full-outer join is over two 50-row lists no matter the corpus
+    // size; this is the hybrid-search merge step as its own operator.
+    "b2_rrf_fusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lexical = Bm25.ranked(
+        Bm25.score(d, "text", "doc_id", Seq("spark", "shuffle", "partition"))
+          .select(col("doc_id"), round(col("score"), 4).as("score")),
+        "doc_id", "score", n = 50)
+      val byLength = Bm25.ranked(
+        d.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", n = 50)
+      Bm25.rrfFuse(lexical, byLength, "doc_id", c = 60, k = 20)
+    }),
   )
 
   /** Transitive-closure CC oracle (DuckDB recursive CTE) shared by the
@@ -611,6 +661,58 @@ object TextQueries {
       .stripMargin.replaceAll("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+    "u3_domain_cap" ->
+      """WITH d AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.' ||
+        |  (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+        |  AS domain FROM documents),
+        | r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d)
+        | SELECT doc_id, domain FROM r WHERE rk <= 5 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""),
+    "b1_bm25_topk" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |   FROM documents),
+        | st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+        |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |         FROM documents)
+        |   WHERE tok IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2),
+        | df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1)
+        | SELECT tf.doc_id, ROUND(SUM(
+        |   ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+        |   * tf.tf * 2.2
+        |   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4) AS score
+        | FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+        | GROUP BY tf.doc_id
+        | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin.replaceAll("\n", ""),
+    "b2_rrf_fusion" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |   FROM documents),
+        | st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+        |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |         FROM documents)
+        |   WHERE tok IN ('spark', 'shuffle', 'partition') GROUP BY 1, 2),
+        | df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT tf.doc_id, ROUND(SUM(
+        |   ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+        |   * tf.tf * 2.2
+        |   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4) AS score
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+        |  GROUP BY tf.doc_id),
+        | lex AS (SELECT doc_id,
+        |   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+        |  FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 50)),
+        | lng AS (SELECT doc_id,
+        |   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_b
+        |  FROM (SELECT doc_id, n_chars FROM documents
+        |        ORDER BY n_chars DESC, doc_id LIMIT 50))
+        | SELECT doc_id,
+        |  ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + rank_a), 0)
+        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_b), 0), 6) AS rrf
+        | FROM lex FULL OUTER JOIN lng USING (doc_id)
+        | ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin.replaceAll("\n", ""),
     "t1_token_stats" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,

@@ -65,6 +65,36 @@ object Rag {
     Similarity.topK(chunks, "embedding", queryVec, topK, threshold,
       tieBreak = Seq("id"))
 
+  /** Hybrid retrieval: BM25 keyword ranking over `chunk_text` fused
+    * with the exact cosine ranking over `embedding` by reciprocal-rank
+    * fusion (G2 extended the way production RAG stores pair pgvector
+    * with Postgres full-text search). Each leg is bounded to a
+    * `poolSize` candidate list before the fuse, so the merge is a join
+    * of two small ranked lists; the expensive legs keep their own
+    * scale shapes (BM25's filtered explode, cosine's
+    * TakeOrderedAndProject). Output: (id, rrf, and the leg ranks for
+    * explainability). */
+  def searchChunksHybrid(
+      chunks: DataFrame,
+      queryText: String,
+      topK: Int = 10,
+      dim: Int = Embedding.DefaultDim,
+      poolSize: Int = 50,
+      rrfC: Int = 60): DataFrame = {
+    import graft.operators.Bm25
+    val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val lexical = Bm25.ranked(
+      Bm25.score(chunks, "chunk_text", "id", terms)
+        .select(col("id"), round(col("score"), 4).as("score")),
+      "id", "score", poolSize)
+    val vector = Bm25.ranked(
+      Similarity.topK(chunks, "embedding", embedQuery(queryText, dim),
+          poolSize, threshold = -1.0, tieBreak = Seq("id"))
+        .select(col("id"), col("similarity")),
+      "id", "similarity", poolSize)
+    Bm25.rrfFuse(lexical, vector, "id", rrfC, topK)
+  }
+
   /** ANN retrieval over a chunk store: search a build-once multi-table
     * LSH index instead of scanning every embedding — the 100 TB form
     * of `searchChunks` (pgvector's HNSW analogue re-expressed as

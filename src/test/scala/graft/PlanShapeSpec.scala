@@ -168,4 +168,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project") || p.contains("*(1) Filter"),
       p.take(1500))
   }
+
+  test("domain cap prunes map-side via WindowGroupLimit") {
+    val p = planOf("u3_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
+  test("bm25 top-k fuses to TakeOrderedAndProject; stats/df broadcast") {
+    val p = planOf("b1_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("label centroids aggregate partially: map-side combine of vector buffers") {
+    val df = SparkEntry.queries("v13_label_centroids")(spark, sfDir)
+    df.collect()
+    val aggs = deepCollect(df.queryExecution.executedPlan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    // partial + final stages for the typed buffer (never a corpus-wide
+    // posexplode: the Generate must sit ABOVE the aggregation)
+    assert(aggs.size >= 2, df.queryExecution.executedPlan.toString.take(2000))
+    val p = df.queryExecution.executedPlan.toString
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("Aggregate")
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      "posexplode must run on the aggregated centroids, not the corpus")
+  }
 }
