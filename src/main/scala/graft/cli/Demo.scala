@@ -16,7 +16,8 @@ import graft.store.Catalog
   *   runMain graft.cli.Demo import --docs <parquet> --store <dir>
   *     [--model <name>] [--dim N] [--max-tokens N]
   *   runMain graft.cli.Demo search --store <dir> --prompt "..."
-  *     [--top-k K] [--similarity-threshold T] [--dim N] [--ann exact|lsh|ivf]
+  *     [--top-k K] [--similarity-threshold T] [--dim N]
+  *     [--ann exact|lsh|ivf|pq|hybrid]
   *   runMain graft.cli.Demo generate --store <dir> --prompt "..."
   *     [--top-k K] [--similarity-threshold T] [--dim N]
   *     [--max-tokens N] [--temperature T]
@@ -269,7 +270,16 @@ object Demo {
         val hits = Rag.searchChunksAnnPq(chunks, s"$store/$name", q, topK, threshold)
         sweepStale("ann_pq_", name)
         hits
-      case other => sys.error(s"unknown ann mode '$other' (exact|lsh|ivf|pq)")
+      case "hybrid" =>
+        // BM25-over-chunk-text fused with the exact cosine ranking by
+        // reciprocal rank; the fused rrf score is surfaced through the
+        // display's score column. The threshold gates the vector leg's
+        // semantics only indirectly (rrf has its own scale), so it is
+        // not applied here.
+        Rag.searchChunksHybrid(chunks, prompt, topK, dim)
+          .withColumnRenamed("rrf", "similarity")
+          .join(chunks, Seq("id"), "left")
+      case other => sys.error(s"unknown ann mode '$other' (exact|lsh|ivf|pq|hybrid)")
     }
   }
 

@@ -359,6 +359,53 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // A30: single-pass column profiler — the data-card / quality-gate
+    // summary (rows, non-nulls, exact NDV, min/max per column) emitted
+    // as one row per column. ONE scan computes every statistic (the
+    // multi-distinct compiles to a single Expand + partial aggregate,
+    // not one pass per column); the stack() unpivot runs on the 1-row
+    // aggregate only. Exact NDV is the declared semantics here — the
+    // approximate profile for interactive use is a21/a26 (HLL /
+    // approx quantiles).
+    "a30_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}_n"),
+          count_distinct(col(c)).as(s"${c}_ndv"),
+          round(min(col(c)).cast("double"), 4).as(s"${c}_min"),
+          round(max(col(c)).cast("double"), 4).as(s"${c}_max"))
+      }
+      val one = t(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      one.select(
+        col("n_rows"),
+        expr("stack(3, " + cols.map(c =>
+          s"'$c', ${c}_n, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ") +
+          ") as (column_name, n_notnull, ndv, min_v, max_v)"))
+        .select("column_name", "n_rows", "n_notnull", "ndv", "min_v", "max_v")
+        .orderBy("column_name")
+    }),
+
+    // A31: snapshot diff (CDC) — which keys were inserted / deleted /
+    // updated between two snapshots of the same table, the primitive
+    // that lets a re-crawl refresh only changed documents. Two
+    // synthetic snapshots are derived from orders (keys %10==3 absent
+    // from the old, %10==7 absent from the new, %5==0 price-bumped);
+    // the diff itself is operators.Cdc.snapshotDiff — a (key, hash)
+    // full-outer join, so wide rows never widen the shuffle.
+    "a31_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val prev = base.filter(pmod(col("o_orderkey"), lit(10)) =!= 3)
+      val next = base.filter(pmod(col("o_orderkey"), lit(10)) =!= 7)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(5)) === 0,
+            round(col("o_totalprice") + 1, 2))
+            .otherwise(col("o_totalprice")))
+      Cdc.snapshotDiff(prev, next, Seq("o_orderkey"), Seq("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -375,6 +422,39 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a30_profile" ->
+      """WITH s AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(l_quantity) AS q_n, COUNT(DISTINCT l_quantity) AS q_ndv,
+        |  ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4) AS q_min,
+        |  ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4) AS q_max,
+        |  COUNT(l_extendedprice) AS e_n, COUNT(DISTINCT l_extendedprice) AS e_ndv,
+        |  ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 4) AS e_min,
+        |  ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 4) AS e_max,
+        |  COUNT(l_discount) AS d_n, COUNT(DISTINCT l_discount) AS d_ndv,
+        |  ROUND(CAST(MIN(l_discount) AS DOUBLE), 4) AS d_min,
+        |  ROUND(CAST(MAX(l_discount) AS DOUBLE), 4) AS d_max
+        | FROM lineitem)
+        | SELECT 'l_quantity' AS column_name, n_rows, q_n AS n_notnull,
+        |   q_ndv AS ndv, q_min AS min_v, q_max AS max_v FROM s
+        | UNION ALL SELECT 'l_extendedprice', n_rows, e_n, e_ndv, e_min, e_max FROM s
+        | UNION ALL SELECT 'l_discount', n_rows, d_n, d_ndv, d_min, d_max FROM s
+        | ORDER BY column_name""".stripMargin.replaceAll("\n", ""),
+    "a31_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_totalprice FROM orders),
+        | p AS (SELECT * FROM b WHERE o_orderkey % 10 <> 3),
+        | n AS (SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice + 1, 2)
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM b WHERE o_orderkey % 10 <> 7)
+        | SELECT COALESCE(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       WHEN p.o_totalprice <> n.o_totalprice THEN 'update' END
+        |  AS change_type
+        | FROM p FULL OUTER JOIN n ON p.o_orderkey = n.o_orderkey
+        | WHERE (p.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR p.o_totalprice <> n.o_totalprice)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""),
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS s_qty,
         | COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus

@@ -143,6 +143,23 @@ object EventStreams {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Streaming exact dedup — the stream face of the batch d1/d7
+    * dedup: keep the first arrival per key, dropping repeats. State is
+    * BOUNDED by the event-time watermark (`dropDuplicatesWithinWatermark`
+    * evicts a key's dedup record once the watermark passes it), so an
+    * unbounded log never accumulates unbounded dedup state — the
+    * contract an ingest-time deduper needs. Works identically on a
+    * batch frame (plain dropDuplicates) so the same call serves both
+    * faces of the pipeline. */
+  def streamingDedup(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      delay: String = "1 hour"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+    else df.dropDuplicates(keys)
+
   /** Run a streaming query over a static parquet dir to completion via
     * the memory sink; returns the collected result table. The harness
     * for asserting stream == batch. */

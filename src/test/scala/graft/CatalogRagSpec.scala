@@ -218,6 +218,20 @@ class CatalogRagSpec extends AnyFunSuite {
     assert(perDoc == 0, "each source must carry exactly one title")
   }
 
+  test("hybrid store search: fused rrf score, chunk text joined for display") {
+    val store = tmpDir() + "/store"
+    graft.cli.Demo.importDocs(spark, graft.cli.Demo.demoCorpus(spark),
+      store, "demo-model", dim = 64, maxTokens = 32)
+    val hits = graft.cli.Demo.search(spark, store,
+      "are robots friendly to humans",
+      topK = 3, threshold = -1.0, dim = 64, ann = "hybrid")
+    val rows = hits.select("id", "similarity", "chunk_text").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getDouble(1) > 0 && r.getString(2).nonEmpty))
+    // display contract holds (no throw, prints score + text)
+    graft.cli.Demo.display(hits)
+  }
+
   test("ANN store search: subset of exact ranking, rebuilds on re-import") {
     val store = tmpDir() + "/store"
     graft.cli.Demo.importDocs(spark, graft.cli.Demo.demoCorpus(spark),

@@ -164,6 +164,25 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(leaky == 0)
   }
 
+  test("cdc snapshot diff: insert/delete/update truth table") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val next = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
+    val got = graft.operators.Cdc.snapshotDiff(prev, next, Seq("k"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
+  }
+
+  test("cdc snapshot diff: multi-column keys and compare columns") {
+    import spark.implicits._
+    val prev = Seq((1L, 1L, "x", 10), (1L, 2L, "y", 20)).toDF("k1", "k2", "v", "w")
+    val next = Seq((1L, 1L, "x", 10), (1L, 2L, "y", 21)).toDF("k1", "k2", "v", "w")
+    val got = graft.operators.Cdc
+      .snapshotDiff(prev, next, Seq("k1", "k2"), Seq("v", "w"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2))).toMap
+    assert(got == Map((1L, 2L) -> "update"))
+  }
+
   test("packing: offsets tile the token stream with no gaps or overlap") {
     val rows = Packing.withPackOffsets(tokenized, "doc_id", "n", 64)
       .select("doc_id", "n", "start_offset", "n_spans")

@@ -151,14 +151,19 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // duplicate the stream to create exact dups, then dedup by key
-    val doubled = raw.union(raw)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+    // through the library's bounded-state form (state evicted past the
+    // watermark, the unbounded-log contract)
+    val doubled = EventStreams.streamingDedup(
+      raw.union(raw), Seq("event_id"))
     val result = EventStreams.runToCompletion(
       doubled.select("event_id"), "dedup_test", OutputMode.Append)
     val batchCount = Tables.events(spark, sfDir).count()
     assert(result.count() == batchCount,
       s"${result.count()} != $batchCount")
+    // same call on the batch face is a plain dropDuplicates
+    val b = Tables.events(spark, sfDir)
+    assert(EventStreams.streamingDedup(
+      b.union(b), Seq("event_id")).count() == batchCount)
   }
 
   test("stream-stream correlated join equals batch join") {
