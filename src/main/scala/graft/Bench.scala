@@ -42,6 +42,10 @@ object Bench {
     "d11_semantic_dedup", // k-means cells + within-cell CC collapse
     "t18_quality_deciles", // bounded-histogram decile binning
     "r1_rag_retrieval", // chunk + embed + search end-to-end
+    "b1_bm25_topk", // lexical retrieval: filtered explode + broadcast stats
+    "r3_hybrid_retrieval", // BM25 + cosine legs fused by reciprocal rank
+    "v13_label_centroids", // fixed-buffer vector-mean aggregator
+    "a31_snapshot_diff", // CDC (key, hash) full-outer diff
     "m1_media_features") // batched binary decode plumbing
 
   def main(args: Array[String]): Unit = {

@@ -177,6 +177,35 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // S10: event-rate anomaly detection — per-user hourly rates on the
+    // gap-filled series (zeros count: a silent hour is data), z-scored
+    // against the user's own mean/sd, surfacing the |z| > 2 spikes.
+    // The spine/count/stat aggregations all key on user_id, so the
+    // chain reuses one exchange; the per-user stats table is tiny and
+    // broadcasts back onto the filled series.
+    "s10_rate_anomaly" -> ((s, dir) => {
+      val e = graft.Caches.shared(
+        Tables.events(s, dir).filter(col("user_id") < 50)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr")))
+      val cnt = e.groupBy("user_id", "hr").agg(count(lit(1)).as("cnt"))
+      val spine = e.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+            .as("hr"))
+      val filled = spine.join(cnt, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val stats = filled.groupBy("user_id")
+        .agg(avg("cnt").as("mu"), stddev_samp(col("cnt")).as("sd"))
+      filled.join(broadcast(stats.filter(col("sd") > 0)), "user_id")
+        .withColumn("z", round((col("cnt") - col("mu")) / col("sd"), 4))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("user_id"), col("hr").cast("string").as("hr"),
+          col("cnt"), col("z"))
+        .orderBy("user_id", "hr")
+    }),
+
     // J1: property extraction from the JSON-ish props column
     // (regexp-based; engine-portable, null on no-match under ANSI).
     "j1_props_extract" -> ((s, dir) => {
@@ -204,6 +233,24 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s10_rate_anomaly" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr FROM events
+        |   WHERE user_id < 50),
+        | c AS (SELECT user_id, hr, COUNT(*) AS cnt FROM e GROUP BY user_id, hr),
+        | s AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e
+        |   GROUP BY user_id),
+        | h AS (SELECT user_id,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM s),
+        | f AS (SELECT h.user_id, h.hr,
+        |   CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        |  FROM h LEFT JOIN c ON h.user_id = c.user_id AND h.hr = c.hr),
+        | st AS (SELECT user_id, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sd
+        |  FROM f GROUP BY user_id)
+        | SELECT f.user_id, CAST(f.hr AS VARCHAR) AS hr, f.cnt,
+        |  ROUND((f.cnt - st.mu) / st.sd, 4) AS z
+        | FROM f JOIN st USING (user_id)
+        | WHERE st.sd > 0 AND ABS(ROUND((f.cnt - st.mu) / st.sd, 4)) > 2
+        | ORDER BY user_id, hr""".stripMargin.replaceAll("\n", ""),
     "s5_session_window" ->
       """WITH o AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) us
         |   FROM events),

@@ -51,11 +51,15 @@ object PipelineQueries {
     // R3: hybrid retrieval — BM25 over chunk text fused with the exact
     // cosine ranking by reciprocal rank (rows-only: the vector leg
     // embeds engine-natively; leg agreement and determinism are
-    // asserted in CatalogRagSpec).
+    // asserted in CatalogRagSpec). Both legs read the same chunk+embed
+    // projection, so it is shared through the session cache — one
+    // embed pass, not one per leg (the d3 branch-recompute lesson; on
+    // a persisted store the legs share the parquet scan instead and
+    // no cache is needed).
     "r3_hybrid_retrieval" -> ((s, dir) => {
-      val chunks = Rag.buildChunks(
+      val chunks = graft.Caches.shared(Rag.buildChunks(
         Tables.load(s, dir, "documents").select("doc_id", "text"),
-        modelId = 1L, maxTokens = MaxTokens, dim = Dim)
+        modelId = 1L, maxTokens = MaxTokens, dim = Dim))
       Rag.searchChunksHybrid(chunks, Query, topK = 10, dim = Dim)
     }),
 

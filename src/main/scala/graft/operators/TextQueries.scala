@@ -590,6 +590,24 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // T21: winsorized feature — clamp a heavy-tailed per-doc feature
+    // at its corpus p05/p95 (the outlier-robust normalization step
+    // before any scale-sensitive model). The two quantiles are ONE
+    // 1-row aggregate broadcast back over the scan — the corpus is
+    // read twice but shuffled never; the clamp itself is a codegen
+    // map stage.
+    "t21_winsorize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pct = d.agg(
+        round(expr("percentile(n_chars, 0.05)"), 6).as("lo"),
+        round(expr("percentile(n_chars, 0.95)"), 6).as("hi"))
+      d.crossJoin(broadcast(pct))
+        .select(col("doc_id"),
+          round(least(greatest(col("n_chars").cast("double"), col("lo")),
+            col("hi")), 6).as("clamped"))
+        .orderBy("doc_id")
+    }),
+
     // U3: per-domain frequency cap — keep at most `cap` docs per
     // registrable domain, chosen by key-hash order (not arrival
     // order), the de-biasing step that stops a single crawled mega-
@@ -661,6 +679,12 @@ object TextQueries {
       .stripMargin.replaceAll("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+    "t21_winsorize" ->
+      """WITH p AS (SELECT ROUND(quantile_cont(n_chars, 0.05), 6) AS lo,
+        |   ROUND(quantile_cont(n_chars, 0.95), 6) AS hi FROM documents)
+        | SELECT doc_id, ROUND(LEAST(GREATEST(CAST(n_chars AS DOUBLE), lo),
+        |   hi), 6) AS clamped
+        | FROM documents, p ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "u3_domain_cap" ->
       """WITH d AS (SELECT doc_id,
         |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.' ||

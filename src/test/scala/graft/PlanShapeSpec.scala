@@ -182,6 +182,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("hard negatives: queries broadcast, per-query rank prunes map-side") {
+    val p = planOf("v14_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("label centroids aggregate partially: map-side combine of vector buffers") {
     val df = SparkEntry.queries("v13_label_centroids")(spark, sfDir)
     df.collect()
