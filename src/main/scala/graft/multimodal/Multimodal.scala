@@ -93,6 +93,28 @@ object Multimodal {
       .withColumn("frame_offset", col("frame_offset") * everyNth)
   }
 
+  /** STUB audio windowing: fixed-size non-overlapping byte windows
+    * over audio assets — the segmentation shape of a real resample/
+    * feature pipeline (each window would become a spectrogram patch).
+    * The last partial window is kept and its true length carried, so
+    * downstream batching can pad deterministically. */
+  def audioWindows(assets: DataFrame, windowBytes: Int = 25): DataFrame = {
+    val n = length(col("content"))
+    val nWin = ceil(n.cast("double") / windowBytes).cast("int")
+    assets
+      .filter(col("meta.media_type") === "audio")
+      .select(
+        col("asset_id"), n.as("n_bytes"),
+        posexplode(sequence(lit(0), greatest(nWin - 1, lit(0)))).as(Seq("window_number", "w")))
+      .select(
+        col("asset_id"),
+        col("window_number"),
+        (col("w") * windowBytes).as("start_byte"),
+        least(lit(windowBytes), col("n_bytes") - col("w") * windowBytes)
+          .cast("int").as("window_len"))
+      .filter(col("window_len") > 0)
+  }
+
   /** Repartition a binary-heavy table by byte budget: binary rows are
     * orders of magnitude heavier than relational rows, so partition
     * count must follow Σ bytes, not row count — this is what keeps

@@ -63,6 +63,18 @@ object PipelineQueries {
       Rag.searchChunksHybrid(chunks, Query, topK = 10, dim = Dim)
     }),
 
+    // M3: audio windowing — fixed-size non-overlapping segments over
+    // audio assets with the last partial window's true length carried
+    // (deterministic padding downstream). Same explode shape as m2;
+    // all columns SQL-derivable from the byte length, so fully
+    // oracle-checked.
+    "m3_audio_windows" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticAssets(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Multimodal.audioWindows(assets, windowBytes = 25)
+        .orderBy("asset_id", "window_number")
+    }),
+
     // G1–G4: the assembled contextualized prompt as a 1-row result
     // (deterministic end-to-end: chunking, embedding, retrieval and
     // template are all pure).
@@ -82,6 +94,19 @@ object PipelineQueries {
     * media_type mapping is doc_id % 3 → image/audio/video and n_bytes
     * is the utf-8 byte length the binary cast produces. */
   val oracleSql: Map[String, String] = Map(
+    "m3_audio_windows" ->
+      """WITH v AS (SELECT doc_id AS asset_id,
+        |   octet_length(encode(text)) AS n FROM documents
+        |  WHERE doc_id % 3 = 1),
+        | w AS (SELECT asset_id, CAST(i AS INT) AS window_number,
+        |   CAST(i * 25 AS INT) AS start_byte,
+        |   CAST(LEAST(25, n - i * 25) AS INT) AS window_len
+        |  FROM v, UNNEST(range(0,
+        |    GREATEST(CAST(CEIL(CAST(n AS DOUBLE) / 25) AS BIGINT) - 1, 0) + 1))
+        |    AS u(i))
+        | SELECT asset_id, window_number, start_byte, window_len FROM w
+        | WHERE window_len > 0
+        | ORDER BY asset_id, window_number""".stripMargin.replaceAll("\n", ""),
     "m2_frame_sampling" ->
       """WITH v AS (SELECT doc_id AS asset_id,
         |   octet_length(encode(text)) AS n FROM documents

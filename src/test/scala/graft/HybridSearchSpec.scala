@@ -110,6 +110,26 @@ class HybridSearchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("centroid drift of two identical halves is zero") {
+    import graft.functions.VectorAggregates
+    val mean = VectorAggregates.meanVector(3)
+    // even/odd ids carry the same vectors → halves have equal centroids
+    val d = Seq(
+      (0L, 1, Array(1.0f, 2.0f, 3.0f)), (1L, 1, Array(1.0f, 2.0f, 3.0f)),
+      (2L, 1, Array(4.0f, 5.0f, 6.0f)), (3L, 1, Array(4.0f, 5.0f, 6.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val ca = d.filter(col("vec_id") % 2 === 0)
+      .groupBy("label").agg(mean(col("embedding")).as("ca"))
+    val cb = d.filter(col("vec_id") % 2 === 1)
+      .groupBy("label").agg(mean(col("embedding")).as("cb"))
+    val drift = ca.join(cb, "label")
+      .select(sqrt(aggregate(
+        zip_with(col("ca"), col("cb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)).as("drift"))
+      .head().getDouble(0)
+    assert(drift == 0.0)
+  }
+
   test("bm25 explodes only query-term occurrences, never the corpus") {
     // the filtered-explode shape: the exploded stream is bounded by
     // matches. A doc with zero matches contributes nothing.

@@ -48,6 +48,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one.map(_.getInt(2)).toSeq == (0 until one.length).map(_ * 50))
   }
 
+  test("audio windows tile each asset's bytes exactly, last window partial") {
+    val win = 25
+    val got = Multimodal.audioWindows(assets, windowBytes = win)
+      .groupBy("asset_id")
+      .agg(sum("window_len").as("covered"),
+        count(lit(1)).as("n_win"),
+        max("start_byte").as("last_start"))
+    val sizes = assets.filter(col("meta.media_type") === "audio")
+      .select(col("asset_id"), length(col("content")).as("n"))
+    val joined = got.join(sizes, "asset_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (covered, nWin, lastStart, n) =
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))
+      assert(covered == n, s"windows must cover all $n bytes, got $covered")
+      assert(nWin == (n + win - 1) / win)
+      assert(lastStart == (nWin - 1) * win)
+    }
+  }
+
   test("byte-budget repartitioning sizes partitions by content bytes") {
     val re = Multimodal.repartitionByBytes(assets, targetBytesPerPartition = 4096)
     assert(re.rdd.getNumPartitions >= 2,
