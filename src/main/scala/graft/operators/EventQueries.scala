@@ -98,6 +98,22 @@ object EventQueries {
         .orderBy("l_event_id", "r_event_id")
     }),
 
+    // S11: the same interval-correlation semantics as s6 through the
+    // time-bucketed scale form — the join key gains a trailing-window
+    // bucket (each right event indexed under its own and the next
+    // bucket), so a hot user's events spread over (user, time) tasks
+    // instead of one reduce task. Must be bit-identical to s6 — same
+    // DuckDB range-join oracle.
+    "s11_correlated_binned" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventStreams.correlateBinned(
+          e.filter(col("event_type") === "purchase"),
+          e.filter(col("event_type") === "click"),
+          windowSeconds = 1800L)
+        .select("l_event_id", "user_id", "r_event_id")
+        .orderBy("l_event_id", "r_event_id")
+    }),
+
     // S7: ordered conversion funnel — per user, the furthest stage
     // reached in view → click-after-view → purchase-after-that-click,
     // each step within 24h of the previous (strict event-time
@@ -265,6 +281,17 @@ object EventQueries {
         |  MIN(us) AS start_us, MAX(us) AS end_us
         | FROM sn GROUP BY user_id, session_number
         | ORDER BY user_id, start_us""".stripMargin.replaceAll("\n", ""),
+    "s11_correlated_binned" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   CAST(epoch_us(ts) AS BIGINT) us FROM events),
+        | p AS (SELECT event_id, user_id, us FROM e
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT event_id, user_id, us FROM e
+        |   WHERE event_type = 'click')
+        | SELECT p.event_id AS l_event_id, p.user_id, c.event_id AS r_event_id
+        | FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.us >= p.us - 1800000000 AND c.us <= p.us
+        | ORDER BY l_event_id, r_event_id""".stripMargin.replaceAll("\n", ""),
     "s6_correlated_events" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |   CAST(epoch_us(ts) AS BIGINT) us FROM events),

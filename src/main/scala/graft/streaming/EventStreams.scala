@@ -143,6 +143,36 @@ object EventStreams {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Batch-only scale form of [[correlate]]: the join key gains a
+    * time bucket of `windowSeconds` width, so one reduce task never
+    * sees more than ~two buckets of one user's events — a hot user's
+    * trailing-window join spreads over its time range instead of
+    * concentrating in one task (the same move as the skew-safe as-of
+    * join). Each right event is indexed under its own bucket and the
+    * next (a left event's trailing window spans at most two), the
+    * range predicate then trims exactly — results are bit-identical
+    * to [[correlate]], checked against the same oracle. */
+  def correlateBinned(
+      left: DataFrame, right: DataFrame,
+      windowSeconds: Long = 1800L): DataFrame = {
+    val winUs = windowSeconds * 1000000L
+    // integer floor-division (SQL `div`): double `/` could round a
+    // quotient across a bucket boundary at micro timestamps
+    val b = expr(s"unix_micros(ts) div $winUs")
+    val l = left.select(col("event_id").as("l_event_id"), col("user_id"),
+      col("ts").as("l_ts"), b.as("bucket"))
+    val r = right
+      .select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        explode(array(b, b + 1)).as("bucket"))
+    l.join(r,
+      col("user_id") === col("r_user_id") && l("bucket") === r("bucket") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("l_event_id"), col("user_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming exact dedup — the stream face of the batch d1/d7
     * dedup: keep the first arrival per key, dropping repeats. State is
     * BOUNDED by the event-time watermark (`dropDuplicatesWithinWatermark`

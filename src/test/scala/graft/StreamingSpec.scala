@@ -190,6 +190,21 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${sSet.size} pairs vs batch ${bSet.size}")
   }
 
+  test("binned correlate is bit-identical to the plain range join") {
+    val e = Tables.events(spark, sfDir)
+    val p = e.filter(col("event_type") === "purchase")
+    val c = e.filter(col("event_type") === "click")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = key(EventStreams.correlate(p, c))
+    val binned = key(EventStreams.correlateBinned(p, c))
+    assert(plain.nonEmpty && binned == plain)
+    // no duplicate pairs despite the two-bucket right index
+    val n = EventStreams.correlateBinned(p, c).count()
+    assert(n == binned.size)
+  }
+
   test("stateful streaming sessionization matches batch closed sessions") {
     import spark.implicits._
     val batch = EventStreams.sessionStats(eventsSchemaDf)
