@@ -92,6 +92,29 @@ object Packing {
           - greatest(col("start_offset"), col("pack_id") * ctxSize))
       .drop("span_idx")
 
+  /** Materialize packed training shards: the pack segments grouped
+    * into shards of `packsPerShard` context windows each and written
+    * `partitionBy(shard_id)` — the final sink of the packing pipeline
+    * (a trainer streams one shard directory per step group). Each
+    * shard holds exactly packsPerShard × ctxSize tokens of the
+    * concatenated stream (the last shard less), because segments —
+    * not whole documents — are assigned to shards, so a document
+    * straddling a shard boundary contributes exactly its in-shard
+    * tokens to each side. One repartition on shard_id bounds writer
+    * memory; within-shard order is restored by (pack_id, id) sort. */
+  def writeShards(
+      df: DataFrame, idCol: String, tokensCol: String,
+      ctxSize: Int, packsPerShard: Int, path: String): Unit = {
+    require(packsPerShard > 0, "packsPerShard must be positive")
+    packSegments(df, idCol, tokensCol, ctxSize)
+      .withColumn("shard_id", expr(s"pack_id div $packsPerShard"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("pack_id"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard_id")
+      .parquet(path)
+  }
+
   /** Per-pack roll-up: how many documents start in each ctx window,
     * their token volume, id range, and how many straddle into the next
     * window — the packing audit a data pipeline reports before

@@ -182,6 +182,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("binned correlation joins on the composite key, never a cartesian") {
+    val p = planOf("s11_correlated_binned")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // hash equi-join keyed on BOTH user and time bucket (broadcast at
+    // this SF; shuffled hash/SMJ on the same composite key at scale)
+    assert("HashJoin \\[user_id#\\d+L?, bucket#\\d+L?\\]".r
+      .findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("hard negatives: queries broadcast, per-query rank prunes map-side") {
     val p = planOf("v14_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))

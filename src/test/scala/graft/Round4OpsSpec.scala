@@ -164,6 +164,26 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(leaky == 0)
   }
 
+  test("shard writer: every shard except the last holds exactly its token budget") {
+    val ctx = 64
+    val pps = 8 // packs per shard → 512-token shards
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Packing.writeShards(tokenized, "doc_id", "n", ctx, pps, tmp)
+    val shards = spark.read.parquet(tmp)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(sum("seg_tokens").as("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(shards.length > 1, "fixture must span multiple shards")
+    val budget = ctx.toLong * pps
+    shards.init.foreach { case (id, tok) =>
+      assert(tok == budget, s"shard $id holds $tok tokens, budget $budget")
+    }
+    assert(shards.last._2 <= budget && shards.last._2 > 0)
+    // total token mass conserved
+    val total = tokenized.agg(sum("n")).head().getLong(0)
+    assert(shards.map(_._2).sum == total)
+  }
+
   test("cdc snapshot diff: insert/delete/update truth table") {
     import spark.implicits._
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
