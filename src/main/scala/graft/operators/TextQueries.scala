@@ -590,6 +590,29 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // D12: policy-pluggable cluster representatives — same duplicate
+    // clusters as d6/d7, but the kept doc is chosen by QUALITY (here:
+    // longest text, ties to min id) instead of min-id. Dedup policy
+    // and cluster discovery are orthogonal: labels come from the CC
+    // pass, the keep decision is one windowed rank per cluster
+    // (clusters are small, the window partitions by label).
+    "d12_quality_keep" -> ((s, dir) => {
+      val bounded = docs(s, dir).filter(col("doc_id") < 1000)
+      val pairs = Dedup.ngramJaccardPairs(bounded, "doc_id", "text",
+        n = 2, threshold = 0.4)
+      val labels = Dedup.dupClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(desc("n_chars"), asc("doc_id"))
+      bounded.select("doc_id", "n_chars")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("label", coalesce(col("label"), col("doc_id")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // T21: winsorized feature — clamp a heavy-tailed per-doc feature
     // at its corpus p05/p95 (the outlier-robust normalization step
     // before any scale-sensitive model). The two quantiles are ONE
@@ -679,6 +702,29 @@ object TextQueries {
       .stripMargin.replaceAll("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+    "d12_quality_keep" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |        WHERE doc_id < 1000)),
+        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.4),
+        | e AS (SELECT a_id AS src, b_id AS dst FROM pr
+        |  UNION ALL SELECT b_id, a_id FROM pr),
+        | reach AS (SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        | f AS (SELECT d.doc_id, d.n_chars,
+        |   COALESCE(lab.label, d.doc_id) AS label
+        |  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 1000) d
+        |  LEFT JOIN lab ON d.doc_id = lab.id)
+        | SELECT doc_id FROM f
+        | QUALIFY row_number() OVER (PARTITION BY label
+        |   ORDER BY n_chars DESC, doc_id) = 1
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t21_winsorize" ->
       """WITH p AS (SELECT ROUND(quantile_cont(n_chars, 0.05), 6) AS lo,
         |   ROUND(quantile_cont(n_chars, 0.95), 6) AS hi FROM documents)

@@ -193,6 +193,26 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
   }
 
+  test("cdc diff applied to prev reconstructs next exactly") {
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val prev = base.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val next = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(5)) === 0, col("n_chars") + 1)
+          .otherwise(col("n_chars")))
+    val diff = graft.operators.Cdc
+      .snapshotDiff(prev, next, Seq("doc_id"), Seq("n_chars"))
+    // replay: drop deletes+updates from prev, add inserts+updates from next
+    val touched = diff.filter(col("change_type") =!= "insert").select("doc_id")
+    val incoming = next.join(
+      diff.filter(col("change_type").isin("insert", "update")), Seq("doc_id"),
+      "left_semi")
+    val rebuilt = prev.join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(incoming)
+    assert(rebuilt.exceptAll(next).isEmpty && next.exceptAll(rebuilt).isEmpty)
+  }
+
   test("cdc snapshot diff: multi-column keys and compare columns") {
     import spark.implicits._
     val prev = Seq((1L, 1L, "x", 10), (1L, 2L, "y", 20)).toDF("k1", "k2", "v", "w")
