@@ -406,6 +406,34 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // A32: fuzzy-key matching (entity resolution) — near-identical
+    // names across two record sets found via BLOCKED comparison:
+    // candidates must share a cheap blocking key (type word + first
+    // initial), and only blockmates pay the edit-distance verify. The
+    // blocking key bounds every candidate set, so the join is an
+    // equi-join with per-block work independent of corpus size —
+    // never an all-pairs name comparison. levenshtein() is built-in
+    // (codegen'd) in both engines.
+    "a32_fuzzy_match" -> ((s, dir) => {
+      val toks = split(col("p_name"), " ")
+      val blk = concat(element_at(toks, 2), lit("|"),
+        substring(element_at(toks, 1), 1, 1))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), blk.as("blk"))
+      val a = p.filter(pmod(col("p_partkey"), lit(2)) === 0)
+        .select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+          col("blk"))
+      val b = p.filter(pmod(col("p_partkey"), lit(2)) === 1)
+        .select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+          col("blk"))
+      a.join(b, "blk")
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 2)
+        .select("a_key", "b_key", "dist")
+        .orderBy("a_key", "b_key")
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -422,6 +450,19 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a32_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |   string_split(p_name, ' ')[2] || '|' ||
+        |   substring(string_split(p_name, ' ')[1], 1, 1) AS blk FROM part),
+        | a AS (SELECT p_partkey AS a_key, p_name AS a_name, blk FROM p
+        |   WHERE p_partkey % 2 = 0),
+        | b AS (SELECT p_partkey AS b_key, p_name AS b_name, blk FROM p
+        |   WHERE p_partkey % 2 = 1)
+        | SELECT a_key, b_key,
+        |  CAST(levenshtein(a_name, b_name) AS INT) AS dist
+        | FROM a JOIN b USING (blk)
+        | WHERE a_key < b_key AND levenshtein(a_name, b_name) <= 2
+        | ORDER BY a_key, b_key""".stripMargin.replaceAll("\n", ""),
     "a30_profile" ->
       """WITH s AS (SELECT COUNT(*) AS n_rows,
         |  COUNT(l_quantity) AS q_n, COUNT(DISTINCT l_quantity) AS q_ndv,
