@@ -182,6 +182,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("column profiler reads the fact table exactly once") {
+    val df = SparkEntry.queries("a30_profile")(spark, sfDir)
+    df.collect()
+    val scans = deepCollect(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"profiler must not rescan per column: ${scans.size} scans")
+  }
+
+  test("snapshot diff is one join of narrow (key, hash) projections") {
+    val df = SparkEntry.queries("a31_snapshot_diff")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the join's input projections carry only key + hash, not the row
+    val joins = deepCollect(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.size == 1, p.take(1500))
+    joins.head.children.foreach { side =>
+      assert(side.output.size <= 2,
+        s"join side must be (key, hash): ${side.output.map(_.name)}")
+    }
+  }
+
   test("binned correlation joins on the composite key, never a cartesian") {
     val p = planOf("s11_correlated_binned")
     assert(!p.contains("CartesianProduct") &&
