@@ -219,6 +219,24 @@ object Pq {
   }
 
   /** Persist a codebook as (subspace, cell, centroid) parquet. */
+  /** O(new-data) index maintenance for a PQ-encoded store, completing
+    * the append parity with the LSH and IVF families: new vectors are
+    * encoded with the FROZEN codebooks and appended — codebook drift
+    * is handled by a periodic full rebuild (compaction), never per
+    * batch, the same add-after-train contract as Ivf.appendToIndex.
+    * Returns the loaded model so callers can search immediately. */
+  def appendToIndex(
+      newRows: DataFrame, embCol: String, path: String): PqModel = {
+    val model = loadModel(newRows.sparkSession, s"$path/_model")
+    // same column contract as the original encode() write — callers
+    // pass new rows shaped like the indexed corpus, so the appended
+    // files share the index schema exactly
+    encode(newRows, embCol, model)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(path)
+    model
+  }
+
   def saveModel(spark: SparkSession, model: PqModel, path: String): Unit = {
     import spark.implicits._
     model.codebooks.zipWithIndex.flatMap { case (cents, i) =>

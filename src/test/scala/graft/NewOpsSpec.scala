@@ -80,6 +80,41 @@ class NewOpsSpec extends AnyFunSuite {
       .longColumnBounds(spark, s"$sfDir/nope.parquet", "ts").isEmpty)
   }
 
+  test("PQ append encodes with the frozen codebooks; search sees both halves") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val half1 = embs.filter(col("vec_id") % 2 === 0)
+    val half2 = embs.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_append")
+    val path = dir.toString + "/idx"
+    try {
+      val built = graft.operators.Pq.train(half1, "vec_id", "embedding",
+        m = 8, k = 16)
+      graft.operators.Pq.encode(half1, "embedding", built)
+        .write.parquet(path)
+      graft.operators.Pq.saveModel(spark, built, s"$path/_model")
+      val appended = graft.operators.Pq.appendToIndex(half2, "embedding", path)
+      assert(appended.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+        built.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      // the appended index answers searches over the FULL corpus
+      // identically to encoding all rows with the same codebooks
+      val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val fromIndex = graft.operators.Pq.search(
+          spark.read.parquet(path), "vec_id", "embedding", q, built,
+          topK = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val fromEncode = graft.operators.Pq.search(
+          graft.operators.Pq.encode(embs, "embedding", built),
+          "vec_id", "embedding", q, built, topK = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(fromIndex == fromEncode && fromIndex.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("IVF append assigns with the frozen codebook; search sees both halves") {
     import org.apache.spark.sql.functions.col
     val embs = Tables.load(spark, sfDir, "embeddings")
