@@ -82,9 +82,13 @@ object Rag {
       poolSize: Int = 50,
       rrfC: Int = 60): DataFrame = {
     import graft.operators.Bm25
+    // terms and text are both lowercased: BM25 token match is
+    // case-sensitive by contract, the retrieval layer normalizes
     val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val lexical = Bm25.ranked(
-      Bm25.score(chunks, "chunk_text", "id", terms)
+      Bm25.score(
+          chunks.withColumn("_lc_text", lower(col("chunk_text"))),
+          "_lc_text", "id", terms)
         .select(col("id"), round(col("score"), 4).as("score")),
       "id", "score", poolSize)
     val vector = Bm25.ranked(
