@@ -20,7 +20,7 @@ import graft.store.Catalog
   *     [--ann exact|lsh|ivf|pq|hybrid]
   *   runMain graft.cli.Demo generate --store <dir> --prompt "..."
   *     [--top-k K] [--similarity-threshold T] [--dim N]
-  *     [--max-tokens N] [--temperature T]
+  *     [--max-tokens N] [--temperature T] [--ann exact|lsh|ivf|pq|hybrid]
   *   runMain graft.cli.Demo demo        # self-contained 5-doc flow
   */
 object Demo {
@@ -45,7 +45,19 @@ object Demo {
   }
 
   def run(spark: SparkSession, mode: String, flags: Map[String, String]): Unit = {
-    val dim = flags.getOrElse("dim", "256").toInt
+    // --dim default: for store-reading modes, the store's model
+    // registry knows its embedding dimension — querying at any other
+    // dim is always wrong (the reference reads it from the models
+    // table too, src/lib/database.py). Explicit --dim still wins.
+    def storeDim: Option[Int] = flags.get("store").flatMap { store =>
+      try {
+        val m = spark.read.parquet(s"$store/models").select("embedding_dim")
+        m.head(1).headOption.map(_.getInt(0))
+      } catch { case _: Throwable => None }
+    }
+    lazy val dim = flags.get("dim").map(_.toInt)
+      .orElse(if (mode == "search" || mode == "generate") storeDim else None)
+      .getOrElse(256)
     mode match {
       case "import" =>
         val docs = spark.read.parquet(flags("docs"))
@@ -62,13 +74,25 @@ object Demo {
 
       case "generate" =>
         // --max-tokens / --temperature mirror the reference CLI
-        // (cli/generate_text.py:154-186) and plumb to the generator
-        val chunks = spark.read.parquet(flags("store") + "/chunks")
-        val out = Rag.generate(chunks, flags("prompt"),
-          flags.getOrElse("top-k", "5").toInt,
-          flags.getOrElse("similarity-threshold", "0.01").toDouble, dim,
-          maxTokens = flags.getOrElse("max-tokens", "5000").toInt,
-          temperature = flags.getOrElse("temperature", "0.8").toDouble)
+        // (cli/generate_text.py:154-186) and plumb to the generator;
+        // --ann selects the retrieval mode (exact|lsh|ivf|pq|hybrid,
+        // same modes as `search`) — retrieval goes through the shared
+        // search path, assembly + generation stay identical.
+        val prompt = flags("prompt")
+        val topK = flags.getOrElse("top-k", "5").toInt
+        val threshold = flags.getOrElse("similarity-threshold", "0.01").toDouble
+        val ann = flags.getOrElse("ann", "exact")
+        val hits = search(spark, flags("store"), prompt, topK, threshold,
+          dim, ann)
+        val withText =
+          if (hits.columns.contains("chunk_text")) hits
+          else hits.join(
+            spark.read.parquet(flags("store") + "/chunks"), Seq("id"), "left")
+        val assembled = Rag.contextualizedPrompt(
+          prompt, Rag.aggregateChunkText(withText))
+        val out = Rag.StubGenerator.generate(assembled,
+          flags.getOrElse("max-tokens", "5000").toInt,
+          flags.getOrElse("temperature", "0.8").toDouble)
         println(s"=== generated ===\n$out")
 
       case "demo" =>

@@ -222,6 +222,23 @@ object EventQueries {
         .orderBy("user_id", "hr")
     }),
 
+    // S12: windowed event dedup — first event per (user, type, hour),
+    // the at-least-once-delivery dedup every event pipeline runs at
+    // ingest (the batch face of streamingDedup with a composite key +
+    // time bucket). rank<=1 compiles to WindowGroupLimit, so each map
+    // partition forwards one row per key before the shuffle.
+    "s12_windowed_dedup" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id")
+        .orderBy("event_id")
+    }),
+
     // J1: property extraction from the JSON-ish props column
     // (regexp-based; engine-portable, null on no-match under ANSI).
     "j1_props_extract" -> ((s, dir) => {
@@ -249,6 +266,13 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s12_windowed_dedup" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id, row_number() OVER (
+        |    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        | WHERE rn = 1 ORDER BY event_id""".stripMargin.replaceAll("\n", ""),
     "s10_rate_anomaly" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr FROM events
         |   WHERE user_id < 50),

@@ -590,6 +590,32 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // T22: per-source distribution divergence — KL(source ‖ corpus)
+    // over unigram distributions, the quantitative "how different is
+    // this domain" signal behind mixture weighting and contamination
+    // triage. One explode of the corpus (linear), one shuffle on
+    // (source, token); the source totals and the 1-row corpus total
+    // broadcast back; the token marginals join on the token key.
+    // KL is finite by construction: every source token is in the
+    // corpus marginal.
+    "t22_source_divergence" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+      val perSource = st.groupBy("source").agg(sum("c_st").as("n_s"))
+      val perTok = st.groupBy("tok").agg(sum("c_st").as("c_t"))
+      val total = st.agg(sum("c_st").cast("double").as("n"))
+      st.join(broadcast(perSource), "source")
+        .join(perTok, "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("contrib",
+          (col("c_st") / col("n_s")) *
+            log((col("c_st") / col("n_s")) / (col("c_t") / col("n"))))
+        .groupBy("source")
+        .agg(round(sum("contrib"), 6).as("kl"))
+        .orderBy("source")
+    }),
+
     // D12: policy-pluggable cluster representatives — same duplicate
     // clusters as d6/d7, but the kept doc is chosen by QUALITY (here:
     // longest text, ties to min id) instead of min-id. Dedup policy
@@ -702,6 +728,17 @@ object TextQueries {
       .stripMargin.replaceAll("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+    "t22_source_divergence" ->
+      """WITH st AS (SELECT source, tok, COUNT(*) AS c_st
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) GROUP BY source, tok),
+        | s AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+        | t AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY tok),
+        | n AS (SELECT CAST(SUM(c_st) AS DOUBLE) AS n FROM st)
+        | SELECT st.source, ROUND(SUM(
+        |   (c_st / n_s) * ln((c_st / n_s) / (c_t / n.n))), 6) AS kl
+        | FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n
+        | GROUP BY st.source ORDER BY st.source""".stripMargin.replaceAll("\n", ""),
     "d12_quality_keep" ->
       """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
         |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
