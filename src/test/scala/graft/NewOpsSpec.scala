@@ -80,6 +80,15 @@ class NewOpsSpec extends AnyFunSuite {
       .longColumnBounds(spark, s"$sfDir/nope.parquet", "ts").isEmpty)
   }
 
+  test("int8 quantized search keeps high recall vs exact float32 top-k") {
+    val ids = (q: String) => graft.SparkEntry.queries(q)(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids("v1_cosine_topk")
+    val int8 = ids("v16_int8_topk")
+    val recall = (exact & int8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall@20 = $recall")
+  }
+
   test("PQ append encodes with the frozen codebooks; search sees both halves") {
     import org.apache.spark.sql.functions.col
     val embs = Tables.load(spark, sfDir, "embeddings")
