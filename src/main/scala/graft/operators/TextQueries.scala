@@ -590,6 +590,37 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // T23: duplicated-window rate — for each doc, the fraction of its
+    // 8-token sliding windows that occur anywhere else in the corpus
+    // (including its own repeats): the fine-grained substring-
+    // duplication diagnostic behind "dedup the training set at the
+    // substring level" (cf. the passage-level d8 — this is the
+    // window-granularity score, not the removal). One explode to
+    // window strings (linear, ~n_tokens rows/doc), one shuffle on the
+    // window key for the global counts, joined back on the same key.
+    "t23_dup_window_rate" -> ((s, dir) => {
+      val w = 8
+      val d = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= w)
+      // one window-string pass shared by the global count and the
+      // join-back (Caches.shared: never re-earn the explode per branch)
+      val wins = graft.Caches.shared(d
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("tk")) - (w - 1))).as("i"),
+          col("tk"))
+        .select(col("doc_id"),
+          array_join(slice(col("tk"), col("i"), lit(w)), " ").as("win")))
+      val counts = wins.groupBy("win").agg(count(lit(1)).as("c"))
+      wins.join(counts, "win")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_win"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_win"), 6).as("dup_rate"))
+        .orderBy("doc_id")
+    }),
+
     // T22: per-source distribution divergence — KL(source ‖ corpus)
     // over unigram distributions, the quantitative "how different is
     // this domain" signal behind mixture weighting and contamination
@@ -728,6 +759,19 @@ object TextQueries {
       .stripMargin.replaceAll("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+    "t23_dup_window_rate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |   FROM documents),
+        | w AS (SELECT doc_id,
+        |   array_to_string(list_slice(tk, i, i + 7), ' ') AS win
+        |  FROM t, UNNEST(range(1, len(tk) - 6)) AS u(i) WHERE len(tk) >= 8),
+        | c AS (SELECT win, COUNT(*) AS c FROM w GROUP BY win)
+        | SELECT doc_id, COUNT(*) AS n_win,
+        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_rate
+        | FROM w JOIN c USING (win) GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""),
     "t22_source_divergence" ->
       """WITH st AS (SELECT source, tok, COUNT(*) AS c_st
         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
