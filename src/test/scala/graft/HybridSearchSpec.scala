@@ -110,6 +110,42 @@ class HybridSearchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("vector mean matches a plain Scala reference on random groups") {
+    import org.scalacheck.Gen
+    import SparkTestSession.forAll
+    val dim = 4
+    val mean = graft.functions.VectorAggregates.meanVector(dim)
+    val rowsGen = Gen.listOfN(12, for {
+      g <- Gen.chooseNum(0, 2)
+      v <- Gen.listOfN(dim, Gen.chooseNum(-100f, 100f))
+    } yield (g, v.toArray))
+    forAll(rowsGen, n = 10) { rows =>
+      val got = rows.toDF("g", "v")
+        .groupBy("g").agg(mean(col("v")).as("m"))
+        .collect().map(r => r.getInt(0) ->
+          r.get(1).asInstanceOf[scala.collection.Seq[Double]].toSeq).toMap
+      rows.groupBy(_._1).foreach { case (g, vs) =>
+        val expect = (0 until dim).map(i =>
+          vs.map(_._2(i).toDouble).sum / vs.size)
+        got(g).zip(expect).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-9, s"group $g dim mismatch")
+        }
+      }
+    }
+  }
+
+  test("bm25 scores are invariant to row order and partitioning") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(100)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bm25.score(df, "text", "doc_id", Seq("spark", "table", "merge"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run(d.repartition(1))
+    val b = run(d.repartition(13).sortWithinPartitions(desc("doc_id")))
+    assert(a.keySet == b.keySet && a.keySet.nonEmpty)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+
   test("centroid drift of two identical halves is zero") {
     import graft.functions.VectorAggregates
     val mean = VectorAggregates.meanVector(3)
