@@ -121,6 +121,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Prefix fingerprint: identity over the first `n` normalized
+    * tokens — catches syndication/mirror copies whose bodies diverge
+    * after the shared opening (exact fingerprints miss them). */
+  def prefixFingerprint(text: Column, n: Int): Column =
+    md5(array_join(
+      slice(split(trim(regexp_replace(lower(text), "\\s+", " ")), " "), 1, n),
+      " "))
+
   /** Word n-gram shingles (distinct), via sequence+transform — the
     * input to MinHash and Jaccard dedup. 1-indexed like the oracle's
     * list operations. */

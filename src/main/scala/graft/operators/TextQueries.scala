@@ -590,6 +590,38 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // T24: language-ID confusion matrix — predicted vs labeled
+    // language counts, the evaluation rollup that decides whether the
+    // lang-ID heuristic is good enough to gate a corpus on. Pure map
+    // stage (the t4 classifier) + one keyed aggregation.
+    "t24_langid_confusion" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // D13: cross-source duplicate matrix — PREFIX-dup pairs that CROSS
+    // source boundaries (mirror sites, syndication — bodies diverge
+    // after the shared opening, so exact fingerprints miss them): how
+    // much of each source is redundant with another, the signal behind
+    // source-level dedup ordering. One shuffle on the fingerprint; dup
+    // groups are tiny so the within-group join never blows up.
+    "d13_cross_source_dups" -> ((s, dir) => {
+      val f = docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.prefixFingerprint(col("text"), 10).as("fp"))
+      val a = f.select(col("fp"), col("doc_id").as("a_id"),
+        col("source").as("src_a"))
+      val b = f.select(col("fp"), col("doc_id").as("b_id"),
+        col("source").as("src_b"))
+      a.join(b, Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("dup_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // T23: duplicated-window rate — for each doc, the fraction of its
     // 8-token sliding windows that occur anywhere else in the corpus
     // (including its own repeats): the fine-grained substring-
@@ -759,6 +791,37 @@ object TextQueries {
       .stripMargin.replaceAll("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+    "t24_langid_confusion" -> {
+      def filt(stops: Seq[String]) =
+        s"len(list_filter(tk, x -> list_contains(${
+          stops.map(s => s"'$s'").mkString("[", ",", "]")}, x)))"
+      val l = TextAnalysis.StopwordsByLang
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |   regexp_split_to_array(lower(text), '\\s+') tk FROM documents),
+         | sc AS (SELECT doc_id, lang, text,
+         |   ${filt(l("en"))} AS en, ${filt(l("de"))} AS de,
+         |   ${filt(l("es"))} AS es, ${filt(l("fr"))} AS fr FROM t),
+         | b AS (SELECT doc_id, lang, text, en, de, es, fr,
+         |   GREATEST(en, de, es, fr) AS mx FROM sc),
+         | p AS (SELECT doc_id, lang, CASE
+         |  WHEN len(text) > 0 AND 5 * len(regexp_replace(text,
+         |    '[^\\x{4e00}-\\x{9fff}]', '', 'g')) >= len(text) THEN 'zh'
+         |  WHEN mx > 0 THEN (CASE WHEN fr = mx THEN 'fr'
+         |    WHEN es = mx THEN 'es' WHEN en = mx THEN 'en' ELSE 'de' END)
+         |  ELSE 'und' END AS lang_pred FROM b)
+         | SELECT lang, lang_pred, COUNT(*) AS cnt FROM p
+         | GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""
+        .stripMargin.replaceAll("\n", "")
+    },
+    "d13_cross_source_dups" ->
+      """WITH f AS (SELECT doc_id, source,
+        |  md5(array_to_string(list_slice(string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |    1, 10), ' ')) AS fp
+        |  FROM documents)
+        | SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS dup_pairs
+        | FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", ""),
     "t23_dup_window_rate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |   FROM documents),
