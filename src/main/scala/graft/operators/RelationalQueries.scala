@@ -434,6 +434,24 @@ object RelationalQueries {
         .orderBy("a_key", "b_key")
     }),
 
+    // A33: bivariate statistics — Pearson correlation, sample
+    // covariance and OLS slope of price on quantity per return flag,
+    // completing the statistical-aggregate family (a20's univariate
+    // moments). All three are algebraic (combinable from partial
+    // moment sums), so the plan is the same map-side-combining
+    // two-stage HashAggregate as any sum.
+    "a33_price_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("r"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("cov"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)
+            .as("slope"))
+        .orderBy("l_returnflag")
+    }),
+
     // A12: date/time grouping over the events table. Hour rendered as a
     // string and the double measure summed as exact integer cents so the
     // cross-engine hash cannot drift on timezone or float-sum order.
@@ -450,6 +468,12 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a33_price_stats" ->
+      """SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS r,
+        | ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov,
+        | ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", ""),
     "a32_fuzzy_match" ->
       """WITH p AS (SELECT p_partkey, p_name,
         |   string_split(p_name, ' ')[2] || '|' ||
