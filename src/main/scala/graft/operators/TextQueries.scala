@@ -631,25 +631,7 @@ object TextQueries {
     // window strings (linear, ~n_tokens rows/doc), one shuffle on the
     // window key for the global counts, joined back on the same key.
     "t23_dup_window_rate" -> ((s, dir) => {
-      val w = 8
-      val d = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= w)
-      // one window-string pass shared by the global count and the
-      // join-back (Caches.shared: never re-earn the explode per branch)
-      val wins = graft.Caches.shared(d
-        .select(col("doc_id"),
-          explode(sequence(lit(1), size(col("tk")) - (w - 1))).as("i"),
-          col("tk"))
-        .select(col("doc_id"),
-          array_join(slice(col("tk"), col("i"), lit(w)), " ").as("win")))
-      val counts = wins.groupBy("win").agg(count(lit(1)).as("c"))
-      wins.join(counts, "win")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_win"),
-          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
-        .select(col("doc_id"), col("n_win"), col("n_dup"),
-          round(col("n_dup").cast("double") / col("n_win"), 6).as("dup_rate"))
+      Dedup.dupWindowRate(docs(s, dir), "doc_id", "text", w = 8)
         .orderBy("doc_id")
     }),
 

@@ -184,6 +184,47 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(shards.map(_._2).sum == total)
   }
 
+  test("source KL divergence is non-negative (Gibbs) and finite") {
+    val kl = graft.operators.TextQueries
+      .queries("t22_source_divergence")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(kl.nonEmpty)
+    kl.foreach { case (src, v) =>
+      assert(!v.isNaN && !v.isInfinite && v >= -1e-9, s"$src kl=$v")
+    }
+  }
+
+  test("dup-window rate is in [0,1]; planted exact duplicates score 1.0") {
+    import spark.implicits._
+    val rates = graft.operators.TextQueries
+      .queries("t23_dup_window_rate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rates.nonEmpty && rates.values.forall(v => v >= 0.0 && v <= 1.0))
+    // planted signal on a constructed corpus: an exact twin pair has
+    // every window duplicated; a unique doc shares none; a doc that
+    // borrows the twin's opening scores strictly between
+    val planted = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"), // exact twin of 1
+      (3L, "a b c d e f g h zz yy"), // shares only the opening window
+      (4L, "p q r s t u v w x y")) // unique
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .dupWindowRate(planted, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 1.0)
+    assert(got(3L) > 0.0 && got(3L) < 1.0)
+    assert(got(4L) == 0.0)
+  }
+
+  test("domain cap never keeps more than the cap per domain") {
+    val perDomain = graft.operators.TextQueries
+      .queries("u3_domain_cap")(spark, sfDir)
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perDomain.nonEmpty && perDomain.forall(_ <= 5))
+  }
+
   test("cdc snapshot diff: insert/delete/update truth table") {
     import spark.implicits._
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
