@@ -590,6 +590,22 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // T25: approximate heavy hitters — the most frequent tokens via
+    // Spark's freqItems (Karp/Misra-Gries family): single pass, fixed
+    // memory, no exact global count. Completes the sketch family next
+    // to HLL (a21), quantile (a26), Bloom (d10) and MinHash/SimHash.
+    // Rows-only (the sketch admits false positives by contract); the
+    // MG guarantee — every token above the support threshold IS in
+    // the result — is asserted against exact counts in ScalaTest.
+    "t25_freq_items" -> ((s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val items = toks.stat.freqItems(Seq("tok"), support = 0.02)
+        .head().getSeq[String](0)
+      items.sorted.toDF("tok")
+    }),
+
     // T24: language-ID confusion matrix — predicted vs labeled
     // language counts, the evaluation rollup that decides whether the
     // lang-ID heuristic is good enough to gate a corpus on. Pure map

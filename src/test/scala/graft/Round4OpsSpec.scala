@@ -184,6 +184,20 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(shards.map(_._2).sum == total)
   }
 
+  test("freq-items holds the Misra-Gries guarantee: no true heavy hitter missed") {
+    val got = graft.operators.TextQueries
+      .queries("t25_freq_items")(spark, sfDir)
+      .collect().map(_.getString(0)).toSet
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.count()
+    val exactHeavy = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") > total * 0.02)
+      .collect().map(_.getString(0)).toSet
+    assert(exactHeavy.nonEmpty, "fixture must have heavy tokens at 2%")
+    assert(exactHeavy.subsetOf(got),
+      s"missed heavy hitters: ${exactHeavy -- got}")
+  }
+
   test("source KL divergence is non-negative (Gibbs) and finite") {
     val kl = graft.operators.TextQueries
       .queries("t22_source_divergence")(spark, sfDir)
