@@ -70,6 +70,27 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // S13: FORWARD as-of join — for each purchase, the user's first
+    // click at-or-after it (the "next event" direction: follow-up
+    // attribution, next-action labeling). Implemented by time
+    // negation over the same backward as-of operator (earliest
+    // at-or-after under t = latest at-or-before under −t), so the
+    // one-shuffle bounded-sort machinery is shared; the oracle plays
+    // the same trick on DuckDB's native backward-only ASOF.
+    "s13_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), (-col("us")).as("neg_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), (-col("us")).as("neg_us"),
+          col("event_id").as("click_id"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "neg_us",
+          rightPayload = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          (-col("neg_us")).as("us"), col("asof_click_id"))
+        .orderBy("event_id")
+    }),
+
     // S5: Spark's built-in session_window — must produce exactly the
     // sessions the window-function construction (s1) produces, checked
     // against the same oracle reshaped (no session ordinal; sessions
@@ -396,6 +417,17 @@ object EventQueries {
         |  CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
         | FROM h LEFT JOIN c ON h.user_id = c.user_id AND h.hr = c.hr
         | ORDER BY 1, 2""".stripMargin.replaceAll("\n", ""),
+    "s13_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |   CAST(epoch_us(ts) AS BIGINT) us FROM events),
+        | p AS (SELECT event_id, user_id, us, -us AS neg_us FROM e
+        |   WHERE event_type = 'purchase'),
+        | c AS (SELECT event_id AS click_id, user_id, -us AS c_neg FROM e
+        |   WHERE event_type = 'click')
+        | SELECT p.event_id, p.user_id, p.us, c.click_id AS asof_click_id
+        | FROM p ASOF LEFT JOIN c
+        |   ON p.user_id = c.user_id AND p.neg_us >= c.c_neg
+        | ORDER BY p.event_id""".stripMargin.replaceAll("\n", ""),
     "s3_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |   CAST(epoch_us(ts) AS BIGINT) us FROM events),
