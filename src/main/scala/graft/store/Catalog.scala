@@ -84,17 +84,52 @@ object Catalog {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Sequential id assignment WITHOUT a global single-task sort — the
+    * two-phase distributed prefix sum of
+    * [[graft.operators.Packing.withPackOffsets]] applied to row
+    * counting: range-partition the batch on the key order, row_number
+    * WITHIN each partition (parallel), then offset each partition by
+    * the running sum of per-partition counts. The only unpartitioned
+    * window runs over #partitions subtotal rows, never batch rows, so
+    * a million-row novel batch numbers itself across the cluster
+    * instead of sorting in one task. For a unique key order the ids
+    * are exactly `startId+1 .. startId+n` in (orderCols) order —
+    * identical to `row_number() OVER (ORDER BY orderCols)` — for ANY
+    * partition count (range boundaries move work between phases but
+    * never change the global order). */
+  private[graft] def withSequentialIds(
+      df: DataFrame, orderCols: Seq[String], startId: Long): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .withColumn("_part", spark_partition_id())
+    val wLocal = Window.partitionBy("_part").orderBy(orderCols.map(col): _*)
+    val local = ranged.withColumn("_rn", row_number().over(wLocal))
+    val wParts = Window.orderBy("_part")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = ranged.groupBy("_part")
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_base",
+        coalesce(sum(col("_n")).over(wParts) - col("_n"), lit(0L)))
+      .select("_part", "_base")
+    local.join(broadcast(bases), "_part")
+      .withColumn("id", col("_base") + col("_rn") + lit(startId))
+      .drop("_part", "_rn", "_base")
+  }
+
   /** Insert-if-absent by `name`; returns the full models table.
-    * New ids continue from the current max (row_number over name —
-    * a tiny dimension, the single-partition window is intentional). */
+    * New ids continue from the current max, assigned by the
+    * distributed prefix sum (models is a tiny dimension, but the
+    * shape costs nothing and keeps one id-assignment code path). */
   def upsertModels(
       spark: SparkSession, path: String, incoming: DataFrame): DataFrame = {
     val existing = readOrEmpty(spark, path, ModelsSchema)
     val maxId = existing.agg(coalesce(max("id"), lit(0L))).head().getLong(0)
-    val novel = incoming.select("name", "embedding_dim")
-      .dropDuplicates("name")
-      .join(existing, Seq("name"), "left_anti")
-      .withColumn("id", row_number().over(Window.orderBy("name")) + maxId)
+    val novel = withSequentialIds(
+        incoming.select("name", "embedding_dim")
+          .dropDuplicates("name")
+          .join(existing, Seq("name"), "left_anti"),
+        Seq("name"), maxId)
       .select("id", "name", "embedding_dim")
     if (!novel.isEmpty)
       novel.write.mode(SaveMode.Append).parquet(path)
@@ -124,10 +159,9 @@ object Catalog {
     val maxId = existing.agg(coalesce(max("id"), lit(0L))).head().getLong(0)
     val batch = incoming
       .dropDuplicates("model_id", "author", "title", "year")
-    val novel = batch.join(existing,
-        nullSafeKeyCond(batch, existing), "left_anti")
-      .withColumn("id",
-        row_number().over(Window.orderBy("model_id", "author", "title", "year")) + maxId)
+    val novel = withSequentialIds(
+        batch.join(existing, nullSafeKeyCond(batch, existing), "left_anti"),
+        Seq("model_id", "author", "title", "year"), maxId)
       .select(SourcesSchema.fieldNames.toIndexedSeq.map(col): _*)
     if (!novel.isEmpty)
       novel.write.mode(SaveMode.Append).parquet(path)

@@ -128,6 +128,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog upsert assigns ids without a batch-wide unpartitioned window") {
+    import spark.implicits._
+    // id assignment over a batch must follow Packing's two-phase shape:
+    // the only unpartitioned Window consumes the per-partition subtotal
+    // aggregate (#partitions rows), never batch rows — so a million-row
+    // novel-source ingest never sorts in one task
+    val batch = (1 to 1000)
+      .map(i => (1L, s"author$i", s"title$i", 2000 + i % 30))
+      .toDF("model_id", "author", "title", "year")
+    val windows = windowsOf(graft.store.Catalog.withSequentialIds(
+      batch, Seq("model_id", "author", "title", "year"), 0L))
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      if (w.partitionSpec.isEmpty)
+        assert(deepCollect(w) {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty,
+          "unpartitioned Window must consume the per-partition subtotal agg, not batch rows")
+    }
+  }
+
+  test("dup-window rate shuffles a 64-bit window key, not window strings") {
+    val df = SparkEntry.queries("t23_dup_window_rate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every exchange keyed on the window must carry the hashed long
+    // (win#..L), never the raw w-token string (~50-100 bytes/key)
+    val winKeys = "hashpartitioning\\(win#\\d+L?".r.findAllIn(p).toSeq
+    assert(winKeys.nonEmpty, p.take(2000))
+    winKeys.foreach(k => assert(k.endsWith("L"),
+      s"window shuffle key must be a long, got $k"))
+    graft.Caches.release(spark)
+  }
+
   test("bloom incremental dedup: the anti-join sees only the filtered sliver") {
     // both union branches must carry the mightContain filter below the
     // join/union — i.e. no unionByName of two full scans
