@@ -6,12 +6,16 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
   *
-  * Each query is run twice and the faster run reported: the first run
-  * pays JVM/codegen warmup that a long-lived cluster amortizes, and
-  * the benchmark's subject is the plan, not JIT warmup. The action is
-  * a full materialization (collect of the final result) — results are
-  * small by construction (aggregates / top-k), so driver transfer is
-  * negligible and nothing short-circuits upstream work.
+  * Each query is run three times and the fastest run reported: the
+  * first run pays JVM/codegen warmup that a long-lived cluster
+  * amortizes, and the benchmark's subject is the plan, not JIT warmup.
+  * Three trials (was two through round 4) because sub-second queries
+  * showed phantom ±50% round-over-round deltas from machine noise with
+  * best-of-2 — one extra trial per query buys stable comparisons for
+  * ~30s of bench wall. The action is a full materialization (collect
+  * of the final result) — results are small by construction
+  * (aggregates / top-k), so driver transfer is negligible and nothing
+  * short-circuits upstream work.
   */
 object Bench {
 
@@ -39,6 +43,7 @@ object Bench {
     "p1_training_prep", // composed filter→dedup→split pipeline
     "p2_sequence_packing", // two-phase distributed prefix sum
     "d10_bloom_incremental", // broadcast Bloom prefilter + anti-join rescue
+    "d14_bloom_state", // persisted-filter dedup: zero jobs over seen
     "d11_semantic_dedup", // k-means cells + within-cell CC collapse
     "t18_quality_deciles", // bounded-histogram decile binning
     "r1_rag_retrieval", // chunk + embed + search end-to-end
@@ -79,9 +84,8 @@ object Bench {
     }
 
     val results = Headline.filter(SparkEntry.queries.contains).map { name =>
-      val a = timeOnce(name)
-      val b = timeOnce(name)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val trials = Seq.fill(3)(timeOnce(name))
+      name -> (if (trials.exists(_ < 0)) -1.0 else trials.min)
     }
 
     val qs = results

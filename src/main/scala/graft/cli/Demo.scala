@@ -49,15 +49,41 @@ object Demo {
     // registry knows its embedding dimension — querying at any other
     // dim is always wrong (the reference reads it from the models
     // table too, src/lib/database.py). Explicit --dim still wins.
+    // The dim is the RELEVANT model's: --model when given, the sole
+    // registered model otherwise, else the default model name — an
+    // arbitrary registry row could search at the wrong dim in a
+    // multi-model store. An unreadable registry fails loudly (the old
+    // catch-all Throwable silently fell back to dim=256, masking even
+    // OOM/corruption).
     def storeDim: Option[Int] = flags.get("store").flatMap { store =>
-      try {
-        val m = spark.read.parquet(s"$store/models").select("embedding_dim")
-        m.head(1).headOption.map(_.getInt(0))
-      } catch { case _: Throwable => None }
+      val rows =
+        try spark.read.parquet(s"$store/models")
+          .select("name", "embedding_dim").collect()
+        catch {
+          case scala.util.control.NonFatal(e) => sys.error(
+            s"cannot read model registry at $store/models " +
+              s"(pass --dim to override): $e")
+        }
+      val wanted = flags.getOrElse("model",
+        if (rows.length == 1) rows.head.getString(0)
+        else graft.functions.Embedding.DefaultModel)
+      val hit = rows.find(_.getString(0) == wanted)
+      if (hit.isEmpty && rows.nonEmpty)
+        println(s"[warn] no model named '$wanted' in registry " +
+          s"(${rows.map(_.getString(0)).mkString(", ")}); using --dim/default")
+      hit.map(_.getInt(1))
     }
     lazy val dim = flags.get("dim").map(_.toInt)
       .orElse(if (mode == "search" || mode == "generate") storeDim else None)
       .getOrElse(256)
+    // hybrid fuses by reciprocal rank, whose scores have their own
+    // scale — a cosine threshold cannot apply; say so rather than
+    // silently ignoring the flag
+    def warnHybridThreshold(): Unit =
+      if (flags.contains("similarity-threshold") &&
+          flags.getOrElse("ann", "exact") == "hybrid")
+        println("[warn] --similarity-threshold is ignored with --ann hybrid " +
+          "(rrf scores have their own scale); filter on the fused score instead")
     mode match {
       case "import" =>
         val docs = spark.read.parquet(flags("docs"))
@@ -66,6 +92,7 @@ object Demo {
           dim, flags.getOrElse("max-tokens", "512").toInt)
 
       case "search" =>
+        warnHybridThreshold()
         val hits = search(spark, flags("store"), flags("prompt"),
           flags.getOrElse("top-k", "10").toInt,
           flags.getOrElse("similarity-threshold", "0.7").toDouble, dim,
@@ -78,6 +105,7 @@ object Demo {
         // --ann selects the retrieval mode (exact|lsh|ivf|pq|hybrid,
         // same modes as `search`) — retrieval goes through the shared
         // search path, assembly + generation stay identical.
+        warnHybridThreshold()
         val prompt = flags("prompt")
         val topK = flags.getOrElse("top-k", "5").toInt
         val threshold = flags.getOrElse("similarity-threshold", "0.01").toDouble

@@ -17,6 +17,10 @@ import graft.rag.Rag.TextGenerator
 trait Embedder extends Serializable {
   def dim: Int
   def embed(text: String): Array[Float]
+  /** Batch form — service-backed embedders override this with one
+    * request per batch ([[HttpEmbedder]]); in-process embedders keep
+    * the per-text default. `texts` contains no nulls (callers filter). */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
   final def embedColumn(c: Column): Column = {
     val self = this
     org.apache.spark.sql.functions

@@ -90,7 +90,9 @@ object Bm25 {
     * summed over the rankings that contain d. Each input must carry
     * (idCol, rank); ranks are 1-based. The fusion is a full outer
     * join on the id — both inputs are already top-n-bounded, so this
-    * is a join of two small ranked lists regardless of corpus size. */
+    * is a join of two small ranked lists regardless of corpus size.
+    * Output: (idCol, rrf, rank_a, rank_b) — the per-leg ranks ride
+    * along for explainability (null when a leg missed the id). */
   def rrfFuse(
       a: DataFrame,
       bDf: DataFrame,
@@ -103,7 +105,8 @@ object Bm25 {
       .join(bDf.select(col(idCol), col("rank").as("rank_b")),
         Seq(idCol), "full_outer")
       .select(col(idCol),
-        round(contrib(col("rank_a")) + contrib(col("rank_b")), 6).as("rrf"))
+        round(contrib(col("rank_a")) + contrib(col("rank_b")), 6).as("rrf"),
+        col("rank_a"), col("rank_b"))
       .orderBy(desc("rrf"), asc(idCol))
       .limit(k)
   }

@@ -491,6 +491,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D14: the same incremental dedup served from PERSISTED Bloom
+    // state — built once from the seen corpus, then every batch
+    // dedupes with ZERO jobs over `seen` (the daily-ingest loop d10
+    // re-scans per batch). The no-rescan property is spec-verified by
+    // deleting the seen files between batches; fpp=1e-8 makes a
+    // dropped-novel-row collision ~1e-5 per corpus, so the exact
+    // anti-join oracle still hash-matches.
+    "d14_bloom_state" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val seen = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val incoming = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val statePath =
+        s"${graft.store.AnnIndexes.root}/bloomstate_${graft.store.AnnIndexes.keyOf(dir)}"
+      Dedup.buildBloomState(seen, "fp", statePath,
+        expectedItems = 100000L, fpp = 1e-8)
+      Dedup.incrementalDedupWithState(incoming, "fp", statePath,
+          updateState = false)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // D2: exact bigram-Jaccard near-dup pairs — the O(N²) correctness
     // oracle, so its input is a bounded sample (doc_id < 1000; the
     // full sf0.01 corpus) regardless of SF. The corpus-wide path is
@@ -583,9 +605,15 @@ object TextQueries {
     // similar-topic mass — deduping there collapses 89% of the corpus
     // and densifies the CC graph for nothing).
     "d11_semantic_dedup" -> ((s, dir) => {
-      Dedup.semanticDedup(
+      // build-once codebook sidecar (keyed like the ANN indexes): the
+      // first run trains k-means, every later run loads the cells and
+      // skips training — spec-pinned by job count in DedupTextSpec
+      val modelPath =
+        s"${graft.store.AnnIndexes.root}/semcb_${graft.store.AnnIndexes.keyOf(dir)}" +
+          s"_${graft.store.AnnIndexes.fingerprint(s, s"$dir/embeddings.parquet")}_n16"
+      Dedup.semanticDedupWithCodebook(
           Tables.load(s, dir, "embeddings").select("vec_id", "embedding"),
-          "vec_id", "embedding", nCells = 16, threshold = 0.45)
+          "vec_id", "embedding", nCells = 16, threshold = 0.45, modelPath)
         .select("vec_id")
         .orderBy("vec_id")
     }),
@@ -922,7 +950,8 @@ object TextQueries {
         |        ORDER BY n_chars DESC, doc_id LIMIT 50))
         | SELECT doc_id,
         |  ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + rank_a), 0)
-        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_b), 0), 6) AS rrf
+        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_b), 0), 6) AS rrf,
+        |  CAST(rank_a AS INTEGER) AS rank_a, CAST(rank_b AS INTEGER) AS rank_b
         | FROM lex FULL OUTER JOIN lng USING (doc_id)
         | ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin.replaceAll("\n", ""),
     "t1_token_stats" ->
@@ -1287,6 +1316,13 @@ object TextQueries {
         |  AND doc_id NOT IN (SELECT id FROM lab WHERE id <> label)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d10_bloom_incremental" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        | SELECT doc_id FROM f WHERE doc_id % 3 <> 0
+        |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 = 0)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "d14_bloom_state" ->
       """WITH f AS (SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |  FROM documents)

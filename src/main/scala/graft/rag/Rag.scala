@@ -50,6 +50,28 @@ object Rag {
       .withColumn("embedding", Embedding.embedColumn(col("chunk_text"), dim))
   }
 
+  /** [[buildChunks]] with a pluggable — possibly service-backed —
+    * embedder: chunking stays the same narrow explode; embedding runs
+    * as a batched mapPartitions ([[graft.functions.Embedders
+    * .embedDocuments]]), one `embedBatch` call per `batchSize` chunks
+    * per partition, so an HTTP embedder amortizes requests instead of
+    * paying one round trip per chunk. With `HashEmbedder` the output
+    * is bit-identical to [[buildChunks]] (spec-pinned). */
+  def buildChunksWith(
+      docs: DataFrame,
+      modelId: Long,
+      embedder: graft.functions.Embedder,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxTokens: Int = Chunker.LibDefaultMaxTokens,
+      batchSize: Int = 32): DataFrame =
+    graft.functions.Embedders.embedDocuments(
+      Chunker.chunkDocuments(docs.withColumnRenamed(idCol, "source_id"),
+          textCol, maxTokens)
+        .withColumn("model_id", lit(modelId))
+        .withColumn("id", Catalog.chunkId(col("source_id"), col("chunk_number"))),
+      "chunk_text", "embedding", embedder, batchSize)
+
   /** G1: query embedding — a driver-side scalar call (the reference
     * embeds the user prompt before querying,
     * `cli/search_doc_chunks.py:68-80`). */

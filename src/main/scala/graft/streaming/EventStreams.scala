@@ -156,8 +156,12 @@ object EventStreams {
       left: DataFrame, right: DataFrame,
       windowSeconds: Long = 1800L): DataFrame = {
     val winUs = windowSeconds * 1000000L
-    // integer floor-division (SQL `div`): double `/` could round a
-    // quotient across a bucket boundary at micro timestamps
+    // integral division (SQL `div`, truncation toward zero): double
+    // `/` could round a quotient across a bucket boundary at micro
+    // timestamps. Truncation differs from floor for NEGATIVE
+    // (pre-epoch) timestamps, but buckets stay monotone with unit
+    // steps either way, so the own-bucket + next-bucket indexing and
+    // the exact range trim remain correct for any epoch sign.
     val b = expr(s"unix_micros(ts) div $winUs")
     val l = left.select(col("event_id").as("l_event_id"), col("user_id"),
       col("ts").as("l_ts"), b.as("bucket"))

@@ -11,6 +11,12 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Drain the async listener bus so a caller that just ran jobs can
+    * observe every posted event (job-count assertions in specs).
+    * `SparkContext.listenerBus` is private[spark], hence this shim. */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Free the block-manager copies held by a `localCheckpoint(true)`
     * result. `Dataset.localCheckpoint` materializes the plan into a
     * persisted RDD wrapped in a `LogicalRDD`; `unpersist` on the

@@ -323,6 +323,34 @@ class DedupTextSpec extends AnyFunSuite {
       7L -> 7L, 9L -> 7L))
   }
 
+  test("persistent bloom state: later batches dedupe with no job over seen") {
+    val tmp = java.nio.file.Files.createTempDirectory("bloomstate").toString
+    val seenPath = s"$tmp/seen.parquet"
+    val statePath = s"$tmp/state"
+    val d = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    d.filter(pmod(col("doc_id"), lit(3)) === 0).write.parquet(seenPath)
+    val batch = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    // expected = the exact anti-join, computed while seen still exists
+    val seen = spark.read.parquet(seenPath)
+    val expected = batch.join(seen.select("fp"), Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Dedup.buildBloomState(seen, "fp", statePath,
+      expectedItems = 10000L, fpp = 1e-8)
+    // the strongest possible no-rescan assertion: REMOVE the seen
+    // corpus; if any job touched it the dedup would throw
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(seenPath))
+    val got = Dedup.incrementalDedupWithState(batch, "fp", statePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // updateState folded the batch keys forward: the same batch now
+    // dedupes to nothing
+    val again = Dedup.incrementalDedupWithState(batch, "fp", statePath,
+      updateState = false)
+    assert(again.isEmpty, "state advance must reject the ingested batch")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("exact full-text dedup keeps one row per fingerprint") {
     import spark.implicits._
     val df = Seq(

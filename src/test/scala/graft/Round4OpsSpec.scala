@@ -127,6 +127,51 @@ class Round4OpsSpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("semantic dedup codebook sidecar: same result, second run skips k-means") {
+    Caches.release(spark)
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("semcb").toString
+    val modelPath = s"$dir/model"
+    def keptSet(): Set[Long] = {
+      val r = graft.operators.Dedup
+        .semanticDedupWithCodebook(emb, "vec_id", "embedding",
+          nCells = 16, threshold = 0.45, modelPath)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      Caches.release(spark)
+      r
+    }
+    def countJobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      org.apache.spark.sql.GraftShim.flushListenerBus(spark)
+      spark.sparkContext.addSparkListener(l)
+      try { f; org.apache.spark.sql.GraftShim.flushListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    var first: Set[Long] = Set.empty
+    var second: Set[Long] = Set.empty
+    val firstJobs = countJobs { first = keptSet() }
+    val secondJobs = countJobs { second = keptSet() }
+    assert(first == second)
+    // sidecar result must equal the train-per-run form
+    val base = graft.operators.Dedup
+      .semanticDedup(emb, "vec_id", "embedding", nCells = 16, threshold = 0.45)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    Caches.release(spark)
+    assert(base == first)
+    // the second run loads the sidecar instead of training + saving the
+    // codebook: strictly fewer jobs (sample collect + model write gone)
+    assert(secondJobs < firstJobs,
+      s"second run should skip k-means: $secondJobs vs $firstJobs jobs")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("semantic dedup cells capture most exact near-dup pairs") {
     val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val model = graft.operators.Ivf.train(emb, "vec_id", "embedding", nlist = 16)
