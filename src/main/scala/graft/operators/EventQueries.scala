@@ -260,6 +260,40 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // S14: time-series downsampling — per (user, 5-minute bucket)
+    // event count, value sum (exact cents arithmetic like a12) and
+    // type cardinality: the resolution-reduction step before storage
+    // or modeling. The bucket is an epoch-aligned integral division
+    // (portable to any engine); one keyed shuffle with map-side
+    // partial aggregation.
+    "s14_downsample" -> ((s, dir) => {
+      Tables.events(s, dir).filter(col("user_id") < 100)
+        .groupBy(col("user_id"),
+          expr("unix_micros(ts) div 300000000").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sv_cents"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("user_id", "bucket")
+    }),
+
+    // S15: retention cohorts — users grouped by first-activity day,
+    // the (cohort, day-offset) distinct-user matrix every product
+    // analytics pipeline derives from an event log. The day projection
+    // is shared (one scan) between the cohort agg and the join-back;
+    // both key on user_id, so the chain reuses one exchange.
+    "s15_retention_cohorts" -> ((s, dir) => {
+      val e = graft.Caches.shared(Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d")))
+      val cohorts = e.groupBy("user_id").agg(min("d").as("cohort"))
+      e.join(cohorts, Seq("user_id"))
+        .groupBy(
+          col("cohort").cast("string").as("cohort_day"),
+          datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // J1: property extraction from the JSON-ish props column
     // (regexp-based; engine-portable, null on no-match under ANSI).
     "j1_props_extract" -> ((s, dir) => {
@@ -287,6 +321,21 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s14_downsample" ->
+      """SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents,
+        | CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        | FROM events WHERE user_id < 100 GROUP BY 1, 2
+        | ORDER BY user_id, bucket""".stripMargin.replaceAll("\n", ""),
+    "s15_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS d FROM events),
+        | c AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY 1)
+        | SELECT CAST(CAST(cohort AS TIMESTAMP) AS VARCHAR) AS cohort_day,
+        |  CAST((epoch(d) - epoch(cohort)) / 86400 AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        | FROM e JOIN c USING (user_id) GROUP BY 1, 2
+        | ORDER BY cohort_day, day_offset""".stripMargin.replaceAll("\n", ""),
     "s12_windowed_dedup" ->
       """SELECT event_id FROM (
         |  SELECT event_id, row_number() OVER (

@@ -67,6 +67,52 @@ object Sampling {
       explode(when(nCopies >= 1L, sequence(lit(1L), nCopies))))
   }
 
+  /** Per-group token-budget cap — the sampling dual of the row-count
+    * domain cap (u3): within each group (source/domain/language),
+    * rank rows by `orderCol` desc (ties broken by `idCol` asc) and
+    * keep rows while the cumulative `tokensCol` stays within `budget`.
+    * This is how a mixture recipe expresses "at most N tokens of
+    * source X, best-first". One partitioned window per group — the
+    * cumulative sum never crosses group boundaries, so the shape
+    * scales to any corpus with bounded groups; a single pathological
+    * group is the same skew story as any per-key window (salt the
+    * group or pre-cap row counts). Adds `cum_tokens` (inclusive
+    * running total in keep-priority order). */
+  def tokenBudgetCap(
+      df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, orderCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(desc(orderCol), asc(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Deterministic corpus shuffle: assign every row a dense position
+    * `pos` (1..N) in md5-keyed order — the reproducible global shuffle
+    * a training pipeline runs before packing, so example order is
+    * decorrelated from ingest order yet identical across runs, engines
+    * and partition counts. The position assignment is the distributed
+    * two-phase prefix sum ([[graft.store.Catalog.withSequentialIds]]):
+    * range-partition on the hash key, row_number within partitions,
+    * subtotal offsets — never a single-task global sort. `salt` picks
+    * the permutation (a new salt is a fresh shuffle of the same
+    * corpus). */
+  def shufflePositions(
+      df: DataFrame, idCol: String, salt: String): DataFrame = {
+    require(!df.columns.contains("id"),
+      "shufflePositions: rename the existing 'id' column first " +
+        "(the position assignment uses that name internally)")
+    graft.store.Catalog.withSequentialIds(
+        df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(salt)))),
+        Seq("_h", idCol), 0L)
+      .withColumnRenamed("id", "pos")
+      .drop("_h")
+  }
+
   /** Deterministic per-stratum downsampling: keep a row iff its key
     * hash falls in the stratum's keep-fraction of bucket space.
     * Unlike rand()-based sampleBy, re-runs and re-partitions keep the

@@ -272,6 +272,37 @@ object TextQueries {
         .limit(50)
     }),
 
+    // T26: per-source token-budget sampling — the mixture-recipe cap
+    // "at most N tokens of source X, best-first": rank docs within
+    // each source by quality, keep while the source's cumulative
+    // token count stays under budget. One window PARTITIONED BY
+    // source — the cumulative sum never crosses group boundaries, so
+    // the shape holds at any corpus size.
+    "t26_token_budget" -> ((s, dir) => {
+      Sampling.tokenBudgetCap(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+          "source", "doc_id", "n_tokens", "quality", budget = 800L)
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // T27: decontamination REMOVAL — the action t10's scoring informs:
+    // drop training docs sharing > 10 distinct trigrams with the eval
+    // slice, keep everything else (including docs too short for a
+    // trigram). Same broadcast-eval shape as t10: the train bulk never
+    // shuffles on trigram strings.
+    "t27_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dropContaminated(
+          d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", n = 3, maxOverlap = 10L)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // T11: tf-idf top terms per document — the IR feature-extraction
     // shape: two keyed aggs (term frequency, doc frequency), a hash
     // join, a 1-row broadcast for N, rank window for top-3. Natural
@@ -510,6 +541,29 @@ object TextQueries {
       Dedup.incrementalDedupWithState(incoming, "fp", statePath,
           updateState = false)
         .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // D15: passage-removal REWRITE — the action d8's detector informs:
+    // keep only each chunk fingerprint's first (doc, chunk) occurrence
+    // and rebuild every doc from its surviving chunks (exact substring
+    // dedup at chunk granularity). One fp-keyed shuffle decides
+    // winners; the rebuild is a per-doc ordered agg, bounded by doc
+    // size.
+    "d15_chunk_dedup" -> ((s, dir) => {
+      Dedup.dedupChunksRewrite(docs(s, dir), "doc_id", "text",
+          maxTokens = 16)
+        .orderBy("doc_id")
+    }),
+
+    // P4: deterministic corpus shuffle — md5-keyed global positions
+    // via the distributed two-phase prefix sum (never a single-task
+    // sort): the reproducible shuffle a pipeline runs before packing
+    // so example order decorrelates from ingest order.
+    "p4_corpus_shuffle" -> ((s, dir) => {
+      Sampling.shufflePositions(docs(s, dir).select("doc_id"),
+          "doc_id", "-s42")
+        .select("doc_id", "pos")
         .orderBy("doc_id")
     }),
 
@@ -1322,6 +1376,56 @@ object TextQueries {
         | SELECT doc_id FROM f WHERE doc_id % 3 <> 0
         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 = 0)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "t26_token_budget" -> {
+      val stops = TextAnalysis.EnglishStopwords
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH m AS (SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($stops, t))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS ttr
+         |  FROM documents),
+         | q AS (SELECT doc_id, source, n_tokens,
+         |  ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + ttr +
+         |    LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0, 6)
+         |    AS quality FROM m),
+         | c AS (SELECT doc_id, source, n_tokens, quality,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS cum_tokens FROM q)
+         | SELECT doc_id, source, n_tokens, quality, cum_tokens FROM c
+         | WHERE cum_tokens <= 800 ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", "")
+    },
+    "t27_decontaminate" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+        |    AS tri
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |  WHERE len(tk) >= 3),
+        | ev AS (SELECT DISTINCT tri FROM sh WHERE doc_id % 50 = 0),
+        | ov AS (SELECT doc_id, COUNT(*) AS n FROM sh JOIN ev USING (tri)
+        |  WHERE doc_id % 50 <> 0 GROUP BY 1)
+        | SELECT doc_id FROM documents WHERE doc_id % 50 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM ov WHERE n > 10)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "d15_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+        | ch AS (SELECT doc_id, i - 1 AS cn,
+        |  array_to_string(tk[(i-1)*16+1:(i-1)*16+16], ' ') AS ct
+        |  FROM toks, UNNEST(range(1, CAST(CEIL(len(tk)/16.0) AS BIGINT) + 1)) AS u(i)),
+        | w AS (SELECT *, row_number() OVER (PARTITION BY md5(ct)
+        |  ORDER BY doc_id, cn) AS rn FROM ch)
+        | SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN ct END, ' ' ORDER BY cn), '')
+        |    AS new_text
+        | FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "p4_corpus_shuffle" ->
+      """SELECT doc_id, row_number() OVER (
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR) || '-s42'), doc_id) AS pos
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d14_bloom_state" ->
       """WITH f AS (SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

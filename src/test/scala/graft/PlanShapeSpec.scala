@@ -162,6 +162,29 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("decontamination probes eval trigrams via broadcast; train bulk never shuffles on them") {
+    val p = planOf("t27_decontaminate").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // same contract as t10: at most the eval side's own distinct may
+    // exchange on the n-gram key; the train bulk must not
+    assert("Exchange hashpartitioning\\(ng".r.findAllIn(p).size <= 1,
+      p.take(2000))
+  }
+
+  test("retention cohorts reuse one user_id exchange between cohort agg and join-back") {
+    val p = planOf("s15_retention_cohorts")
+    assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
+      p.take(2000))
+    graft.Caches.release(spark)
+  }
+
+  test("token budget cap windows per source, never unpartitioned") {
+    val windows = windowsOf(SparkEntry.queries("t26_token_budget")(spark, sfDir))
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "the budget window must be partitioned by the group column"))
+  }
+
   test("bloom incremental dedup: the anti-join sees only the filtered sliver") {
     // both union branches must carry the mightContain filter below the
     // join/union — i.e. no unionByName of two full scans

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Invariant specs for the round-5 pipeline operators (the oracle
+  * pins exact values; these pin the properties that must survive any
+  * refactor: budget caps, permutation-ness, prefix-closedness,
+  * dedup-completeness). */
+class Round5OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("token budget cap: per-group totals within budget, kept set is a quality prefix") {
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val kept = Sampling.tokenBudgetCap(scored, "source", "doc_id",
+      "n_tokens", "quality", budget = 800L)
+    // totals never exceed the budget
+    val over = kept.groupBy("source").agg(sum("n_tokens").as("t"))
+      .filter(col("t") > 800L).count()
+    assert(over == 0)
+    // prefix-closed: within a source, every kept row outranks every
+    // dropped row in (quality desc, doc_id asc) order
+    val keptRows = kept.select("source", "quality", "doc_id").collect()
+      .map(r => (r.getString(0), (-r.getDouble(1), r.getLong(2)))).toSeq
+    val dropped = scored.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("source", "quality", "doc_id").collect()
+      .map(r => (r.getString(0), (-r.getDouble(1), r.getLong(2)))).toSeq
+    val worstKept = keptRows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val bestDropped = dropped.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    bestDropped.foreach { case (src, bd) =>
+      worstKept.get(src).foreach(wk =>
+        assert(implicitly[Ordering[(Double, Long)]].lt(wk, bd),
+          s"source $src kept a row ranked below a dropped one"))
+    }
+  }
+
+  test("shuffle positions: a permutation, stable across partitionings, salted") {
+    val d = docs.select("doc_id")
+    val pos = Sampling.shufflePositions(d, "doc_id", "-s42")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = d.count()
+    assert(pos.values.toSeq.sorted == (1L to n).toSeq, "positions must be 1..N")
+    // partitioning-invariant (the prefix-sum contract)
+    val repart = Sampling.shufflePositions(d.repartition(7), "doc_id", "-s42")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart == pos)
+    // a different salt is a genuinely different permutation
+    val other = Sampling.shufflePositions(d, "doc_id", "-s43")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != pos)
+    // and decorrelated from ingest order: not the identity
+    assert(pos.count { case (id, p) => p == id + 1 } < n / 2)
+  }
+
+  test("decontamination removal: drops exactly the >threshold-overlap docs") {
+    val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val evalDf = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val kept = Dedup.dropContaminated(train, evalDf, "doc_id", "text",
+      n = 3, maxOverlap = 10L)
+    // kept ⊆ train, and no kept doc exceeds the overlap bar
+    assert(kept.join(train, Seq("doc_id"), "left_anti").isEmpty)
+    val evalTris = evalDf.select(explode(
+      TextAnalysis.shingles(col("text"), 3)).as("t")).distinct()
+    val overlaps = train
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 3)).as("t"))
+      .join(evalTris, "t").groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    overlaps.collect().foreach { r =>
+      val (id, ov) = (r.getLong(0), r.getLong(1))
+      assert(keptIds.contains(id) == (ov <= 10L),
+        s"doc $id overlap $ov kept=${keptIds.contains(id)}")
+    }
+    // docs too short for a trigram are always kept
+    val short = train.filter(TextAnalysis.tokenCount(col("text")) < 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(short.forall(keptIds.contains))
+  }
+
+  test("chunk dedup rewrite: keeps each fingerprint exactly once, counts add up") {
+    val out = Dedup.dedupChunksRewrite(docs, "doc_id", "text", maxTokens = 16)
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_kept must be <= n_chunks")
+    }
+    // the kept chunks across all docs = exactly the distinct fingerprints
+    val distinctFps = graft.ingest.Chunker.chunkDocuments(
+        docs.select(col("doc_id"), col("text")), "text", maxTokens = 16)
+      .select(md5(col("chunk_text"))).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctFps)
+    // rebuild drops something only when a duplicate chunk exists
+    val removed = rows.map(r => r.getLong(1) - r.getLong(2)).sum
+    val totalChunks = rows.map(_.getLong(1)).sum
+    assert(removed == totalChunks - distinctFps)
+  }
+}
