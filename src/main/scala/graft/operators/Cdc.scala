@@ -39,4 +39,31 @@ object Cdc {
       .filter(col("change_type").isNotNull)
       .select(keyCols.map(col) :+ col("change_type"): _*)
   }
+
+  /** Incremental aggregate maintenance — fold a new batch into a
+    * persisted rollup WITHOUT re-scanning history. The state table
+    * holds algebraic partials per key (counts, sums — commutative
+    * monoids, so merge order never matters); the batch aggregates
+    * itself (map-side partials + one keyed shuffle over BATCH rows
+    * only), and a full-outer merge adds partials elementwise. The
+    * result provably equals re-aggregating history ∪ batch (spec +
+    * oracle); averages/rates derive from the same partials downstream.
+    * State size = distinct keys — the daily-rollup loop touches
+    * O(batch + keys) per day instead of O(history).
+    *
+    * Contract: `state` and `delta` share an identical schema of
+    * keyCols + numeric partial columns; absent keys on either side
+    * contribute zero. */
+  def mergeRollup(
+      state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty)
+    require(state.columns.toSeq == delta.columns.toSeq,
+      s"state/delta schema mismatch: ${state.columns.toSeq} vs ${delta.columns.toSeq}")
+    val valCols = state.columns.filterNot(keyCols.contains).toSeq
+    require(valCols.nonEmpty, "no partial columns to merge")
+    val d = valCols.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"_d_$c"))
+    state.join(d, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ valCols.map(c =>
+        (coalesce(col(c), lit(0L)) + coalesce(col(s"_d_$c"), lit(0L))).as(c)): _*)
+  }
 }

@@ -465,6 +465,27 @@ object RelationalQueries {
           sum(round(col("value") * 100).cast("long")).as("sv_cents"))
         .orderBy("h", "event_type")
     }),
+
+    // A34: incremental rollup maintenance — the daily-pipeline form of
+    // a12's aggregation: history's persisted partials merged with the
+    // new batch's partials (Cdc.mergeRollup), provably equal to the
+    // full re-aggregation the oracle computes. History and batch are
+    // a ts split; at scale only the batch (and the key-sized state)
+    // is ever scanned.
+    "a34_incremental_rollup" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+      Cdc.mergeRollup(
+          rollup(e.filter(col("ts") < cutoff)),
+          rollup(e.filter(col("ts") >= cutoff)),
+          Seq("user_id"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -546,6 +567,8 @@ object RelationalQueries {
       "SELECT COUNT(*) AS cnt FROM (SELECT CASE WHEN value > 100 THEN event_type END AS k FROM events) WHERE k IS NOT DISTINCT FROM NULL",
     "a12_events_hourly" ->
       "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents FROM events GROUP BY 1, 2 ORDER BY h, event_type",
+    "a34_incremental_rollup" ->
+      "SELECT user_id, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents FROM events GROUP BY user_id ORDER BY user_id",
     "a13_median_price" ->
       "SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "a14_rollup" ->

@@ -61,6 +61,28 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sv"))
 
+  /** Time-series downsampling as a stream: per-user tumbling window
+    * with a watermark — the streaming face of the s14 batch rollup
+    * (minus the distinct-type count, which streaming aggregation
+    * cannot compute exactly; a live pipeline uses
+    * approx_count_distinct there). `bucket` is the same epoch-aligned
+    * integral 5-minute index as the batch form, so stream==batch is
+    * directly comparable (StreamingSpec). */
+  def streamingDownsample(
+      events: DataFrame, windowSeconds: Long = 300L,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+      .select(
+        col("user_id"),
+        expr(s"unix_micros(window.start) div ${windowSeconds * 1000000L}")
+          .as("bucket"),
+        col("n_events"), col("sv_cents"))
+
   case class Ev(event_id: Long, ts_us: Long, user_id: Long)
   case class SessionState(sessions: List[(Long, Long, Long, Long)])
   case class SessionOut(user_id: Long, session_number: Long, n_events: Long,

@@ -83,6 +83,28 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(short.forall(keptIds.contains))
   }
 
+  test("mergeRollup ≡ full re-aggregation; disjoint and overlapping keys; zero fill") {
+    import spark.implicits._
+    val state = Seq((1L, 3L, 100L), (2L, 1L, 50L)).toDF("k", "cnt", "sv")
+    val delta = Seq((2L, 2L, 25L), (3L, 4L, 75L)).toDF("k", "cnt", "sv")
+    val got = graft.operators.Cdc.mergeRollup(state, delta, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 100L), (2L, 3L, 75L), (3L, 4L, 75L)))
+    // and on real data: merging a ts-split rollup equals the full one
+    val e = Tables.events(spark, sfDir)
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+    val cutoff = lit("2024-01-10 00:00:00").cast("timestamp")
+    val merged = graft.operators.Cdc.mergeRollup(
+        rollup(e.filter(col("ts") < cutoff)),
+        rollup(e.filter(col("ts") >= cutoff)), Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = rollup(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full)
+  }
+
   test("chunk dedup rewrite: keeps each fingerprint exactly once, counts add up") {
     val out = Dedup.dedupChunksRewrite(docs, "doc_id", "text", maxTokens = 16)
     val rows = out.collect()

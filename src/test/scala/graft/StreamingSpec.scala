@@ -82,6 +82,31 @@ class StreamingSpec extends AnyFunSuite {
       s"stream emitted ${got.size} of ${batch.size} windows")
   }
 
+  test("streaming downsample equals batch 5-minute rollup once complete") {
+    val batch = eventsSchemaDf
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 300000000").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(Tables.load(spark, sfDir, "events").schema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val result = EventStreams.runToCompletion(
+      EventStreams.streamingDownsample(raw), "downsample_test", OutputMode.Append)
+    val got = result.select("user_id", "bucket", "n_events", "sv_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // append mode withholds watermark-open windows on a bounded source
+    assert(got.subsetOf(batch), "stream emitted a bucket batch doesn't have")
+    assert(got.size >= batch.size - 60,
+      s"stream emitted ${got.size} of ${batch.size} buckets")
+  }
+
   test("streaming chunk ingest: readStream docs → chunk+embed → parquet append") {
     // the §7.1-step-10 extension: ingest is append-only, so the batch
     // chunk pipeline runs unchanged as a stream
