@@ -486,6 +486,31 @@ object RelationalQueries {
           Seq("user_id"))
         .orderBy("user_id")
     }),
+
+    // A35: SCD2 temporal dimension join — each order joined to the
+    // customer-tier VERSION valid at order date (two synthesized
+    // versions per customer, split 1998-07-01). Equi-join on the key +
+    // interval trim: |fact| × versions-per-key intermediate, exactly
+    // one surviving row per order; the dimension broadcasts here.
+    "a35_scd2_join" -> ((s, dir) => {
+      val custs = Tables.load(s, dir, "customer").select("c_custkey")
+      val v1 = custs.select(
+        col("c_custkey"),
+        lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit("1998-07-01 00:00:00").cast("timestamp").as("valid_to"),
+        pmod(col("c_custkey"), lit(3)).as("tier"))
+      val v2 = custs.select(
+        col("c_custkey"),
+        lit("1998-07-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        pmod(col("c_custkey") + 1, lit(3)).as("tier"))
+      Temporal.scd2Join(
+          Tables.load(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+          v1.unionByName(v2), "o_custkey", "c_custkey", "o_orderdate")
+        .select(col("o_orderkey"), col("o_custkey"), col("tier"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -569,6 +594,19 @@ object RelationalQueries {
       "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents FROM events GROUP BY 1, 2 ORDER BY h, event_type",
     "a34_incremental_rollup" ->
       "SELECT user_id, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents FROM events GROUP BY user_id ORDER BY user_id",
+    "a35_scd2_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, TIMESTAMP '1995-01-01' AS valid_from,
+        |    TIMESTAMP '1998-07-01' AS valid_to, c_custkey % 3 AS tier
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, TIMESTAMP '1998-07-01', NULL, (c_custkey + 1) % 3
+        |  FROM customer)
+        | SELECT o_orderkey, o_custkey, CAST(tier AS BIGINT) AS tier
+        | FROM orders JOIN dim ON o_custkey = c_custkey
+        |  AND o_orderdate >= valid_from
+        |  AND (valid_to IS NULL OR o_orderdate < valid_to)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""),
     "a13_median_price" ->
       "SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "a14_rollup" ->

@@ -110,6 +110,18 @@ class HttpLlmSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("E1 priming composes over the HTTP generator: primed ≡ stub-primed") {
+    val (server, endpoint, _, _) = startDouble()
+    try {
+      val viaHttp = graft.functions.PrimedEmbedder(
+        HashEmbedder(Dim), HttpTextGenerator(endpoint))
+      val local = graft.functions.PrimedEmbedder(
+        HashEmbedder(Dim), Rag.StubGenerator)
+      val text = "robots walk the red desert"
+      assert(viaHttp.embed(text).toSeq == local.embed(text).toSeq)
+    } finally server.stop(0)
+  }
+
   test("transient 5xx retries to success; dead endpoint fails loudly") {
     val (server, endpoint, embedRequests, failuresRemaining) = startDouble()
     try {

@@ -105,6 +105,59 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("scd2 join: exactly one version per covered fact, nulls outside coverage") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "2020-01-01 00:00:00", "2021-01-01 00:00:00", "bronze"),
+      (1L, "2021-01-01 00:00:00", null, "gold"),
+      (2L, "2020-06-01 00:00:00", "2020-07-01 00:00:00", "silver"))
+      .toDF("k", "valid_from", "valid_to", "tier")
+      .select(col("k"), col("valid_from").cast("timestamp").as("valid_from"),
+        col("valid_to").cast("timestamp").as("valid_to"), col("tier"))
+    val fact = Seq(
+      (10L, 1L, "2020-06-15 00:00:00"), // → bronze
+      (11L, 1L, "2021-01-01 00:00:00"), // boundary: from-inclusive → gold
+      (12L, 1L, "2025-01-01 00:00:00"), // open-ended current → gold
+      (13L, 2L, "2020-08-01 00:00:00"), // outside coverage → null
+      (14L, 3L, "2020-06-15 00:00:00")) // unknown key → null
+      .toDF("fid", "k", "ts")
+      .select(col("fid"), col("k"), col("ts").cast("timestamp").as("ts"))
+    val got = graft.operators.Temporal
+      .scd2Join(fact, dim, "k", "k", "ts")
+      .select("fid", "tier").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "bronze", 11L -> "gold", 12L -> "gold",
+      13L -> null, 14L -> null))
+    // exactly one output row per fact — versions never multiply facts
+    assert(got.size == 5)
+  }
+
+  test("knn classification: majority vote matches a straight-line reference") {
+    // (the synthetic embeddings carry no label-cluster structure —
+    // intra-label cosine ≈ inter — so accuracy-vs-truth is not a
+    // meaningful assertion here; the vote MECHANICS are)
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val train = e.filter(col("vec_id") >= 50)
+    val labels = train.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nn = graft.operators.Similarity.crossTopK(
+        e.filter(col("vec_id") < 50), "vec_id", "embedding",
+        train, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // straight-line majority vote, ties to the smaller label
+    val expected = nn.groupBy(_._1).view.mapValues { hits =>
+      hits.map(h => labels(h._2)).groupBy(identity).view.mapValues(_.size)
+        .toSeq.minBy { case (l, votes) => (-votes, l) }._1
+    }.toMap
+    val predicted = graft.operators.VectorQueries
+      .queries("v17_knn_classify")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(predicted == expected)
+    // exactly one prediction per query, drawn from its neighbor labels
+    assert(predicted.keySet == nn.map(_._1).toSet)
+  }
+
   test("chunk dedup rewrite: keeps each fingerprint exactly once, counts add up") {
     val out = Dedup.dedupChunksRewrite(docs, "doc_id", "text", maxTokens = 16)
     val rows = out.collect()
