@@ -511,6 +511,21 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("tier"))
         .orderBy("o_orderkey")
     }),
+
+    // A36: group-size skew profile — the diagnostic run BEFORE picking
+    // a join/agg strategy at scale: per-key group sizes reduced to
+    // count/avg/p50/p99/max in one pass over the keyed agg. An avg≈p50
+    // with a max 100× larger is the salting/AQE-skew-join signal.
+    "a36_skew_profile" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          round(avg("sz"), 6).as("avg_sz"),
+          round(expr("percentile(sz, 0.5)"), 6).as("p50"),
+          round(expr("percentile(sz, 0.99)"), 6).as("p99"),
+          max("sz").as("max_sz"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -607,6 +622,12 @@ object RelationalQueries {
         |  AND o_orderdate >= valid_from
         |  AND (valid_to IS NULL OR o_orderdate < valid_to)
         | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""),
+    "a36_skew_profile" ->
+      """WITH s AS (SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY 1)
+        | SELECT COUNT(*) AS n_keys, ROUND(AVG(sz), 6) AS avg_sz,
+        |  ROUND(quantile_cont(sz, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(sz, 0.99), 6) AS p99,
+        |  MAX(sz) AS max_sz FROM s""".stripMargin.replaceAll("\n", ""),
     "a13_median_price" ->
       "SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "a14_rollup" ->

@@ -325,6 +325,39 @@ object TextQueries {
         .orderBy(asc("doc_id"), desc("score"), asc("tok"))
     }),
 
+    // T28: sparse tf-idf similarity join — document pairs by cosine
+    // over PRUNED tf-idf vectors (df ≤ 100 drops ubiquitous terms),
+    // computed through the inverted index: explode (doc, term, w),
+    // equi-join on the term, per-pair dot from the posting lists. The
+    // sparse complement of the dense-embedding near-dup (d5): shuffle
+    // width = Σ posting-list² over shared terms, bounded by the df cap
+    // (the standard vocabulary-pruning move that also kills term
+    // skew), never |docs|². Bounded input like d2 (doc_id < 1000).
+    "t28_tfidf_neardup" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 1000)
+      val nDf = broadcast(d.agg(count(lit(1)).as("n")))
+      val tf = d.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = graft.Caches.shared(tf.join(dfreq, "tok").crossJoin(nDf)
+        .filter(col("df") <= 100)
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * log(col("n").cast("double") / col("df"))).as("w")))
+      val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val a = w.select(col("doc_id").as("a_id"), col("tok"), col("w").as("wa"))
+      val b = w.select(col("doc_id").as("b_id"), col("tok"), col("w").as("wb"))
+      a.join(b, Seq("tok"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dot"))
+        .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
+        .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
+        .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= 0.5)
+        .select("a_id", "b_id", "cosine")
+        .orderBy("a_id", "b_id")
+    }),
+
     // T12: unigram surprise (perplexity-style quality signal): mean
     // −ln p(token) under the corpus unigram distribution. The exploded
     // token projection feeds tf, the total and the final join — one
@@ -1328,6 +1361,25 @@ object TextQueries {
         | QUALIFY row_number() OVER (PARTITION BY doc_id
         |   ORDER BY score DESC, tok) <= 3
         | ORDER BY doc_id, score DESC, tok""".stripMargin.replaceAll("\n", ""),
+    "t28_tfidf_neardup" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+        | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM d),
+        | tf AS (SELECT doc_id, tok, COUNT(*) tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT tok, COUNT(*) df FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(*) n FROM d),
+        | w AS (SELECT doc_id, tok, tf * ln(CAST(n AS DOUBLE) / df) AS w
+        |   FROM tf JOIN df USING (tok), n WHERE df <= 100),
+        | nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+        | dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   SUM(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        | SELECT a_id, b_id, cosine FROM (
+        |  SELECT a_id, b_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM dots JOIN nrm na ON dots.a_id = na.doc_id
+        |   JOIN nrm nb ON dots.b_id = nb.doc_id)
+        | WHERE cosine >= 0.5 ORDER BY a_id, b_id"""
+        .stripMargin.replaceAll("\n", ""),
     "t16_bigram_surprise" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') tk FROM documents
         |   WHERE len(string_split(text, ' ')) >= 2),

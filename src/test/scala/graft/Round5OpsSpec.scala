@@ -158,6 +158,50 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(predicted.keySet == nn.map(_._1).toSet)
   }
 
+  test("tfidf similarity join: canonical pairs, bounded cosine, identical texts at 1") {
+    // (df-pruning legitimately empties vectors made only of ubiquitous
+    // tokens — this tiny-vocabulary corpus does that a lot — so
+    // "every near-dup must appear" is NOT an invariant here; the
+    // invariants are the pair canon, the cosine bounds, and that
+    // identical texts which DO appear score exactly 1.)
+    val pairs = graft.operators.TextQueries
+      .queries("t28_tfidf_neardup")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case ((a, b), c) =>
+      assert(a < b && c >= 0.5 && c <= 1.000001) }
+    // identical-fingerprint docs have identical tf-idf vectors: any
+    // such pair the join surfaces must score exactly 1.0
+    val fp = docs.filter(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.filter { case ((a, b), _) => fp(a) == fp(b) }
+      .foreach { case (p, c) =>
+        assert(c >= 0.999999, s"identical pair $p scored $c") }
+    // independent straight-line check of one surfaced pair's cosine
+    val ((pa, pb), pc) = pairs.maxBy(_._2)
+    val texts = docs.filter(col("doc_id").isin(pa, pb))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = docs.filter(col("doc_id") < 1000).count().toDouble
+    val tfs = docs.filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).groupBy(identity).view.mapValues(_.length).toMap)
+      .toMap
+    val dfm = tfs.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+    def vec(id: Long): Map[String, Double] = tfs(id).collect {
+      case (t, c) if dfm(t) <= 100 => t -> c * math.log(n / dfm(t))
+    }.toMap
+    val (va, vb) = (vec(pa), vec(pb))
+    val dot = va.keySet.intersect(vb.keySet).toSeq.map(t => va(t) * vb(t)).sum
+    val ref = dot / (math.sqrt(va.values.map(x => x * x).sum) *
+      math.sqrt(vb.values.map(x => x * x).sum))
+    assert(math.abs(ref - pc) < 1e-5, s"pair ($pa,$pb): engine $pc vs reference $ref")
+    graft.Caches.release(spark)
+  }
+
   test("chunk dedup rewrite: keeps each fingerprint exactly once, counts add up") {
     val out = Dedup.dedupChunksRewrite(docs, "doc_id", "text", maxTokens = 16)
     val rows = out.collect()
