@@ -48,6 +48,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka (prefix-truncation) two-stage search: coarse-rank by
+    * cosine over the first `prefixDim` dimensions — dim/prefixDim less
+    * arithmetic per row, and proportionally less I/O when the store
+    * lays the prefix out as its own column — then exact full-dim
+    * re-rank of the coarse top `rerank`. With matryoshka-trained
+    * embeddings the prefix ordering approximates the full one, so the
+    * recall loss concentrates at the coarse boundary and `rerank` ≫ k
+    * recovers it (recall floor spec'd). Both stages are bounded
+    * top-k: TakeOrderedAndProject over the scan, then over `rerank`
+    * rows — never a global sort. */
+  def matryoshkaTopK(
+      df: DataFrame, embCol: String, queryVec: Array[Double], k: Int,
+      prefixDim: Int, rerank: Int, tieBreak: Seq[String] = Seq.empty,
+      roundTo: Int = 6): DataFrame = {
+    require(prefixDim > 0 && prefixDim <= queryVec.length,
+      s"prefixDim $prefixDim out of range for dim ${queryVec.length}")
+    require(rerank >= k, "rerank pool must be at least k")
+    val coarse = round(VectorFunctions.cosine_similarity(
+      slice(col(embCol), 1, prefixDim),
+      typedLit(queryVec.take(prefixDim))), roundTo)
+    df.withColumn("_csim", coarse)
+      .orderBy(desc("_csim") +: tieBreak.map(asc): _*)
+      .limit(rerank)
+      .withColumn("similarity", round(
+        VectorFunctions.cosine_similarity(col(embCol), typedLit(queryVec)),
+        roundTo))
+      .drop("_csim")
+      .orderBy(desc("similarity") +: tieBreak.map(asc): _*)
+      .limit(k)
+  }
+
   /** (similarity, id) pair kept by the bounded heap. */
   case class Scored(similarity: Double, id: Long)
 

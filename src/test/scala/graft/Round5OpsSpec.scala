@@ -202,6 +202,31 @@ class Round5OpsSpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("matryoshka search: returned sims exact, recall over coarse floor, no global sort") {
+    import org.apache.spark.sql.functions.typedLit
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val probe = graft.operators.VectorQueries.probeVec
+    val df = graft.operators.VectorQueries
+      .queries("v18_matryoshka_topk")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(1500))
+    val mat = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the full-dim re-rank reports EXACT cosines for every returned id
+    val direct = e.filter(col("vec_id").isin(mat.keys.toSeq.map(Long.box): _*))
+      .select(col("vec_id"), round(functions.VectorFunctions
+        .cosine_similarity(col("embedding"), typedLit(probe)), 6).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mat == direct)
+    // prefix coarse pass keeps a usable share of the true top-20
+    val exact = graft.operators.Similarity
+      .topK(e, "embedding", probe, 20, -1.0, Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = mat.keySet.intersect(exact).size / 20.0
+    assert(recall >= 0.3, s"matryoshka recall@20 $recall below 0.3")
+  }
+
   test("chunk dedup rewrite: keeps each fingerprint exactly once, counts add up") {
     val out = Dedup.dedupChunksRewrite(docs, "doc_id", "text", maxTokens = 16)
     val rows = out.collect()
