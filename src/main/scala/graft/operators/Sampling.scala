@@ -113,6 +113,28 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis A-Res priority scheme, public): each row gets
+    * priority u^(1/w) for a key-derived uniform u — the top `n`
+    * priorities are a weight-proportional sample. Ordering by
+    * ln(u)/w is equivalent and better-conditioned; priorities round
+    * to 6dp with the key as tiebreak so the sample is identical
+    * across runs, engines and partitionings (u comes from the key's
+    * md5, never rand()). Top-n compiles to TakeOrderedAndProject —
+    * map-side bounded heaps, never a global sort. Weights must be
+    * positive. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double")
+    val u = (v + lit(0.5)) / lit(16777216.0) // 16^6 — u ∈ (0, 1)
+    df.withColumn("_pri", round(log(u) / col(weightCol), 6))
+      .orderBy(desc("_pri"), asc(idCol))
+      .limit(n)
+      .drop("_pri")
+  }
+
   /** Deterministic per-stratum downsampling: keep a row iff its key
     * hash falls in the stratum's keep-fraction of bucket space.
     * Unlike rand()-based sampleBy, re-runs and re-partitions keep the

@@ -303,6 +303,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T29: token-weighted sampling — a 200-doc sample where inclusion
+    // probability scales with n_tokens (Efraimidis–Spirakis priority
+    // sampling on a key-derived uniform): the "sample by token mass,
+    // not row count" primitive mixture tuning wants. Deterministic
+    // across engines/partitionings; top-n = TakeOrderedAndProject.
+    "t29_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(
+          docs(s, dir).select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", n = 200)
+        .orderBy("doc_id")
+    }),
+
     // T11: tf-idf top terms per document — the IR feature-extraction
     // shape: two keyed aggs (term frequency, doc frequency), a hash
     // join, a 1-row broadcast for N, rank window for top-3. Natural
@@ -1361,6 +1374,19 @@ object TextQueries {
         | QUALIFY row_number() OVER (PARTITION BY doc_id
         |   ORDER BY score DESC, tok) <= 3
         | ORDER BY doc_id, score DESC, tok""".stripMargin.replaceAll("\n", ""),
+    "t29_weighted_sample" -> {
+      val hexv = (0 until 6).map(i =>
+        s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ($hexv) AS v FROM documents),
+         | p AS (SELECT doc_id, n_tokens,
+         |  ROUND(ln((v + 0.5) / 16777216.0) / n_tokens, 6) AS pri FROM w)
+         | SELECT doc_id, n_tokens FROM
+         |  (SELECT doc_id, n_tokens FROM p ORDER BY pri DESC, doc_id LIMIT 200)
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+    },
     "t28_tfidf_neardup" ->
       """WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
         | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM d),

@@ -227,6 +227,25 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"matryoshka recall@20 $recall below 0.3")
   }
 
+  test("weighted sample: size-n, weight-biased, partitioning-invariant") {
+    val scored = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val sample = Sampling.weightedSample(scored, "doc_id", "n_tokens", n = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sample.size == 200)
+    // inclusion probability scales with weight: the sample's mean
+    // token count must exceed the corpus's
+    val corpusMean = scored.agg(avg("n_tokens")).head().getDouble(0)
+    val sampleMean = sample.values.sum.toDouble / sample.size
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+    // identical under any partitioning (key-derived priorities)
+    val repart = Sampling.weightedSample(scored.repartition(7),
+        "doc_id", "n_tokens", n = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart == sample)
+  }
+
   test("chunk dedup rewrite: keeps each fingerprint exactly once, counts add up") {
     val out = Dedup.dedupChunksRewrite(docs, "doc_id", "text", maxTokens = 16)
     val rows = out.collect()
