@@ -162,6 +162,22 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("filtered vector search pushes the metadata predicate to the scan") {
+    val df = SparkEntry.queries("v19_filtered_topk")(spark, sfDir)
+    df.collect()
+    val scans = deepCollect(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanLike => f
+    }
+    assert(scans.nonEmpty)
+    // the label IN (...) predicate must reach parquet as a pushed
+    // filter so row groups outside it never decode
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(p => p.contains("In(label"))),
+      scans.map(_.metadata.get("PushedFilters")).mkString("; "))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("decontamination probes eval trigrams via broadcast; train bulk never shuffles on them") {
     val p = planOf("t27_decontaminate").split("== Initial Plan ==")(0)
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
