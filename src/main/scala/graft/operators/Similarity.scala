@@ -48,6 +48,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN majority-vote label classification: predict each query
+    * row's label from the labels of its `k` nearest train neighbors
+    * ([[crossTopK]] — broadcast probes + bounded per-query heaps,
+    * never a corpus×corpus product), votes counted in two tiny keyed
+    * aggs over k·|queries| rows. Deterministic end-to-end: neighbor
+    * ties break (similarity desc, id asc) inside the heap; vote ties
+    * break to the smaller label via the max-struct trick. Output:
+    * (idCol, predicted). */
+  def knnClassify(
+      queries: DataFrame, train: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int = 5): DataFrame =
+    crossTopK(queries, idCol, embCol, train, idCol, embCol, k)
+      .join(train.select(col(idCol).cast("long").as("neighbor_id"),
+        col(labelCol).as("_lbl")), "neighbor_id")
+      .groupBy(col("query_id"), col("_lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id").as(idCol))
+      .agg(max(struct(col("votes"), (-col("_lbl")).as("neg"))).as("w"))
+      .select(col(idCol), (-col("w.neg")).cast("int").as("predicted"))
+
   /** Matryoshka (prefix-truncation) two-stage search: coarse-rank by
     * cosine over the first `prefixDim` dimensions — dim/prefixDim less
     * arithmetic per row, and proportionally less I/O when the store

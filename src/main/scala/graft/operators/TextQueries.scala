@@ -347,27 +347,9 @@ object TextQueries {
     // (the standard vocabulary-pruning move that also kills term
     // skew), never |docs|². Bounded input like d2 (doc_id < 1000).
     "t28_tfidf_neardup" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("doc_id") < 1000)
-      val nDf = broadcast(d.agg(count(lit(1)).as("n")))
-      val tf = d.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val w = graft.Caches.shared(tf.join(dfreq, "tok").crossJoin(nDf)
-        .filter(col("df") <= 100)
-        .select(col("doc_id"), col("tok"),
-          (col("tf") * log(col("n").cast("double") / col("df"))).as("w")))
-      val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      val a = w.select(col("doc_id").as("a_id"), col("tok"), col("w").as("wa"))
-      val b = w.select(col("doc_id").as("b_id"), col("tok"), col("w").as("wb"))
-      a.join(b, Seq("tok"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dot"))
-        .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
-        .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
-        .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
-        .filter(col("cosine") >= 0.5)
-        .select("a_id", "b_id", "cosine")
+      Dedup.tfidfSimilarityPairs(
+          docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
+          threshold = 0.5, maxDf = 100L)
         .orderBy("a_id", "b_id")
     }),
 
