@@ -162,6 +162,22 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("scd2 join broadcasts the small dimension; no cartesian") {
+    val p = planOf("a35_scd2_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("downsample and chunk-dedup aggregate partially before their one shuffle") {
+    Seq("s14_downsample", "d15_chunk_dedup").foreach { q =>
+      val p = planOf(q)
+      assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+        .findAllIn(p).size >= 2, s"$q:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+    }
+  }
+
   test("filtered vector search pushes the metadata predicate to the scan") {
     val df = SparkEntry.queries("v19_filtered_topk")(spark, sfDir)
     df.collect()
