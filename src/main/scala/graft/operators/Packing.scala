@@ -43,9 +43,19 @@ object Packing {
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
+    // The partitioned frame feeds BOTH the local-prefix window and the
+    // subtotal aggregate, and its _part labels come from
+    // spark_partition_id over a SAMPLED range exchange — correct only
+    // when both consumers see the SAME boundaries. Plan-level exchange
+    // reuse usually guarantees that, but AQE can re-plan the two
+    // branches differently when this op is nested above another range
+    // exchange (observed: shuffled packing at sf0.1 — coalesced
+    // partitions on one branch only, offsets silently wrong). Sharing
+    // ONE materialization makes the boundary agreement structural
+    // rather than an optimizer accident.
+    val ranged = graft.Caches.shared(df
       .repartitionByRange(parts, col(idCol))
-      .withColumn("_part", spark_partition_id())
+      .withColumn("_part", spark_partition_id()))
     // Phase 1: local prefix (exclusive) inside each id-range partition.
     val wLocal = Window.partitionBy("_part").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -595,6 +595,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P5: shuffled packing — the composed pre-training shape: docs get
+    // reproducible md5-shuffled positions (p4), then pack offsets in
+    // THAT order (p2's two-phase prefix sum keyed on pos). Two
+    // distributed prefix sums end-to-end; no single-task sort anywhere.
+    "p5_shuffled_packing" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.withPackOffsets(
+          Sampling.shufflePositions(d, "doc_id", "-s42"),
+          "pos", "n_tokens", ctxSize = 2048)
+        .select("doc_id", "pos", "start_offset", "pack_id")
+        .orderBy("doc_id")
+    }),
+
     // D2: exact bigram-Jaccard near-dup pairs — the O(N²) correctness
     // oracle, so its input is a bounded sample (doc_id < 1000; the
     // full sf0.01 corpus) regardless of SF. The corpus-wide path is
@@ -1486,6 +1500,16 @@ object TextQueries {
       """SELECT doc_id, row_number() OVER (
         |  ORDER BY md5(CAST(doc_id AS VARCHAR) || '-s42'), doc_id) AS pos
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "p5_shuffled_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens FROM documents),
+        | p AS (SELECT doc_id, n_tokens, row_number() OVER (
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR) || '-s42'), doc_id) AS pos FROM t),
+        | o AS (SELECT doc_id, pos, n_tokens, SUM(n_tokens) OVER (
+        |  ORDER BY pos ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset FROM p)
+        | SELECT doc_id, pos, CAST(start_offset AS BIGINT) AS start_offset,
+        |  CAST(start_offset // 2048 AS BIGINT) AS pack_id
+        | FROM o ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d14_bloom_state" ->
       """WITH f AS (SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -100,9 +100,13 @@ object Catalog {
   private[graft] def withSequentialIds(
       df: DataFrame, orderCols: Seq[String], startId: Long): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
+    // shared materialization: the local-rank window and the subtotal
+    // aggregate MUST observe identical range boundaries — see the
+    // same move in Packing.withPackOffsets (AQE can re-plan the two
+    // branches' exchanges differently when ops nest)
+    val ranged = graft.Caches.shared(df
       .repartitionByRange(parts, orderCols.map(col): _*)
-      .withColumn("_part", spark_partition_id())
+      .withColumn("_part", spark_partition_id()))
     val wLocal = Window.partitionBy("_part").orderBy(orderCols.map(col): _*)
     val local = ranged.withColumn("_rn", row_number().over(wLocal))
     val wParts = Window.orderBy("_part")
