@@ -16,18 +16,21 @@ import org.apache.spark.sql.functions._
   * implementation is the classic two-phase distributed prefix sum
   * instead:
   *
-  *   1. range-repartition by id (so partitions hold contiguous id
-  *      ranges in global order) and compute each row's prefix WITHIN
-  *      its partition (per-partition Window — parallel, no skew);
-  *   2. aggregate one subtotal row per partition (a few hundred rows,
+  *   1. bucket rows into contiguous id ranges ([[RangeBuckets]]: a
+  *      sampled-boundary bucket expression — a pure map-side function
+  *      of the id, no range exchange) and compute each row's prefix
+  *      WITHIN its bucket (partitioned Window — parallel, no skew);
+  *   2. aggregate one subtotal row per bucket (a few hundred rows,
   *      not corpus rows), prefix-sum THAT tiny list (the only
-  *      unpartitioned window, over #partitions rows), and broadcast-join
-  *      the partition base offsets back.
+  *      unpartitioned window, over #buckets rows), and broadcast-join
+  *      the bucket base offsets back.
   *
-  * Global offset = partition base + local prefix. The result is
-  * identical for ANY partition count — range boundaries shift work
-  * between phases but never change the global order — which is also
-  * what makes it deterministic under AQE re-planning.
+  * Global offset = bucket base + local prefix. The result is
+  * identical for ANY bucket count or boundary placement — boundaries
+  * shift work between phases but never change the global order — and
+  * because the bucket label is a deterministic function of the key
+  * (not a runtime partition id), both plan branches agree under any
+  * AQE re-planning with nothing persisted.
   */
 object Packing {
 
@@ -43,28 +46,31 @@ object Packing {
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // The partitioned frame feeds BOTH the local-prefix window and the
-    // subtotal aggregate, and its _part labels come from
-    // spark_partition_id over a SAMPLED range exchange — correct only
-    // when both consumers see the SAME boundaries. Plan-level exchange
-    // reuse usually guarantees that, but AQE can re-plan the two
-    // branches differently when this op is nested above another range
-    // exchange (observed: shuffled packing at sf0.1 — coalesced
-    // partitions on one branch only, offsets silently wrong). Sharing
-    // ONE materialization makes the boundary agreement structural
-    // rather than an optimizer accident.
-    val ranged = graft.Caches.shared(df
-      .repartitionByRange(parts, col(idCol))
-      .withColumn("_part", spark_partition_id()))
-    // Phase 1: local prefix (exclusive) inside each id-range partition.
+    // The bucket label feeds BOTH the local-prefix window and the
+    // subtotal aggregate, so the two branches must agree on bucket
+    // assignment under ANY re-planning. `_part` is therefore a PURE
+    // map-side function of the key: range boundaries are computed once
+    // (one narrow sample job over idCol — what RangePartitioner does
+    // internally) and frozen into the plan as broadcast literals, so
+    // AQE can re-plan each branch freely and both still compute
+    // identical buckets. No corpus materialization (round 5 persisted
+    // the ranged frame instead, doubling the operator's IO at scale),
+    // and the subtotal branch now combines map-side — only #parts
+    // subtotal rows ever shuffle on that leg. Requires `df` to be
+    // deterministic (both branches re-evaluate it), which every caller
+    // here satisfies.
+    val bounds = RangeBuckets.boundaries(df, Seq(idCol), parts)
+    val parted = df.withColumn("_part",
+      RangeBuckets.bucket(Seq(col(idCol)), bounds))
+    // Phase 1: local prefix (exclusive) inside each id-range bucket.
     val wLocal = Window.partitionBy("_part").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_local_end", sum(col(tokensCol)).over(wLocal))
-    // Phase 2: one row per partition; the unpartitioned window runs
-    // over #partitions rows, not corpus rows.
+    val local = parted.withColumn("_local_end", sum(col(tokensCol)).over(wLocal))
+    // Phase 2: one row per bucket; the unpartitioned window runs
+    // over #buckets rows, not corpus rows.
     val wParts = Window.orderBy("_part")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bases = ranged.groupBy("_part")
+    val bases = parted.groupBy("_part")
       .agg(sum(col(tokensCol)).as("_part_total"))
       .withColumn("_base",
         coalesce(sum(col("_part_total")).over(wParts) - col("_part_total"), lit(0L)))

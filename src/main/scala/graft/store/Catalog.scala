@@ -87,10 +87,11 @@ object Catalog {
   /** Sequential id assignment WITHOUT a global single-task sort — the
     * two-phase distributed prefix sum of
     * [[graft.operators.Packing.withPackOffsets]] applied to row
-    * counting: range-partition the batch on the key order, row_number
-    * WITHIN each partition (parallel), then offset each partition by
-    * the running sum of per-partition counts. The only unpartitioned
-    * window runs over #partitions subtotal rows, never batch rows, so
+    * counting: bucket the batch into contiguous key ranges (sampled
+    * map-side boundaries, [[graft.operators.RangeBuckets]]), row_number
+    * WITHIN each bucket (parallel), then offset each bucket by
+    * the running sum of per-bucket counts. The only unpartitioned
+    * window runs over #buckets subtotal rows, never batch rows, so
     * a million-row novel batch numbers itself across the cluster
     * instead of sorting in one task. For a unique key order the ids
     * are exactly `startId+1 .. startId+n` in (orderCols) order —
@@ -100,18 +101,21 @@ object Catalog {
   private[graft] def withSequentialIds(
       df: DataFrame, orderCols: Seq[String], startId: Long): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // shared materialization: the local-rank window and the subtotal
-    // aggregate MUST observe identical range boundaries — see the
-    // same move in Packing.withPackOffsets (AQE can re-plan the two
-    // branches' exchanges differently when ops nest)
-    val ranged = graft.Caches.shared(df
-      .repartitionByRange(parts, orderCols.map(col): _*)
-      .withColumn("_part", spark_partition_id()))
+    // the local-rank window and the subtotal aggregate MUST agree on
+    // bucket assignment — `_part` is a pure map-side function of the
+    // key (sampled boundaries frozen as broadcast literals, see
+    // graft.operators.RangeBuckets), so both branches compute
+    // identical buckets under any AQE re-planning, with nothing
+    // persisted. Requires a deterministic `df` (both branches
+    // re-evaluate it) — true of every upsert batch here.
+    val bounds = graft.operators.RangeBuckets.boundaries(df, orderCols, parts)
+    val parted = df.withColumn("_part",
+      graft.operators.RangeBuckets.bucket(orderCols.map(col), bounds))
     val wLocal = Window.partitionBy("_part").orderBy(orderCols.map(col): _*)
-    val local = ranged.withColumn("_rn", row_number().over(wLocal))
+    val local = parted.withColumn("_rn", row_number().over(wLocal))
     val wParts = Window.orderBy("_part")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bases = ranged.groupBy("_part")
+    val bases = parted.groupBy("_part")
       .agg(count(lit(1)).as("_n"))
       .withColumn("_base",
         coalesce(sum(col("_n")).over(wParts) - col("_n"), lit(0L)))

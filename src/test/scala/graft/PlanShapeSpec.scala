@@ -128,6 +128,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("packing persists nothing: no InMemoryRelation in the prefix-sum plans") {
+    // the round-5 AQE-determinism fix cached the range-partitioned
+    // corpus; round 6 replaced it with broadcast boundary literals, so
+    // a cache reappearing here means a full corpus write came back
+    Seq("p2_sequence_packing", "p4_corpus_shuffle", "p5_shuffled_packing")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("InMemoryTableScan") && !p.contains("InMemoryRelation"),
+          s"$q materializes the corpus:\n${p.take(2000)}")
+      }
+  }
+
   test("catalog upsert assigns ids without a batch-wide unpartitioned window") {
     import spark.implicits._
     // id assignment over a batch must follow Packing's two-phase shape:
