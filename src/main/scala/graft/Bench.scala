@@ -83,16 +83,42 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // machine-load provenance: best-of-3 hides most noise, but a loaded
+    // machine still inflates the recorded minima — emit 1-min loadavg
+    // (before/after) plus the concurrent-JVM count and ALL trial times,
+    // so a reader can tell load artifacts from plan regressions without
+    // a rerun
+    def loadAvg1m(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def javaProcs(): Int =
+      try new java.io.File("/proc").listFiles()
+        .count { d =>
+          d.getName.forall(_.isDigit) && {
+            try java.nio.file.Files.readString(
+              d.toPath.resolve("comm")).trim == "java"
+            catch { case _: Throwable => false }
+          }
+        }
+      catch { case _: Throwable => -1 }
+
+    val loadStart = loadAvg1m()
     val results = Headline.filter(SparkEntry.queries.contains).map { name =>
       val trials = Seq.fill(3)(timeOnce(name))
-      name -> (if (trials.exists(_ < 0)) -1.0 else trials.min)
+      (name, if (trials.exists(_ < 0)) -1.0 else trials.min, trials)
     }
+    val loadEnd = loadAvg1m()
 
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val ts = results
+      .map { case (k, _, t) =>
+        "\"" + k + "\":" + t.map(x => f"$x%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"java_procs":${javaProcs()},"trials":$ts}""")
     spark.stop()
   }
 }
