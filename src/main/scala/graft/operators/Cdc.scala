@@ -53,7 +53,10 @@ object Cdc {
     *
     * Contract: `state` and `delta` share an identical schema of
     * keyCols + numeric partial columns; absent keys on either side
-    * contribute zero. */
+    * contribute zero. The join is null-SAFE on the keys (`<=>`), so a
+    * null-key partial present in both sides merges into one row —
+    * matching groupBy, which treats null as one key; a plain USING
+    * join would quietly keep them as two rows. */
   def mergeRollup(
       state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty)
@@ -61,9 +64,12 @@ object Cdc {
       s"state/delta schema mismatch: ${state.columns.toSeq} vs ${delta.columns.toSeq}")
     val valCols = state.columns.filterNot(keyCols.contains).toSeq
     require(valCols.nonEmpty, "no partial columns to merge")
-    val d = valCols.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"_d_$c"))
-    state.join(d, keyCols, "full_outer")
-      .select(keyCols.map(col) ++ valCols.map(c =>
-        (coalesce(col(c), lit(0L)) + coalesce(col(s"_d_$c"), lit(0L))).as(c)): _*)
+    val d = delta.columns.foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"_d_$c"))
+    val cond = keyCols.map(k => col(k) <=> col(s"_d_$k")).reduce(_ && _)
+    state.join(d, cond, "full_outer")
+      .select(
+        keyCols.map(k => coalesce(col(k), col(s"_d_$k")).as(k)) ++
+          valCols.map(c =>
+            (coalesce(col(c), lit(0L)) + coalesce(col(s"_d_$c"), lit(0L))).as(c)): _*)
   }
 }

@@ -121,15 +121,21 @@ object Sampling {
     * to 6dp with the key as tiebreak so the sample is identical
     * across runs, engines and partitionings (u comes from the key's
     * md5, never rand()). Top-n compiles to TakeOrderedAndProject —
-    * map-side bounded heaps, never a global sort. Weights must be
-    * positive. */
+    * map-side bounded heaps, never a global sort.
+    *
+    * Rows with weight ≤ 0 (or null) are excluded, not sampled: that is
+    * the w→0 limit of the scheme (u^(1/w) → 0 — zero inclusion
+    * probability), whereas feeding them through the formula would give
+    * ln(u)/w ≥ 0, silently OUTRANKING every valid row. The filter is a
+    * map-side predicate — no validation pass over the input. */
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
     require(n > 0)
     val v = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
       .cast("double")
     val u = (v + lit(0.5)) / lit(16777216.0) // 16^6 — u ∈ (0, 1)
-    df.withColumn("_pri", round(log(u) / col(weightCol), 6))
+    df.filter(col(weightCol) > 0)
+      .withColumn("_pri", round(log(u) / col(weightCol), 6))
       .orderBy(desc("_pri"), asc(idCol))
       .limit(n)
       .drop("_pri")

@@ -54,8 +54,9 @@ object Similarity {
     * never a corpus×corpus product), votes counted in two tiny keyed
     * aggs over k·|queries| rows. Deterministic end-to-end: neighbor
     * ties break (similarity desc, id asc) inside the heap; vote ties
-    * break to the smaller label via the max-struct trick. Output:
-    * (idCol, predicted). */
+    * break to the smallest label via min-struct ordering — labels may
+    * be ANY orderable type (string, numeric, date); `predicted` keeps
+    * the label column's own type. Output: (idCol, predicted). */
   def knnClassify(
       queries: DataFrame, train: DataFrame, idCol: String, embCol: String,
       labelCol: String, k: Int = 5): DataFrame =
@@ -65,8 +66,10 @@ object Similarity {
       .groupBy(col("query_id"), col("_lbl"))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("query_id").as(idCol))
-      .agg(max(struct(col("votes"), (-col("_lbl")).as("neg"))).as("w"))
-      .select(col(idCol), (-col("w.neg")).cast("int").as("predicted"))
+      // struct ordering: -votes asc = votes desc, then label asc — no
+      // numeric negation of the label, so any orderable type works
+      .agg(min(struct((-col("votes")).as("nv"), col("_lbl").as("lbl"))).as("w"))
+      .select(col(idCol), col("w.lbl").as("predicted"))
 
   /** Matryoshka (prefix-truncation) two-stage search: coarse-rank by
     * cosine over the first `prefixDim` dimensions — dim/prefixDim less
@@ -85,6 +88,10 @@ object Similarity {
     require(prefixDim > 0 && prefixDim <= queryVec.length,
       s"prefixDim $prefixDim out of range for dim ${queryVec.length}")
     require(rerank >= k, "rerank pool must be at least k")
+    require(tieBreak.nonEmpty,
+      "matryoshkaTopK needs a tie-break column (usually the id): tied " +
+        "rounded coarse similarities otherwise make the limit(rerank) " +
+        "cut — and thus the result — partitioning-dependent")
     val coarse = round(VectorFunctions.cosine_similarity(
       slice(col(embCol), 1, prefixDim),
       typedLit(queryVec.take(prefixDim))), roundTo)

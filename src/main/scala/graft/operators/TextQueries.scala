@@ -551,21 +551,23 @@ object TextQueries {
     }),
 
     // D14: the same incremental dedup served from PERSISTED Bloom
-    // state — built once from the seen corpus, then every batch
-    // dedupes with ZERO jobs over `seen` (the daily-ingest loop d10
-    // re-scans per batch). The no-rescan property is spec-verified by
-    // deleting the seen files between batches; fpp=1e-8 makes a
-    // dropped-novel-row collision ~1e-5 per corpus, so the exact
-    // anti-join oracle still hash-matches.
+    // state — built ONCE from the seen corpus (fingerprint-keyed
+    // sidecar, so reruns and bench trials skip the O(seen) scan like
+    // d11's codebook), then every batch dedupes with ZERO jobs over
+    // `seen` (the daily-ingest loop d10 re-scans per batch). The
+    // no-rescan property is spec-verified by deleting the seen files
+    // between batches; geometry derives from the seen count (a fixed
+    // guess silently degrades fpp once the corpus outgrows it), and
+    // fpp=1e-8 makes a dropped-novel-row collision ~1e-5 per corpus,
+    // so the exact anti-join oracle still hash-matches.
     "d14_bloom_state" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
       val seen = d.filter(pmod(col("doc_id"), lit(3)) === 0)
       val incoming = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      val statePath =
-        s"${graft.store.AnnIndexes.root}/bloomstate_${graft.store.AnnIndexes.keyOf(dir)}"
-      Dedup.buildBloomState(seen, "fp", statePath,
-        expectedItems = 100000L, fpp = 1e-8)
+      val statePath = s"${graft.store.AnnIndexes.root}/bloomstate_" +
+        graft.store.AnnIndexes.fingerprint(s, s"$dir/documents.parquet")
+      Dedup.buildBloomStateIfAbsent(seen, "fp", statePath, fpp = 1e-8)
       Dedup.incrementalDedupWithState(incoming, "fp", statePath,
           updateState = false)
         .select("doc_id")

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Cdc, Dedup, Sampling, Similarity}
+
+/** Round-6 contract specs: label-type-generic k-NN, the weighted-sample
+  * positivity contract, null-safe rollup merging, and the Bloom-state
+  * build-once guard. */
+class Round6OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("knnClassify handles string labels; prediction keeps the label type") {
+    import spark.implicits._
+    // axis-aligned vectors: queries are exact copies of train vectors,
+    // so nearest neighbors are fully determined and votes predictable
+    val train = Seq(
+      (100L, Array(1.0, 0.0, 0.0), "alpha"),
+      (101L, Array(0.9, 0.1, 0.0), "alpha"),
+      (102L, Array(0.8, 0.2, 0.0), "beta"),
+      (103L, Array(0.0, 1.0, 0.0), "beta"),
+      (104L, Array(0.0, 0.9, 0.1), "beta"),
+      (105L, Array(0.0, 0.8, 0.2), "gamma")
+    ).toDF("id", "emb", "lbl")
+    val queries = Seq(
+      (1L, Array(1.0, 0.05, 0.0)), // nearest 3: alpha, alpha, beta → alpha
+      (2L, Array(0.0, 1.0, 0.05)) // nearest 3: beta, beta, gamma → beta
+    ).toDF("id", "emb")
+    val out = Similarity.knnClassify(queries, train, "id", "emb", "lbl", k = 3)
+    assert(out.schema("predicted").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val got = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "alpha", 2L -> "beta"))
+  }
+
+  test("knnClassify vote tie breaks to the smallest label, any type") {
+    import spark.implicits._
+    // two train points per label at equal distance → 2-2 vote with
+    // k=4; the winner must be the lexicographically smaller label
+    val train = Seq(
+      (10L, Array(1.0, 0.0), "zed"),
+      (11L, Array(1.0, 0.0), "zed"),
+      (12L, Array(1.0, 0.0), "ant"),
+      (13L, Array(1.0, 0.0), "ant")
+    ).toDF("id", "emb", "lbl")
+    val queries = Seq((1L, Array(1.0, 0.0))).toDF("id", "emb")
+    val got = Similarity.knnClassify(queries, train, "id", "emb", "lbl", k = 4)
+      .collect().map(r => r.getString(1))
+    assert(got.toSeq == Seq("ant"))
+  }
+
+  test("weightedSample excludes non-positive and null weights") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => (i, i.toDouble)) ++
+      Seq((51L, 0.0), (52L, -3.0))
+    val df = rows.toDF("id", "w")
+      .union(Seq((53L, Option.empty[Double])).toDF("id", "w"))
+    val kept = Sampling.weightedSample(df, "id", "w", n = 53)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // all 50 valid rows sampled (n ≥ valid count); bad rows never —
+    // before the filter, w ≤ 0 gave ln(u)/w ≥ 0, outranking every
+    // valid row
+    assert(kept == (1L to 50L).toSet)
+  }
+
+  test("mergeRollup merges null-key partials into one row, like groupBy") {
+    import spark.implicits._
+    val state = Seq((Some("a"), 10L, 2L), (Option.empty[String], 5L, 1L))
+      .toDF("k", "s", "n")
+    val delta = Seq((Some("a"), 3L, 1L), (Option.empty[String], 7L, 2L),
+      (Some("b"), 1L, 1L)).toDF("k", "s", "n")
+    val merged = Cdc.mergeRollup(state, delta, Seq("k"))
+    val got = merged.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (Some("a"), 13L, 3L),
+      (None, 12L, 3L), // one merged null-key row, not two
+      (Some("b"), 1L, 1L)))
+    // and equals re-aggregating the union (groupBy treats null as a key)
+    val full = state.union(delta).groupBy("k")
+      .agg(sum("s").as("s"), sum("n").as("n")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == full)
+  }
+
+  test("buildBloomStateIfAbsent builds once, then skips and leaves state intact") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("bloom_guard").toString + "/state"
+    val seen = (1L to 100L).map(i => (i, s"fp_$i")).toDF("id", "fp")
+    assert(Dedup.buildBloomStateIfAbsent(seen, "fp", path))
+    val batch = (50L to 150L).map(i => (i, s"fp_$i")).toDF("id", "fp")
+    val kept1 = Dedup.incrementalDedupWithState(batch, "fp", path,
+      updateState = false).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == (101L to 150L).toSet)
+    // second build call with DIFFERENT seen data is a no-op: the
+    // existing state keeps answering (the build-once guard)
+    val other = (1000L to 1100L).map(i => (i, s"fp_$i")).toDF("id", "fp")
+    assert(!Dedup.buildBloomStateIfAbsent(other, "fp", path))
+    val kept2 = Dedup.incrementalDedupWithState(batch, "fp", path,
+      updateState = false).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept1)
+  }
+
+  test("matryoshkaTopK rejects an empty tie-break") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(e, "embedding",
+        Array.fill(64)(0.1), k = 5, prefixDim = 16, rerank = 20)
+    }
+  }
+}
