@@ -207,8 +207,10 @@ object Similarity {
     * the files); the other tables then only rescue recall inside the
     * scanned fraction — at 100 TB choose bits so a single table's
     * bucket fits the latency budget and tune tables/probes for recall. */
-  /** Driver-side signature of one vector under one hyperplane table. */
-  private def signatureOf(planes: Array[Array[Double]], v: Array[Double]): Long =
+  /** Driver-side signature of one vector under one hyperplane table.
+    * `private[operators]` so the oracle-SQL generator can reproduce
+    * the probe-bucket set it inlines into DuckDB. */
+  private[operators] def signatureOf(planes: Array[Array[Double]], v: Array[Double]): Long =
     planes.zipWithIndex.map { case (h, i) =>
       val d = h.zip(v).map { case (a, b) => a * b }.sum
       if (d >= 0.0) 1L << i else 0L
@@ -217,7 +219,7 @@ object Similarity {
   /** Multi-probe bucket set: the query's bucket plus all buckets
     * within Hamming distance ≤ `probes` (supported up to 2 — bits²/2
     * buckets is already the practical ceiling; larger probes clamp). */
-  private def probeBuckets(qSig: Long, bits: Int, probes: Int): Seq[Long] = {
+  private[operators] def probeBuckets(qSig: Long, bits: Int, probes: Int): Seq[Long] = {
     val d1 = (0 until bits).map(i => qSig ^ (1L << i))
     val d2 = for (i <- 0 until bits; j <- i + 1 until bits)
       yield qSig ^ (1L << i) ^ (1L << j)

@@ -105,6 +105,26 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(kept2 == kept1)
   }
 
+  test("recall queries: one row, hits in [0,k], recall = hits/10; oracles present") {
+    val q = graft.operators.VectorQueries.queries
+    for (name <- Seq("v20_lsh_recall", "v21_ivf_recall", "v22_pq_recall",
+        "v23_ivfpq_recall")) {
+      val rows = q(name)(spark, sfDir).collect()
+      assert(rows.length == 1, name)
+      val hits = rows(0).getLong(0)
+      assert(hits >= 0 && hits <= 10, s"$name hits=$hits")
+      assert(rows(0).getDouble(1) == hits / 10.0, name)
+    }
+    // after the queries ran, the model-dependent oracles must be
+    // dumped (the def-not-val contract Verify relies on)
+    val o = graft.operators.VectorQueries.oracleSql
+    for (name <- Seq("v20_lsh_recall", "v21_ivf_recall", "v22_pq_recall",
+        "v23_ivfpq_recall"))
+      assert(o.contains(name), s"missing oracle for $name")
+    // the IVF oracle embeds the trained centroids as literals
+    assert(o("v21_ivf_recall").contains("cellv(i, cv)"))
+  }
+
   test("matryoshkaTopK rejects an empty tie-break") {
     val e = Tables.load(spark, sfDir, "embeddings")
     intercept[IllegalArgumentException] {
