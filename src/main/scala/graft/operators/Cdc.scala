@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Snapshot differencing — the incremental-refresh primitive of a
   * periodically re-crawled / re-exported corpus: given yesterday's and
@@ -71,5 +72,95 @@ object Cdc {
         keyCols.map(k => coalesce(col(k), col(s"_d_$k")).as(k)) ++
           valCols.map(c =>
             (coalesce(col(c), lit(0L)) + coalesce(col(s"_d_$c"), lit(0L))).as(c)): _*)
+  }
+
+  // -------------------------------------------------------------
+  // Streaming face: the a34 daily loop as a structured stream
+  // -------------------------------------------------------------
+
+  private val CommitMarker = "_COMMITTED"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (version dir name, batch id) of every committed state version. */
+  private def committedVersions(
+      spark: SparkSession, statePath: String): Seq[(String, Long)] = {
+    val fs = fsOf(spark, statePath)
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommitMarker)))
+      .map(p => (p.getName, p.getName.drop(1).toLong))
+  }
+
+  /** The current rollup state (latest committed version), if any. */
+  def readRollup(spark: SparkSession, statePath: String): Option[DataFrame] =
+    committedVersions(spark, statePath).sortBy(-_._2).headOption
+      .map { case (name, _) => spark.read.parquet(s"$statePath/$name") }
+
+  /** [[mergeRollup]] as a Structured Streaming sink — the persisted-
+    * state pattern the Bloom deduper (d14) established, applied to
+    * aggregate maintenance: each micro-batch aggregates ITSELF (one
+    * keyed shuffle over batch rows only) and is folded into a persisted
+    * state table holding one row of monoid partials per key; no
+    * micro-batch ever re-scans history. `aggregate` maps a static
+    * batch to keyCols + partial columns — the caller uses the same
+    * function for the batch face, so stream == batch is a property of
+    * construction (and spec-pinned).
+    *
+    * State protocol (exactly-once under foreachBatch's at-least-once
+    * replay): each fold writes a NEW version dir `v<batchId>` and only
+    * then creates its `_COMMITTED` marker; readers and the next fold
+    * use the max committed version, and a replayed batch id ≤ the
+    * current version is skipped outright. The swap never deletes the
+    * version it read, so a concurrent reader is never pulled out from
+    * under its plan; versions older than the previous one are pruned
+    * after commit. At scale each fold costs O(batch + keys), the state
+    * table stays one row per key, and the stream inherits mergeRollup's
+    * null-safe key semantics. */
+  def streamingRollup(
+      events: DataFrame,
+      statePath: String,
+      keyCols: Seq[String],
+      aggregate: DataFrame => DataFrame,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, statePath, keyCols, aggregate)
+      }
+      .start()
+
+  /** One fold of the streaming loop — also directly callable for a
+    * non-streaming daily driver (same state dirs, same idempotence). */
+  def foldBatch(
+      batch: DataFrame, batchId: Long, statePath: String,
+      keyCols: Seq[String], aggregate: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val versions = committedVersions(spark, statePath)
+    if (!versions.exists(_._2 >= batchId)) {
+      val delta = aggregate(batch)
+      val merged = readRollup(spark, statePath) match {
+        case Some(state) => mergeRollup(state, delta, keyCols)
+        case None => delta
+      }
+      val fs = fsOf(spark, statePath)
+      val vdir = s"$statePath/v$batchId"
+      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(vdir)
+      fs.create(new org.apache.hadoop.fs.Path(vdir, CommitMarker)).close()
+      // keep the version we just read from (readers may hold it);
+      // prune everything older
+      val keep = versions.map(_._2).sorted.lastOption.getOrElse(-1L)
+      versions.filter(_._2 < keep).foreach { case (name, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/$name"), true)
+      }
+    }
   }
 }

@@ -512,6 +512,34 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // A37: the same SCD2 lookup as an AS-OF join on valid_from
+    // (Temporal.scd2ViaAsOf) — the high-churn form: one hash shuffle +
+    // bounded per-key sort over |fact| + |versions| rows instead of
+    // the interval join's |fact| × versions-per-key intermediate.
+    // Same oracle as a35: the two operators are interchangeable when
+    // the intervals partition the timeline, and the hash check pins
+    // that equivalence end-to-end (tombstone handling included).
+    "a37_scd2_asof" -> ((s, dir) => {
+      val custs = Tables.load(s, dir, "customer").select("c_custkey")
+      val v1 = custs.select(
+        col("c_custkey"),
+        lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit("1998-07-01 00:00:00").cast("timestamp").as("valid_to"),
+        pmod(col("c_custkey"), lit(3)).as("tier"))
+      val v2 = custs.select(
+        col("c_custkey"),
+        lit("1998-07-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        pmod(col("c_custkey") + 1, lit(3)).as("tier"))
+      Temporal.scd2ViaAsOf(
+          Tables.load(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderdate")
+            .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")),
+          v1.unionByName(v2), "o_custkey", "c_custkey", "o_orderdate")
+        .select(col("o_orderkey"), col("o_custkey"), col("tier"))
+        .orderBy("o_orderkey")
+    }),
+
     // A36: group-size skew profile — the diagnostic run BEFORE picking
     // a join/agg strategy at scale: per-key group sizes reduced to
     // count/avg/p50/p99/max in one pass over the keyed agg. An avg≈p50
@@ -609,6 +637,21 @@ object RelationalQueries {
       "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents FROM events GROUP BY 1, 2 ORDER BY h, event_type",
     "a34_incremental_rollup" ->
       "SELECT user_id, COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents FROM events GROUP BY user_id ORDER BY user_id",
+    // a37 shares a35's oracle verbatim: the as-of formulation must
+    // produce exactly the interval join's rows
+    "a37_scd2_asof" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, TIMESTAMP '1995-01-01' AS valid_from,
+        |    TIMESTAMP '1998-07-01' AS valid_to, c_custkey % 3 AS tier
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, TIMESTAMP '1998-07-01', NULL, (c_custkey + 1) % 3
+        |  FROM customer)
+        | SELECT o_orderkey, o_custkey, CAST(tier AS BIGINT) AS tier
+        | FROM orders JOIN dim ON o_custkey = c_custkey
+        |  AND o_orderdate >= valid_from
+        |  AND (valid_to IS NULL OR o_orderdate < valid_to)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""),
     "a35_scd2_join" ->
       """WITH dim AS (
         |  SELECT c_custkey, TIMESTAMP '1995-01-01' AS valid_from,

@@ -43,4 +43,55 @@ object Temporal {
       .drop(col(s"d.$fromCol"))
       .drop(col(s"d.$toCol"))
   }
+
+  /** The high-churn alternative [[scd2Join]]'s scaladoc names: the same
+    * lookup as an AS-OF join on `valid_from` ([[AsOf.asofJoin]] — one
+    * hash shuffle + one bounded per-key sort over |fact| + |versions|
+    * rows, instead of |fact| × versions-per-key join rows). Identical
+    * results (spec-pinned) when each key's validity intervals PARTITION
+    * its timeline — non-overlapping, and each non-final `valid_to`
+    * equal to the next version's `valid_from`. The two interval
+    * shapes scd2Join resolves through its predicate are reproduced
+    * explicitly:
+    *  - facts before a key's first version: no prior `valid_from` →
+    *    null dimension columns (asofJoin's own semantics);
+    *  - a CLOSED final version (non-null `valid_to`): a synthesized
+    *    null-payload tombstone row at that `valid_to`, so later facts
+    *    carry nulls rather than the expired version.
+    * Overlapping or gapped intervals are outside the contract (the
+    * former double-matches in scd2Join itself; the latter would need a
+    * tombstone per gap).
+    *
+    * Use this form when keys version heavily (feature-store snapshots,
+    * per-entity config streams — hundreds of versions per key):
+    * the interval join's small-constant blow-up stops being small,
+    * while this stays one sort-merge pass; for hot-KEY skew swap in
+    * [[AsOf.asofJoinSkewSafe]] on the same prepared inputs. */
+  def scd2ViaAsOf(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, tsCol: String,
+      fromCol: String = "valid_from", toCol: String = "valid_to"): DataFrame = {
+    val payload =
+      dim.columns.filterNot(Seq(dimKey, fromCol, toCol).contains).toSeq
+    val versions = dim.select(
+      col(dimKey).as(factKey) +: col(fromCol).as(tsCol) +:
+        col(toCol).as("_vto") +: payload.map(col): _*)
+    // one tombstone per key whose LATEST version is closed — under the
+    // contiguity contract every earlier valid_to is shadowed by its
+    // successor, so only the final interval's end needs an explicit
+    // "no current version" marker
+    val tombstones = versions
+      .groupBy(col(factKey))
+      .agg(max_by(col("_vto"), col(tsCol)).as("_vto"))
+      .filter(col("_vto").isNotNull)
+      .select(
+        col(factKey) +: col("_vto").as(tsCol) +:
+          payload.map(c =>
+            lit(null).cast(dim.schema(c).dataType).as(c)): _*)
+    val right = versions.drop("_vto").unionByName(tombstones)
+    payload.foldLeft(
+      AsOf.asofJoin(fact, right, factKey, tsCol, payload)) {
+      (df, c) => df.withColumnRenamed(s"asof_$c", c)
+    }
+  }
 }

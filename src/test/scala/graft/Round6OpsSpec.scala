@@ -125,6 +125,46 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(o("v21_ivf_recall").contains("cellv(i, cv)"))
   }
 
+  test("scd2ViaAsOf ≡ scd2Join when intervals partition the timeline") {
+    import spark.implicits._
+    import graft.operators.Temporal
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1: three contiguous versions, final OPEN; key 2: two
+    // contiguous versions, final CLOSED (tombstone path); key 3: one
+    // open version; key 4 exists only in facts (no-version path)
+    val dim = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Option(ts("2024-02-01 00:00:00")), "a"),
+      (1L, ts("2024-02-01 00:00:00"), Option(ts("2024-03-01 00:00:00")), "b"),
+      (1L, ts("2024-03-01 00:00:00"), Option.empty[java.sql.Timestamp], "c"),
+      (2L, ts("2024-01-01 00:00:00"), Option(ts("2024-02-01 00:00:00")), "d"),
+      (2L, ts("2024-02-01 00:00:00"), Option(ts("2024-03-01 00:00:00")), "e"),
+      (3L, ts("2024-01-15 00:00:00"), Option.empty[java.sql.Timestamp], "f")
+    ).toDF("k", "valid_from", "valid_to", "payload")
+    // facts: before first version, at boundaries, inside intervals,
+    // at and after a closed timeline's end
+    val facts = (for {
+      k <- Seq(1L, 2L, 3L, 4L)
+      d <- Seq("2023-12-15 00:00:00", "2024-01-01 00:00:00",
+        "2024-01-20 12:34:56", "2024-02-01 00:00:00", "2024-02-15 00:00:00",
+        "2024-03-01 00:00:00", "2024-07-04 00:00:00")
+    } yield (k, ts(d))).toDF("k", "ts")
+      .withColumn("fact_id", monotonically_increasing_id())
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "ts", "payload").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getString(2))))
+      .toSet
+    val viaJoin = rows(Temporal.scd2Join(facts, dim, "k", "k", "ts"))
+    val viaAsOf = rows(Temporal.scd2ViaAsOf(facts, dim, "k", "k", "ts"))
+    assert(viaAsOf == viaJoin)
+    // sanity on the shape itself: key 2 facts at/after 2024-03-01 get
+    // null payload (tombstone), key 1's stay "c"
+    assert(viaJoin.contains((2L, ts("2024-03-01 00:00:00"), None)))
+    assert(viaJoin.contains((2L, ts("2024-07-04 00:00:00"), None)))
+    assert(viaJoin.contains((1L, ts("2024-07-04 00:00:00"), Some("c"))))
+    assert(viaJoin.contains((4L, ts("2024-02-15 00:00:00"), None)))
+  }
+
   test("matryoshkaTopK rejects an empty tie-break") {
     val e = Tables.load(spark, sfDir, "embeddings")
     intercept[IllegalArgumentException] {

@@ -107,6 +107,49 @@ class StreamingSpec extends AnyFunSuite {
       s"stream emitted ${got.size} of ${batch.size} buckets")
   }
 
+  test("streaming rollup: foreachBatch mergeRollup state equals full batch re-agg") {
+    import graft.operators.Cdc
+    val events = eventsSchemaDf.select("user_id", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_roll").toString
+    // 3 files + maxFilesPerTrigger=1 → 3 micro-batches, so the state
+    // table is folded incrementally, never rebuilt from history
+    events.repartition(3).write.parquet(s"$tmp/src")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    Cdc.streamingRollup(raw, s"$tmp/state", Seq("user_id"), agg,
+      s"$tmp/ckpt").awaitTermination()
+
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val state = Cdc.readRollup(spark, s"$tmp/state")
+    assert(state.isDefined, "no committed rollup state")
+    assert(keyed(state.get) == keyed(agg(events)))
+    // multiple micro-batches actually folded (not one big batch): the
+    // surviving version id is that of the LAST micro-batch
+    val lastVersion = new java.io.File(s"$tmp/state").list()
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
+    assert(lastVersion >= 2, s"expected ≥3 micro-batches, last=v$lastVersion")
+
+    // a replayed (duplicate) batch id is a no-op — the at-least-once
+    // guard: folding batch 0 again must not change the state
+    val before = keyed(state.get)
+    Cdc.foldBatch(spark.read.parquet(s"$tmp/src"), 0L,
+      s"$tmp/state", Seq("user_id"), agg)
+    assert(keyed(Cdc.readRollup(spark, s"$tmp/state").get) == before)
+    // while a NEW batch id folds in — the non-streaming daily driver
+    val extra = { import spark.implicits._
+      Seq((999999L, 5.0)).toDF("user_id", "value") }
+    Cdc.foldBatch(extra, lastVersion + 1, s"$tmp/state", Seq("user_id"), agg)
+    assert(keyed(Cdc.readRollup(spark, s"$tmp/state").get) ==
+      keyed(agg(events.union(extra))))
+  }
+
   test("streaming chunk ingest: readStream docs → chunk+embed → parquet append") {
     // the §7.1-step-10 extension: ingest is append-only, so the batch
     // chunk pipeline runs unchanged as a stream
