@@ -14,14 +14,20 @@ import graft.store.Catalog
   *
   * Usage (via sbt):
   *   runMain graft.cli.Demo import --docs <parquet> --store <dir>
-  *     [--model <name>] [--dim N] [--max-tokens N]
+  *     [--model <name>] [--dim N] [--max-tokens N] [--embedder <url>]
   *   runMain graft.cli.Demo search --store <dir> --prompt "..."
   *     [--top-k K] [--similarity-threshold T] [--dim N]
-  *     [--ann exact|lsh|ivf|pq|hybrid]
+  *     [--ann exact|lsh|ivf|pq|hybrid] [--embedder <url>]
   *   runMain graft.cli.Demo generate --store <dir> --prompt "..."
   *     [--top-k K] [--similarity-threshold T] [--dim N]
   *     [--max-tokens N] [--temperature T] [--ann exact|lsh|ivf|pq|hybrid]
+  *     [--embedder <url>] [--generator <url>]
   *   runMain graft.cli.Demo demo        # self-contained 5-doc flow
+  *
+  * `--embedder http(s)://host` routes chunk and query embedding
+  * through the plain-JSON HTTP service seam (HttpEmbedder);
+  * `--generator` does the same for G5 generation. Both default to the
+  * in-process deterministic stubs.
   */
 object Demo {
 
@@ -76,6 +82,27 @@ object Demo {
     lazy val dim = flags.get("dim").map(_.toInt)
       .orElse(if (mode == "search" || mode == "generate") storeDim else None)
       .getOrElse(256)
+    // --embedder http(s)://host routes chunk AND query embedding
+    // through the HTTP service seam (functions/HttpLlm.scala) — both
+    // sides must come from the same embedder or store and query live
+    // in different spaces. Default stays the in-process deterministic
+    // embedder (no service dependency).
+    def embedderFlag: Option[graft.functions.Embedder] =
+      flags.get("embedder").map { url =>
+        require(url.startsWith("http://") || url.startsWith("https://"),
+          s"--embedder expects an http(s) service URL, got '$url'")
+        graft.functions.HttpEmbedder(url,
+          flags.getOrElse("model", graft.functions.Embedding.DefaultModel),
+          dim)
+      }
+    // --generator http(s)://host: G5 through the same seam
+    def generatorFlag: graft.rag.Rag.TextGenerator =
+      flags.get("generator").map { url =>
+        require(url.startsWith("http://") || url.startsWith("https://"),
+          s"--generator expects an http(s) service URL, got '$url'")
+        graft.functions.HttpTextGenerator(url,
+          flags.getOrElse("model", "default")): graft.rag.Rag.TextGenerator
+      }.getOrElse(Rag.StubGenerator)
     // hybrid fuses by reciprocal rank, whose scores have their own
     // scale — a cosine threshold cannot apply; say so rather than
     // silently ignoring the flag
@@ -89,14 +116,14 @@ object Demo {
         val docs = spark.read.parquet(flags("docs"))
         importDocs(spark, docs, flags("store"),
           flags.getOrElse("model", graft.functions.Embedding.DefaultModel),
-          dim, flags.getOrElse("max-tokens", "512").toInt)
+          dim, flags.getOrElse("max-tokens", "512").toInt, embedderFlag)
 
       case "search" =>
         warnHybridThreshold()
         val hits = search(spark, flags("store"), flags("prompt"),
           flags.getOrElse("top-k", "10").toInt,
           flags.getOrElse("similarity-threshold", "0.7").toDouble, dim,
-          flags.getOrElse("ann", "exact"))
+          flags.getOrElse("ann", "exact"), embedderFlag)
         display(hits)
 
       case "generate" =>
@@ -111,14 +138,14 @@ object Demo {
         val threshold = flags.getOrElse("similarity-threshold", "0.01").toDouble
         val ann = flags.getOrElse("ann", "exact")
         val hits = search(spark, flags("store"), prompt, topK, threshold,
-          dim, ann)
+          dim, ann, embedderFlag)
         val withText =
           if (hits.columns.contains("chunk_text")) hits
           else hits.join(
             spark.read.parquet(flags("store") + "/chunks"), Seq("id"), "left")
         val assembled = Rag.contextualizedPrompt(
           prompt, Rag.aggregateChunkText(withText))
-        val out = Rag.StubGenerator.generate(assembled,
+        val out = generatorFlag.generate(assembled,
           flags.getOrElse("max-tokens", "5000").toInt,
           flags.getOrElse("temperature", "0.8").toDouble)
         println(s"=== generated ===\n$out")
@@ -160,7 +187,7 @@ object Demo {
             col("metadata")("publication_date").as("publication_date"))
         importDocs(spark, scanned, flags("store"),
           flags.getOrElse("model", graft.functions.Embedding.DefaultModel),
-          dim, flags.getOrElse("max-tokens", "512").toInt)
+          dim, flags.getOrElse("max-tokens", "512").toInt, embedderFlag)
 
       case "scan" =>
         // S1/S2/S5/S6: identify + dispatch + sidecar-join a raw dir
@@ -198,7 +225,8 @@ object Demo {
     * embed + write the chunk table (one distributed job — the
     * reference's per-chunk transaction loop collapses, SURVEY.md §3.1). */
   def importDocs(spark: SparkSession, docs: DataFrame, store: String,
-      model: String, dim: Int, maxTokens: Int): Unit = {
+      model: String, dim: Int, maxTokens: Int,
+      embedder: Option[graft.functions.Embedder] = None): Unit = {
     import spark.implicits._
     val models = Catalog.upsertModels(spark, s"$store/models",
       Seq((model, dim)).toDF("name", "embedding_dim"))
@@ -249,8 +277,16 @@ object Demo {
       lit("chunk_number"), col("chunk_number").cast("string"),
       lit("import_date"), lit(importDate)))
 
-    val chunks = Rag.buildChunks(withMeta, modelId,
-        maxTokens = maxTokens, dim = dim)
+    // service-backed embedding goes through the batched mapPartitions
+    // seam (one request per batch); the default stays the codegen'd
+    // in-process expression — bit-identical pipelines otherwise
+    val built = embedder match {
+      case Some(e) =>
+        Rag.buildChunksWith(withMeta, modelId, e, maxTokens = maxTokens)
+      case None =>
+        Rag.buildChunks(withMeta, modelId, maxTokens = maxTokens, dim = dim)
+    }
+    val chunks = built
       .withColumnRenamed("source_id", "doc_ref")
       .join(broadcast(mapping), Seq("doc_ref"), "left")
       .withColumn("source_id",
@@ -270,11 +306,16 @@ object Demo {
     * triggers a rebuild rather than serving a stale index). */
   def search(spark: SparkSession, store: String, prompt: String,
       topK: Int, threshold: Double, dim: Int,
-      ann: String = "exact"): DataFrame = {
+      ann: String = "exact",
+      embedder: Option[graft.functions.Embedder] = None): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"similarity threshold must be in [-1,1], got $threshold")
     val chunks = spark.read.parquet(s"$store/chunks")
-    val q = Rag.embedQuery(prompt, dim)
+    // the query must be embedded by the SAME embedder that built the
+    // store (one driver-side call for a service embedder)
+    val q = embedder
+      .map(_.embed(prompt).map(_.toDouble))
+      .getOrElse(Rag.embedQuery(prompt, dim))
     lazy val fp = graft.store.AnnIndexes.fingerprint(spark, s"$store/chunks")
     // re-imports change the fingerprint → a new index dir; AFTER the
     // new index is built (searchChunksAnn* materialize eagerly), sweep

@@ -8,9 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, decoded/feature-extracted in batched
   * per-partition passes.
   *
-  * The decode kernels are STUBS (deterministic, hash-derived — the
-  * container has no image/audio libraries); everything around them is
-  * real and load-bearing at scale: the asset schema, the binary
+  * The IMAGE path is real: [[decodeImages]] decodes PNG/JPEG/GIF/BMP
+  * bytes with `javax.imageio` (JDK-only, no new dependencies) into
+  * true width/height plus a luminance-histogram feature, falling back
+  * to the stub kernel for content the JDK codecs cannot read. The
+  * audio/video kernels remain STUBS (deterministic, hash-derived — the
+  * container ships no ffmpeg-class libraries); everything around them
+  * is real and load-bearing at scale: the asset schema, the binary
   * column handling, the `mapPartitions` batch shape (decode batches of
   * `batchSize` assets at a time, the shape a native/JNI or Arrow-based
   * decoder needs), and the partition sizing guidance (binary payloads
@@ -76,6 +80,119 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rows, FeatureSchema)
+  }
+
+  val ImageFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** REAL image decode kernel: `javax.imageio` (JDK-only) reads
+    * PNG/JPEG/GIF/BMP into true (width, height) and an `featureDim`-bin
+    * luminance histogram over a ≤64×64 sampled pixel grid (bounded
+    * work per asset regardless of resolution), normalized to sum ~1.
+    * Returns None when no JDK codec matches — the caller falls back to
+    * the stub. Headless-safe: BufferedImage never touches a display. */
+  private[multimodal] def decodeImageKernel(
+      bytes: Array[Byte], featureDim: Int): Option[(Int, Int, Array[Float])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val feat = new Array[Float](featureDim)
+      val sx = math.max(1, w / 64)
+      val sy = math.max(1, h / 64)
+      var cnt = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          feat(lum * featureDim / 256) += 1f
+          cnt += 1
+          x += sx
+        }
+        y += sy
+      }
+      if (cnt > 0) { var i = 0; while (i < featureDim) { feat(i) /= cnt; i += 1 } }
+      Some((w, h, feat))
+    }
+  }
+
+  /** Image feature extraction with the REAL codec where possible:
+    * image-typed assets go through [[decodeImageKernel]] (true dims +
+    * luminance histogram, `decoded` = true); non-image assets and
+    * undecodable bytes keep the stub feature with null dims. Same
+    * narrow batched mapPartitions shape as [[extractFeatures]]. */
+  def decodeImages(
+      assets: DataFrame, featureDim: Int = 16, batchSize: Int = 32): DataFrame = {
+    val spark = assets.sparkSession
+    val rows = assets
+      .select(col("asset_id"), col("content"), col("meta.media_type"))
+      .rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { rs =>
+          rs.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val mt = r.getString(2)
+            val real =
+              if (mt == "image") decodeImageKernel(bytes, featureDim) else None
+            real match {
+              case Some((w, h, f)) =>
+                Row(id, mt, bytes.length.toLong, w, h, true, f.toSeq)
+              case None =>
+                val stub = decodeBatchStub(Seq((id, bytes, mt)), featureDim).head
+                Row(id, mt, bytes.length.toLong, null, null, false,
+                  stub.getAs[Seq[Float]](3))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, ImageFeatureSchema)
+  }
+
+  /** Deterministic REAL-PNG asset table from any keyed source: each id
+    * becomes an actual PNG (encoded by the same JDK codec family that
+    * decodes it) whose dimensions derive from the id — width =
+    * 1 + id % 16, height = 1 + id % 8 — with a deterministic pixel
+    * fill. Dims being pure functions of the id is what lets a SQL
+    * oracle verify the DECODER recovered them (m4). */
+  def syntheticPngAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 1 + (id % 16).toInt
+        val h = 1 + (id % 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              ((id * 2654435761L + x * 97L + y * 31L) & 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray,
+          Row("image", w, h, null, null))
+      }
+    }
+    spark.createDataFrame(rows, AssetSchema)
   }
 
   /** STUB frame sampling for video assets: every `everyNth` "frame"

@@ -38,6 +38,21 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
+    // M4: REAL image decode — each document id becomes an actual PNG
+    // (encoded by javax.imageio with dims derived from the id), then
+    // decodeImages reads it back with the same JDK codec family. The
+    // oracle recomputes the expected dims as pure SQL over doc_id, so
+    // the hash check pins that the real decoder ran and recovered the
+    // true width/height (decoded = TRUE for every row); the histogram
+    // feature is covered by MultimodalSpec.
+    "m4_image_decode" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticPngAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.decodeImages(assets, featureDim = 16)
+        .select(col("asset_id"), col("width"), col("height"), col("decoded"))
+        .orderBy("asset_id")
+    }),
+
     // M2: video frame sampling — the explode shape of a frame
     // extractor over binary assets (frame count/offsets are
     // SQL-derivable from the byte length, so fully oracle-checked).
@@ -117,6 +132,12 @@ object PipelineQueries {
         |    AS u(i))
         | SELECT asset_id, frame_number, frame_offset FROM f
         | ORDER BY asset_id, frame_number""".stripMargin.replaceAll("\n", ""),
+    "m4_image_decode" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(1 + doc_id % 16 AS INT) AS width,
+        | CAST(1 + doc_id % 8 AS INT) AS height,
+        | TRUE AS decoded
+        | FROM documents ORDER BY asset_id""".stripMargin.replaceAll("\n", ""),
     "m1_media_features" ->
       """SELECT doc_id AS asset_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -110,6 +110,51 @@ class HttpLlmSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("CLI --embedder/--generator: service-backed import + search ≡ stub store") {
+    val (server, endpoint, embedRequests, _) = startDouble()
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cli_http").toString
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text").limit(40)
+        .write.parquet(s"$tmp/docs")
+      // the CLI surface end-to-end, once through the service seam and
+      // once through the default stub
+      graft.cli.Demo.run(spark, "import", Map(
+        "docs" -> s"$tmp/docs", "store" -> s"$tmp/http_store",
+        "model" -> "spec-model", "dim" -> Dim.toString,
+        "max-tokens" -> "32", "embedder" -> endpoint))
+      assert(embedRequests.get > 0, "import never called the service")
+      graft.cli.Demo.run(spark, "import", Map(
+        "docs" -> s"$tmp/docs", "store" -> s"$tmp/stub_store",
+        "model" -> "spec-model", "dim" -> Dim.toString,
+        "max-tokens" -> "32"))
+      // the double serves the deterministic hash embedding, so the two
+      // stores must agree chunk-for-chunk including embeddings
+      def keyed(store: String) =
+        spark.read.parquet(s"$store/chunks")
+          .select("id", "chunk_text", "embedding").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[Float](2))))
+          .toMap
+      assert(keyed(s"$tmp/http_store") == keyed(s"$tmp/stub_store"))
+      // query-side: search through the service embedder ≡ stub search
+      def hits(store: String, emb: Option[graft.functions.Embedder]) =
+        graft.cli.Demo.search(spark, store, "robots in the red desert",
+            topK = 5, threshold = -1.0, dim = Dim, ann = "exact",
+            embedder = emb)
+          .select("id").collect().map(_.getLong(0)).toSeq
+      assert(hits(s"$tmp/http_store",
+          Some(HttpEmbedder(endpoint, "spec-model", Dim)))
+        == hits(s"$tmp/stub_store", None))
+      // a non-URL --embedder fails loudly, not silently as the stub
+      val e = intercept[IllegalArgumentException] {
+        graft.cli.Demo.run(spark, "import", Map(
+          "docs" -> s"$tmp/docs", "store" -> s"$tmp/x",
+          "embedder" -> "not-a-url"))
+      }
+      assert(e.getMessage.contains("http(s) service URL"))
+    } finally server.stop(0)
+  }
+
   test("E1 priming composes over the HTTP generator: primed ≡ stub-primed") {
     val (server, endpoint, _, _) = startDouble()
     try {

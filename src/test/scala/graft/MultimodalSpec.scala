@@ -74,4 +74,44 @@ class MultimodalSpec extends AnyFunSuite {
       s"expected multiple partitions, got ${re.rdd.getNumPartitions}")
     assert(re.count() == assets.count())
   }
+
+  test("real PNG decode: ImageIO roundtrip recovers dims; histogram normalized") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val png = Multimodal.syntheticPngAssets(docs, "doc_id")
+    val got = Multimodal.decodeImages(png, featureDim = 16).collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(5), s"asset $id not decoded by the real codec")
+      assert(r.getInt(3) == 1 + (id % 16).toInt, s"asset $id width")
+      assert(r.getInt(4) == 1 + (id % 8).toInt, s"asset $id height")
+      val feat = r.getSeq[Float](6)
+      assert(feat.length == 16)
+      // luminance histogram: non-negative bins summing to ~1
+      assert(feat.forall(_ >= 0f))
+      assert(math.abs(feat.map(_.toDouble).sum - 1.0) < 1e-4,
+        s"asset $id histogram sum ${feat.sum}")
+    }
+    // determinism: a second decode produces bit-identical features
+    val again = Multimodal.decodeImages(png, featureDim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](6)).toMap
+    got.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Float](6)))
+  }
+
+  test("non-decodable and non-image assets fall back to the stub, null dims") {
+    // utf-8 text bytes labeled "image" → ImageIO returns null → stub;
+    // audio/video types never touch the codec
+    val got = Multimodal.decodeImages(assets, featureDim = 16).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(!r.getBoolean(5), s"asset ${r.getLong(0)} claimed decoded")
+      assert(r.isNullAt(3) && r.isNullAt(4))
+      assert(r.getSeq[Float](6).length == 16)
+    }
+    // the stub fallback equals the plain stub kernel's feature
+    val stub = Multimodal.extractFeatures(assets, featureDim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    got.foreach(r => assert(stub(r.getLong(0)) == r.getSeq[Float](6)))
+  }
 }
