@@ -51,7 +51,9 @@ object Bench {
     "r3_hybrid_retrieval", // BM25 + cosine legs fused by reciprocal rank
     "v13_label_centroids", // fixed-buffer vector-mean aggregator
     "a31_snapshot_diff", // CDC (key, hash) full-outer diff
-    "m1_media_features") // batched binary decode plumbing
+    "a37_scd2_asof", // SCD2 via as-of union-sort (vs a35's interval join)
+    "m1_media_features", // batched binary decode plumbing
+    "m4_image_decode") // REAL ImageIO PNG encode+decode roundtrip
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

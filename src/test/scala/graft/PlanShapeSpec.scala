@@ -142,6 +142,27 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("recall harness: bounded top-k both sides, broadcast intersection") {
+    // v20's ann and exact legs must both fuse to TakeOrderedAndProject
+    // (k-row heaps off every partition), and the recall intersection
+    // must broadcast one k-row side — the corpus never shuffles
+    val p = planOf("v20_lsh_recall")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("scd2 via as-of: one keyed exchange, no join blow-up node") {
+    // the as-of formulation is union + window, never an interval join:
+    // no SortMergeJoin/BNLJ/cartesian over fact×versions — the window
+    // sort is the per-key bounded one
+    val p = planOf("a37_scd2_asof")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p.take(2000))
+  }
+
   test("catalog upsert assigns ids without a batch-wide unpartitioned window") {
     import spark.implicits._
     // id assignment over a batch must follow Packing's two-phase shape:
