@@ -169,7 +169,13 @@ object Multimodal {
     * oracle verify the DECODER recovered them (m4). */
   def syntheticPngAssets(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val rows = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    // spread the codec work: the id projection is tiny, but a
+    // single-file source would otherwise serialize every encode into
+    // one task (per-row output depends only on the id, so the
+    // round-robin redistribution cannot change results)
+    val rows = df.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val w = 1 + (id % 16).toInt
