@@ -53,7 +53,9 @@ object Bench {
     "a31_snapshot_diff", // CDC (key, hash) full-outer diff
     "a37_scd2_asof", // SCD2 via as-of union-sort (vs a35's interval join)
     "m1_media_features", // batched binary decode plumbing
-    "m4_image_decode") // REAL ImageIO PNG encode+decode roundtrip
+    "m4_image_decode", // REAL ImageIO PNG encode+decode roundtrip
+    "g1_part_pagerank", // iterative rank: cached degree-weighted edges
+    "g2_triangle_count") // degree-oriented wedge join
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{EventQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.operators.{EventQueries, GraphQueries, PipelineQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +36,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++
-      TextQueries.queries ++ PipelineQueries.queries ++ EventQueries.queries
+      TextQueries.queries ++ PipelineQueries.queries ++
+      EventQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops → driver
@@ -44,5 +45,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ VectorQueries.oracleSql ++
       TextQueries.oracleSql ++ EventQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++ GraphQueries.oracleSql
 }

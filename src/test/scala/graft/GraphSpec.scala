@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Contracts of the graph operators on graphs with known closed-form
+  * answers, plus the orientation-invariance property the g2 oracle
+  * relies on (Spark counts via degree-oriented wedges, DuckDB via
+  * id-oriented enumeration — they must agree on ANY input). */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def sym(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val p = pairs.toDF("src", "dst")
+    p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("pageRank: ranks sum to 1 and are uniform on a cycle") {
+    val n = 7L
+    val cycle = sym((0L until n).map(i => (i, (i + 1) % n)))
+    val r = Graph.pageRank(cycle, "src", "dst", iterations = 5).collect()
+    assert(r.length == n)
+    val total = r.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"mass $total")
+    // a vertex-transitive graph stays exactly uniform under iteration
+    r.foreach(row => assert(math.abs(row.getDouble(1) - 1.0 / n) < 1e-12))
+    Caches.release(spark)
+  }
+
+  test("pageRank: star center outranks leaves; 0 iterations = uniform start") {
+    val star = sym(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    val r5 = Graph.pageRank(star, "src", "dst", iterations = 5)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r5(0L) > r5(1L), s"center ${r5(0L)} vs leaf ${r5(1L)}")
+    // leaves are symmetric — identical rank
+    assert(Seq(1L, 2L, 3L, 4L).map(r5).distinct.size == 1)
+    val r0 = Graph.pageRank(star, "src", "dst", iterations = 0)
+      .collect().map(_.getDouble(1))
+    r0.foreach(v => assert(math.abs(v - 0.2) < 1e-12))
+    Caches.release(spark)
+  }
+
+  test("triangleCount: closed forms (triangle=1, C4=0, K4=4, K5=10)") {
+    import spark.implicits._
+    def undirected(pairs: Seq[(Long, Long)]) = pairs.toDF("src", "dst")
+    assert(Graph.triangleCount(
+      undirected(Seq((1L, 2L), (2L, 3L), (1L, 3L))), "src", "dst") == 1L)
+    assert(Graph.triangleCount(
+      undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))), "src", "dst") == 0L)
+    def complete(n: Int) = for {
+      a <- 0 until n; b <- (a + 1) until n
+    } yield (a.toLong, b.toLong)
+    assert(Graph.triangleCount(undirected(complete(4)), "src", "dst") == 4L)
+    assert(Graph.triangleCount(undirected(complete(5)), "src", "dst") == 10L)
+    Caches.release(spark)
+  }
+
+  test("triangleCount is orientation-invariant: degree-oriented ≡ id-oriented on a seeded random graph") {
+    import spark.implicits._
+    // deterministic G(n, p)-ish edge set with a planted skew hub so the
+    // two orientations genuinely differ
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.15 || a == 0 // node 0 is a hub
+    } yield (a.toLong, b.toLong)).distinct
+    val df = edges.toDF("src", "dst")
+    val viaDegree = Graph.triangleCount(df, "src", "dst")
+    // straight-line reference: enumerate a<b<c triples locally
+    val set = edges.toSet
+    def has(a: Long, b: Long) = set.contains((a min b, a max b))
+    val naive = (for {
+      a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if has(a, b) && has(b, c) && has(a, c)
+    } yield 1).size.toLong
+    assert(viaDegree == naive, s"degree-oriented $viaDegree vs naive $naive")
+    Caches.release(spark)
+  }
+
+  test("orientByDegree: one oriented edge per undirected edge, pivot out-degrees bounded") {
+    import spark.implicits._
+    val star = (1L to 30L).map(i => (0L, i)) ++ Seq((1L, 2L), (2L, 3L))
+    val o = Graph.orientByDegree(star.toDF("src", "dst"), "src", "dst")
+    val rows = o.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == star.length)
+    // the hub (node 0, degree 30) must be a SINK from every leaf:
+    // its out-degree is 0, so no wedge ever pivots on it
+    assert(!rows.exists(_._1 == 0L))
+    Caches.release(spark)
+  }
+}
