@@ -318,9 +318,83 @@ object EventQueries {
         .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))
         .orderBy("event_type")
     }),
+
+    // S16: conversion attribution — for each converting user, the
+    // first event ever (first touch) and the last event strictly
+    // before the first purchase (last touch; NULL when the purchase
+    // opens the history). ONE shuffle on user_id: both windows and
+    // the per-user fold share the same partitioning; only the tiny
+    // (first, last) pair table re-shuffles for the final count.
+    "s16_attribution" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val wSeq = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wUser = Window.partitionBy("user_id")
+      val ranked = e
+        .withColumn("rn", row_number().over(wSeq))
+        .withColumn("prn",
+          min(when(col("event_type") === "purchase", col("rn"))).over(wUser))
+      ranked
+        .filter(col("prn").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("first_touch"),
+          max(when(col("rn") === col("prn") - 1, col("event_type")))
+            .as("last_touch"))
+        .groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(asc("first_touch"), asc_nulls_first("last_touch"))
+    }),
+
+    // S17: event-sequence transition matrix (the Markov view a
+    // sequence-model data pipeline reports): per-user consecutive
+    // event pairs via lead(), then global transition probabilities.
+    // One user_id shuffle for the lead window; the probability window
+    // runs over the |types|² count table, not events.
+    "s17_markov_transitions" -> ((s, dir) => {
+      val wSeq = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("src"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("dst", lead("src", 1).over(wSeq))
+        .filter(col("dst").isNotNull)
+      pairs
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", round(
+          col("cnt") * lit(1.0) / sum("cnt").over(Window.partitionBy("src")), 6))
+        .select("src", "dst", "cnt", "p")
+        .orderBy("src", "dst")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s16_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |   row_number() OVER (
+        |     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        | fp AS (SELECT user_id, MIN(rn) AS prn FROM e
+        |   WHERE event_type = 'purchase' GROUP BY user_id),
+        | ft AS (SELECT user_id, event_type AS first_touch FROM e WHERE rn = 1),
+        | lt AS (SELECT e.user_id, e.event_type AS last_touch
+        |   FROM e JOIN fp ON e.user_id = fp.user_id AND e.rn = fp.prn - 1)
+        | SELECT ft.first_touch, lt.last_touch, CAST(COUNT(*) AS BIGINT) AS n_users
+        | FROM fp JOIN ft ON fp.user_id = ft.user_id
+        | LEFT JOIN lt ON fp.user_id = lt.user_id
+        | GROUP BY 1, 2
+        | ORDER BY first_touch, last_touch NULLS FIRST""".stripMargin.replaceAll("\n", ""),
+    "s17_markov_transitions" ->
+      """WITH e AS (SELECT event_type AS src,
+        |   lead(event_type) OVER (
+        |     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst
+        |  FROM events),
+        | c AS (SELECT src, dst, COUNT(*) AS cnt FROM e
+        |   WHERE dst IS NOT NULL GROUP BY src, dst)
+        | SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
+        |   ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY src), 6) AS p
+        | FROM c ORDER BY src, dst""".stripMargin.replaceAll("\n", ""),
     "s14_downsample" ->
       """SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
         | COUNT(*) AS n_events,

@@ -172,4 +172,47 @@ class Round6OpsSpec extends AnyFunSuite {
         Array.fill(64)(0.1), k = 5, prefixDim = 16, rerank = 20)
     }
   }
+
+  test("s16 attribution mechanics: first/last touch, purchase-first → NULL, non-converters dropped") {
+    import spark.implicits._
+    // user 1: view → click → purchase → signup (attribution ignores
+    //   post-conversion events); user 2: purchase opens the history;
+    // user 3: never converts — excluded entirely
+    val log = Seq(
+      (1L, 10L, 100L, "view"), (1L, 20L, 101L, "click"),
+      (1L, 30L, 102L, "purchase"), (1L, 40L, 103L, "signup"),
+      (2L, 10L, 200L, "purchase"), (2L, 20L, 201L, "click"),
+      (3L, 10L, 300L, "view"), (3L, 20L, 301L, "click"))
+      .toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    // drive the same logic inline (the query reads Tables.events; the
+    // mechanics are what we pin here)
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val wUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val got = log
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("prn",
+        min(when(col("event_type") === "purchase", col("rn"))).over(wUser))
+      .filter(col("prn").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("first_touch"),
+        max(when(col("rn") === col("prn") - 1, col("event_type"))).as("last_touch"))
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, "view", Some("click")), // first=first event, last=pre-purchase
+      (2L, "purchase", None))) // purchase-first: nothing to attribute
+  }
+
+  test("s17 transition probabilities sum to 1 per source state") {
+    val q = graft.operators.EventQueries.queries("s17_markov_transitions")
+    val rows = q(spark, sfDir).groupBy("src")
+      .agg(sum("p").as("tot"), sum("cnt").as("n")).collect()
+    rows.foreach { r =>
+      // rounding each term to 6dp bounds the per-row drift by 5e-7·k
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, s"src ${r.getString(0)}")
+    }
+    assert(rows.length == 5) // all five event types appear as sources
+  }
 }
