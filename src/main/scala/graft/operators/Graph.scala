@@ -45,12 +45,16 @@ object Graph {
     // one-time O(E) build: per-edge contribution weight 1/outdeg,
     // pre-partitioned on src so every iteration's rank join lands on
     // this partitioning (only the O(V) rank side moves per step)
+    // No forced repartition: AQE picks the join strategy per step —
+    // broadcast while the rank table is small (it usually is; no edge
+    // shuffle at all), shuffle join keyed on _src when it isn't. A
+    // cluster deployment iterating many steps over a V too big to
+    // broadcast should pre-partition this frame on _src once instead.
     val edgesW = graft.Caches.shared(
       edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
         .join(deg.withColumnRenamed("id", "_src"), "_src")
         .withColumn("_w", lit(1.0) / col("_deg"))
-        .select("_src", "_dst", "_w")
-        .repartition(col("_src")))
+        .select("_src", "_dst", "_w"))
     // N is a scalar (one small count job over the degree table); the
     // uniform start vector and teleport term need it as a literal
     val n = deg.count()
@@ -74,9 +78,13 @@ object Graph {
     * power-law graphs. Input must hold each undirected edge once in
     * either direction; output holds it once, oriented. */
   def orientByDegree(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .distinct()
+    // the symmetrized edge set feeds THREE consumers (degree agg + two
+    // endpoint-degree joins) — share it, or the upstream edge
+    // derivation (often an expensive self-join) runs once per branch
+    val sym = graft.Caches.shared(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .distinct())
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
     val withDeg = sym
       .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
@@ -122,10 +130,19 @@ object GraphQueries {
     * ≤ 21); DISTINCT collapses repeat co-purchases across orders. */
   private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+    // ONE groupBy shuffle + map-side combination expansion, not a
+    // self-join: the join form re-shuffles and sorts the fact twice
+    // and was ~2× slower at sf0.1. Group fan-out is bounded (TPC-H
+    // orders hold ≤ 7 lines), so the per-group pair array is tiny —
+    // exactly the shape collect_list is safe for.
+    li.groupBy("l_orderkey")
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+          struct(least(x, y).as("src"), greatest(x, y).as("dst"))))))
+        .as("pr"))
+      .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
       .filter(col("src") < col("dst"))
-      .select("src", "dst")
       .distinct()
   }
 
@@ -134,7 +151,12 @@ object GraphQueries {
     // rank_scaled = rank × N (mean 1.0 — stable 6dp resolution);
     // rounded BEFORE the sort so both engines cut the same top 100.
     "g1_part_pagerank" -> ((s, dir) => {
-      val pairs = copurchasePairs(s, dir)
+      // cache the PAIRS, not the symmetrized union: the union reads
+      // its input twice (one branch per direction), so caching a level
+      // down halves the expensive build; pageRank's own consumers
+      // (degree table + weighted-edge build) then re-run only the
+      // cheap map-side union over cached pairs
+      val pairs = graft.Caches.shared(copurchasePairs(s, dir))
       val edges = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       val ranks = Graph.pageRank(edges, "src", "dst", iterations = 5)
