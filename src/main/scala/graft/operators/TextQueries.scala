@@ -316,6 +316,37 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T30: DSIR-style importance weights (Xie et al. 2023, public):
+    // per-doc log-likelihood ratio between a target corpus (lang=en)
+    // and the raw pool under hashed-bigram unigram models, add-1
+    // smoothed over B=256 buckets. The selection signal importance
+    // RESAMPLING pipelines rank by. Scale shape: one cached bigram
+    // pass feeds (a) the 256-row feature count — target and raw
+    // tallied in the SAME aggregate — and (b) the scoring join; the
+    // model is a broadcast, so the corpus shuffles exactly once, on
+    // doc_id, for the final sum.
+    "t30_dsir_weights" -> ((s, dir) => {
+      val bi = graft.Caches.shared(docs(s, dir)
+        .filter(TextAnalysis.tokenCount(col("text")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.ngrams(col("text"), 2)).as("bg"))
+        .withColumn("f",
+          conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("long")))
+      val fc = bi.groupBy("f").agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+      val model = fc
+        .crossJoin(broadcast(fc.agg(
+          sum("c_r").as("n_r"), sum("c_t").as("n_t"))))
+        .select(col("f"),
+          (log((col("c_t") + 1) / (col("n_t") + 256.0))
+            - log((col("c_r") + 1) / (col("n_r") + 256.0))).as("lw"))
+      bi.join(broadcast(model), "f")
+        .groupBy("doc_id")
+        .agg(round(sum("lw"), 6).as("dsir_weight"))
+        .orderBy("doc_id")
+    }),
+
     // T11: tf-idf top terms per document — the IR feature-extraction
     // shape: two keyed aggs (term frequency, doc frequency), a hash
     // join, a 1-row broadcast for N, rank window for top-3. Natural
@@ -1385,6 +1416,24 @@ object TextQueries {
          |  (SELECT doc_id, n_tokens FROM p ORDER BY pri DESC, doc_id LIMIT 200)
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
     },
+    "t30_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        |   FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        | bi AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS bg
+        |   FROM tk, UNNEST(range(1, len(tk))) u(i)),
+        | f AS (SELECT doc_id, lang,
+        |   (strpos('0123456789abcdef', substring(md5(bg), 1, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef', substring(md5(bg), 2, 1)) - 1 AS f
+        |  FROM bi),
+        | fc AS (SELECT f, COUNT(*) AS c_r,
+        |   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+        |  FROM f GROUP BY f),
+        | tot AS (SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM fc),
+        | model AS (SELECT f, ln((c_t + 1) / (n_t + 256.0))
+        |   - ln((c_r + 1) / (n_r + 256.0)) AS lw FROM fc, tot)
+        | SELECT doc_id, ROUND(SUM(lw), 6) AS dsir_weight
+        | FROM f JOIN model USING (f)
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t28_tfidf_neardup" ->
       """WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
         | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM d),

@@ -205,6 +205,18 @@ class Round6OpsSpec extends AnyFunSuite {
       (2L, "purchase", None))) // purchase-first: nothing to attribute
   }
 
+  test("t30 DSIR weights rank the target language above every other") {
+    val w = graft.operators.TextQueries.queries("t30_dsir_weights")(spark, sfDir)
+    val byLang = w.join(Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("dsir_weight").as("aw"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Caches.release(spark)
+    val others = byLang.collect { case (l, v) if l != "en" => v }
+    assert(others.nonEmpty && byLang("en") > others.max,
+      s"en ${byLang("en")} vs $byLang")
+  }
+
   test("s17 transition probabilities sum to 1 per source state") {
     val q = graft.operators.EventQueries.queries("s17_markov_transitions")
     val rows = q(spark, sfDir).groupBy("src")
