@@ -58,6 +58,8 @@ object Graph {
     // N is a scalar (one small count job over the degree table); the
     // uniform start vector and teleport term need it as a literal
     val n = deg.count()
+    // empty graph: the schema-correct empty result, not 1/0 literals
+    if (n == 0) return deg.select(col("id"), lit(0.0).as("rank"))
     var ranks = deg.select(col("id"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iterations) {
       ranks = edgesW

@@ -43,6 +43,14 @@ class GraphSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("pageRank on an empty edge list returns an empty frame, not 1/0") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val r = Graph.pageRank(empty, "src", "dst", iterations = 3)
+    assert(r.columns.toSeq == Seq("id", "rank") && r.count() == 0)
+    Caches.release(spark)
+  }
+
   test("triangleCount: closed forms (triangle=1, C4=0, K4=4, K5=10)") {
     import spark.implicits._
     def undirected(pairs: Seq[(Long, Long)]) = pairs.toDF("src", "dst")

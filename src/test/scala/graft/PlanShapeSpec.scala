@@ -367,4 +367,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gen >= 0 && agg >= 0 && gen < agg,
       "posexplode must run on the aggregated centroids, not the corpus")
   }
+
+  test("pagerank: top-100 fuses to TakeOrderedAndProject; pairs build cached once") {
+    val df = SparkEntry.queries("g1_part_pagerank")(spark, sfDir)
+    val p = finalPlan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      "rounded-rank top-100 must not global-sort")
+    // the co-purchase pair build (ObjectHashAggregate over collect_list)
+    // must come from the shared cache, not re-derive per branch: the
+    // executed plan may DESCRIBE the cached plan inside its
+    // InMemoryRelation, but only InMemoryTableScans may CONSUME it
+    assert(p.contains("InMemoryTableScan"), "pair cache not used")
+    Caches.release(spark)
+  }
+
+  test("dsir: feature model broadcasts; corpus shuffles once, on doc_id") {
+    val df = SparkEntry.queries("t30_dsir_weights")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bcasts = deepCollect(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, "the 256-row model must broadcast-join")
+    // exchanges on the SCORING side: only the final doc_id aggregation
+    // may move corpus-derived rows; the model-side exchanges move
+    // ≤256-row frames. Count hash-partition exchanges keyed on doc_id.
+    val exchanges = deepCollect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the final orderBy legitimately adds a rangepartitioning exchange
+    // over the per-doc aggregates; the corpus-wide constraint is on
+    // HASH shuffles
+    val docIdShuffles = exchanges.map(_.outputPartitioning.toString)
+      .count(s => s.contains("hashpartitioning") && s.contains("doc_id"))
+    assert(docIdShuffles <= 1,
+      s"corpus must hash-shuffle once on doc_id, saw $docIdShuffles")
+    Caches.release(spark)
+  }
 }
