@@ -74,6 +74,46 @@ object Cdc {
             (coalesce(col(c), lit(0L)) + coalesce(col(s"_d_$c"), lit(0L))).as(c)): _*)
   }
 
+  /** Apply an insert/update/delete changelog to a keyed snapshot —
+    * the lakehouse MERGE / CDC-apply shape (Delta `MERGE INTO`,
+    * Iceberg upsert, Debezium sink): for each key, the
+    * HIGHEST-`seqCol` change wins; a non-delete winner's row image
+    * replaces (or creates) the snapshot row, a delete winner removes
+    * it, untouched snapshot rows pass through.
+    *
+    * Contract: `changes` = snapshot schema + `opCol` (op codes, with
+    * `deleteOp` marking deletes) + `seqCol`; (key, seq) pairs must be
+    * unique per key or the winner is ambiguous. Update semantics are
+    * full-row upsert — an update for an absent key inserts it, the
+    * standard idempotent CDC-sink behavior (partial-column updates
+    * would need the old row; this shape never reads it).
+    *
+    * Scale shape: the changelog (small — a day's changes) takes one
+    * keyed shuffle for its per-key latest-wins window; the snapshot
+    * (huge) is touched by ONE anti-join on the key — shuffle-free when
+    * the snapshot is bucket-written on the key (store.Bucketing), and
+    * never sorted, never windowed. O(snapshot + changes log changes),
+    * the same story as [[mergeRollup]]'s daily loop. */
+  def applyChangelog(
+      snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], seqCol: String, opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty)
+    val expected = snapshot.columns.toSet ++ Set(seqCol, opCol)
+    require(changes.columns.toSet == expected,
+      s"changes schema must be snapshot + ($opCol, $seqCol): " +
+        s"got ${changes.columns.toSeq}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(desc(seqCol))
+    val latest = graft.Caches.shared(
+      changes.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn"))
+    val live = latest.filter(col(opCol) =!= deleteOp).drop(opCol, seqCol)
+    snapshot
+      .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(live)
+  }
+
   // -------------------------------------------------------------
   // Streaming face: the a34 daily loop as a structured stream
   // -------------------------------------------------------------

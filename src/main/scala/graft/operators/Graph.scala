@@ -72,6 +72,77 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS: minimum hop distance from `seeds` (a single
+    * `id` column) to every node within `maxHops`, over a directed edge
+    * list. Returns (id, hops) — seeds at 0; unreached nodes absent.
+    *
+    * Level-synchronous frontier expansion, the Pregel/BSP form: each
+    * level is ONE shuffle of the frontier to the edge list's hash
+    * partitioning plus a distinct and an anti-join against the
+    * visited set — the O(E) edge relation is persisted once and never
+    * moves. Each level's frontier is also persisted (three consumers:
+    * next level's join, the anti-join, the final union) so lineage
+    * stays linear in `maxHops`; deep traversals (>~20 levels) should
+    * checkpoint, but BFS on real graphs saturates in a handful of
+    * levels. An exhausted frontier makes remaining levels empty
+    * map-side no-ops, so no per-level driver count() is needed. */
+  def bfsHops(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = graft.Caches.shared(
+      edges.select(col(srcCol).as("_s"), col(dstCol).as("_d")))
+    var frontier = graft.Caches.shared(seeds.select(col("id")).distinct())
+    var visited = frontier.withColumn("hops", lit(0L))
+    for (h <- 1L to maxHops) {
+      val next = graft.Caches.shared(
+        e.join(frontier.withColumnRenamed("id", "_s"), "_s")
+          .select(col("_d").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti"))
+      visited = visited.union(next.withColumn("hops", lit(h)))
+      frontier = next
+    }
+    visited
+  }
+
+  /** Adamic–Adar link-prediction scores over a SYMMETRIC edge list
+    * (each undirected edge present in both directions, as for
+    * [[pageRank]]): for each non-adjacent pair (x, y),
+    * AA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1 / ln(deg z). Returns (x, y, score)
+    * with x < y, score rounded to 6dp, existing edges excluded.
+    *
+    * Enumerated as a wedge self-join on the pivot z — cost
+    * Σ_z deg(z)², the same quadratic wall every common-neighbor
+    * measure hits on dense graphs. `pivotSampleMod` is the standard
+    * wedge-sampling estimator (Doulion-style): only pivots with
+    * z % mod == 0 contribute, cutting cost by ~mod while preserving
+    * ranking in expectation (multiply scores by mod for an unbiased
+    * magnitude estimate). mod=1 is exact. Deterministic — the sample
+    * is a pure function of the pivot id, so results are identical
+    * across runs, engines and partitionings. Per-pivot fan-out is
+    * deg² ≤ ~50k for real-world max degrees; a graph with
+    * million-degree hubs needs a degree cap on top. */
+  def adamicAdar(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      pivotSampleMod: Int = 1): DataFrame = {
+    require(pivotSampleMod >= 1, "pivotSampleMod must be >= 1")
+    val sym = graft.Caches.shared(
+      edges.select(col(srcCol).as("_s"), col(dstCol).as("_d")))
+    val deg = sym.groupBy(col("_s").as("z")).agg(count(lit(1)).as("_dz"))
+    val pivotEdges = sym.filter(pmod(col("_s"), lit(pivotSampleMod)) === 0)
+    val wedges = pivotEdges.select(col("_s").as("z"), col("_d").as("x"))
+      .join(pivotEdges.select(col("_s").as("z"), col("_d").as("y")), "z")
+      .filter(col("x") < col("y"))
+    wedges
+      // deg is O(V) — AQE broadcasts it under any realistic V
+      .join(deg, "z")
+      .groupBy("x", "y")
+      .agg(round(sum(lit(1.0) / log(col("_dz"))), 6).as("score"))
+      .join(sym.filter(col("_s") < col("_d"))
+          .select(col("_s").as("x"), col("_d").as("y")),
+        Seq("x", "y"), "left_anti")
+  }
+
   /** Orient an undirected edge set acyclically by (degree, id): each
     * edge points from its lower-(deg, id) endpoint to the higher. Any
     * total order yields each triangle exactly once in the wedge join;
@@ -183,6 +254,36 @@ object GraphQueries {
       val tris = Graph.triangleCount(pairs, "src", "dst")
       pairs.unpersist(blocking = false)
       Seq((nodes, nEdges, tris)).toDF("n_nodes", "n_edges", "n_triangles")
+    }),
+
+    // G3: 3-hop multi-source BFS from the % 1000 == 0 seed parts —
+    // hash-checked against a DuckDB recursive CTE, so the whole
+    // level-synchronous traversal (frontier shuffles + visited
+    // anti-joins) is pinned end-to-end, not just spec-sampled.
+    "g3_bfs_hops" -> ((s, dir) => {
+      val pairs = graft.Caches.shared(copurchasePairs(s, dir))
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.filter(col("src") % 1000 === 0)
+        .select(col("src").as("id")).distinct()
+      Graph.bfsHops(edges, "src", "dst", seeds, maxHops = 3)
+        .select(col("id").as("part_id"), col("hops"))
+        .orderBy("part_id")
+    }),
+
+    // G4: Adamic–Adar link prediction over the co-purchase graph —
+    // top-100 non-adjacent part pairs by discriminative common
+    // neighbors, pivot-sampled (z % 16 == 0) so the wedge stage costs
+    // Σ deg²/16; the oracle applies the identical sample, keeping the
+    // estimator hash-checked.
+    "g4_adamic_adar" -> ((s, dir) => {
+      val pairs = graft.Caches.shared(copurchasePairs(s, dir))
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.adamicAdar(edges, "src", "dst", pivotSampleMod = 16)
+        .select(col("x").as("src"), col("y").as("dst"), col("score"))
+        .orderBy(desc("score"), asc("src"), asc("dst"))
+        .limit(100)
     })
   )
 
@@ -234,6 +335,38 @@ object GraphQueries {
         |  (SELECT COUNT(*) FROM pairs p1
         |    JOIN pairs p2 ON p1.dst = p2.src
         |    JOIN pairs p3 ON p3.src = p1.src AND p3.dst = p2.dst) AS n_triangles
-        |""".stripMargin.replaceAll("\n", "")
+        |""".stripMargin.replaceAll("\n", ""),
+    "g3_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        | walk(id, hops) AS (
+        |  SELECT DISTINCT src AS id, 0 AS hops FROM edges WHERE src % 1000 = 0
+        |  UNION
+        |  SELECT e.dst, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.id
+        |  WHERE w.hops < 3)
+        | SELECT CAST(id AS BIGINT) AS part_id, CAST(MIN(hops) AS BIGINT) AS hops
+        | FROM walk GROUP BY id ORDER BY part_id""".stripMargin.replaceAll("\n", ""),
+    "g4_adamic_adar" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        | deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+        | wedge AS (
+        |  SELECT e1.dst AS x, e2.dst AS y, e1.src AS z
+        |  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  WHERE e1.src % 16 = 0),
+        | aa AS (
+        |  SELECT x, y, ROUND(SUM(1.0 / LN(d)), 6) AS score
+        |  FROM wedge JOIN deg ON deg.id = wedge.z GROUP BY x, y),
+        | nonedge AS (
+        |  SELECT a.* FROM aa a LEFT JOIN pairs p ON p.src = a.x AND p.dst = a.y
+        |  WHERE p.src IS NULL)
+        | SELECT CAST(x AS BIGINT) AS src, CAST(y AS BIGINT) AS dst, score
+        | FROM nonedge ORDER BY score DESC, src, dst LIMIT 100""".stripMargin.replaceAll("\n", "")
   )
 }

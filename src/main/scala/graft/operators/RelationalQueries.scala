@@ -554,6 +554,35 @@ object RelationalQueries {
           round(expr("percentile(sz, 0.99)"), 6).as("p99"),
           max("sz").as("max_sz"))
     }),
+
+    // A38: CDC apply — a deterministic I/U/D changelog over orders
+    // folded into a snapshot by Cdc.applyChangelog (latest seq wins,
+    // deletes remove, updates upsert). Exercises every merge path:
+    // insert-new (%4==1, absent from the snapshot), update-existing,
+    // update-of-absent-key (upsert), delete, and delete-overriding-
+    // earlier-update (%6==0 carries both U@2 and D@3).
+    "a38_cdc_apply" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("order_key"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+      val snap = o.filter(col("order_key") % 4 =!= 1)
+      val ch = o.filter(col("order_key") % 4 === 1)
+        .select(col("order_key"), lit("N").as("status"), col("price"),
+          lit("I").as("op"), lit(1).as("seq"))
+        .unionByName(o.filter(col("order_key") % 3 === 0)
+          .select(col("order_key"), lit("X").as("status"),
+            round(col("price") + 10, 2).as("price"),
+            lit("U").as("op"), lit(2).as("seq")))
+        .unionByName(o.filter(col("order_key") % 6 === 0)
+          .select(col("order_key"), lit(null).cast("string").as("status"),
+            lit(null).cast("double").as("price"),
+            lit("D").as("op"), lit(3).as("seq")))
+      Cdc.applyChangelog(snap, ch, Seq("order_key"), "seq", "op")
+        .select(col("order_key"), col("status"),
+          round(col("price"), 2).as("price"))
+        .orderBy("order_key")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -665,6 +694,27 @@ object RelationalQueries {
         |  AND o_orderdate >= valid_from
         |  AND (valid_to IS NULL OR o_orderdate < valid_to)
         | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""),
+    "a38_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey AS order_key, o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 4 <> 1),
+        | ch AS (
+        |  SELECT o_orderkey AS order_key, 'N' AS status, o_totalprice AS price, 'I' AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', ROUND(o_totalprice + 10, 2), 'U', 2 FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 'D', 3 FROM orders WHERE o_orderkey % 6 = 0),
+        | latest AS (
+        |  SELECT * FROM (
+        |    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY order_key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        | SELECT order_key, status, ROUND(price, 2) AS price FROM (
+        |  SELECT s.order_key, s.status, s.price FROM snap s
+        |  LEFT JOIN latest l ON l.order_key = s.order_key WHERE l.order_key IS NULL
+        |  UNION ALL
+        |  SELECT order_key, status, price FROM latest WHERE op <> 'D')
+        | ORDER BY order_key""".stripMargin.replaceAll("\n", ""),
     "a36_skew_profile" ->
       """WITH s AS (SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY 1)
         | SELECT COUNT(*) AS n_keys, ROUND(AVG(sz), 6) AS avg_sz,

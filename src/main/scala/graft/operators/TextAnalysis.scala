@@ -47,6 +47,19 @@ object TextAnalysis {
   def bpePieces(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
+  /** Adjacent character pairs within each word of `text`
+    * (array<string>, one 2-char entry per in-word position) — the
+    * unit of the first BPE-training iteration: tokenizer training at
+    * corpus scale IS "count these pairs, merge the argmax, repeat",
+    * and the counting step is pure map-side explode + one keyed agg.
+    * Words shorter than 2 chars contribute nothing. */
+  def charPairs(text: Column): Column =
+    flatten(transform(tokens(lower(text)), w =>
+      // sequence(1, 0) would DESCEND — guard short words explicitly
+      when(length(w) >= 2,
+        transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))))
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def distinctTokenCount(text: Column): Column =

@@ -347,6 +347,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T31: BPE-training merge candidates — the top-50 adjacent
+    // character pairs across the corpus, i.e. the argmax table of the
+    // first tokenizer-training iteration. At 100 TB this is the
+    // canonical map-reduce: charPairs is pure map-side explode (no
+    // intermediate word table materializes), the pair agg combines
+    // map-side into ≤ |alphabet|² partials, and top-50 fuses to
+    // TakeOrderedAndProject.
+    "t31_bpe_merges" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(TextAnalysis.charPairs(col("text"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(50)
+    }),
+
     // T11: tf-idf top terms per document — the IR feature-extraction
     // shape: two keyed aggs (term frequency, doc frequency), a hash
     // join, a 1-row broadcast for N, rank window for top-3. Natural
@@ -1416,6 +1431,15 @@ object TextQueries {
          |  (SELECT doc_id, n_tokens FROM p ORDER BY pri DESC, doc_id LIMIT 200)
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
     },
+    "t31_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        | prs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |                i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+        |  FROM words WHERE length(w) >= 2)
+        | SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM prs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin.replaceAll("\n", ""),
     "t30_dsir_weights" ->
       """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
         |   FROM documents WHERE len(string_split(text, ' ')) >= 2),

@@ -43,6 +43,57 @@ class GraphSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("bfsHops: path graph distances; nodes beyond maxHops absent") {
+    import spark.implicits._
+    // 0-1-2-3-4 path, seed {0}, maxHops 3 → node 4 unreached
+    val path = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)))
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.bfsHops(path, "src", "dst", seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    Caches.release(spark)
+  }
+
+  test("bfsHops: cycles don't revisit; multi-source takes the min distance") {
+    import spark.implicits._
+    // triangle + pendant: seeds {0, 4}; node 2 is 1 hop from 0 (not 2
+    // via the other arc), pendant 3-4 gives 3 hops=1 from seed 4
+    val g = sym(Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L)))
+    val seeds = Seq(0L, 4L).toDF("id")
+    val got = Graph.bfsHops(g, "src", "dst", seeds, maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got ==
+      Map(0L -> 0L, 4L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+    Caches.release(spark)
+  }
+
+  test("adamicAdar: C4 closed form — diagonals score 2/ln 2, edges excluded") {
+    // square 0-1-2-3: non-adjacent pairs (0,2) and (1,3) share two
+    // degree-2 neighbors each → score 2/ln(2); adjacent pairs must
+    // not appear
+    val c4 = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    val got = Graph.adamicAdar(c4, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val want = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map((0L, 2L) -> want, (1L, 3L) -> want), got.toString)
+    Caches.release(spark)
+  }
+
+  test("adamicAdar pivot sampling keeps only sampled pivots' wedges") {
+    // path 1-2-3 with pivot mod 2: pivot 2 is the only wedge center
+    // and 2 % 2 == 0 → (1,3) survives; with the path shifted to
+    // 1-3-5 the only pivot (3) is dropped → empty
+    val keep = sym(Seq((1L, 2L), (2L, 3L)))
+    assert(Graph.adamicAdar(keep, "src", "dst", pivotSampleMod = 2)
+      .count() == 1)
+    val drop = sym(Seq((1L, 3L), (3L, 5L)))
+    assert(Graph.adamicAdar(drop, "src", "dst", pivotSampleMod = 2)
+      .count() == 0)
+    Caches.release(spark)
+  }
+
   test("pageRank on an empty edge list returns an empty frame, not 1/0") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")

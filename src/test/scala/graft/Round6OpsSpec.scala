@@ -217,6 +217,38 @@ class Round6OpsSpec extends AnyFunSuite {
       s"en ${byLang("en")} vs $byLang")
   }
 
+  test("applyChangelog: latest seq wins; insert/update/upsert/delete paths") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val ch = Seq(
+      (2L, "b2", "U", 1), (2L, null, "D", 2), // delete overrides update
+      (3L, "c2", "U", 1),                     // update existing
+      (4L, "d", "I", 1),                      // insert new
+      (5L, "e2", "U", 1)                      // update of absent key → upsert
+    ).toDF("k", "v", "op", "seq")
+    val out = Cdc.applyChangelog(snap, ch, Seq("k"), "seq", "op")
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getString(1))
+    Caches.release(spark)
+    assert(out.toSeq == Seq(1L -> "a", 3L -> "c2", 4L -> "d", 5L -> "e2"))
+  }
+
+  test("applyChangelog rejects a changes schema missing op/seq") {
+    import spark.implicits._
+    val snap = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((1L, "a", 1)).toDF("k", "v", "seq")
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(snap, bad, Seq("k"), "seq", "op")
+    }
+  }
+
+  test("charPairs: in-word adjacent pairs, lowercased; short words empty") {
+    import spark.implicits._
+    val got = Seq("Abca x yZ").toDF("text")
+      .select(graft.operators.TextAnalysis.charPairs(col("text")).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("ab", "bc", "ca", "yz"))
+  }
+
   test("s17 transition probabilities sum to 1 per source state") {
     val q = graft.operators.EventQueries.queries("s17_markov_transitions")
     val rows = q(spark, sfDir).groupBy("src")
