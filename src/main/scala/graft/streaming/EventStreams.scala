@@ -141,6 +141,55 @@ object EventStreams {
       }
   }
 
+  case class TypedEv(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String)
+  case class AttribState(first: String, prev: Option[String],
+      converted: Boolean)
+  case class AttribOut(user_id: Long, first_touch: String,
+      last_touch: Option[String])
+
+  /** Streaming conversion attribution — the stream face of the s16
+    * batch query: per user, emit (first_touch, last_touch) exactly
+    * once, at the moment the first `purchase` arrives; non-converting
+    * users emit nothing (their state is one tiny record awaiting a
+    * purchase). first_touch = the user's earliest event type,
+    * last_touch = the event immediately before the first purchase
+    * (None when the purchase IS the first event) — the same
+    * semantics the batch query derives from its row_number windows.
+    *
+    * State per user is O(1) — two strings and a flag — and events
+    * after conversion are ignored without resorting the history, so
+    * an unbounded clickstream costs state proportional to USERS, not
+    * events. Within a micro-batch arrivals are sorted by event time;
+    * ACROSS batches the usual ordered-delivery contract of the other
+    * stateful ops applies (a production deployment would pair this
+    * with a watermark + timeout to expire converted/stale users). */
+  def streamingAttribution(events: Dataset[TypedEv]): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttribOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[TypedEv], state: GroupState[AttribState]) =>
+          var st = state.getOption.getOrElse(AttribState(null, None, false))
+          var out = List.empty[AttribOut]
+          if (!st.converted) {
+            for (e <- evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+                 if !st.converted) {
+              val first = if (st.first == null) e.event_type else st.first
+              if (e.event_type == "purchase") {
+                out ::= AttribOut(uid, first, st.prev)
+                st = AttribState(first, st.prev, converted = true)
+              } else {
+                st = AttribState(first, Some(e.event_type), converted = false)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stream-stream correlated join: for each left event, all right
     * events of the same user within the trailing `windowSeconds`.
     * Watermarks on both sides bound the join state (right rows are

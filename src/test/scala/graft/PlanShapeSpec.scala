@@ -381,6 +381,57 @@ class PlanShapeSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("adamic-adar: top-100 fuses to TakeOrderedAndProject; agg combines partially") {
+    val p = planOf("g4_adamic_adar")
+    assert(p.contains("TakeOrderedAndProject"),
+      "score top-100 must not global-sort")
+    // the wedge-pair aggregation must combine map-side before its
+    // exchange (partial_ entries in the HashAggregate)
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      "pair aggregation must have a partial (map-side) phase")
+    Caches.release(spark)
+  }
+
+  test("cdc apply: latest-wins window computed once, never over the snapshot") {
+    val df = SparkEntry.queries("a38_cdc_apply")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the consuming plan holds NO WindowExec: the changelog's
+    // latest-wins window runs exactly once, inside the shared-cached
+    // `latest` build — the snapshot side is never windowed or sorted
+    val outerWins = deepCollect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(outerWins.isEmpty,
+      s"snapshot-side plan must be window-free, got ${outerWins.length}")
+    // `latest` feeds two consumers (anti-join keys + live rows) from
+    // the cache, and its one-time cached build IS the keyed window
+    val imts = deepCollect(plan) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(imts.length >= 2, s"latest must be cache-served, got ${imts.length}")
+    val cached = imts.head.relation.cachedPlan.toString
+    assert(cached.contains("Window") && cached.contains("order_key"),
+      "cached latest build must be the order_key-partitioned window")
+    Caches.release(spark)
+  }
+
+  test("bpe merges: one shuffle, no word-table materialization") {
+    val df = SparkEntry.queries("t31_bpe_merges")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      "top-50 must not global-sort")
+    val exchanges = deepCollect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // pure map-reduce: the only data movement is the pair-count
+    // exchange (map-side partials of ≤ alphabet² keys)
+    assert(exchanges.length == 1,
+      s"expected exactly 1 shuffle, got ${exchanges.length}")
+    Caches.release(spark)
+  }
+
   test("dsir: feature model broadcasts; corpus shuffles once, on doc_id") {
     val df = SparkEntry.queries("t30_dsir_weights")(spark, sfDir)
     df.collect()

@@ -273,6 +273,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == binned.size)
   }
 
+  test("streaming attribution equals batch s16 across 3 time-ordered batches") {
+    import spark.implicits._
+    val batch = graft.operators.EventQueries.queries("s16_attribution")(
+        spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+      .toSet
+
+    // split the log into 3 TIME-RANGE files (not arbitrary partitions)
+    // and force their arrival order via modification times, so the
+    // stream processes event-time-ordered micro-batches — the ordered
+    // delivery the cross-batch state contract assumes
+    val d = java.nio.file.Files.createTempDirectory("attrib_stream")
+    val ev = eventsSchemaDf
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+    val cuts = ev.stat.approxQuantile("ts_us", Array(1.0 / 3, 2.0 / 3), 0.0)
+    val parts = Seq(
+      ev.filter(col("ts_us") < cuts(0)),
+      ev.filter(col("ts_us") >= cuts(0) && col("ts_us") < cuts(1)),
+      ev.filter(col("ts_us") >= cuts(1)))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"attrib_part$i")
+      p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val src = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = d.resolve(s"b$i.parquet")
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+
+    val raw = spark.readStream
+      .schema(parts.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d.toString)
+      .as[EventStreams.TypedEv]
+    val perUser = EventStreams.runToCompletion(
+      EventStreams.streamingAttribution(raw).toDF(),
+      "attrib_test", OutputMode.Append)
+    val got = perUser
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_users"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+      .toSet
+    assert(got == batch, s"stream ${got.size} cells vs batch ${batch.size}")
+  }
+
   test("stateful streaming sessionization matches batch closed sessions") {
     import spark.implicits._
     val batch = EventStreams.sessionStats(eventsSchemaDf)
