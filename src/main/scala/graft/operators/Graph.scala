@@ -40,8 +40,12 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
-    val deg = edges.groupBy(col(srcCol).as("id"))
-      .agg(count(lit(1)).as("_deg"))
+    // deg is O(V) and has THREE consumers (N count, uniform start,
+    // weighted-edge build) — cached, or each one re-aggregates the
+    // O(E) edge list
+    val deg = graft.Caches.shared(
+      edges.groupBy(col(srcCol).as("id"))
+        .agg(count(lit(1)).as("_deg")))
     // one-time O(E) build: per-edge contribution weight 1/outdeg,
     // pre-partitioned on src so every iteration's rank join lands on
     // this partitioning (only the O(V) rank side moves per step)
@@ -61,13 +65,26 @@ object Graph {
     // empty graph: the schema-correct empty result, not 1/0 literals
     if (n == 0) return deg.select(col("id"), lit(0.0).as("rank"))
     var ranks = deg.select(col("id"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iterations) {
-      ranks = edgesW
+    for (i <- 1 to iterations) {
+      val next = edgesW
         .join(ranks.withColumnRenamed("id", "_src"), "_src")
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("rank") * col("_w")).as("_mass"))
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("_mass")).as("rank"))
+      // MATERIALIZE each iteration's O(V) rank table: without this,
+      // iteration t's broadcast/join re-executes the whole t-1 chain
+      // (the rank lineage is re-entered once per step), turning the
+      // loop into O(iterations²) passes over the edge list. Cached,
+      // each step is exactly one pass. Memory is iterations × V rows —
+      // trivial at ship iteration counts; very long runs should
+      // unpersist the previous step once the next is materialized.
+      ranks =
+        if (i < iterations) {
+          val c = graft.Caches.shared(next)
+          c.count() // force now, so the NEXT step reads, not recomputes
+          c
+        } else next
     }
     ranks
   }
@@ -208,15 +225,21 @@ object GraphQueries {
     // and was ~2× slower at sf0.1. Group fan-out is bounded (TPC-H
     // orders hold ≤ 7 lines), so the per-group pair array is tiny —
     // exactly the shape collect_list is safe for.
+    // each pair is PACKED into one long (src << 32 | dst; partkeys are
+    // well under 2^32) before the distinct: the dedup shuffle then
+    // moves and hashes 8-byte keys instead of two-field structs —
+    // measurably cheaper at 2M+ pairs — and unpacks after
     li.groupBy("l_orderkey")
       .agg(collect_list(col("l_partkey")).as("ps"))
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
-          struct(least(x, y).as("src"), greatest(x, y).as("dst"))))))
-        .as("pr"))
-      .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
-      .filter(col("src") < col("dst"))
+          shiftleft(least(x, y), 32).bitwiseOR(greatest(x, y))))))
+        .as("pk"))
+      .filter(shiftright(col("pk"), 32) =!=
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL))) // drop self-pairs
       .distinct()
+      .select(shiftright(col("pk"), 32).as("src"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dst"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,7 +255,11 @@ object GraphQueries {
       val pairs = graft.Caches.shared(copurchasePairs(s, dir))
       val edges = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      val ranks = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      // the O(V) result is cached: the N-recovery aggregate and the
+      // output projection are TWO consumers, and without this the
+      // whole 5-iteration join lineage executes once per consumer
+      val ranks = graft.Caches.shared(
+        Graph.pageRank(edges, "src", "dst", iterations = 5))
       // recover N (one row per node in `ranks`) as a broadcast 1-row
       // aggregate — no global window, no extra scan of the edge list
       ranks
