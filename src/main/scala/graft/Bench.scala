@@ -54,13 +54,18 @@ object Bench {
     "a37_scd2_asof", // SCD2 via as-of union-sort (vs a35's interval join)
     "m1_media_features", // batched binary decode plumbing
     "m4_image_decode", // REAL ImageIO PNG encode+decode roundtrip
-    "g1_part_pagerank") // iterative rank: cached degree-weighted edges
+    "g1_part_pagerank", // iterative rank: cached degree-weighted edges
+    "a38_cdc_apply", // lakehouse MERGE: latest-wins window + one anti-join
+    "t31_bpe_merges") // tokenizer-training pair counts: pure map-reduce
   // g2_triangle_count stays out of the headline by design: triangle
   // enumeration is Θ(Σ deg²) wedge work however it's partitioned —
   // at sf0.1 the co-purchase graph yields ~20M wedges for a 1-row
   // answer, ~10 s of honest compute that would triple the headline
   // total while measuring the graph's density, not the engine. It
   // remains oracle-checked per-round (CORRECTNESS at sf0.01).
+  // g3/g4 likewise: their per-trial cost is dominated by the same
+  // co-purchase pair build g1 already times — benching them would
+  // count that build thrice. Both stay oracle-checked at 3 SFs.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -72,19 +72,15 @@ object Graph {
         .agg(sum(col("rank") * col("_w")).as("_mass"))
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("_mass")).as("rank"))
-      // MATERIALIZE each iteration's O(V) rank table: without this,
-      // iteration t's broadcast/join re-executes the whole t-1 chain
-      // (the rank lineage is re-entered once per step), turning the
-      // loop into O(iterations²) passes over the edge list. Cached,
-      // each step is exactly one pass. Memory is iterations × V rows —
-      // trivial at ship iteration counts; very long runs should
-      // unpersist the previous step once the next is materialized.
-      ranks =
-        if (i < iterations) {
-          val c = graft.Caches.shared(next)
-          c.count() // force now, so the NEXT step reads, not recomputes
-          c
-        } else next
+      // each iteration's O(V) rank table is cached but NOT forced:
+      // AQE materializes every query stage exactly once and reuses
+      // it, so the chain already executes one pass per step; the
+      // cache guards the non-AQE / re-entrant-broadcast path (where
+      // step t's broadcast would otherwise re-run the whole t-1
+      // lineage, O(iterations²) edge passes) without paying a
+      // synchronous count job per step. Memory is iterations × V
+      // rows — trivial at ship iteration counts.
+      ranks = if (i < iterations) graft.Caches.shared(next) else next
     }
     ranks
   }
