@@ -273,6 +273,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == binned.size)
   }
 
+  test("streaming CDC apply equals batch a38 across 4 ordered batches; replays skip") {
+    import org.apache.spark.sql.functions.{round => fnRound}
+    val dir = sfDir
+    val o = Tables.load(spark, dir, "orders").select(
+      col("o_orderkey").as("order_key"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("price"))
+    // batch 0 seeds the snapshot as inserts; batches 1–3 are the a38
+    // changelog split by seq — delivery order consistent with seq, the
+    // CDC-log contract
+    val batches = Seq(
+      o.filter(col("order_key") % 4 =!= 1)
+        .select(col("order_key"), col("status"), col("price"),
+          lit("I").as("op"), lit(0).as("seq")),
+      o.filter(col("order_key") % 4 === 1)
+        .select(col("order_key"), lit("N").as("status"), col("price"),
+          lit("I").as("op"), lit(1).as("seq")),
+      o.filter(col("order_key") % 3 === 0)
+        .select(col("order_key"), lit("X").as("status"),
+          fnRound(col("price") + 10, 2).as("price"),
+          lit("U").as("op"), lit(2).as("seq")),
+      o.filter(col("order_key") % 6 === 0)
+        .select(col("order_key"), lit(null).cast("string").as("status"),
+          lit(null).cast("double").as("price"),
+          lit("D").as("op"), lit(3).as("seq")))
+
+    val d = java.nio.file.Files.createTempDirectory("cdc_stream")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"cdc_part$i")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val src = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = d.resolve(s"b$i.parquet")
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val statePath = java.nio.file.Files
+      .createTempDirectory("cdc_state").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdc_ckpt").toString
+    val q = graft.operators.Cdc.streamingApply(
+      spark.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", 1).parquet(d.toString),
+      statePath, Seq("order_key"), "seq", "op", ckpt)
+    q.awaitTermination()
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("order_key"), col("status"),
+        fnRound(col("price"), 2).as("price"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.toString)))
+      .toSet
+    val want = keyed(
+      graft.operators.RelationalQueries.queries("a38_cdc_apply")(spark, dir))
+    val got = keyed(graft.operators.Cdc.readSnapshot(spark, statePath).get)
+    assert(got == want,
+      s"stream ${got.size} rows vs batch ${want.size}; " +
+        s"diff e.g. ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+
+    // at-least-once replay: re-folding an old batch id must be a no-op
+    graft.operators.Cdc.applyBatch(
+      batches.head.limit(5), batchId = 1L, statePath,
+      Seq("order_key"), "seq", "op")
+    assert(keyed(graft.operators.Cdc.readSnapshot(spark, statePath).get)
+      == want, "replayed batch id mutated committed state")
+    Caches.release(spark)
+  }
+
   test("streaming attribution equals batch s16 across 3 time-ordered batches") {
     import spark.implicits._
     val batch = graft.operators.EventQueries.queries("s16_attribution")(
