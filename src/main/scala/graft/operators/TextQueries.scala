@@ -347,6 +347,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // P6: compaction planning — the lakehouse OPTIMIZE maintenance
+    // shape over a file manifest (here: synthesized from documents —
+    // file per doc, partitioned by lang): next-fit byte binning via
+    // ONE per-partition window prefix sum, no driver loop; group =
+    // preceding-bytes div target, deterministic under any
+    // partitioning.
+    "p6_compaction_plan" -> ((s, dir) => {
+      val manifest = docs(s, dir).select(
+        col("lang"),
+        concat(col("source"), lit("/"), col("doc_id").cast("string"))
+          .as("file"),
+        length(col("text")).cast("long").as("sz"))
+      graft.store.Compaction.planGroups(manifest, "lang", "file", "sz",
+          targetBytes = 8192L)
+        .orderBy(asc("lang"), asc("grp"), desc("sz"), asc("file"))
+    }),
+
     // T31: BPE-training merge candidates — the top-50 adjacent
     // character pairs across the corpus, i.e. the argmax table of the
     // first tokenizer-training iteration. At 100 TB this is the
@@ -1431,6 +1448,19 @@ object TextQueries {
          |  (SELECT doc_id, n_tokens FROM p ORDER BY pri DESC, doc_id LIMIT 200)
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
     },
+    "p6_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT lang, source || '/' || CAST(doc_id AS VARCHAR) AS file,
+        |    length(text) AS sz
+        |  FROM documents),
+        | w AS (
+        |  SELECT lang, file, sz,
+        |   SUM(sz) OVER (PARTITION BY lang ORDER BY sz DESC, file
+        |     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m)
+        | SELECT lang, file, CAST(sz AS BIGINT) AS sz,
+        |   CAST(FLOOR((cum - sz) / 8192.0) AS BIGINT) AS grp
+        | FROM w ORDER BY lang, grp, sz DESC, file""".stripMargin.replaceAll("\n", ""),
     "t31_bpe_merges" ->
       """WITH words AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),

@@ -1,0 +1,50 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction planning — the maintenance job every
+  * long-lived parquet lake needs (Delta/Iceberg `OPTIMIZE`): a table
+  * ingested in thousands of micro-batches accumulates thousands of
+  * sub-target files per partition, and scan cost becomes dominated by
+  * per-file open/footer overhead instead of bytes. The planner groups
+  * each partition's files into compaction units of ~`targetBytes`, so
+  * one rewrite task per group turns N tiny files into one
+  * right-sized one.
+  *
+  * The grouping is NEXT-FIT over the size-descending file order: a
+  * running byte total per partition (one window prefix sum), group =
+  * preceding-total div target. Size-descending order packs the big
+  * files first so the tail of small files fills remainder groups —
+  * within 2× of optimal bin packing (next-fit's classic bound), fully
+  * deterministic, and expressible as ONE windowed pass: no driver
+  * loop, no per-file iteration, planning cost O(manifest) however
+  * many million files the lake holds. Every group's total is under
+  * `targetBytes` + its largest member (the straddling file stays in
+  * the earlier group). A single partition with a pathological file
+  * count is the usual per-key window skew story — salt or pre-split
+  * by file-name range.
+  */
+object Compaction {
+
+  /** Assign each manifest row a compaction group within its
+    * partition. Adds `grp` (0-based, contiguous in size-descending
+    * order). `manifest` columns: `partCol` (table partition the
+    * rewrite must respect), `fileCol` (unique file id — also the
+    * deterministic tie-break), `sizeCol` (bytes). */
+  def planGroups(
+      manifest: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = Window.partitionBy(partCol)
+      .orderBy(desc(sizeCol), asc(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest
+      .withColumn("_cum", sum(col(sizeCol)).over(w))
+      .withColumn("grp",
+        floor((col("_cum") - col(sizeCol)) / lit(targetBytes.toDouble))
+          .cast("long"))
+      .drop("_cum")
+  }
+}

@@ -249,6 +249,27 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got == Seq("ab", "bc", "ca", "yz"))
   }
 
+  test("compaction planGroups: next-fit grouping, closed form + byte bound") {
+    import spark.implicits._
+    val m = Seq(
+      ("a", "f1", 5000L), ("a", "f2", 4000L), ("a", "f3", 3000L),
+      ("a", "f4", 200L), ("b", "g1", 9000L), ("b", "g2", 100L)
+    ).toDF("p", "f", "sz")
+    val out = graft.store.Compaction.planGroups(m, "p", "f", "sz", 6000L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // next-fit over size-desc order: preceding-bytes div 6000
+    assert(out == Map(
+      ("a", "f1") -> 0L, ("a", "f2") -> 0L, ("a", "f3") -> 1L,
+      ("a", "f4") -> 2L, ("b", "g1") -> 0L, ("b", "g2") -> 1L), out.toString)
+    // bound: every group total < target + its largest member
+    val sums = graft.store.Compaction.planGroups(m, "p", "f", "sz", 6000L)
+      .groupBy("p", "grp").agg(sum("sz").as("tot"), max("sz").as("mx"))
+      .collect()
+    sums.foreach(r =>
+      assert(r.getLong(2) < 6000L + r.getLong(3), r.toString))
+  }
+
   test("s17 transition probabilities sum to 1 per source state") {
     val q = graft.operators.EventQueries.queries("s17_markov_transitions")
     val rows = q(spark, sfDir).groupBy("src")
