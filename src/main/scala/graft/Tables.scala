@@ -18,16 +18,30 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries a TIMESTAMP(NANOS) column, which Spark's
-    * vectorized Parquet reader rejects by default; read nanos as long
-    * (legacy conf) and surface `ts` as a microsecond TimestampType via
-    * integer division (no double round-trip — ns values exceed 2^53). */
+  /** The events table's `ts` physical type varies by testdata
+    * generation: TIMESTAMP(NANOS) (readable only as long, via the
+    * legacy conf; integer-divided to micros — no double round-trip,
+    * ns values exceed 2^53) or a plain micros TIMESTAMP (read natively,
+    * as NTZ under the default inference). This expression yields epoch
+    * MICROSECONDS as BIGINT for either physical type — the session is
+    * pinned UTC, so the NTZ→LTZ cast is wall-clock-identical. */
+  def eventsTsMicros(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+  }
+
+  /** Events with `ts` normalized to a microsecond TimestampType, from
+    * either physical encoding (see [[eventsTsMicros]]). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        eventsTsMicros(df.schema)))
   }
 
   /** Session tuned for the target: AQE on, shuffle width sized to the

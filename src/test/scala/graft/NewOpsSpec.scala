@@ -69,9 +69,17 @@ class NewOpsSpec extends AnyFunSuite {
       .longColumnBounds(spark, s"$sfDir/events.parquet", "ts")
     assert(fromFooter.isDefined, "events.ts should carry footer stats")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val scanned = spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .selectExpr("min(ts)", "max(ts)").head()
+    // ts is physical INT64 either way (nanos-as-long or micros
+    // TIMESTAMP); scan in the matching unit so footer == scan
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsUnits =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        org.apache.spark.sql.functions.col("ts")
+      else org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val scanned = df.select(
+      org.apache.spark.sql.functions.min(tsUnits),
+      org.apache.spark.sql.functions.max(tsUnits)).head()
     assert(fromFooter.get == ((scanned.getLong(0), scanned.getLong(1))))
     // absent column / absent table → None, never a wrong range
     assert(graft.store.ParquetStats

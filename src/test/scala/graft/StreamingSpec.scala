@@ -13,6 +13,18 @@ class StreamingSpec extends AnyFunSuite {
 
   private def eventsSchemaDf = Tables.events(spark, sfDir)
 
+  /** Streaming face of Tables.events: same adaptive ts normalization
+    * (nanos-as-long vs native micros TIMESTAMP) over a readStream
+    * source. */
+  private def rawEventStream = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
+    spark.readStream
+      .schema(schema)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(Tables.eventsTsMicros(schema)))
+  }
+
   /** readStream needs a directory source; stage the single parquet
     * file into a temp dir. */
   private lazy val streamDir: String = {
@@ -65,11 +77,7 @@ class StreamingSpec extends AnyFunSuite {
 
     // stream from the same parquet file: fixed schema, ts converted the
     // same way as Tables.events
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(Tables.load(spark, sfDir, "events").schema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = rawEventStream
     val result = EventStreams.runToCompletion(
       EventStreams.streamingHourly(raw), "hourly_test", OutputMode.Append)
     // append mode emits only watermark-closed windows; on a bounded
@@ -90,11 +98,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(Tables.load(spark, sfDir, "events").schema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = rawEventStream
     val result = EventStreams.runToCompletion(
       EventStreams.streamingDownsample(raw), "downsample_test", OutputMode.Append)
     val got = result.select("user_id", "bucket", "n_events", "sv_cents")
@@ -213,11 +217,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming exact dedup: watermarked dropDuplicates") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
-      .schema(Tables.load(spark, sfDir, "events").schema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = rawEventStream
       // duplicate the stream to create exact dups, then dedup by key
     // through the library's bounded-state form (state evicted past the
     // watermark, the unbounded-log contract)
@@ -235,11 +235,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream-stream correlated join equals batch join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def raw = spark.readStream
-      .schema(Tables.load(spark, sfDir, "events").schema)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def raw = rawEventStream
     val streamed = EventStreams.runToCompletion(
       EventStreams.correlate(
         raw.filter(col("event_type") === "purchase"),
@@ -400,10 +396,12 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
     val raw = spark.readStream
-      .schema(Tables.load(spark, sfDir, "events").schema)
+      .schema(schema)
       .parquet(streamDir)
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      .select(col("event_id"), Tables.eventsTsMicros(schema).as("ts_us"),
+        col("user_id"))
       .as[EventStreams.Ev]
     val result = EventStreams.runToCompletion(
       EventStreams.streamingSessionize(raw).toDF(),
