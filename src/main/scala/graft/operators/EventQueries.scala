@@ -62,9 +62,15 @@ object EventQueries {
         .select("event_id", "user_id", "us")
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+      // footer INT64 unit follows the physical encoding: nanos when ts
+      // reads as long (legacy conf), micros when it is a TIMESTAMP
+      val tsIsNanos = Tables.load(s, dir, "events")
+        .schema("ts").dataType == org.apache.spark.sql.types.LongType
       val bounds = graft.store.ParquetStats
         .longColumnBounds(s, s"$dir/events.parquet", "ts")
-        .map { case (loNs, hiNs) => (loNs / 1000, hiNs / 1000) }
+        .map { case (lo, hi) =>
+          if (tsIsNanos) (lo / 1000, hi / 1000) else (lo, hi)
+        }
       AsOf.asofJoinSkewSafe(purchases, clicks, "user_id", "us",
           rightPayload = Seq("click_id"), buckets = 16, bounds = bounds)
         .orderBy("event_id")
@@ -277,6 +283,39 @@ object EventQueries {
         .orderBy("user_id", "bucket")
     }),
 
+    // S18: interval union (sweep-line) — each event opens a 5-minute
+    // activity interval; overlapping intervals merge and the per-user
+    // union length is the "active time" utilization metric (device
+    // uptime, engaged minutes, machine-occupancy billing). The classic
+    // gaps-and-islands form: a per-user running max of interval ends
+    // marks island starts, a running count numbers the islands, two
+    // keyed aggs fold them — everything partitions on user_id (one
+    // shuffle; no global window anywhere). Aggregated outputs are
+    // invariant to tie order within (st, en), so the result is
+    // deterministic across engines and partitionings.
+    "s18_interval_union" -> ((s, dir) => {
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("st", "en")
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("st"))
+        .withColumn("en", col("st") + 300000000L)
+      iv
+        .withColumn("pm", max("en").over(
+          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)))
+        .withColumn("ni",
+          when(col("pm").isNull || col("st") > col("pm"), 1L).otherwise(0L))
+        .withColumn("island", sum("ni").over(
+          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(min("st").as("ist"), max("en").as("ien"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("ien") - col("ist")).as("active_us"))
+        .orderBy("user_id")
+    }),
+
     // S15: retention cohorts — users grouped by first-activity day,
     // the (cohort, day-offset) distinct-user matrix every product
     // analytics pipeline derives from an event log. The day projection
@@ -395,6 +434,22 @@ object EventQueries {
         | SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
         |   ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY src), 6) AS p
         | FROM c ORDER BY src, dst""".stripMargin.replaceAll("\n", ""),
+    "s18_interval_union" ->
+      """WITH iv AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS st,
+        |   CAST(epoch_us(ts) AS BIGINT) + 300000000 AS en FROM events),
+        | m AS (SELECT user_id, st, en, MAX(en) OVER (PARTITION BY user_id
+        |   ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   AS pm FROM iv),
+        | f AS (SELECT user_id, st, en,
+        |   CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END AS ni FROM m),
+        | g AS (SELECT user_id, st, en, SUM(ni) OVER (PARTITION BY user_id
+        |   ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS island FROM f),
+        | i AS (SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+        |   FROM g GROUP BY 1, 2)
+        | SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(ien - ist) AS BIGINT) AS active_us
+        | FROM i GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""),
     "s14_downsample" ->
       """SELECT user_id, epoch_us(ts) // 300000000 AS bucket,
         | COUNT(*) AS n_events,

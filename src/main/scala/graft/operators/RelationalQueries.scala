@@ -583,9 +583,34 @@ object RelationalQueries {
           round(col("price"), 2).as("price"))
         .orderBy("order_key")
     }),
+
+    // A39: 2-D skyline — the Pareto frontier of (minimize retailprice,
+    // maximize size): no other part is both ≤ price and ≥ size with
+    // one strict. Computed by the distributed sort-based linear scan
+    // (Skyline.skyline2D: group + two-phase prefix max + join back —
+    // three keyed shuffles total), while the oracle states dominance
+    // directly as correlated NOT EXISTS, so the O(N·logN)
+    // reformulation is hash-checked against the O(N²) definition.
+    "a39_part_skyline" -> ((s, dir) => {
+      Skyline.skyline2D(
+          Tables.load(s, dir, "part")
+            .select("p_partkey", "p_retailprice", "p_size"),
+          minCol = "p_retailprice", maxCol = "p_size")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a39_part_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        | WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM part q
+        |   WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |     OR q.p_size > p.p_size))
+        | ORDER BY p_partkey""".stripMargin.replaceAll("\n", ""),
     "a33_price_stats" ->
       """SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS r,
         | ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov,

@@ -379,6 +379,27 @@ object TextQueries {
         .limit(50)
     }),
 
+    // T32: vocabulary coverage — per-doc fraction of tokens inside the
+    // corpus top-500 vocabulary: the tokenizer-coverage / OOV-rate
+    // diagnostic run before committing to a vocab size (a doc scoring
+    // low here will fragment into many unknown pieces). One cached
+    // token explode feeds both the vocabulary build (a bounded top-k,
+    // fused to TakeOrderedAndProject) and the per-doc rollup; the
+    // 500-row vocab broadcasts back, so the corpus shuffles once, on
+    // doc_id.
+    "t32_vocab_coverage" -> ((s, dir) => {
+      val tok = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok")))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok")).limit(500)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(coalesce(col("in_vocab"), lit(0))), 6).as("coverage"))
+        .orderBy("doc_id")
+    }),
+
     // T11: tf-idf top terms per document — the IR feature-extraction
     // shape: two keyed aggs (term frequency, doc frequency), a hash
     // join, a 1-row broadcast for N, rank window for top-3. Natural
@@ -1422,6 +1443,18 @@ object TextQueries {
         | SELECT doc_id, CAST(u.copy AS BIGINT) AS copy, source
         | FROM w, UNNEST(range(1, n + 1)) AS u(copy)
         | WHERE n >= 1 ORDER BY doc_id, copy"""
+        .stripMargin.replaceAll("\n", ""),
+    "t32_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+        |  FROM documents),
+        | vocab AS (SELECT tok, 1 AS in_vocab FROM
+        |  (SELECT tok, COUNT(*) cnt FROM tok GROUP BY tok
+        |   ORDER BY cnt DESC, tok LIMIT 500)),
+        | j AS (SELECT doc_id, COALESCE(in_vocab, 0) AS iv
+        |  FROM tok LEFT JOIN vocab USING (tok))
+        | SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(iv), 6) AS coverage
+        | FROM j GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
     "t11_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok

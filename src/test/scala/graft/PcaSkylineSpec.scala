@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Pca, Skyline}
+
+/** PCA fit/transform contracts and distributed-skyline equivalence
+  * (round 6: v24, a39). */
+class PcaSkylineSpec extends AnyFunSuite {
+  import SparkTestSession.forAll
+  lazy val spark = SparkTestSession.spark
+
+  // ---------------------------------------------------------- PCA --
+
+  test("symEig recovers a known 2x2 eigensystem") {
+    val (eig, vecs) = Pca.symEig(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = eig.sorted
+    assert(math.abs(sorted(0) - 1.0) < 1e-12)
+    assert(math.abs(sorted(1) - 3.0) < 1e-12)
+    // eigenvector check: A·v = λ·v
+    eig.indices.foreach { i =>
+      val v = vecs(i)
+      val av = Array(2.0 * v(0) + v(1), v(0) + 2.0 * v(1))
+      assert(math.abs(av(0) - eig(i) * v(0)) < 1e-10)
+      assert(math.abs(av(1) - eig(i) * v(1)) < 1e-10)
+    }
+  }
+
+  /** Deterministic synthetic corpus with a dominant direction. */
+  private def synthetic(dim: Int, n: Int): Seq[(Long, Array[Float])] = {
+    val dom = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val nrm = math.sqrt(dom.map(x => x * x).sum)
+    val d = dom.map(_ / nrm)
+    (0 until n).map { r =>
+      val rng = new scala.util.Random(r * 7919L)
+      val coef = 10.0 * math.sin(r * 0.7)
+      val v = Array.tabulate(dim)(i =>
+        (coef * d(i) + 0.3 * rng.nextGaussian() + 2.0).toFloat)
+      (r.toLong, v)
+    }
+  }
+
+  test("fit: components orthonormal, eigenvalues descending, dominant direction found") {
+    import spark.implicits._
+    val dim = 16
+    val df = synthetic(dim, 200).toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", dim, 4)
+    assert(m.n == 200)
+    assert(m.eigenvalues.length == 4 && m.components.length == 4)
+    // descending eigenvalues
+    m.eigenvalues.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-12) }
+    // orthonormal rows
+    for (i <- 0 until 4; j <- i until 4) {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"<c$i,c$j> = $dot")
+    }
+    // pc1 aligns with the planted dominant direction
+    val dom = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val nrm = math.sqrt(dom.map(x => x * x).sum)
+    val cos = m.components(0).zip(dom.map(_ / nrm))
+      .map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.99, s"pc1 alignment $cos")
+    // sign convention: the largest-|coefficient| entry is positive
+    m.components.foreach { c =>
+      assert(c(c.indices.maxBy(i => math.abs(c(i)))) > 0)
+    }
+  }
+
+  test("project matches the straight-line centered dot product; variance ≈ eigenvalue") {
+    import spark.implicits._
+    val dim = 16
+    val data = synthetic(dim, 200)
+    val df = data.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", dim, 2)
+    val got = Pca.project(df, "embedding", m)
+      .select("vec_id", "pc1", "pc2").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val byId = data.toMap
+    def straight(v: Array[Float], j: Int): Double =
+      v.map(_.toDouble).zip(m.mean).map { case (x, mu) => x - mu }
+        .zip(m.components(j)).map { case (c, w) => c * w }.sum
+    // project rounds to 6dp, so the straight-line value must sit
+    // within half an ulp of the rounded output
+    got.foreach { case (id, (p1, p2)) =>
+      assert(math.abs(p1 - straight(byId(id), 0)) < 6e-7)
+      assert(math.abs(p2 - straight(byId(id), 1)) < 6e-7)
+    }
+    // sample variance of pc1 ≈ its eigenvalue (exact up to rounding:
+    // the eigenvalue IS the projected sample variance)
+    val p1s = got.values.map(_._1).toArray
+    val mean1 = p1s.sum / p1s.length
+    val var1 = p1s.map(x => (x - mean1) * (x - mean1)).sum / (p1s.length - 1)
+    assert(math.abs(var1 - m.eigenvalues(0)) / m.eigenvalues(0) < 1e-3)
+  }
+
+  test("fit skips null and ragged vectors; projection is partitioning-invariant") {
+    import spark.implicits._
+    val dim = 8
+    val good = synthetic(dim, 60)
+    val bad = Seq((900L, null.asInstanceOf[Array[Float]]),
+      (901L, Array(1.0f, 2.0f)))
+    val df = (good ++ bad).toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", dim, 2)
+    assert(m.n == 60)
+    val a = Pca.fit(df.repartition(17), "embedding", dim, 2)
+    // same data, different partitioning → same model up to float-sum
+    // reordering; components agree far below the 6dp output rounding
+    m.components.zip(a.components).foreach { case (x, y) =>
+      x.zip(y).foreach { case (u, v) => assert(math.abs(u - v) < 1e-6) }
+    }
+  }
+
+  // ------------------------------------------------------ skyline --
+
+  test("skyline2D ≡ naive dominance filter on random point sets (with ties)") {
+    import spark.implicits._
+    val pointGen = for {
+      p <- Gen.chooseNum(1, 8).map(_ * 1.0)
+      s <- Gen.chooseNum(1L, 8L)
+    } yield (p, s)
+    forAll(Gen.listOfN(60, pointGen), n = 6) { pts =>
+      val df = pts.zipWithIndex
+        .map { case ((p, s), i) => (i.toLong, p, s) }
+        .toDF("id", "price", "size")
+      val got = Skyline.skyline2D(df, "price", "size")
+        .select("price", "size").collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+      val want = Skyline.naive2D(pts)
+      assert(got.sorted == want.sorted)
+    }
+  }
+
+  test("skyline keeps all duplicate-coordinate frontier points and drops null keys") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(1.0), Some(10L)), // frontier
+      (2L, Some(1.0), Some(10L)), // duplicate frontier point — kept
+      (3L, Some(2.0), Some(10L)), // dominated (same size, pricier)
+      (4L, Some(2.0), Some(12L)), // frontier
+      (5L, None, Some(99L)),      // null key — excluded
+      (6L, Some(0.5), None)       // null key — excluded
+    ).toDF("id", "price", "size")
+    val got = Skyline.skyline2D(
+        df.select(col("id"),
+          col("price").cast("double").as("price"), col("size")),
+        "price", "size")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L))
+  }
+
+  test("skyline plan: no cartesian/broadcast-nested-loop join") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 37) * 1.0, (i % 11).toLong))
+      .toDF("id", "price", "size")
+    val plan = Skyline.skyline2D(df, "price", "size")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
