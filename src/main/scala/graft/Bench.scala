@@ -57,7 +57,9 @@ object Bench {
     "g1_part_pagerank", // iterative rank: cached degree-weighted edges
     "a38_cdc_apply", // lakehouse MERGE: latest-wins window + one anti-join
     "t31_bpe_merges", // tokenizer-training pair counts: pure map-reduce
-    "p6_compaction_plan") // OPTIMIZE planning: one windowed prefix sum
+    "p6_compaction_plan", // OPTIMIZE planning: one windowed prefix sum
+    "v24_pca_project", // one-pass covariance moments + broadcast projection
+    "a39_part_skyline") // distributed sort-based Pareto frontier
   // g2_triangle_count stays out of the headline by design: triangle
   // enumeration is Θ(Σ deg²) wedge work however it's partitioned —
   // at sf0.1 the co-purchase graph yields ~20M wedges for a 1-row

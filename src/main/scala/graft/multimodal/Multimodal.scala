@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache spills every read/write through a
+    * DISK temp file — one create+delete per codec call, so a corpus of
+    * small images serializes on filesystem churn instead of decoding.
+    * Memory-cached streams keep the whole round trip in-heap (assets
+    * here are bounded; a giant-image pipeline would bound its batch
+    * byte budget instead). Object-init runs once per JVM, before any
+    * kernel call, on driver and executors alike. */
+  private val _imageIoMemCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType, nullable = false), // image|audio|video
     StructField("width", IntegerType, nullable = true),
