@@ -294,25 +294,10 @@ object EventQueries {
     // invariant to tie order within (st, en), so the result is
     // deterministic across engines and partitionings.
     "s18_interval_union" -> ((s, dir) => {
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("st", "en")
-      val iv = Tables.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("st"))
-        .withColumn("en", col("st") + 300000000L)
-      iv
-        .withColumn("pm", max("en").over(
-          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)))
-        .withColumn("ni",
-          when(col("pm").isNull || col("st") > col("pm"), 1L).otherwise(0L))
-        .withColumn("island", sum("ni").over(
-          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)))
-        .groupBy("user_id", "island")
-        .agg(min("st").as("ist"), max("en").as("ien"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(col("ien") - col("ist")).as("active_us"))
+      intervalUnion(
+          Tables.events(s, dir)
+            .select(col("user_id"), unix_micros(col("ts")).as("st")),
+          keyCol = "user_id", stCol = "st", durUs = 300000000L)
         .orderBy("user_id")
     }),
 
@@ -407,6 +392,34 @@ object EventQueries {
         .orderBy("src", "dst")
     }),
   )
+
+  /** Per-key sweep-line union of [st, st+durUs) intervals →
+    * (key, n_sessions, active_us). Gaps-and-islands: a running max of
+    * interval ends over strictly-preceding rows marks island starts, a
+    * running count numbers them, two keyed aggs fold the islands —
+    * every step partitions on `keyCol` (one shuffle, no global
+    * window). Outputs are invariant to tie order within (st, en). */
+  def intervalUnion(
+      df: org.apache.spark.sql.DataFrame, keyCol: String, stCol: String,
+      durUs: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(stCol, "en")
+    df
+      .withColumn("en", col(stCol) + durUs)
+      .withColumn("pm", max("en").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pm").isNull || col(stCol) > col("pm"), 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(stCol).as("ist"), max("en").as("ien"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("ien") - col("ist")).as("active_us"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "s16_attribution" ->

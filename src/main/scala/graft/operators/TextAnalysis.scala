@@ -170,4 +170,25 @@ object TextAnalysis {
             i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
           .otherwise(array_distinct(array(array_join(toks, " ")))))
     }
+
+  /** Per-doc vocabulary coverage: the fraction of a document's tokens
+    * inside the corpus top-`vocabSize` vocabulary (count-desc, token
+    * tie-break) — the tokenizer-coverage / OOV-rate diagnostic. One
+    * cached token explode feeds both the vocabulary build (bounded
+    * top-k → TakeOrderedAndProject) and the per-doc rollup; the vocab
+    * broadcasts back, so the corpus shuffles once, on the doc key.
+    * → (idCol, n_tokens, coverage[6dp]). */
+  def vocabCoverage(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val tok = graft.Caches.shared(docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok")))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(coalesce(col("in_vocab"), lit(0))), 6).as("coverage"))
+  }
 }

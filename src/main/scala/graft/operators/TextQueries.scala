@@ -388,15 +388,9 @@ object TextQueries {
     // 500-row vocab broadcasts back, so the corpus shuffles once, on
     // doc_id.
     "t32_vocab_coverage" -> ((s, dir) => {
-      val tok = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok")))
-      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), asc("tok")).limit(500)
-        .select(col("tok"), lit(1).as("in_vocab"))
-      tok.join(broadcast(vocab), Seq("tok"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          round(avg(coalesce(col("in_vocab"), lit(0))), 6).as("coverage"))
+      TextAnalysis.vocabCoverage(
+          docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+          vocabSize = 500)
         .orderBy("doc_id")
     }),
 

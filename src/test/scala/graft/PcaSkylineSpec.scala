@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Pca, Skyline}
+import graft.operators.{EventQueries, Pca, Skyline, TextAnalysis}
 
-/** PCA fit/transform contracts and distributed-skyline equivalence
-  * (round 6: v24, a39). */
+/** PCA fit/transform contracts, distributed-skyline equivalence, and
+  * the interval-union / vocab-coverage mechanics (round 6: v24, a39,
+  * s18, t32). */
 class PcaSkylineSpec extends AnyFunSuite {
   import SparkTestSession.forAll
   lazy val spark = SparkTestSession.spark
@@ -159,5 +160,62 @@ class PcaSkylineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ------------------------------------- interval union (s18) --
+
+  test("intervalUnion: overlap merge, duplicates, per-key independence") {
+    import spark.implicits._
+    // key 1: [0,300s) ∪ [100s,400s) merge; [1000s,1300s) separate
+    // key 2: two identical events collapse into one island
+    val df = Seq((1L, 0L), (1L, 100000000L), (1L, 1000000000L),
+      (2L, 50L), (2L, 50L)).toDF("user_id", "st")
+    val got = EventQueries.intervalUnion(df, "user_id", "st", 300000000L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 700000000L), (2L, 1L, 300000000L)))
+  }
+
+  test("intervalUnion ≡ straight-line merge on random inputs; partitioning-invariant") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(1L, 3L)
+      st <- Gen.chooseNum(0L, 2000L)
+    } yield (k, st))
+    def straight(pts: Seq[(Long, Long)], dur: Long): Map[Long, (Long, Long)] =
+      pts.groupBy(_._1).map { case (k, es) =>
+        val iv = es.map(_._2).sorted.map(s => (s, s + dur))
+        val merged = iv.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, (s, e)) => acc match {
+            case (ps, pe) :: t if s <= pe => (ps, math.max(pe, e)) :: t
+            case _ => (s, e) :: acc
+          }
+        }
+        k -> (merged.length.toLong, merged.map(i => i._2 - i._1).sum)
+      }
+    forAll(gen, n = 6) { pts =>
+      val want = straight(pts, 500L)
+      val got = EventQueries.intervalUnion(
+          pts.toDF("user_id", "st").repartition(7), "user_id", "st", 500L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == want)
+    }
+  }
+
+  // ------------------------------------- vocab coverage (t32) --
+
+  test("vocabCoverage: top-k vocab by (count desc, token) and per-doc fraction") {
+    import spark.implicits._
+    // counts: a=2 b=1 c=1 d=1 → top-2 = {a, b} (count then token order)
+    val docs = Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 3L, 1.0), (2L, 2L, 0.0)))
+    // full-size vocab → every doc fully covered
+    val full = TextAnalysis.vocabCoverage(docs, "doc_id", "text", 10)
+      .collect().map(_.getDouble(2))
+    assert(full.forall(_ == 1.0))
   }
 }
