@@ -364,6 +364,27 @@ object TextQueries {
         .orderBy(asc("lang"), asc("grp"), desc("sz"), asc("file"))
     }),
 
+    // P7: Z-order key arithmetic — the Morton interleave `Layout`
+    // clusters files by (OPTIMIZE ZORDER), hash-checked cross-engine:
+    // the oracle recomputes min/max normalization, 16-bit bucketing
+    // (floor semantics — Spark's long cast truncates and the scaled
+    // value is non-negative) and the bit interleave term-for-term in
+    // SQL. Pure map-side codegen arithmetic over broadcast bounds, so
+    // keying 100 TB for a layout rewrite adds no shuffle of its own.
+    "p7_zorder_key" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+      val b = p.agg(min("p_partkey"), max("p_partkey"),
+        min(col("p_size").cast("long")), max(col("p_size").cast("long")))
+        .head()
+      p.select(col("p_partkey"),
+          graft.store.Layout.zOrderKey(
+            col("p_partkey"), b.getLong(0), b.getLong(1),
+            col("p_size").cast("long"), b.getLong(2), b.getLong(3),
+            bits = 16).as("zkey"))
+        .orderBy("p_partkey")
+        .limit(1000)
+    }),
+
     // T31: BPE-training merge candidates — the top-50 adjacent
     // character pairs across the corpus, i.e. the argmax table of the
     // first tokenizer-training iteration. At 100 TB this is the
@@ -1488,6 +1509,25 @@ object TextQueries {
         | SELECT lang, file, CAST(sz AS BIGINT) AS sz,
         |   CAST(FLOOR((cum - sz) / 8192.0) AS BIGINT) AS grp
         | FROM w ORDER BY lang, grp, sz DESC, file""".stripMargin.replaceAll("\n", ""),
+    "p7_zorder_key" ->
+      """WITH b AS (SELECT MIN(p_partkey) lo1, MAX(p_partkey) hi1,
+        |   MIN(CAST(p_size AS BIGINT)) lo2, MAX(CAST(p_size AS BIGINT)) hi2
+        |  FROM part),
+        | k AS (SELECT p_partkey,
+        |   LEAST(65535, GREATEST(0, CAST(FLOOR(
+        |    (CAST(p_partkey AS DOUBLE) - lo1) / (hi1 - lo1) * 65535)
+        |    AS BIGINT))) AS b1,
+        |   LEAST(65535, GREATEST(0, CAST(FLOOR(
+        |    (CAST(p_size AS DOUBLE) - lo2) / (hi2 - lo2) * 65535)
+        |    AS BIGINT))) AS b2
+        |  FROM part, b)
+        | SELECT p_partkey, CAST(list_sum(list_transform(range(0, 16), i ->
+        |   ((b1 // CAST(pow(2, i) AS BIGINT)) % 2)
+        |     * CAST(pow(2, 2 * i) AS BIGINT)
+        |   + ((b2 // CAST(pow(2, i) AS BIGINT)) % 2)
+        |     * CAST(pow(2, 2 * i + 1) AS BIGINT))) AS BIGINT) AS zkey
+        | FROM k ORDER BY p_partkey LIMIT 1000"""
+        .stripMargin.replaceAll("\n", ""),
     "t31_bpe_merges" ->
       """WITH words AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
