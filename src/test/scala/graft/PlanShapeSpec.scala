@@ -455,4 +455,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus must hash-shuffle once on doc_id, saw $docIdShuffles")
     Caches.release(spark)
   }
+
+  test("pca projection: map-side only — no hash shuffle anywhere in the plan") {
+    val df = SparkEntry.queries("v24_pca_project")(spark, sfDir)
+    df.collect()
+    val exchanges = deepCollect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the broadcast centered-dot-product projection must add NO keyed
+    // data movement; the single legitimate exchange is the output
+    // orderBy's range partitioning
+    val hash = exchanges.map(_.outputPartitioning.toString)
+      .count(_.contains("hashpartitioning"))
+    assert(hash == 0, s"projection must not hash-shuffle, saw $hash")
+    assert(exchanges.length <= 1,
+      s"expected at most the output-sort exchange, got ${exchanges.length}")
+    Caches.release(spark)
+  }
+
+  test("zorder key: scan → projection → TakeOrderedAndProject, zero shuffles") {
+    val df = SparkEntry.queries("p7_zorder_key")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      "bounded output must not global-sort")
+    val exchanges = deepCollect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"Morton keying is pure map-side, saw ${exchanges.length} shuffles")
+    Caches.release(spark)
+  }
+
+  test("interval union: one keyed shuffle feeds windows and both rollups") {
+    val df = SparkEntry.queries("s18_interval_union")(spark, sfDir)
+    df.collect()
+    val exchanges = deepCollect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val userShuffles = exchanges.map(_.outputPartitioning.toString)
+      .count(s => s.contains("hashpartitioning") && s.contains("user_id"))
+    assert(userShuffles == 1,
+      s"islands + both rollups must reuse ONE user_id exchange, saw $userShuffles")
+    Caches.release(spark)
+  }
 }
