@@ -118,6 +118,49 @@ object Graph {
     visited
   }
 
+  /** Synchronous label propagation (community detection, Raghavan et
+    * al. 2007) over a SYMMETRIC edge list: every node starts labeled
+    * with its own id; each round it adopts the most frequent label
+    * among its in-neighbors, ties to the SMALLEST label — both rules
+    * deterministic, so the fixed-iteration result is reproducible
+    * across runs, engines and partitionings (classic async LPA is
+    * order-dependent; the sync+tie-break form trades a possible
+    * 2-cycle oscillation for determinism, which a fixed iteration
+    * count makes irrelevant).
+    *
+    * Scale shape: the label table is O(V) and the edge list is built
+    * ONCE outside; each round costs one (dst, label) vote count (map-
+    * side combined) and one per-node argmax — expressed as
+    * `min(struct(-votes, label))`, a plain aggregate, never a window
+    * over the corpus. Nodes with no in-edges keep their initial label
+    * via the left join (init = own id, so "keep previous" and "keep
+    * init" coincide for them). */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val e = graft.Caches.shared(
+      edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")))
+    val nodes = graft.Caches.shared(
+      e.select(col("_src").as("id"))
+        .union(e.select(col("_dst").as("id"))).distinct())
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iterations) {
+      val votes = e
+        .join(labels.withColumnRenamed("id", "_src"), "_src")
+        .groupBy(col("_dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val next = votes
+        .groupBy("id")
+        .agg(min(struct((-col("votes")).as("nv"), col("label"))).as("m"))
+        .select(col("id"), col("m.label").as("label"))
+      labels = graft.Caches.shared(
+        nodes.join(next, Seq("id"), "left")
+          .select(col("id"), coalesce(col("label"), col("id")).as("label")))
+    }
+    labels
+  }
+
   /** Adamic–Adar link-prediction scores over a SYMMETRIC edge list
     * (each undirected edge present in both directions, as for
     * [[pageRank]]): for each non-adjacent pair (x, y),
@@ -307,6 +350,24 @@ object GraphQueries {
         .select(col("x").as("src"), col("y").as("dst"), col("score"))
         .orderBy(desc("score"), asc("src"), asc("dst"))
         .limit(100)
+    }),
+
+    // G5: 3-round synchronous label propagation over the co-purchase
+    // graph — community sizes of the top-100 communities. The oracle
+    // unrolls the same three deterministic vote/argmax rounds as CTEs
+    // (g1's unrolled-iteration pattern), so the iterative algorithm is
+    // hash-checked end-to-end. Stays out of the headline for g2–g4's
+    // reason: its per-trial cost is dominated by the pair build g1
+    // already times.
+    "g5_label_prop" -> ((s, dir) => {
+      val pairs = graft.Caches.shared(copurchasePairs(s, dir))
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagation(edges, "src", "dst", iterations = 3)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(desc("n_members"), asc("community"))
+        .limit(100)
     })
   )
 
@@ -390,6 +451,36 @@ object GraphQueries {
         |  SELECT a.* FROM aa a LEFT JOIN pairs p ON p.src = a.x AND p.dst = a.y
         |  WHERE p.src IS NULL)
         | SELECT CAST(x AS BIGINT) AS src, CAST(y AS BIGINT) AS dst, score
-        | FROM nonedge ORDER BY score DESC, src, dst LIMIT 100""".stripMargin.replaceAll("\n", "")
+        | FROM nonedge ORDER BY score DESC, src, dst LIMIT 100""".stripMargin.replaceAll("\n", ""),
+    "g5_label_prop" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | l0 AS (SELECT id, id AS label FROM nodes),
+        | c1 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
+        |   FROM edges e JOIN l0 l ON e.src = l.id GROUP BY 1, 2),
+        | w1 AS (SELECT id, label FROM c1 QUALIFY
+        |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
+        | l1 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
+        |   FROM nodes n LEFT JOIN w1 w USING (id)),
+        | c2 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
+        |   FROM edges e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
+        | w2 AS (SELECT id, label FROM c2 QUALIFY
+        |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
+        | l2 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
+        |   FROM nodes n LEFT JOIN w2 w USING (id)),
+        | c3 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
+        |   FROM edges e JOIN l2 l ON e.src = l.id GROUP BY 1, 2),
+        | w3 AS (SELECT id, label FROM c3 QUALIFY
+        |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
+        | l3 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
+        |   FROM nodes n LEFT JOIN w3 w USING (id))
+        | SELECT CAST(label AS BIGINT) AS community,
+        |   COUNT(*) AS n_members
+        | FROM l3 GROUP BY 1 ORDER BY n_members DESC, community
+        | LIMIT 100""".stripMargin.replaceAll("\n", "")
   )
 }

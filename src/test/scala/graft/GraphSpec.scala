@@ -151,4 +151,54 @@ class GraphSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == 0L))
     Caches.release(spark)
   }
+
+  /** Straight-line synchronous LPA with the library's deterministic
+    * rule: adopt the most frequent in-neighbor label, ties to the
+    * smallest label; isolated-in nodes keep theirs. */
+  private def lpaRef(
+      symEdges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
+    val nodes = symEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    var labels = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iterations) {
+      val next = symEdges.groupBy(_._2).map { case (dst, es) =>
+        val votes = es.map(e => labels(e._1))
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        dst -> votes.toSeq.minBy { case (l, v) => (-v, l) }._1
+      }
+      labels = nodes.map(n => n -> next.getOrElse(n, labels(n))).toMap
+    }
+    labels
+  }
+
+  test("labelPropagation ≡ straight-line sync LPA on random graphs") {
+    import org.scalacheck.Gen
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 11L)
+      b <- Gen.chooseNum(0L, 11L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    SparkTestSession.forAll(Gen.listOfN(20, edgeGen).map(_.distinct), n = 5) { pairs =>
+      if (pairs.nonEmpty) {
+        val symSeq = pairs ++ pairs.map(p => (p._2, p._1))
+        val got = Graph.labelPropagation(sym(pairs), "src", "dst", 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == lpaRef(symSeq, 3))
+        Caches.release(spark)
+      }
+    }
+  }
+
+  test("labelPropagation: two disjoint triangles collapse to per-clique labels") {
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = Graph.labelPropagation(sym(tri), "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // communities never mix across components
+    val left = Set(0L, 1L, 2L).map(got)
+    val right = Set(10L, 11L, 12L).map(got)
+    assert(left.subsetOf(Set(0L, 1L, 2L)))
+    assert(right.subsetOf(Set(10L, 11L, 12L)))
+    // and sync-LPA on a K3 stabilizes at the min id by round 2
+    assert(left == Set(1L) || left == Set(0L))
+    Caches.release(spark)
+  }
 }
