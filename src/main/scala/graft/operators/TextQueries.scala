@@ -400,6 +400,31 @@ object TextQueries {
         .limit(50)
     }),
 
+    // T33: count-min sketch frequency estimates (rows-only: seeded
+    // JVM-hash sketch, no SQL oracle — the CMS guarantees est ≥ exact
+    // and bounded over-estimate are spec-asserted instead, like the
+    // other sketches). One pass builds the fixed 4×2048 grid
+    // (partial buffers merge by exact addition — deterministic under
+    // any partitioning); estimates for the exact top-20 tokens sit
+    // beside their true counts, so the sketch error is directly
+    // observable in the output.
+    "t33_cms_counts" -> ((s, dir) => {
+      val (depth, width, seed) = (4, 2048, 42L)
+      val tok = graft.Caches.shared(docs(s, dir).select(
+        explode(TextAnalysis.tokens(col("text"))).as("tok")))
+      val grid = tok.agg(
+        graft.functions.CountMin.sketch(depth, width, seed)(col("tok"))
+          .as("grid"))
+      val top = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("tok")).limit(20)
+      val est = udf((g: Seq[Long], t: String) =>
+        graft.functions.CountMin.estimate(g.toArray, depth, width, seed)(t))
+      top.crossJoin(broadcast(grid))
+        .select(col("tok"), col("exact_cnt"),
+          est(col("grid"), col("tok")).as("cms_est"))
+        .orderBy(desc("exact_cnt"), asc("tok"))
+    }),
+
     // T32: vocabulary coverage — per-doc fraction of tokens inside the
     // corpus top-500 vocabulary: the tokenizer-coverage / OOV-rate
     // diagnostic run before committing to a vocab size (a doc scoring

@@ -218,4 +218,33 @@ class PcaSkylineSpec extends AnyFunSuite {
       .collect().map(_.getDouble(2))
     assert(full.forall(_ == 1.0))
   }
+
+  // --------------------------------------- count-min sketch (t33) --
+
+  test("count-min: est ≥ exact, over-estimates rare and bounded, partitioning-invariant") {
+    import spark.implicits._
+    import graft.functions.CountMin
+    val (depth, width, seed) = (4, 256, 42L)
+    val rnd = new scala.util.Random(7)
+    val items = Seq.fill(2000)(s"w${rnd.nextInt(150)}")
+    val df = items.toDF("tok")
+    def build(d: org.apache.spark.sql.DataFrame): Array[Long] =
+      d.agg(CountMin.sketch(depth, width, seed)(col("tok")))
+        .head().getSeq[Long](0).toArray
+    val grid = build(df)
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val eps = math.E / width
+    // the hard guarantee: counters only add, so never an underestimate
+    exact.foreach { case (k, c) =>
+      assert(CountMin.estimate(grid, depth, width, seed)(k) >= c, k)
+    }
+    // the probabilistic bound: over-estimate ≤ ε·N w.p. 1−e^−depth per
+    // key — assert violations are rare over the whole key set
+    val viol = exact.count { case (k, c) =>
+      CountMin.estimate(grid, depth, width, seed)(k) - c > eps * items.size
+    }
+    assert(viol <= math.max(1, exact.size / 20), s"$viol/${exact.size} violations")
+    // exact integer merges → identical grid under any partitioning
+    assert(build(df.repartition(13)).sameElements(grid))
+  }
 }
