@@ -61,6 +61,39 @@ object CountMin {
     (c: Column) => f(c)
   }
 
+  /** The sketch as (cell_id, cnt) rows — cell_id = row·width + column.
+    * This is the STREAMING-STATE representation: CMS merge is
+    * elementwise addition, i.e. exactly the monoid-partial contract of
+    * [[graft.operators.Cdc.mergeRollup]], so maintaining a corpus
+    * sketch over a document stream is just
+    * `Cdc.streamingRollup(..., keyCols = Seq("cell_id"),
+    * aggregate = b => CountMin.sketchRows(...))` — versioned
+    * exactly-once state for free, no sketch-specific protocol. Only
+    * touched cells materialize (≤ depth·width rows however large the
+    * batch, after map-side combine). */
+  def sketchRows(
+      items: org.apache.spark.sql.DataFrame, itemCol: String,
+      depth: Int, width: Int, seed: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cellU = udf((t: String, j: Int) => j * width + cell(t, j, seed, width))
+    items
+      .filter(col(itemCol).isNotNull)
+      .select(col(itemCol).as("_t"),
+        explode(typedLit((0 until depth).toList)).as("_j"))
+      .select(cellU(col("_t"), col("_j")).as("cell_id"))
+      .groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Rebuild the dense grid from the rows form (absent cells are 0). */
+  def gridOfRows(
+      rows: org.apache.spark.sql.DataFrame, depth: Int, width: Int): Array[Long] = {
+    val g = new Array[Long](depth * width)
+    rows.collect().foreach { r =>
+      g(r.getAs[Number]("cell_id").intValue()) = r.getAs[Long]("cnt")
+    }
+    g
+  }
+
   /** Point estimate from a built sketch (driver- or executor-side). */
   def estimate(
       grid: Array[Long], depth: Int, width: Int, seed: Long)(

@@ -301,6 +301,23 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // S19: hopping-window counts — 10-minute windows sliding every
+    // 5 minutes (each event lands in exactly TWO overlapping windows):
+    // the smoothing/rate-monitor window shape tumbling buckets (a12,
+    // s14) can't express. Spark's window(slide) compiles to a bounded
+    // explode in the scan projection (window count = size/slide, a
+    // constant) followed by one keyed agg — the oracle enumerates the
+    // same two epoch-aligned starts per event arithmetically.
+    "s19_hopping_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("w_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // S15: retention cohorts — users grouped by first-activity day,
     // the (cohort, day-offset) distinct-user matrix every product
     // analytics pipeline derives from an event log. The day projection
@@ -447,6 +464,13 @@ object EventQueries {
         | SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
         |   ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY src), 6) AS p
         | FROM c ORDER BY src, dst""".stripMargin.replaceAll("\n", ""),
+    "s19_hopping_counts" ->
+      """WITH w AS (SELECT event_type,
+        |   (epoch_us(ts) // 300000000 - i) * 300000000 AS w_start
+        |  FROM events, UNNEST([0, 1]) AS u(i))
+        | SELECT w_start, event_type, COUNT(*) AS cnt
+        | FROM w GROUP BY 1, 2 ORDER BY w_start, event_type"""
+        .stripMargin.replaceAll("\n", ""),
     "s18_interval_union" ->
       """WITH iv AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS st,
         |   CAST(epoch_us(ts) AS BIGINT) + 300000000 AS en FROM events),

@@ -154,6 +154,47 @@ class StreamingSpec extends AnyFunSuite {
       keyed(agg(events.union(extra))))
   }
 
+  test("streaming count-min state: rollup-folded sketch equals one-pass grid") {
+    import graft.functions.CountMin
+    import graft.operators.{Cdc, TextAnalysis}
+    val (depth, width, seed) = (4, 512, 42L)
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val toks = docs.select(
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    docs.repartition(3).write.parquet(s"$tmp/src")
+    // the CMS fold is literally streamingRollup keyed on the grid cell
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    Cdc.streamingRollup(raw, s"$tmp/state", Seq("cell_id"),
+      b => CountMin.sketchRows(
+        b.select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        "tok", depth, width, seed),
+      s"$tmp/ckpt").awaitTermination()
+    val state = Cdc.readRollup(spark, s"$tmp/state")
+    assert(state.isDefined, "no committed CMS state")
+    val streamed = CountMin.gridOfRows(state.get, depth, width)
+    // one-shot rows form AND the typed-Aggregator form agree exactly —
+    // integer merges, so all three representations are bit-equal
+    val oneShot = CountMin.gridOfRows(
+      CountMin.sketchRows(toks, "tok", depth, width, seed), depth, width)
+    val agg = toks.agg(CountMin.sketch(depth, width, seed)(col("tok")))
+      .head().getSeq[Long](0).toArray
+    assert(streamed.sameElements(oneShot))
+    assert(streamed.sameElements(agg))
+    // and a replayed batch id is a no-op on the sketch
+    Cdc.foldBatch(spark.read.parquet(s"$tmp/src"), 0L, s"$tmp/state",
+      Seq("cell_id"),
+      b => CountMin.sketchRows(
+        b.select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        "tok", depth, width, seed))
+    assert(CountMin.gridOfRows(
+      Cdc.readRollup(spark, s"$tmp/state").get, depth, width)
+      .sameElements(streamed))
+  }
+
   test("streaming chunk ingest: readStream docs → chunk+embed → parquet append") {
     // the §7.1-step-10 extension: ingest is append-only, so the batch
     // chunk pipeline runs unchanged as a stream
