@@ -301,6 +301,25 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // S20: longest consecutive-day activity streak per user — the
+    // dense-islands trick: within a user's DISTINCT active days in
+    // order, day − row_number is constant exactly on a consecutive
+    // run, so two keyed aggs after one window give the max run length.
+    // The anchor date is engine-internal (never output) — only the
+    // run-partitioning it induces must agree, which pure date
+    // arithmetic guarantees.
+    "s20_activity_streaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("d")
+      Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .distinct()
+        .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+        .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max("len").as("max_streak"))
+        .orderBy("user_id")
+    }),
+
     // S19: hopping-window counts — 10-minute windows sliding every
     // 5 minutes (each event lands in exactly TWO overlapping windows):
     // the smoothing/rate-monitor window shape tumbling buckets (a12,
@@ -464,6 +483,16 @@ object EventQueries {
         | SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
         |   ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY src), 6) AS p
         | FROM c ORDER BY src, dst""".stripMargin.replaceAll("\n", ""),
+    "s20_activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        |   FROM events),
+        | r AS (SELECT user_id, d, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY d) AS rn FROM days),
+        | g AS (SELECT user_id, d - rn * INTERVAL 1 DAY AS anchor FROM r),
+        | st AS (SELECT user_id, anchor, COUNT(*) AS len FROM g GROUP BY 1, 2)
+        | SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+        | FROM st GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", ""),
     "s19_hopping_counts" ->
       """WITH w AS (SELECT event_type,
         |   (epoch_us(ts) // 300000000 - i) * 300000000 AS w_start
