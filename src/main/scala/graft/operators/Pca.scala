@@ -153,6 +153,12 @@ object Pca {
     * ordering of the partials. */
   def fit(df: DataFrame, embCol: String, dim: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= dim, s"k must be in [1,$dim], got $k")
+    // the moment buffer is O(dim²) doubles PER PARTITION (dim 64 →
+    // ~17 KB; dim 4096 → ~67 MB — at that point use a sketched /
+    // randomized solver instead, this exact-covariance path is for
+    // the embedding-sized regime)
+    require(dim <= 2048,
+      s"exact-covariance PCA is for dim ≤ 2048 (buffer is O(dim²)); got $dim")
     val agg = udaf(new MomentsAgg(dim), ExpressionEncoder[Array[Float]]())
     val r = df
       .select(col(embCol).cast("array<float>").as("e"))
