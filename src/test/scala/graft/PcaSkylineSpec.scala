@@ -219,6 +219,32 @@ class PcaSkylineSpec extends AnyFunSuite {
     assert(full.forall(_ == 1.0))
   }
 
+  // ----------------------------------------------- edge cases --
+
+  test("degenerate inputs: constant corpus PCA, 1-row skyline, empty interval union") {
+    import spark.implicits._
+    // constant vectors → zero covariance; fit succeeds with zero
+    // eigenvalues and an orthonormal (identity-like) basis
+    val const = (0 until 10).map(i => (i.toLong, Array.fill(4)(2.5f)))
+      .toDF("vec_id", "embedding")
+    val m = Pca.fit(const, "embedding", 4, 2)
+    assert(m.eigenvalues.forall(v => math.abs(v) < 1e-9))
+    m.components.foreach { c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    // every projection of a constant corpus is 0
+    val pcs = Pca.project(const, "embedding", m)
+      .select("pc1", "pc2").collect()
+    pcs.foreach(r => assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0))
+    // a single point is trivially the whole frontier
+    val one = Seq((1L, 5.0, 3L)).toDF("id", "price", "size")
+    assert(Skyline.skyline2D(one, "price", "size").count() == 1)
+    // empty interval union → empty result, no degenerate-window crash
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "st")
+    assert(EventQueries.intervalUnion(empty, "user_id", "st", 100L)
+      .count() == 0)
+  }
+
   // --------------------------------------- count-min sketch (t33) --
 
   test("count-min: est ≥ exact, over-estimates rare and bounded, partitioning-invariant") {
