@@ -487,6 +487,34 @@ class PlanShapeSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("hopping windows: the slide explode is map-side — one keyed agg shuffle") {
+    val df = SparkEntry.queries("s19_hopping_counts")(spark, sfDir)
+    df.collect()
+    val exchanges = deepCollect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // window(size, slide) multiplies rows in the scan projection, not
+    // via a join/shuffle: hash exchanges = the single aggregation
+    val hash = exchanges.map(_.outputPartitioning.toString)
+      .count(_.contains("hashpartitioning"))
+    assert(hash == 1, s"expected 1 agg shuffle, got $hash")
+    Caches.release(spark)
+  }
+
+  test("activity streaks: every stage keys on user_id — no extra exchange") {
+    val df = SparkEntry.queries("s20_activity_streaks")(spark, sfDir)
+    df.collect()
+    val exchanges = deepCollect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // distinct keys on (user_id, d); window + both rollups then reuse
+    // user_id partitionings — at most those two hash exchanges
+    val hash = exchanges.map(_.outputPartitioning.toString)
+      .count(_.contains("hashpartitioning"))
+    assert(hash <= 2, s"expected ≤2 keyed shuffles, got $hash")
+    Caches.release(spark)
+  }
+
   test("interval union: one keyed shuffle feeds windows and both rollups") {
     val df = SparkEntry.queries("s18_interval_union")(spark, sfDir)
     df.collect()
