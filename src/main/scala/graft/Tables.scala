@@ -34,14 +34,48 @@ object Tables {
     }
   }
 
+  /** Raw events scan plus the encoding flag, self-contained: sets the
+    * legacy nanos conf BEFORE schema inference, so this is safe as the
+    * first events access of a session (a bare `load` would throw on
+    * TIMESTAMP(NANOS) schema inference without the conf). Callers that
+    * only need the schema probe use this too — one footer read, no
+    * ordering dependency on a prior `events()` call. */
+  def eventsRaw(spark: SparkSession, dir: String): (DataFrame, Boolean) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(spark, dir, "events")
+    (df, df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   /** Events with `ts` normalized to a microsecond TimestampType, from
     * either physical encoding (see [[eventsTsMicros]]). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
+    val (df, _) = eventsRaw(spark, dir)
     df.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         eventsTsMicros(df.schema)))
+  }
+
+  /** Events with `ts` replaced by epoch-micros BIGINT `us`, computed
+    * directly from the physical encoding — for operators on the
+    * numeric time axis (as-of joins), this skips the per-row
+    * long→TimestampType→long round-trip that `events()` +
+    * `unix_micros` would pay (measured ~15% of s4's wall at sf0.1). */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    val (df, _) = eventsRaw(spark, dir)
+    df.withColumn("us", eventsTsMicros(df.schema)).drop("ts")
+  }
+
+  /** The s4 fast path bundled: events-with-`us` plus footer-statistics
+    * time bounds ALREADY SCALED to µs for either physical encoding
+    * (nanos stats ÷ 1000, micros stats verbatim). None when any row
+    * group lacks INT64 stats — callers fall back to a scan. */
+  def eventsUsWithBounds(spark: SparkSession, dir: String)
+      : (DataFrame, Option[(Long, Long)]) = {
+    val (df, isNanos) = eventsRaw(spark, dir)
+    val bounds = store.ParquetStats
+      .longColumnBounds(spark, s"$dir/events.parquet", "ts")
+      .map { case (lo, hi) => if (isNanos) (lo / 1000, hi / 1000) else (lo, hi) }
+    (df.withColumn("us", eventsTsMicros(df.schema)).drop("ts"), bounds)
   }
 
   /** Session tuned for the target: AQE on, shuffle width sized to the

@@ -38,7 +38,7 @@ object EventQueries {
     // simultaneous) click. One shuffle + bounded per-key sort
     // (operators.AsOf); oracle is DuckDB's native ASOF LEFT JOIN.
     "s3_asof_join" -> ((s, dir) => {
-      val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val e = Tables.eventsUs(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "us")
       val clicks = e.filter(col("event_type") === "click")
@@ -51,26 +51,18 @@ object EventQueries {
     // S4: the same as-of semantics through the skew-safe two-phase
     // form (time-range buckets + boundary-summary rescue) — must be
     // bit-identical to s3, checked against the same native ASOF oracle.
-    // Bucket bounds come from parquet FOOTER statistics (metadata-only;
-    // ts is physical INT64 nanos → micros is monotone ts/1000), so the
-    // min/max pre-scan of both inputs is skipped; bounds are
-    // correctness-neutral (they shape the range split only) and absent
-    // stats fall back to the scan inside asofJoinSkewSafe.
+    // Bucket bounds come from parquet FOOTER statistics (metadata-only,
+    // scaled to µs for either physical encoding by
+    // Tables.eventsUsWithBounds), so the min/max pre-scan of both
+    // inputs is skipped; bounds are correctness-neutral (they shape
+    // the range split only) and absent stats fall back to the scan
+    // inside asofJoinSkewSafe.
     "s4_asof_skewsafe" -> ((s, dir) => {
-      val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val (e, bounds) = Tables.eventsUsWithBounds(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "us")
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("us"), col("event_id").as("click_id"))
-      // footer INT64 unit follows the physical encoding: nanos when ts
-      // reads as long (legacy conf), micros when it is a TIMESTAMP
-      val tsIsNanos = Tables.load(s, dir, "events")
-        .schema("ts").dataType == org.apache.spark.sql.types.LongType
-      val bounds = graft.store.ParquetStats
-        .longColumnBounds(s, s"$dir/events.parquet", "ts")
-        .map { case (lo, hi) =>
-          if (tsIsNanos) (lo / 1000, hi / 1000) else (lo, hi)
-        }
       AsOf.asofJoinSkewSafe(purchases, clicks, "user_id", "us",
           rightPayload = Seq("click_id"), buckets = 16, bounds = bounds)
         .orderBy("event_id")
@@ -84,7 +76,7 @@ object EventQueries {
     // one-shuffle bounded-sort machinery is shared; the oracle plays
     // the same trick on DuckDB's native backward-only ASOF.
     "s13_asof_forward" -> ((s, dir) => {
-      val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val e = Tables.eventsUs(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), (-col("us")).as("neg_us"))
       val clicks = e.filter(col("event_type") === "click")

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 contract specs, part 1: the s4 fast path must fire on BOTH
+  * events physical encodings the driver has shipped — TIMESTAMP(NANOS)
+  * (readable only as long under the legacy conf) and native micros
+  * TIMESTAMP — with footer bounds scaled to µs either way, and the
+  * schema probe self-contained (no ordering dependency on a prior
+  * events() call having set the legacy conf).
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** Writes an events-shaped parquet with a true TIMESTAMP(NANOS) ts
+    * via parquet-mr directly (Spark cannot write nanos), reproducing
+    * the pre-round-6 testdata generation. */
+  private def writeNanosEvents(
+      path: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageTypeParser}
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,false));
+        |  required int64 user_id;
+        |  required binary event_type (STRING);
+        |}""".stripMargin)
+    val factory = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withType(schema)
+      .build()
+    try rows.foreach { case (id, tsNanos, user, typ) =>
+      val g = factory.newGroup()
+      g.add("event_id", id)
+      g.add("ts", tsNanos)
+      g.add("user_id", user)
+      g.add("event_type", typ)
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  test("s4 footer fast path fires on both events encodings, µs-scaled") {
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+    val rows = Seq(
+      (1L, base + 1000000L, 7L, "click"),
+      (2L, base + 2000000L, 7L, "purchase"),
+      (3L, base + 3000000L, 8L, "click"),
+      (4L, base + 9000000L, 8L, "purchase"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_enc").toString
+
+    // --- nanos generation: physical INT64 TIMESTAMP(NANOS) ---
+    val nanosDir = s"$dir/nanos"
+    new java.io.File(nanosDir).mkdirs()
+    writeNanosEvents(s"$nanosDir/events.parquet",
+      rows.map { case (id, us, u, t) => (id, us * 1000L, u, t) })
+    // the probe must be self-contained: clear the legacy conf so a
+    // bare read here would throw on TIMESTAMP(NANOS) inference
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val (nanosDf, nanosBounds) = Tables.eventsUsWithBounds(spark, nanosDir)
+    assert(nanosBounds == Some((base + 1000000L, base + 9000000L)),
+      s"nanos footer bounds must scale to µs, got $nanosBounds")
+    assert(nanosDf.select("us").as[Long].collect().sorted.toSeq ==
+      rows.map(_._2).sorted)
+
+    // --- micros generation: native TIMESTAMP_MICROS (round-6 writer) ---
+    val microsDir = s"$dir/micros"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    rows.map { case (id, us, u, t) => (id, us, u, t) }
+      .toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .select("event_id", "ts", "user_id", "event_type")
+      .coalesce(1)
+      .write.parquet(s"$microsDir/events.parquet")
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val (microsDf, microsBounds) = Tables.eventsUsWithBounds(spark, microsDir)
+    assert(microsBounds == Some((base + 1000000L, base + 9000000L)),
+      s"micros footer bounds must be verbatim µs, got $microsBounds")
+    assert(microsDf.select("us").as[Long].collect().sorted.toSeq ==
+      rows.map(_._2).sorted)
+
+    // both encodings feed the same skew-safe as-of and agree with the
+    // single-shuffle form
+    for (d <- Seq(nanosDir, microsDir)) {
+      val (e, bounds) = Tables.eventsUsWithBounds(spark, d)
+      assert(bounds.isDefined)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+      val safe = graft.operators.AsOf.asofJoinSkewSafe(
+        purchases, clicks, "user_id", "us",
+        rightPayload = Seq("click_id"), buckets = 4, bounds = bounds)
+        .orderBy("event_id").collect().toSeq
+      val plain = graft.operators.AsOf.asofJoin(
+        purchases, clicks, "user_id", "us", rightPayload = Seq("click_id"))
+        .orderBy("event_id").collect().toSeq
+      assert(safe == plain)
+    }
+  }
+}

@@ -67,4 +67,9 @@ for name, sql in sorted(oracles.items()):
     print(f"OK   {name} ({len(g)} rows)")
 
 print(f"\n{checked - fails}/{checked} queries match")
+if checked == 0:
+    # e.g. wrong outDir or a Verify run that wrote nothing: a 0/0
+    # "pass" under --only-present would be vacuous
+    print("ERROR: no query outputs found to check", file=sys.stderr)
+    sys.exit(2)
 sys.exit(1 if fails else 0)
