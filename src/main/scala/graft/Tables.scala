@@ -78,6 +78,19 @@ object Tables {
     (df.withColumn("us", eventsTsMicros(df.schema)).drop("ts"), bounds)
   }
 
+  /** Silence WindowExec's "No Partition Defined" warning. Every
+    * unpartitioned window in this library is a BOUNDED subtotal (≤
+    * #buckets, #types² or top-k rows — the documented house two-phase
+    * shape), so each instance is a false alarm; hundreds of them per
+    * bench/test run bury real single-partition regressions (round-6
+    * "what's wrong" #3). Scoped to the one logger — a genuinely
+    * unpartitioned corpus window would still show up in Spark UI
+    * metrics and the plan specs that pin partition counts. */
+  def quietBoundedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Session tuned for the target: AQE on, shuffle width sized to the
     * local core count (the driver passes 32 via local[32]); at cluster
     * scale the same settings defer partition sizing to AQE. */
@@ -92,6 +105,7 @@ object Tables {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietBoundedWindowWarnings()
     spark
   }
 }

@@ -20,6 +20,7 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.quietBoundedWindowWarnings()
     for (name <- names) {
       val ts = (1 to trials).map { _ =>
         Caches.release(spark)

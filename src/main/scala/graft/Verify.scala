@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // sequential by design: concurrent submission of the heavy queries
     // (pairwise joins + embedding pipelines) thrashes a single local

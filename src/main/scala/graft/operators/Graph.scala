@@ -25,16 +25,17 @@ object Graph {
 
   /** PageRank over a directed edge list, the damped power-iteration
     * form: r_{t+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_t(u)/outdeg(u).
-    * Nodes are the distinct endpoints of `edges`; for a symmetric
-    * (undirected) edge list every node has out-edges, so no dangling
-    * mass correction is needed — callers with genuinely dangling
-    * nodes should add self-loops first.
+    * Nodes are the distinct endpoints of `edges`; requires a SYMMETRIC
+    * (undirected) edge list, where every node has out-edges — use
+    * [[pageRankConverged]] for arbitrary directed graphs (dangling-
+    * mass redistribution), long runs (checkpointed lineage) or
+    * tolerance-driven termination.
     *
     * Returns (id, rank) with Σ rank ≈ 1. `iterations` is small and
     * fixed (power iteration converges geometrically at rate d); each
-    * extra iteration deepens lineage by one join+agg, so long runs
-    * should checkpoint every ~20 steps — at the 5–10 this library
-    * ships, plain lineage is cheaper.
+    * extra iteration deepens lineage by one join+agg, so at the 5–10
+    * iterations this form ships, plain lineage is cheaper than
+    * checkpointing.
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -54,6 +55,11 @@ object Graph {
     // shuffle at all), shuffle join keyed on _src when it isn't. A
     // cluster deployment iterating many steps over a V too big to
     // broadcast should pre-partition this frame on _src once instead.
+    // MEASURED at sf0.1 (round 7, tools.ProfileG1): forcing the rank
+    // join to shuffle_hash or merge is 1.2–1.3× SLOWER than the AQE
+    // broadcast at this V (~20k nodes) — the pre-partition advice is
+    // a cluster-scale V story, not a local win, so the shipped plan
+    // deliberately stays AQE-chosen.
     val edgesW = graft.Caches.shared(
       edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
         .join(deg.withColumnRenamed("id", "_src"), "_src")
@@ -83,6 +89,139 @@ object Graph {
       ranks = if (i < iterations) graft.Caches.shared(next) else next
     }
     ranks
+  }
+
+  /** PageRank for ARBITRARY directed graphs with convergence-driven
+    * termination — the production variant of [[pageRank]] (round-7
+    * item: the fixed-iteration form requires symmetric input and small
+    * iteration counts).
+    *
+    * Differences from [[pageRank]]:
+    *  - Nodes are src ∪ dst (not just sources), so sinks exist in the
+    *    rank vector, and nodes without in-edges keep their teleport
+    *    mass via the left join (the groupBy-only form silently drops
+    *    them from iteration 2 on).
+    *  - DANGLING MASS: each step, the rank held by out-edge-less nodes
+    *    is redistributed uniformly — the standard correction
+    *    (Page et al. 1999) that keeps Σ rank = 1 on any digraph. The
+    *    mass is a lazy 1-row aggregate broadcast into the step, not a
+    *    driver-side collect.
+    *  - `tol` > 0 terminates when the L1 step delta ≤ tol. The delta
+    *    is one O(V) join+agg job per iteration — the honest price of
+    *    convergence detection (tol = 0 keeps the fully lazy fixed
+    *    chain and behaves like [[pageRank]] with node completion).
+    *  - `checkpointEvery` truncates lineage with an eager
+    *    localCheckpoint every k steps: a 100-iteration chain otherwise
+    *    accumulates 100 join+agg plan levels, and analysis/codegen
+    *    time grows superlinearly (the `:36` lineage hazard, now
+    *    enforced rather than documented).
+    *
+    * On a symmetric edge list (no dangling nodes, every node a source)
+    * the per-step arithmetic is identical to [[pageRank]]'s — the
+    * dangling term contributes exactly +0.0 — so results are
+    * bit-identical (spec-pinned). */
+  def pageRankConverged(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int, damping: Double = 0.85,
+      tol: Double = 0.0, checkpointEvery: Int = 20): DataFrame =
+    pageRankConvergedWithIters(edges, srcCol, dstCol, maxIterations,
+      damping, tol, checkpointEvery)._1
+
+  /** [[pageRankConverged]] + the number of iterations actually run
+    * (for convergence diagnostics and the early-stop spec). */
+  def pageRankConvergedWithIters(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int, damping: Double = 0.85,
+      tol: Double = 0.0, checkpointEvery: Int = 20): (DataFrame, Int) = {
+    require(maxIterations >= 0, "maxIterations must be non-negative")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = graft.Caches.shared(
+      edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")))
+    val nodes = graft.Caches.shared(
+      e.select(col("_src").as("id"))
+        .union(e.select(col("_dst").as("id"))).distinct())
+    val deg = graft.Caches.shared(
+      e.groupBy(col("_src").as("id")).agg(count(lit(1)).as("_deg")))
+    val edgesW = graft.Caches.shared(
+      e.join(deg.withColumnRenamed("id", "_src"), "_src")
+        .withColumn("_w", lit(1.0) / col("_deg"))
+        .select("_src", "_dst", "_w"))
+    // dangling = nodes with no out-edges; O(V), two consumers per step
+    val dangling = graft.Caches.shared(
+      nodes.join(deg.select("id"), Seq("id"), "left_anti"))
+    val n = nodes.count()
+    if (n == 0) return (nodes.select(col("id"), lit(0.0).as("rank")), 0)
+    val spark = edges.sparkSession
+    // One driver count decides the dangling path up front: with no
+    // dangling nodes (every symmetric graph) the correction term is
+    // identically zero and no per-step mass job ever runs.
+    val nDangling = dangling.count()
+    // Iteration-state discipline — measured, not guessed: chaining
+    // persist() across iterations nests InMemoryRelations, and
+    // Spark's executed-plan STRING (rebuilt per job for the SQL
+    // listener) DOUBLES per nesting level — 106 MB of plan text by
+    // iteration 12, driver OOM by ~17 on a 4-node graph. So the loop
+    // NEVER persists intermediate rank tables. State materializes only
+    // through eager localCheckpoint (a LogicalRDD plan LEAF — resets
+    // both plan depth and lineage): every step when a per-step job
+    // exists anyway (dangling mass / tol delta — the job would
+    // otherwise recompute the whole segment per step), else every
+    // `checkpointEvery` steps, giving one execution of each segment at
+    // its closing checkpoint and plans at most checkpointEvery deep.
+    // Superseded checkpoint blocks free as soon as the next checkpoint
+    // materializes; the final state frees with the caller's
+    // Caches.release (the house contract for operator-internal state —
+    // note a released localCheckpoint cannot be lazily recomputed, so
+    // consume the result before releasing, as Verify/Bench do).
+    val eachStep = nDangling > 0 || tol > 0
+    var live = List.empty[DataFrame]
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    var itersRun = 0
+    var converged = false
+    var i = 1
+    while (i <= maxIterations && !converged) {
+      // dangling mass as a driver scalar from the checkpointed
+      // previous step (1-row O(V) job) — a lazy broadcast-agg would
+      // put a SECOND reference to `ranks` in the step plan
+      val dmOverN: Double =
+        if (nDangling == 0) 0.0
+        else ranks.join(dangling, "id")
+          .agg(coalesce(sum("rank"), lit(0.0)))
+          .head().getDouble(0) / n
+      val contribs = edgesW
+        .join(ranks.withColumnRenamed("id", "_src"), "_src")
+        .groupBy(col("_dst").as("id"))
+        .agg(sum(col("rank") * col("_w")).as("_mass"))
+      val stepped = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("_mass"), lit(0.0)) + lit(dmOverN))).as("rank"))
+      val materialize = eachStep || i % checkpointEvery == 0
+      val next = if (materialize) stepped.localCheckpoint(true) else stepped
+      if (tol > 0) {
+        val delta = next.withColumnRenamed("rank", "_r2")
+          .join(ranks, "id")
+          .agg(sum(abs(col("_r2") - col("rank"))).as("d"))
+          .head().getDouble(0)
+        converged = delta <= tol
+      }
+      if (materialize) {
+        // `next` holds its own blocks now — everything older is
+        // unreachable by construction (next's plan is a leaf)
+        live.foreach(_.unpersist(blocking = false))
+        live = List(next)
+      }
+      ranks = next
+      itersRun = i
+      i += 1
+    }
+    // remaining state frees with the caller's Caches.release, like
+    // every operator-internal persist
+    val remaining = live
+    graft.Caches.registerCleanup(spark)(() =>
+      remaining.foreach(_.unpersist(blocking = false)))
+    (ranks, itersRun)
   }
 
   /** Multi-source BFS: minimum hop distance from `seeds` (a single
@@ -257,7 +396,7 @@ object GraphQueries {
     * undirected edge. The self-join key is l_orderkey (bounded
     * fan-out — TPC-H orders hold ≤ 7 lines, so pairs-per-order is
     * ≤ 21); DISTINCT collapses repeat co-purchases across orders. */
-  private def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
     // ONE groupBy shuffle + map-side combination expansion, not a
     // self-join: the join form re-shuffles and sorts the fact twice

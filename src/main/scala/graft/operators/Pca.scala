@@ -99,8 +99,26 @@ object Pca {
       }
       s
     }
+    // RELATIVE convergence threshold (vs the Frobenius norm of the
+    // input): an absolute cutoff misbehaves at both magnitude
+    // extremes — tiny covariances (entries ≲1e-12) start below it and
+    // exit with zero rotations (identity "eigenvectors"), large ones
+    // have an off() floor of ~(eps·‖A‖)² that never reaches it and
+    // always burn all 64 sweeps. 1e-18·‖A‖²_F tracks double precision
+    // (≈ squared eps per entry) at any scale.
+    val frobSq = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    val tol = 1e-18 * frobSq
     var sweep = 0
-    while (sweep < 64 && off() > 1e-22) {
+    while (sweep < 64 && off() > tol) {
       var p = 0
       while (p < n - 1) {
         var q = p + 1

@@ -17,7 +17,17 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1–R7 + C1/C2 + E2 end-to-end: chunk + embed the documents table
     // at query time, then exact cosine top-k for a fixed query.
+    // ORACLE-CHECKED (round 7, the v20 inlined-constants trick): the
+    // embedder is engine-native, but retrieval over its output is pure
+    // SQL — at dump time the engine's top-100 candidate pool is
+    // inlined WITH its embeddings and the query vector, and DuckDB
+    // independently recomputes every cosine, the threshold, the
+    // ordering and the tie-break. A mis-ranked candidate or wrong
+    // similarity hash-mismatches; only embed() itself stays native
+    // (its arithmetic is pinned corpus-wide by v1/v4/v5's oracles
+    // over the same cosine machinery).
     "r1_rag_retrieval" -> ((s, dir) => {
+      lastRagCtx = Some((s, dir))
       val chunks = Rag.buildChunks(
         Tables.load(s, dir, "documents").select("doc_id", "text"),
         modelId = 1L, maxTokens = MaxTokens, dim = Dim)
@@ -64,14 +74,18 @@ object PipelineQueries {
     }),
 
     // R3: hybrid retrieval — BM25 over chunk text fused with the exact
-    // cosine ranking by reciprocal rank (rows-only: the vector leg
-    // embeds engine-natively; leg agreement and determinism are
-    // asserted in CatalogRagSpec). Both legs read the same chunk+embed
-    // projection, so it is shared through the session cache — one
+    // cosine ranking by reciprocal rank. ORACLE-CHECKED (round 7):
+    // the lexical leg is reproduced standalone in SQL (chunk
+    // reconstruction per c2's oracle + b1's BM25 formula over chunk
+    // text); the vector leg re-ranks the inlined candidate pool (the
+    // r1 pattern) and the RRF fuse is b2's SQL — only the embedding
+    // function stays engine-native. Both legs read the same
+    // chunk+embed projection, shared through the session cache — one
     // embed pass, not one per leg (the d3 branch-recompute lesson; on
     // a persisted store the legs share the parquet scan instead and
     // no cache is needed).
     "r3_hybrid_retrieval" -> ((s, dir) => {
+      lastRagCtx = Some((s, dir))
       val chunks = graft.Caches.shared(Rag.buildChunks(
         Tables.load(s, dir, "documents").select("doc_id", "text"),
         modelId = 1L, maxTokens = MaxTokens, dim = Dim))
@@ -92,8 +106,12 @@ object PipelineQueries {
 
     // G1–G4: the assembled contextualized prompt as a 1-row result
     // (deterministic end-to-end: chunking, embedding, retrieval and
-    // template are all pure).
+    // template are all pure). ORACLE-CHECKED (round 7): DuckDB
+    // re-retrieves the top-5 from the inlined pool, reconstructs each
+    // excerpt's chunk text in SQL and reassembles the full template
+    // string — the entire G1–G4 assembly is cross-engine-verified.
     "r2_rag_prompt" -> ((s, dir) => {
+      lastRagCtx = Some((s, dir))
       import s.implicits._
       val chunks = Rag.buildChunks(
         Tables.load(s, dir, "documents").select("doc_id", "text"),
@@ -105,10 +123,125 @@ object PipelineQueries {
     }),
   )
 
+  /** Set by the r1/r2/r3 query closures; consumed at oracle-dump time
+    * (the v21–v23 stash pattern) to build the inlined-pool RAG
+    * oracles. */
+  @volatile private var lastRagCtx: Option[(SparkSession, String)] = None
+
+  /** The engine's top-`n` retrieval pool (threshold −1, so it covers
+    * every leg's threshold) with embeddings, as a DuckDB VALUES body:
+    * (id, source_id, chunk_number, e DOUBLE[]). Floats are widened
+    * exactly (Double.toString round-trips), so DuckDB's cosine runs on
+    * bit-identical inputs. */
+  private def poolValues(s: SparkSession, dir: String, n: Int): Option[String] = {
+    val chunks = Rag.buildChunks(
+      Tables.load(s, dir, "documents").select("doc_id", "text"),
+      modelId = 1L, maxTokens = MaxTokens, dim = Dim)
+    val rows = Similarity.topK(chunks, "embedding", Rag.embedQuery(Query, Dim),
+        n, threshold = -1.0, tieBreak = Seq("id"))
+      .select("id", "source_id", "chunk_number", "embedding").collect()
+    if (rows.isEmpty) None
+    else Some(rows.map { r =>
+      val e = r.getSeq[Float](3).map(_.toDouble).mkString("[", ",", "]")
+      s"(${r.getLong(0)},${r.getLong(1)},${r.getInt(2)},CAST($e AS DOUBLE[]))"
+    }.mkString(","))
+  }
+
+  private def queryVecLit: String =
+    Rag.embedQuery(Query, Dim).mkString("CAST([", ",", "] AS DOUBLE[])")
+
+  private def r1OracleSql(s: SparkSession, dir: String): Option[String] =
+    poolValues(s, dir, 100).map { vals =>
+      s"""WITH pool AS (SELECT CAST(t.id AS BIGINT) AS id,
+         |   CAST(t.sid AS BIGINT) AS source_id,
+         |   CAST(t.cn AS INT) AS chunk_number,
+         |   ROUND(list_cosine_similarity(t.e, $queryVecLit), 6) AS similarity
+         |  FROM (VALUES $vals) t(id, sid, cn, e))
+         | SELECT id, source_id, chunk_number, similarity FROM pool
+         | WHERE similarity >= 0.0
+         | ORDER BY similarity DESC, id LIMIT 10""".stripMargin.replaceAll("\n", "")
+    }
+
+  /** Chunk reconstruction + lowercased text, the shared head of the
+    * r2/r3 oracles: c2's slice formula at MaxTokens=32 over the FULL
+    * documents table, with the engine's chunk id = source_id·2^20 +
+    * chunk_number. */
+  private val chunkCte: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+       | ch AS (SELECT doc_id * 1048576 + (i - 1) AS id,
+       |  array_to_string(tk[(i-1)*$MaxTokens+1 : (i-1)*$MaxTokens+$MaxTokens],
+       |    ' ') AS txt
+       |  FROM toks, UNNEST(range(1,
+       |    CAST(CEIL(len(tk)/$MaxTokens.0) AS BIGINT) + 1)) AS u(i))"""
+      .stripMargin.replaceAll("\n", "")
+
+  private def r3OracleSql(s: SparkSession, dir: String): Option[String] =
+    poolValues(s, dir, 100).map { vals =>
+      val terms = Query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .distinct.map(t => s"'$t'").mkString(", ")
+      s"""WITH $chunkCte,
+         | dl AS (SELECT id, len(string_split(lower(txt), ' ')) AS dl FROM ch),
+         | st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+         | tf AS (SELECT id, tok, COUNT(*) AS tf
+         |  FROM (SELECT id, unnest(string_split(lower(txt), ' ')) AS tok FROM ch)
+         |  WHERE tok IN ($terms) GROUP BY 1, 2),
+         | df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         | sc AS (SELECT tf.id, ROUND(SUM(
+         |   ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+         |   * tf.tf * 2.2
+         |   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 4) AS score
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (id) CROSS JOIN st
+         |  GROUP BY tf.id),
+         | lex AS (SELECT id,
+         |   row_number() OVER (ORDER BY score DESC, id) AS rank_a
+         |  FROM (SELECT * FROM sc ORDER BY score DESC, id LIMIT 50)),
+         | pool AS (SELECT CAST(t.id AS BIGINT) AS id,
+         |   ROUND(list_cosine_similarity(t.e, $queryVecLit), 6) AS sim
+         |  FROM (VALUES $vals) t(id, sid, cn, e)),
+         | vec AS (SELECT id,
+         |   row_number() OVER (ORDER BY sim DESC, id) AS rank_b
+         |  FROM (SELECT * FROM pool ORDER BY sim DESC, id LIMIT 50))
+         | SELECT id,
+         |  ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + rank_a), 0)
+         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_b), 0), 6) AS rrf,
+         |  CAST(rank_a AS INTEGER) AS rank_a, CAST(rank_b AS INTEGER) AS rank_b
+         | FROM lex FULL OUTER JOIN vec USING (id)
+         | ORDER BY rrf DESC, id LIMIT 10""".stripMargin.replaceAll("\n", "")
+    }
+
+  private def r2OracleSql(s: SparkSession, dir: String): Option[String] =
+    poolValues(s, dir, 100).map { vals =>
+      val q = Query
+      s"""WITH $chunkCte,
+         | pool AS (SELECT CAST(t.id AS BIGINT) AS id,
+         |   ROUND(list_cosine_similarity(t.e, $queryVecLit), 6) AS sim
+         |  FROM (VALUES $vals) t(id, sid, cn, e)),
+         | top5 AS (SELECT id, sim FROM pool WHERE sim >= 0.01
+         |  ORDER BY sim DESC, id LIMIT 5),
+         | ctx AS (SELECT string_agg(
+         |   'Excerpt from "unknown", by unknown, published in unknown: >>> '
+         |     || ch.txt || ' <<<', chr(10) || chr(10)
+         |   ORDER BY t.sim DESC, t.id) AS c
+         |  FROM top5 t JOIN ch ON ch.id = t.id)
+         | SELECT 'Use the following excerpts to answer the question.'
+         |   || chr(10) || chr(10) || c || chr(10) || chr(10)
+         |   || 'Question: $q' AS prompt FROM ctx""".stripMargin.replaceAll("\n", "")
+    }
+
+  /** The RAG oracles exist once an r-query has run this JVM (always
+    * true when Verify dumps after a full sweep; a targeted run that
+    * skips the family omits them → rows-only for that run). */
+  private def ragOracles: Map[String, String] =
+    lastRagCtx.toSeq.flatMap { case (s, dir) =>
+      r1OracleSql(s, dir).map("r1_rag_retrieval" -> _) ++
+        r2OracleSql(s, dir).map("r2_rag_prompt" -> _) ++
+        r3OracleSql(s, dir).map("r3_hybrid_retrieval" -> _)
+    }.toMap
+
   /** m1's non-feature columns are plain SQL over `documents`: the
     * media_type mapping is doc_id % 3 → image/audio/video and n_bytes
     * is the utf-8 byte length the binary cast produces. */
-  val oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = ragOracles ++ Map(
     "m3_audio_windows" ->
       """WITH v AS (SELECT doc_id AS asset_id,
         |   octet_length(encode(text)) AS n FROM documents

@@ -1,8 +1,9 @@
 package graft.store
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Small-file compaction planning — the maintenance job every
   * long-lived parquet lake needs (Delta/Iceberg `OPTIMIZE`): a table
@@ -47,4 +48,44 @@ object Compaction {
           .cast("long"))
       .drop("_cum")
   }
+
+  // -------------------------------------------------------------
+  // Streaming face: continuous small-file arrival (round-7 item)
+  // -------------------------------------------------------------
+
+  /** Maintain the live file MANIFEST from an append stream of newly
+    * written files — the real lakehouse shape, where micro-batch
+    * ingest lands small files continuously and OPTIMIZE planning must
+    * not re-list the lake per cycle. Each micro-batch folds its file
+    * rows into [[graft.operators.Cdc.streamingRollup]] versioned state
+    * keyed on (partition, file) — O(batch + manifest) per fold, never
+    * a history re-scan, exactly-once under foreachBatch's
+    * at-least-once replay (the v<batchId>/_COMMITTED protocol).
+    *
+    * Contract: each file appears ONCE across the stream's lifetime
+    * (files are immutable objects; a replayed micro-batch is already
+    * deduplicated by batch id). `files` columns: partCol, fileCol,
+    * sizeCol (long bytes). */
+  def streamingManifest(
+      files: DataFrame, statePath: String,
+      partCol: String, fileCol: String, sizeCol: String,
+      checkpoint: String): StreamingQuery =
+    graft.operators.Cdc.streamingRollup(files, statePath,
+      Seq(partCol, fileCol),
+      b => b.groupBy(col(partCol), col(fileCol))
+        .agg(sum(col(sizeCol)).cast("long").as(sizeCol)),
+      checkpoint)
+
+  /** The CURRENT compaction plan over the streamed manifest state:
+    * [[planGroups]] applied to the latest committed version. Stream ==
+    * batch by construction — the state holds exactly the union of all
+    * folded batches' files, so this equals planGroups over a one-shot
+    * manifest of the same files (spec-pinned against p6's oracle
+    * shape). None until the first fold commits. */
+  def readPlan(
+      spark: SparkSession, statePath: String,
+      partCol: String, fileCol: String, sizeCol: String,
+      targetBytes: Long): Option[DataFrame] =
+    graft.operators.Cdc.readRollup(spark, statePath)
+      .map(m => planGroups(m, partCol, fileCol, sizeCol, targetBytes))
 }

@@ -22,6 +22,7 @@ object ProfileS4 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.quietBoundedWindowWarnings()
 
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()

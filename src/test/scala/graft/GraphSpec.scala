@@ -201,4 +201,78 @@ class GraphSpec extends AnyFunSuite {
     assert(left == Set(1L) || left == Set(0L))
     Caches.release(spark)
   }
+
+  test("pageRankConverged: dangling graph conserves rank mass = 1") {
+    import spark.implicits._
+    // 0→1→2, 2 is a sink (dangling), 3→0 — arbitrary digraph with a
+    // node that has in-edges only and a node with out-edges only
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 0L)).toDF("src", "dst")
+    for (iters <- Seq(1, 5, 20)) {
+      val r = Graph.pageRankConverged(edges, "src", "dst", iters).collect()
+      assert(r.length == 4, "every endpoint gets a rank")
+      val total = r.map(_.getDouble(1)).sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"mass $total after $iters iterations")
+    }
+    // and the fixed-point favors the sink's chain over the source
+    val r = Graph.pageRankConverged(edges, "src", "dst", 30)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r(2L) > r(3L), s"sink ${r(2L)} should outrank source ${r(3L)}")
+    Caches.release(spark)
+  }
+
+  test("pageRankConverged ≡ pageRank bit-for-bit on symmetric graphs") {
+    val g = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)))
+    val a = Graph.pageRank(g, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Caches.release(spark)
+    val b = Graph.pageRankConverged(g, "src", "dst", maxIterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    // the dangling term contributes exactly +0.0 here, so equality is
+    // EXACT, not approximate — any arithmetic divergence between the
+    // two forms fails loudly
+    a.foreach { case (id, v) => assert(v == b(id), s"node $id: $v vs ${b(id)}") }
+    Caches.release(spark)
+  }
+
+  test("pageRankConverged: 50 checkpointed iterations complete and converge") {
+    val n = 6L
+    val cycle = sym((0L until n).map(i => (i, (i + 1) % n)))
+    // 50 iterations with checkpoint-every-10: without lineage
+    // truncation the 50-level join+agg plan makes analysis time blow
+    // up superlinearly; with it this completes in seconds
+    val t0 = System.nanoTime()
+    val r = Graph.pageRankConverged(cycle, "src", "dst",
+      maxIterations = 50, checkpointEvery = 10).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.length == n)
+    assert(math.abs(r.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    assert(secs < 120, s"50 checkpointed iterations took $secs s")
+    Caches.release(spark)
+  }
+
+  test("pageRankConverged: tol termination stops before maxIterations") {
+    val n = 5L
+    // vertex-transitive cycle: the uniform start IS the fixed point,
+    // so the first delta is ~0 and a tol run must stop immediately
+    val cycle = sym((0L until n).map(i => (i, (i + 1) % n)))
+    val (df, iters) = Graph.pageRankConvergedWithIters(
+      cycle, "src", "dst", maxIterations = 40, tol = 1e-12)
+    assert(iters == 1, s"expected immediate convergence, ran $iters")
+    df.collect().foreach(row =>
+      assert(math.abs(row.getDouble(1) - 1.0 / n) < 1e-12))
+    Caches.release(spark)
+    // a star is NOT at its fixed point initially: it must iterate
+    // several times, then stop before the cap once deltas shrink
+    // geometrically below tol. Deltas contract at the damping rate, so
+    // d = 0.5 converges in ~20 steps — d = 0.85 would need ~130 and a
+    // per-step driver job each, pointlessly slow for a unit test
+    val star = sym(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    val (_, starIters) = Graph.pageRankConvergedWithIters(
+      star, "src", "dst", maxIterations = 60, damping = 0.5, tol = 1e-8)
+    assert(starIters > 1 && starIters < 60,
+      s"star should converge between 2 and 59 iterations, ran $starIters")
+    Caches.release(spark)
+  }
 }

@@ -29,6 +29,29 @@ class PcaSkylineSpec extends AnyFunSuite {
     }
   }
 
+  test("symEig converges at any magnitude (relative threshold)") {
+    // the round-7 ADVICE fix: an absolute off() cutoff returns
+    // identity "eigenvectors" for tiny-magnitude matrices (entries
+    // below sqrt(1e-22)) and burns all sweeps for large ones — the
+    // relative threshold must diagonalize both to relative precision
+    for (scale <- Seq(1e-14, 1.0, 1e12)) {
+      val (eig, vecs) = Pca.symEig(Array(
+        Array(2.0 * scale, 1.0 * scale),
+        Array(1.0 * scale, 2.0 * scale)))
+      val sorted = eig.sorted
+      assert(math.abs(sorted(0) - 1.0 * scale) < 1e-10 * scale,
+        s"scale $scale: λ_min ${sorted(0)}")
+      assert(math.abs(sorted(1) - 3.0 * scale) < 1e-10 * scale,
+        s"scale $scale: λ_max ${sorted(1)}")
+      // rotations must actually have happened: eigenvectors are
+      // ±(1,1)/√2 and ±(1,−1)/√2, never the identity basis
+      vecs.foreach { v =>
+        assert(math.abs(math.abs(v(0)) - math.abs(v(1))) < 1e-9,
+          s"scale $scale: vector ${v.toSeq} is not a rotated basis")
+      }
+    }
+  }
+
   /** Deterministic synthetic corpus with a dominant direction. */
   private def synthetic(dim: Int, n: Int): Seq[(Long, Array[Float])] = {
     val dom = Array.tabulate(dim)(i => math.sin(i + 1.0))

@@ -458,4 +458,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == batch.size - users,
       s"expected ${batch.size} - $users closed sessions, got ${got.size}")
   }
+
+  test("streaming compaction plan: folded manifest state equals one-shot p6 plan") {
+    import graft.store.Compaction
+    // the p6 manifest shape: file-per-doc, partitioned by lang
+    val manifest = Tables.load(spark, sfDir, "documents").select(
+      col("lang"),
+      concat(col("source"), lit("/"), col("doc_id").cast("string")).as("file"),
+      length(col("text")).cast("long").as("sz"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // 4 files + maxFilesPerTrigger=1 → 4 micro-batches of continuously
+    // arriving small files; the manifest state folds incrementally
+    manifest.repartition(4).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    Compaction.streamingManifest(raw, s"$tmp/state", "lang", "file", "sz",
+      s"$tmp/ckpt").awaitTermination()
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("lang", "file", "sz", "grp").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = Compaction.readPlan(spark, s"$tmp/state",
+      "lang", "file", "sz", targetBytes = 8192L)
+    assert(streamed.isDefined, "no committed manifest state")
+    // stream == batch: the plan over the folded state is EXACTLY the
+    // one-shot planGroups over the same files — p6's oracle-checked
+    // shape, so the streaming face inherits its correctness gate
+    val oneShot = Compaction.planGroups(manifest, "lang", "file", "sz",
+      targetBytes = 8192L)
+    assert(keyed(streamed.get) == keyed(oneShot))
+    // several micro-batches actually folded, not one big batch
+    val lastVersion = new java.io.File(s"$tmp/state").list()
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
+    assert(lastVersion >= 2, s"expected ≥3 micro-batches, last=v$lastVersion")
+  }
 }
