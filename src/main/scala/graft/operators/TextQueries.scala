@@ -823,14 +823,14 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
-    // D4: SimHash near-dup pairs (rows-only; spec-verified). Stays
-    // WITHOUT an oracle deliberately: the pair contract is Hamming ≤ k
-    // on xxhash64-derived 64-bit signatures — DuckDB cannot recompute
-    // the signature (no xxhash64), and unlike d3/d5 the emitted pairs
-    // carry no text-level similarity claim an oracle could
-    // independently verify (small signature Hamming does not bound
-    // Jaccard/cosine pairwise).
+    // D4: SimHash near-dup pairs. SIGNATURE-CONDITIONAL ORACLE
+    // (round 7, see d4OracleSql): the xxhash64-derived signature has
+    // no DuckDB recomputation (spec'd against golden values instead),
+    // so the per-doc signatures are inlined at dump time and DuckDB
+    // re-derives the ENTIRE pair set independently — pigeonhole chunk
+    // blocking, candidate dedup, bit_count(xor) Hamming, threshold.
     "d4_simhash_neardup" -> ((s, dir) => {
+      lastDedupCtx = Some((s, dir))
       Dedup.simHashNearDupPairs(docs(s, dir), "doc_id", "text",
           maxHamming = 10, blocks = 4)
         .orderBy("a_id", "b_id")
@@ -1101,6 +1101,40 @@ object TextQueries {
     else Some(rows.map(r => s"(${r.getLong(0)},${r.getLong(1)})").mkString(","))
   }
 
+  /** d4's signature-conditional oracle (round 7): the 64-bit SimHash
+    * signature is the one engine-native ingredient (per-token xxhash64
+    * has no DuckDB recomputation — spec'd against golden values in
+    * SimHashSpec), so the per-doc signatures are inlined at dump time
+    * as the O(N) trained-constants analogue of v21's k-means
+    * centroids. EVERYTHING downstream is re-derived independently in
+    * SQL: the pigeonhole blocking (4×16-bit chunk extraction +
+    * equi-join), candidate dedup, the Hamming distance
+    * (bit_count∘xor), and the ≤ maxHamming cut — a wrong chunk split,
+    * a lost candidate, or a wrong Hamming value all hash-mismatch. */
+  private def d4OracleSql(s: SparkSession, dir: String): Option[String] = {
+    val sigs = docs(s, dir)
+      .select(col("doc_id").cast("long"),
+        Dedup.simHash(col("text")).cast("long"))
+      .collect()
+    if (sigs.isEmpty) None
+    else {
+      val vals = sigs.map(r => s"(${r.getLong(0)},${r.getLong(1)})")
+        .mkString(",")
+      Some(
+        s"""WITH s(id, sig) AS (SELECT * FROM (VALUES $vals)),
+           | ch AS (SELECT id, sig, blk, (sig >> (blk * 16)) & 65535 AS chunk
+           |   FROM s, (SELECT unnest([0, 1, 2, 3]) AS blk)),
+           | cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+           |   FROM ch a JOIN ch b
+           |     ON a.blk = b.blk AND a.chunk = b.chunk AND a.id < b.id)
+           | SELECT c.a_id, c.b_id,
+           |   CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+           | FROM cand c JOIN s x ON x.id = c.a_id JOIN s y ON y.id = c.b_id
+           | WHERE bit_count(xor(x.sig, y.sig)) <= 10
+           | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""))
+    }
+  }
+
   private def d3OracleSql(s: SparkSession, dir: String): Option[String] =
     longPairValues(queries("d3_minhash_neardup")(s, dir), "a_id", "b_id")
       .map { vals =>
@@ -1150,6 +1184,7 @@ object TextQueries {
   private def pairOracles: Map[String, String] =
     lastDedupCtx.toSeq.flatMap { case (s, dir) =>
       d3OracleSql(s, dir).map("d3_minhash_neardup" -> _) ++
+        d4OracleSql(s, dir).map("d4_simhash_neardup" -> _) ++
         d5OracleSql(s, dir).map("d5_embedding_neardup" -> _) ++
         d11OracleSql(s, dir).map("d11_semantic_dedup" -> _)
     }.toMap
