@@ -35,6 +35,7 @@ object Bench {
     "v8_batch_ann", // many-query ANN via broadcast probe join + DPP
     "v11_pq_topk", // PQ ADC lookup-table scan + exact re-rank
     "v12_ivfpq_topk", // composed IVFPQ: cell pruning x ADC compression
+    "v25_binary_topk", // sign-bit Hamming pool + exact re-rank (64x rung)
     "d5_embedding_neardup", // LSH-bucketed near-dup (scale path, not O(N²) v4)
     "d3_minhash_neardup", // MinHash LSH band join + verify (scale path)
     "d4_simhash_neardup", // SimHash block bucketing

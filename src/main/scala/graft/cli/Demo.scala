@@ -17,10 +17,10 @@ import graft.store.Catalog
   *     [--model <name>] [--dim N] [--max-tokens N] [--embedder <url>]
   *   runMain graft.cli.Demo search --store <dir> --prompt "..."
   *     [--top-k K] [--similarity-threshold T] [--dim N]
-  *     [--ann exact|lsh|ivf|pq|hybrid] [--embedder <url>]
+  *     [--ann exact|lsh|ivf|pq|hybrid|binary|mmr] [--embedder <url>]
   *   runMain graft.cli.Demo generate --store <dir> --prompt "..."
   *     [--top-k K] [--similarity-threshold T] [--dim N]
-  *     [--max-tokens N] [--temperature T] [--ann exact|lsh|ivf|pq|hybrid]
+  *     [--max-tokens N] [--temperature T] [--ann exact|lsh|ivf|pq|hybrid|binary|mmr]
   *     [--embedder <url>] [--generator <url>]
   *   runMain graft.cli.Demo demo        # self-contained 5-doc flow
   *
@@ -372,7 +372,29 @@ object Demo {
         Rag.searchChunksHybrid(chunks, prompt, topK, dim)
           .withColumnRenamed("rrf", "similarity")
           .join(chunks, Seq("id"), "left")
-      case other => sys.error(s"unknown ann mode '$other' (exact|lsh|ivf|pq|hybrid)")
+      case "binary" =>
+        // sign-bit signature + Hamming candidate pool + exact re-rank
+        // (v25's operator) — index-free: the signature is one codegen
+        // expression in the scan, so this mode needs no sidecar build;
+        // a production store materializes the 8-byte sig as its own
+        // column for a 64× cheaper candidate scan
+        graft.operators.Similarity.binaryTopK(chunks, "embedding", q,
+            k = topK, pool = math.max(topK * 5, 100),
+            tieBreak = Seq("id"))
+          .filter(col("similarity") >= threshold)
+      case "mmr" =>
+        // MMR-diversified retrieval (v26's operator): exact bounded
+        // pool, then the redundancy-penalized greedy — the mode to use
+        // when the top-k would otherwise be k near-copies of one chunk
+        graft.operators.Similarity.mmrRerank(chunks, "id", "embedding",
+            q, k = topK, poolSize = math.max(topK * 5, 50))
+          .filter(col("similarity") >= threshold)
+          .drop("rank", "mmr")
+          // the display join must not fan out when a re-imported store
+          // holds a chunk id twice (append-mode import semantics)
+          .join(chunks.dropDuplicates("id"), Seq("id"), "left")
+      case other => sys.error(
+        s"unknown ann mode '$other' (exact|lsh|ivf|pq|hybrid|binary|mmr)")
     }
   }
 

@@ -224,6 +224,100 @@ object Graph {
     (ranks, itersRun)
   }
 
+  /** Personalized PageRank (random walk with restart): the teleport
+    * distribution concentrates on `seeds` instead of being uniform —
+    * r_{t+1}(v) = (1−d)·p(v) + d·(Σ_{(u,v)∈E} r_t(u)/outdeg(u)
+    * + danglingMass·p(v)), with p(v) = 1/|S| for v ∈ S else 0 and
+    * r_0 = p. The seed-proximity score behind "rank the corpus by
+    * closeness to these known-good/known-spam nodes" — quality
+    * propagation, topical authority, graph-based label spreading.
+    *
+    * Same iteration discipline as [[pageRankConverged]] (nodes =
+    * src ∪ dst, left-join so in-edge-less nodes keep teleport mass,
+    * dangling mass restarts AT THE SEEDS — the RWR convention — state
+    * via eager localCheckpoint only, optional L1 tolerance stop).
+    * Σ rank = 1 on any digraph (spec). The O(E) weighted-edge relation
+    * is built once and cached; each step shuffles only O(V) rank rows.
+    *
+    * `seeds` is one `id` column; seeds not present in the graph's node
+    * set are ignored (their teleport share would be unreachable mass).
+    * Requires at least one seed in the graph. */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, seeds: DataFrame,
+      maxIterations: Int, damping: Double = 0.85,
+      tol: Double = 0.0, checkpointEvery: Int = 20): DataFrame = {
+    require(maxIterations >= 0, "maxIterations must be non-negative")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = graft.Caches.shared(
+      edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")))
+    val nodes = graft.Caches.shared(
+      e.select(col("_src").as("id"))
+        .union(e.select(col("_dst").as("id"))).distinct())
+    val deg = graft.Caches.shared(
+      e.groupBy(col("_src").as("id")).agg(count(lit(1)).as("_deg")))
+    val edgesW = graft.Caches.shared(
+      e.join(deg.withColumnRenamed("id", "_src"), "_src")
+        .withColumn("_w", lit(1.0) / col("_deg"))
+        .select("_src", "_dst", "_w"))
+    val dangling = graft.Caches.shared(
+      nodes.join(deg.select("id"), Seq("id"), "left_anti"))
+    val inGraph = graft.Caches.shared(
+      seeds.select(col(seeds.columns.head).as("id")).distinct()
+        .join(nodes, "id"))
+    val nSeeds = inGraph.count()
+    require(nSeeds > 0, "personalizedPageRank needs >= 1 seed in the graph")
+    // the personalization vector is O(V), consumed by every step's
+    // teleport term AND the dangling-restart term — cached like deg
+    val nodesP = graft.Caches.shared(
+      nodes.join(inGraph.withColumn("_s", lit(1)), Seq("id"), "left")
+        .select(col("id"),
+          when(col("_s").isNotNull, lit(1.0) / nSeeds)
+            .otherwise(lit(0.0)).as("_p")))
+    val nDangling = dangling.count()
+    val spark = edges.sparkSession
+    val eachStep = nDangling > 0 || tol > 0
+    var live = List.empty[DataFrame]
+    var ranks = nodesP.select(col("id"), col("_p").as("rank"))
+    var converged = false
+    var i = 1
+    while (i <= maxIterations && !converged) {
+      val dm: Double =
+        if (nDangling == 0) 0.0
+        else ranks.join(dangling, "id")
+          .agg(coalesce(sum("rank"), lit(0.0)))
+          .head().getDouble(0)
+      val contribs = edgesW
+        .join(ranks.withColumnRenamed("id", "_src"), "_src")
+        .groupBy(col("_dst").as("id"))
+        .agg(sum(col("rank") * col("_w")).as("_mass"))
+      val stepped = nodesP
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("_p") + lit(damping) *
+            (coalesce(col("_mass"), lit(0.0)) + lit(dm) * col("_p")))
+            .as("rank"))
+      val materialize = eachStep || i % checkpointEvery == 0
+      val next = if (materialize) stepped.localCheckpoint(true) else stepped
+      if (tol > 0) {
+        val delta = next.withColumnRenamed("rank", "_r2")
+          .join(ranks, "id")
+          .agg(sum(abs(col("_r2") - col("rank"))).as("d"))
+          .head().getDouble(0)
+        converged = delta <= tol
+      }
+      if (materialize) {
+        live.foreach(_.unpersist(blocking = false))
+        live = List(next)
+      }
+      ranks = next
+      i += 1
+    }
+    val remaining = live
+    graft.Caches.registerCleanup(spark)(() =>
+      remaining.foreach(_.unpersist(blocking = false)))
+    ranks
+  }
+
   /** Multi-source BFS: minimum hop distance from `seeds` (a single
     * `id` column) to every node within `maxHops`, over a directed edge
     * list. Returns (id, hops) — seeds at 0; unreached nodes absent.
@@ -507,6 +601,29 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_members"))
         .orderBy(desc("n_members"), asc("community"))
         .limit(100)
+    }),
+
+    // G6: 5-iteration PERSONALIZED PageRank from the % 1000 == 0 seed
+    // parts (g3's seed set) — proximity-to-seeds ranking, the quality/
+    // spam propagation primitive. Same unrolled-CTE oracle pattern as
+    // g1, with the teleport vector concentrated on the seeds and the
+    // float ops mirrored term-for-term ((1.0 − 0.85)·p, rank·(1/deg)).
+    // Out of the headline for g2–g5's reason (pair-build domination).
+    "g6_personalized_pagerank" -> ((s, dir) => {
+      val pairs = graft.Caches.shared(copurchasePairs(s, dir))
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.filter(col("src") % 1000 === 0)
+        .select(col("src").as("id")).distinct()
+      val ranks = graft.Caches.shared(
+        Graph.personalizedPageRank(edges, "src", "dst", seeds,
+          maxIterations = 5))
+      ranks
+        .crossJoin(broadcast(ranks.agg(count(lit(1)).as("_n"))))
+        .select(col("id").as("part_id"),
+          round(col("rank") * col("_n"), 6).as("rank_scaled"))
+        .orderBy(desc("rank_scaled"), asc("part_id"))
+        .limit(100)
     })
   )
 
@@ -620,6 +737,42 @@ object GraphQueries {
         | SELECT CAST(label AS BIGINT) AS community,
         |   COUNT(*) AS n_members
         | FROM l3 GROUP BY 1 ORDER BY n_members DESC, community
-        | LIMIT 100""".stripMargin.replaceAll("\n", "")
+        | LIMIT 100""".stripMargin.replaceAll("\n", ""),
+    "g6_personalized_pagerank" -> {
+      // unrolled like g1, with the teleport on the seed vector and the
+      // step arithmetic mirrored term-for-term against
+      // Graph.personalizedPageRank: (1.0 - 0.85)·p and rank·(1.0/deg)
+      // reproduce Spark's exact float ops (not the algebraic
+      // equivalents 0.15·p and rank/deg)
+      val steps = (1 to 5).map { i =>
+        s""" r$i AS (SELECT pv.id,
+           |   (1.0 - 0.85) * pv.p + 0.85 * COALESCE(m.mass, 0.0) AS r
+           |  FROM pv LEFT JOIN (
+           |   SELECT e.dst AS id, SUM(r.r * (1.0 / deg.d)) AS mass
+           |   FROM edges e JOIN r${i - 1} r ON e.src = r.id
+           |    JOIN deg ON deg.src = e.src
+           |   GROUP BY e.dst) m ON m.id = pv.id)""".stripMargin
+      }.mkString(",")
+      ("""WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        | deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        | nodes AS (SELECT DISTINCT src AS id FROM edges),
+        | nn AS (SELECT COUNT(*) AS n FROM nodes),
+        | sd AS (SELECT id FROM nodes WHERE id % 1000 = 0),
+        | ns AS (SELECT COUNT(*) AS s FROM sd),
+        | pv AS (SELECT n.id,
+        |   CASE WHEN s.id IS NULL THEN 0.0
+        |    ELSE 1.0 / (SELECT s FROM ns) END AS p
+        |  FROM nodes n LEFT JOIN sd s ON n.id = s.id),
+        | r0 AS (SELECT id, p AS r FROM pv),""".stripMargin
+        + steps +
+        """ SELECT CAST(id AS BIGINT) AS part_id,
+        |   ROUND(r * (SELECT n FROM nn), 6) AS rank_scaled
+        | FROM r5 ORDER BY rank_scaled DESC, part_id
+        | LIMIT 100""".stripMargin).replaceAll("\n", "")
+    }
   )
 }

@@ -391,4 +391,130 @@ object Similarity {
       corpus: DataFrame, embCol: String, bits: Int = 12, dim: Int,
       seed: Long = 42L): DataFrame =
     corpus.withColumn("lsh_bucket", lshBucket(col(embCol), hyperplanes(bits, dim, seed)))
+
+  // ---------------------------------------------------------------
+  // Binary (sign-bit) quantization — the 64×-compression rung of the
+  // storage ladder (float32 → matryoshka → int8 → PQ → binary): one
+  // long per vector, candidate ranking by Hamming distance (one
+  // xor + popcount per row), exact re-rank of the bounded pool.
+  // ---------------------------------------------------------------
+
+  /** Sign-bit signature: bit j = (v[j] >= 0), packed into a long.
+    * Requires dim ≤ 64. Pure codegen (64 chained conditional adds —
+    * the lshBucket shape with the identity basis); materialized as
+    * its own column the signature is 8 bytes/vector, so a 100 TB
+    * float corpus scans ~1.5 TB for the candidate stage. */
+  def binarySignature(embCol: Column, dim: Int): Column = {
+    require(dim <= 64, s"binary signature packs into one long: dim $dim > 64")
+    (0 until dim).map { j =>
+      when(element_at(embCol, j + 1) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Driver-side signature of the query vector — same >= 0 convention
+    * bit-for-bit as [[binarySignature]]. */
+  def binarySignatureOf(v: Array[Double]): Long =
+    v.zipWithIndex.map { case (x, j) => if (x >= 0.0) 1L << j else 0L }.sum
+
+  /** Two-stage binary-quantized top-k: Hamming-rank the whole corpus
+    * against the query's sign signature (cheapest possible candidate
+    * metric: xor + bit_count on one long), keep the `pool` best
+    * (TakeOrderedAndProject — ties broken by `tieBreak` so the cut is
+    * deterministic), then exact rounded-cosine re-rank to top k.
+    * Both stages are bounded top-k; nothing is globally sorted. */
+  def binaryTopK(
+      df: DataFrame, embCol: String, queryVec: Array[Double], k: Int,
+      pool: Int, tieBreak: Seq[String], roundTo: Int = 6): DataFrame = {
+    require(pool >= k, "re-rank pool must be at least k")
+    require(tieBreak.nonEmpty,
+      "binaryTopK needs a tie-break column: Hamming distances collide " +
+        "constantly (64 possible values), so an untied pool cut would " +
+        "be partitioning-dependent")
+    val qSig = binarySignatureOf(queryVec)
+    df.withColumn("_ham",
+        bit_count(binarySignature(col(embCol), queryVec.length)
+          .bitwiseXOR(lit(qSig))))
+      .orderBy(asc("_ham") +: tieBreak.map(asc): _*)
+      .limit(pool)
+      .withColumn("similarity", round(
+        VectorFunctions.cosine_similarity(col(embCol), typedLit(queryVec)),
+        roundTo))
+      .drop("_ham")
+      .orderBy(desc("similarity") +: tieBreak.map(asc): _*)
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------
+  // MMR (maximal marginal relevance) — diversified retrieval
+  // ---------------------------------------------------------------
+
+  /** MMR-diversified top-k: retrieve a bounded relevance pool, then
+    * greedily pick k items maximizing
+    * `lambda·rel(d) − (1−lambda)·max_{s∈selected} sim(d, s)` — the
+    * standard redundancy-penalized re-rank (Carbonell & Goldstein
+    * 1998) a RAG pipeline applies so the k retrieved chunks don't all
+    * say the same thing.
+    *
+    * Scale shape: the DISTRIBUTED work is the pool retrieval (exact
+    * rounded-cosine top-`poolSize`, TakeOrderedAndProject over the
+    * corpus scan) and the pool's pairwise similarities (a
+    * poolSize²-bounded self-join — 2 500 rows at the default 50,
+    * corpus-size-independent). The greedy selection itself is O(k·
+    * poolSize) driver arithmetic over those collected BOUNDED rows —
+    * the same driver-side-is-fine class as centroids and CLI display;
+    * at 100 TB the pool is still 50 rows.
+    *
+    * Determinism across engines: rel and pairwise sims are
+    * Spark-rounded to 6 decimals BEFORE the greedy; each step's score
+    * is then a fixed IEEE chain (`lambda·rel − (1−lambda)·max`) on
+    * bit-identical doubles with ties broken by id — no accumulation
+    * order anywhere — so an oracle re-running the greedy in SQL from
+    * the same rounded inputs reproduces the scores bit-for-bit, and
+    * the emitted `mmr` column is NOT re-rounded.
+    *
+    * Output: (rank, id, similarity, mmr) — rank 1..k in pick order;
+    * `similarity` = rel(d); max over the empty selected set is 0.0. */
+  def mmrRerank(
+      df: DataFrame, idCol: String, embCol: String,
+      queryVec: Array[Double], k: Int, poolSize: Int,
+      lambda: Double = 0.5, roundTo: Int = 6): DataFrame = {
+    require(poolSize >= k, "pool must be at least k")
+    val spark = df.sparkSession
+    val pool = graft.Caches.shared(
+      topK(df.select(col(idCol).cast("long").as("_id"), col(embCol).as("_e")),
+        "_e", queryVec, poolSize, threshold = -1.0, tieBreak = Seq("_id"),
+        roundTo = roundTo))
+    val rel: Map[Long, Double] = pool.select("_id", "similarity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pairwise sims computed IN Spark with the house rounded-cosine
+    // expression (not re-derived driver-side), so the greedy consumes
+    // exactly the values any SQL reproduction recomputes
+    val a = pool.select(col("_id").as("a_id"), col("_e").as("a_e"))
+    val b = pool.select(col("_id").as("b_id"), col("_e").as("b_e"))
+    val psim: Map[(Long, Long), Double] = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), round(
+        VectorFunctions.cosine_similarity(col("a_e"), col("b_e")), roundTo)
+        .as("s"))
+      .collect()
+      .flatMap { r =>
+        val (x, y, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((x, y) -> s, (y, x) -> s)
+      }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
+    while (selected.size < math.min(k, rel.size)) {
+      val pick = remaining.iterator.map { id =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => psim((id, s._1))).max
+        (id, lambda * rel(id) - (1.0 - lambda) * maxSim)
+      }.maxBy { case (id, score) => (score, -id) }
+      selected += pick
+      remaining -= pick._1
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, mmr), i) => (i + 1, id, rel(id), mmr) }
+      .toDF("rank", idCol, "similarity", "mmr")
+  }
 }

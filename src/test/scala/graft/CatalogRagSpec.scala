@@ -272,6 +272,19 @@ class CatalogRagSpec extends AnyFunSuite {
     val pqHits = graft.cli.Demo.search(spark, store, prompt,
       topK = 5, threshold = -1.0, dim = 64, ann = "pq")
     assert(ids(pqHits).nonEmpty && ids(pqHits).toSet.subsetOf(exactAfter))
+    // binary variant (round 7): index-free sign-bit candidates + exact
+    // re-rank — also a subset of the exact ranking
+    val binHits = graft.cli.Demo.search(spark, store, prompt,
+      topK = 5, threshold = -1.0, dim = 64, ann = "binary")
+    assert(ids(binHits).nonEmpty && ids(binHits).toSet.subsetOf(exactAfter))
+    // mmr variant (round 7): diversified re-rank over the exact pool —
+    // rows carry chunk_text for display, first pick is the exact top-1
+    val mmrHits = graft.cli.Demo.search(spark, store, prompt,
+      topK = 5, threshold = -1.0, dim = 64, ann = "mmr")
+    val mmrRows = mmrHits.select("id", "similarity", "chunk_text").collect()
+    assert(mmrRows.length == 5 && mmrRows.forall(_.getString(2).nonEmpty))
+    assert(ids(mmrHits).toSet.subsetOf(exactAfter))
+    graft.cli.Demo.display(mmrHits)
   }
 
   test("approx_percentile within 2.5% of exact per group") {

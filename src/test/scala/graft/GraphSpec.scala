@@ -221,6 +221,68 @@ class GraphSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("personalizedPageRank: mass = 1 on dangling digraphs, restarts at seeds") {
+    import spark.implicits._
+    // 0→1→2 with sink 2, plus 3→0: dangling mass must restart at the
+    // seed, not spread uniformly
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 0L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    for (iters <- Seq(1, 5, 20)) {
+      val r = Graph.personalizedPageRank(edges, "src", "dst", seeds, iters)
+        .collect()
+      assert(r.length == 4, "every endpoint gets a rank")
+      val total = r.map(_.getDouble(1)).sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"mass $total after $iters iterations")
+      Caches.release(spark)
+    }
+    val r = Graph.personalizedPageRank(edges, "src", "dst", seeds, 30)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    // 3 has no in-edges and is not a seed: teleport share exactly 0
+    assert(r(3L) == 0.0, s"non-seed source kept mass ${r(3L)}")
+    // proximity ordering from the seed: 0 ≥ 1 ≥ 2's chain holds
+    assert(r(0L) > r(2L), s"seed ${r(0L)} must outrank 2-hop ${r(2L)}")
+    Caches.release(spark)
+  }
+
+  test("personalizedPageRank: uniform seeds ≈ standard PageRank") {
+    import spark.implicits._
+    val g = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)))
+    val all = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val p = Graph.personalizedPageRank(g, "src", "dst", all,
+        maxIterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Caches.release(spark)
+    val s = Graph.pageRankConverged(g, "src", "dst", maxIterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p.keySet == s.keySet)
+    // p = 1/N makes the teleport term algebraically identical;
+    // (1−d)·(1/n) vs (1−d)/n differ only in op order, so approximate
+    p.foreach { case (id, v) =>
+      assert(math.abs(v - s(id)) < 1e-12, s"node $id: $v vs ${s(id)}") }
+    Caches.release(spark)
+  }
+
+  test("personalizedPageRank: off-graph seeds ignored, zero seeds rejected") {
+    import spark.implicits._
+    val g = sym(Seq((0L, 1L), (1L, 2L)))
+    val withPhantom = Graph.personalizedPageRank(g, "src", "dst",
+        Seq(0L, 99L).toDF("id"), maxIterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Caches.release(spark)
+    val without = Graph.personalizedPageRank(g, "src", "dst",
+        Seq(0L).toDF("id"), maxIterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(withPhantom == without,
+      "a seed absent from the graph must not dilute the teleport vector")
+    Caches.release(spark)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(g, "src", "dst",
+        Seq(99L).toDF("id"), maxIterations = 3)
+    }
+    Caches.release(spark)
+  }
+
   test("pageRankConverged ≡ pageRank bit-for-bit on symmetric graphs") {
     val g = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)))
     val a = Graph.pageRank(g, "src", "dst", iterations = 5)

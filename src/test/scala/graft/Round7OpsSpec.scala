@@ -103,4 +103,113 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(safe == plain)
     }
   }
+
+  // ---------------------------------------------------------------
+  // Binary (sign-bit) quantized search — v25's operator contract
+  // ---------------------------------------------------------------
+
+  import graft.operators.{Similarity, VectorQueries}
+  private val SfDir = "/root/testdata/sf0.001"
+  private def embeddings = Tables.load(spark, SfDir, "embeddings")
+
+  test("binarySignature column ≡ driver-side binarySignatureOf") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(1.0, -1.0, 0.0, 2.0),   // 0.0 counts as non-negative
+      Array(-0.5, -0.5, -0.5, -0.5),
+      Array(3.0, 3.0, 3.0, 3.0))
+    val got = vecs.map(_.toSeq).toDF("v")
+      .select(Similarity.binarySignature(col("v"), 4))
+      .as[Long].collect().toSeq
+    assert(got == vecs.map(Similarity.binarySignatureOf).toSeq)
+    assert(Similarity.binarySignatureOf(Array(1.0, -1.0, 0.0, 2.0)) == 13L)
+  }
+
+  test("binaryTopK: recall floor vs exact, matching similarities") {
+    import spark.implicits._
+    val probe = VectorQueries.probeVec
+    val exact = Similarity.topK(embeddings, "embedding", probe, k = 20,
+        threshold = -1.0, tieBreak = Seq("vec_id"))
+      .select(col("vec_id"), col("similarity")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = Similarity.binaryTopK(embeddings, "embedding", probe,
+        k = 20, pool = 100, tieBreak = Seq("vec_id"))
+      .select(col("vec_id"), col("similarity")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hits = approx.keySet.intersect(exact.keySet)
+    assert(hits.size >= 10, s"binary recall@20 too low: ${hits.size}/20")
+    // the exact re-rank stage must produce the same rounded cosine the
+    // exact path produces for every common id
+    hits.foreach(id => assert(approx(id) == exact(id)))
+    // guard-rail contracts
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(embeddings, "embedding", probe, k = 20,
+        pool = 100, tieBreak = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(embeddings, "embedding", probe, k = 20,
+        pool = 10, tieBreak = Seq("vec_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.binarySignature(col("x"), 65)
+    }
+  }
+
+  test("binaryTopK: both stages are bounded top-k (TakeOrderedAndProject)") {
+    val plan = Similarity.binaryTopK(embeddings, "embedding",
+        VectorQueries.probeVec, k = 20, pool = 100,
+        tieBreak = Seq("vec_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "binaryTopK must never global-sort: " + plan.take(2000))
+  }
+
+  // ---------------------------------------------------------------
+  // MMR diversified retrieval — v26's operator contract
+  // ---------------------------------------------------------------
+
+  test("mmrRerank: rank 1 = relevance argmax; λ=1 degenerates to topK") {
+    val probe = VectorQueries.probeVec
+    val plain = Similarity.topK(embeddings, "embedding", probe, k = 10,
+        threshold = -1.0, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val atLambda1 = Similarity.mmrRerank(embeddings, "vec_id", "embedding",
+        probe, k = 10, poolSize = 50, lambda = 1.0)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(atLambda1 == plain,
+      "λ=1 MMR must reproduce the pure-relevance ranking")
+    val mmr = Similarity.mmrRerank(embeddings, "vec_id", "embedding",
+        probe, k = 10, poolSize = 50)
+      .orderBy("rank").collect()
+    assert(mmr.head.getLong(1) == plain.head,
+      "first MMR pick must be the relevance argmax")
+    // rank-1 score is λ·rel − (1−λ)·0 exactly
+    assert(mmr.head.getDouble(3) == 0.5 * mmr.head.getDouble(2) - 0.5 * 0.0)
+    assert(mmr.map(_.getLong(1)).distinct.length == 10)
+  }
+
+  test("mmrRerank diversifies: selected set's max pairwise sim drops") {
+    import spark.implicits._
+    val probe = VectorQueries.probeVec
+    def maxPairSim(ids: Seq[Long]): Double = {
+      val e = embeddings.filter(col("vec_id").isInCollection(ids))
+        .select(col("vec_id").as("id"), col("embedding").as("e"))
+      val a = e.select(col("id").as("a"), col("e").as("ea"))
+      val b = e.select(col("id").as("b"), col("e").as("eb"))
+      a.join(b, col("a") < col("b"))
+        .select(round(graft.functions.VectorFunctions
+          .cosine_similarity(col("ea"), col("eb")), 6).as("s"))
+        .agg(max("s")).as[Double].head()
+    }
+    val plain = Similarity.topK(embeddings, "embedding", probe, k = 10,
+        threshold = -1.0, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val mmr = Similarity.mmrRerank(embeddings, "vec_id", "embedding",
+        probe, k = 10, poolSize = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(maxPairSim(mmr) <= maxPairSim(plain),
+      "the redundancy penalty must not increase the selected set's " +
+        "worst-case redundancy")
+  }
 }
