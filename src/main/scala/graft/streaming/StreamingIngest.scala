@@ -59,4 +59,50 @@ object StreamingIngest {
       }
     checkpointDir.fold(sink)(d => sink.option("checkpointLocation", d)).start()
   }
+
+  /** Streaming ANN-index maintenance: each micro-batch of newly-landed
+    * vectors is appended into a materialized multi-table LSH index via
+    * the SAME explode/partition/write pipeline as the batch build
+    * ([[graft.operators.Similarity.appendToLshIndex]] — one shared
+    * definition, so stream ≡ batch-rebuild holds by construction;
+    * StreamingSpec pins it anyway: identical index contents AND
+    * identical search results).
+    *
+    * Exactly-once: the file source's checkpoint tracks processed
+    * files, so each vector file is appended once across restarts. Like
+    * the batch append, a crash MID-batch can leave partial files — the
+    * same non-atomicity appendToLshIndex documents; a production
+    * deployment appends into a per-epoch snapshot version and commits
+    * it to the index manifest (the Compaction.streamingManifest
+    * pattern). Hyperplanes are seed-derived, so the SAME
+    * tables/bits/seed as the base index MUST be passed.
+    *
+    * At 100 TB this is the embedding-ingest loop: the nightly O(corpus)
+    * rebuild becomes an O(new-data) continuous append, with hot
+    * (table, bucket) partition dirs compacted periodically. */
+  def indexStream(
+      spark: SparkSession,
+      vecsDir: String,
+      schema: StructType,
+      indexPath: String,
+      embCol: String,
+      dim: Int,
+      tables: Int = 4,
+      bits: Int = 8,
+      seed: Long = 42L,
+      maxFilesPerTrigger: Int = 1,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(vecsDir)
+    val sink = src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.appendToLshIndex(
+            batch, embCol, dim, indexPath, tables, bits, seed)
+      }
+    checkpointDir.fold(sink)(d => sink.option("checkpointLocation", d)).start()
+  }
 }

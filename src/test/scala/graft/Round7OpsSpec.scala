@@ -166,6 +166,53 @@ class Round7OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // Compaction EXECUTION (plan → rewritten files)
+  // ---------------------------------------------------------------
+
+  test("compaction rewrite: one file per planned group, contents preserved") {
+    val docs = Tables.load(spark, SfDir, "documents")
+      .select("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+
+    // flat table: 20 small files → a few right-sized ones
+    docs.repartition(20).write.parquet(s"$tmp/flat_src")
+    val totalBytes = new java.io.File(s"$tmp/flat_src").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val plan = graft.store.Compaction.rewrite(
+      spark, s"$tmp/flat_src", s"$tmp/flat_dst", targetBytes = totalBytes / 3)
+    val nGroups = plan.select("grp").distinct().count()
+    val outFiles = new java.io.File(s"$tmp/flat_dst").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(outFiles.length == nGroups,
+      s"expected exactly one file per group: ${outFiles.length} vs $nGroups")
+    assert(outFiles.length < 20, "compaction must reduce the file count")
+    def rows(p: String) = spark.read.parquet(p)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows(s"$tmp/flat_dst") == rows(s"$tmp/flat_src"))
+    graft.Caches.release(spark)
+
+    // partitioned table: layout preserved, per-partition grouping
+    docs.repartition(10).write.partitionBy("lang")
+      .parquet(s"$tmp/part_src")
+    val plan2 = graft.store.Compaction.rewrite(
+      spark, s"$tmp/part_src", s"$tmp/part_dst",
+      targetBytes = totalBytes / 4, partitionCols = Seq("lang"))
+    val perPart = plan2.groupBy("_part")
+      .agg(org.apache.spark.sql.functions.countDistinct("grp").as("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perPart.foreach { case (lang, g) =>
+      val dir = new java.io.File(s"$tmp/part_dst/lang=$lang")
+      val n = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == g, s"partition $lang: $n files vs $g groups")
+    }
+    assert(rows(s"$tmp/part_dst") == rows(s"$tmp/part_src"))
+    // no synthetic _grp column survives into the compacted table
+    assert(!spark.read.parquet(s"$tmp/part_dst").columns.contains("_grp"))
+    graft.Caches.release(spark)
+  }
+
+  // ---------------------------------------------------------------
   // MMR diversified retrieval — v26's operator contract
   // ---------------------------------------------------------------
 

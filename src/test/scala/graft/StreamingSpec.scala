@@ -67,6 +67,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits(sc) == hits(bc))
   }
 
+  test("streaming LSH index maintenance equals one-shot batch build") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    // 3 files + maxFilesPerTrigger=1 → 3 append micro-batches into an
+    // initially-empty index
+    emb.repartition(3).write.parquet(s"$tmp/vecs")
+    val schema = spark.read.parquet(s"$tmp/vecs").schema
+    val q = graft.streaming.StreamingIngest.indexStream(
+      spark, s"$tmp/vecs", schema, s"$tmp/stream_idx", "embedding",
+      dim = 64, checkpointDir = Some(s"$tmp/ckpt"))
+    q.awaitTermination()
+    graft.operators.Similarity.buildLshIndex(
+      emb, "embedding", dim = 64, s"$tmp/batch_idx")
+    val si = spark.read.parquet(s"$tmp/stream_idx")
+    val bi = spark.read.parquet(s"$tmp/batch_idx")
+    // identical index CONTENTS: same (table, bucket, vec) entries
+    def entries(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("table_id").cast("int"),
+          col("lsh_bucket").cast("long"), col("vec_id").cast("long"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(entries(si) == entries(bi))
+    // and identical search results through the index-query path
+    val probe = graft.operators.VectorQueries.probeVec
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.lshTopKFromIndex(df, "vec_id",
+          "embedding", probe, k = 10, tieBreak = Seq("vec_id"))
+        .select("vec_id", "similarity").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(si) == hits(bi))
+  }
+
   test("streaming hourly window agg equals batch rollup once complete") {
     val batch = eventsSchemaDf
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
