@@ -640,6 +640,41 @@ object RelationalQueries {
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     }),
+
+    // A40: pre-aggregated NDV via MERGEABLE HLL sketches (Apache
+    // DataSketches through Spark's hll_sketch_agg/hll_union_agg) —
+    // the lakehouse rollup pattern: per-group sketch partials are the
+    // thing a 100 TB deployment STORES, and corpus-level distinct
+    // counts are answered by merging O(groups) sketch blobs instead of
+    // rescanning the corpus. Derived invariants the oracle can evaluate
+    // exactly (the a21 pattern — sketch blobs themselves are
+    // engine-specific and never hashed): BOTH the merged and the direct
+    // estimate land within 10% of the exact NDV, and merged tracks
+    // direct within 5% of exact. NOT asserted as equality: HLL union is
+    // register-wise max (associative/commutative/idempotent) so the
+    // REGISTERS agree, but DataSketches estimates a directly-built
+    // sketch with the HIP estimator and a union result with the
+    // composite estimator (HIP does not survive merging) — measured
+    // here: 1991 merged vs 1999 direct vs 2000 exact at sf0.01. The
+    // bounded gap is exactly what an incremental rollup deployment
+    // signs up for.
+    "a40_sketch_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val merged = li.groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+      val direct = li.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("direct_est"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      merged.crossJoin(direct) // two 1-row locals — not a data join
+        .select(col("exact_parts"),
+          (abs(col("merged_est") - col("exact_parts")) <=
+            col("exact_parts") * 0.10).as("merged_within_rel_err"),
+          (abs(col("direct_est") - col("exact_parts")) <=
+            col("exact_parts") * 0.10).as("direct_within_rel_err"),
+          (abs(col("merged_est") - col("direct_est")) <=
+            col("exact_parts") * 0.05).as("merge_tracks_direct"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -651,6 +686,11 @@ object RelationalQueries {
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         | TRUE AS parts_within_rel_err, TRUE AS orders_within_rel_err
+        | FROM lineitem""".stripMargin.replaceAll("\n", ""),
+    "a40_sketch_rollup" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | TRUE AS merged_within_rel_err, TRUE AS direct_within_rel_err,
+        | TRUE AS merge_tracks_direct
         | FROM lineitem""".stripMargin.replaceAll("\n", ""),
     "a26_approx_quantiles" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -171,6 +171,25 @@ object TextAnalysis {
           .otherwise(array_distinct(array(array_join(toks, " ")))))
     }
 
+  /** Unordered token co-occurrence pairs within a forward `window`:
+    * for each position i, the pairs (tk[i], tk[i+j]) for j = 1..window,
+    * each pair sorted so (a,b) and (b,a) accumulate together — the
+    * per-row expression under PMI / word-embedding co-occurrence
+    * counting (explode → groupBy upstream; no shuffle here). Docs with
+    * < 2 tokens yield no pairs (null → explode drops the row). */
+  def cooccurrencePairs(text: Column, window: Int): Column = {
+    require(window >= 1, "window must be >= 1")
+    letBound(tokens(text)) { tk =>
+      when(size(tk) >= 2,
+        flatten(transform(sequence(lit(1), size(tk) - 1), i =>
+          transform(
+            sequence(i + lit(1), least(i + lit(window), size(tk))), j =>
+              struct(
+                least(element_at(tk, i), element_at(tk, j)).as("w1"),
+                greatest(element_at(tk, i), element_at(tk, j)).as("w2"))))))
+    }
+  }
+
   /** Per-doc vocabulary coverage: the fraction of a document's tokens
     * inside the corpus top-`vocabSize` vocabulary (count-desc, token
     * tie-break) — the tokenizer-coverage / OOV-rate diagnostic. One

@@ -454,6 +454,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T34: windowed co-occurrence PMI — the corpus statistic under
+    // word-embedding / collocation pipelines: count unordered token
+    // pairs within a ±2 window, then score pmi = ln(p(a,b)/(p(a)p(b))).
+    // Scale shape: ONE pair explode feeds both the pair counts and the
+    // pair total (shared via the session cache); unigram counts and
+    // the two 1-row totals broadcast back onto the vocab²-bounded pair
+    // table — the corpus shuffles once, on the pair key. The lift is a
+    // fixed left-assoc chain of exact-int→double products, mirrored
+    // term-for-term in the oracle; ln on both engines (the t11
+    // precedent); top-50 fuses to TakeOrderedAndProject.
+    "t34_pmi_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = graft.Caches.shared(
+        d.select(explode(TextAnalysis.tokens(col("text"))).as("w")))
+      val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val nTok = broadcast(tok.agg(count(lit(1)).as("n_tok")))
+      val pairs = graft.Caches.shared(
+        d.select(explode(
+            TextAnalysis.cooccurrencePairs(col("text"), window = 2)).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2")))
+      val nPair = broadcast(pairs.agg(count(lit(1)).as("n_pair")))
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+        .crossJoin(nTok).crossJoin(nPair)
+        .withColumn("pmi", round(log(
+          (col("c_ab").cast("double") * col("n_tok") * col("n_tok")) /
+            (col("n_pair").cast("double") * col("c_a") * col("c_b"))), 6))
+        .select("w1", "w2", "c_ab", "pmi")
+        .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+        .limit(50)
+    }),
+
     // T11: tf-idf top terms per document — the IR feature-extraction
     // shape: two keyed aggs (term frequency, doc frequency), a hash
     // join, a 1-row broadcast for N, rank window for top-3. Natural
@@ -755,6 +789,19 @@ object TextQueries {
     // d3's MinHash banding, verified against this.
     "d2_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(
+          docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
+          n = 2, threshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // D16: the SAME pairs via prefix filtering (AllPairs/PPJoin) — the
+    // corpus-scale EXACT set-similarity join (token-keyed equi-join on
+    // rarest-first prefixes + verification; no cross product, plan-
+    // pinned). Shares d2's oracle VERBATIM, so exact interchangeability
+    // with the brute-force definition is hash-checked cross-engine.
+    "d16_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardJoin(
           docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
           n = 2, threshold = 0.4)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -1664,6 +1711,27 @@ object TextQueries {
         |  ROUND(AVG(iv), 6) AS coverage
         | FROM j GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
+    "t34_pmi_pairs" ->
+      """WITH tk AS (SELECT string_split(text, ' ') tk FROM documents),
+        | tok AS (SELECT unnest(tk) w FROM tk),
+        | uni AS (SELECT w, COUNT(*) c FROM tok GROUP BY w),
+        | tot AS (SELECT COUNT(*) n_tok FROM tok),
+        | pr AS (SELECT unnest(flatten(list_transform(range(1, len(tk)),
+        |   i -> list_transform(range(i + 1, least(i + 2, len(tk)) + 1),
+        |     j -> [least(tk[i], tk[j]), greatest(tk[i], tk[j])])))) pair
+        |  FROM tk),
+        | pp AS (SELECT pair[1] w1, pair[2] w2 FROM pr),
+        | pc AS (SELECT w1, w2, COUNT(*) c_ab FROM pp GROUP BY w1, w2),
+        | pt AS (SELECT COUNT(*) n_pair FROM pp)
+        | SELECT w1, w2, c_ab,
+        |  ROUND(ln((CAST(c_ab AS DOUBLE) * n_tok * n_tok)
+        |    / (CAST(n_pair AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+        | FROM pc JOIN uni ua ON pc.w1 = ua.w
+        |  JOIN uni ub ON pc.w2 = ub.w
+        |  CROSS JOIN tot CROSS JOIN pt
+        | WHERE c_ab >= 5
+        | ORDER BY pmi DESC, w1, w2 LIMIT 50"""
+        .stripMargin.replaceAll("\n", ""),
     "t11_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
         |  FROM documents),
@@ -1883,6 +1951,20 @@ object TextQueries {
         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 = 0)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d2_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |        WHERE doc_id < 1000))
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""),
+    // d16 shares d2's brute-force definition verbatim: prefix filtering
+    // is exact, so the scale algorithm must hash-match the O(N²) SQL.
+    "d16_prefix_jaccard" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(
         |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh
         |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
