@@ -170,6 +170,88 @@ object Multimodal {
     spark.createDataFrame(rows, ImageFeatureSchema)
   }
 
+  /** Perceptual difference-hash (dHash) kernel over a decoded image:
+    * nearest-neighbor sample a 9×8 luminance grid (px = ⌊gx·w/9⌋,
+    * py = ⌊gy·h/8⌋ — integer ops only, no resampling filter, so the
+    * value is exactly reproducible from known pixel content), then one
+    * bit per horizontal neighbor pair (lum(gx+1,gy) > lum(gx,gy)) —
+    * the standard 64-bit near-duplicate image fingerprint, emitted as
+    * FOUR 16-bit chunks (h0..h3): sign-safe in any engine's int64 AND
+    * directly usable as SimHash-style pigeonhole blocking keys
+    * (Hamming ≤ 3 ⟹ one chunk equal). Same luminance formula as
+    * [[decodeImageKernel]]. Returns None when no JDK codec matches. */
+  private[multimodal] def dHashKernel(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = Array.ofDim[Int](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val rgb = img.getRGB(gx * w / 9, gy * h / 8)
+          lum(gy)(gx) = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          gx += 1
+        }
+        gy += 1
+      }
+      val chunks = new Array[Int](4)
+      var i = 0
+      while (i < 64) {
+        val cy = i / 8
+        val cx = i % 8
+        if (lum(cy)(cx + 1) > lum(cy)(cx))
+          chunks(i / 16) |= 1 << (i % 16)
+        i += 1
+      }
+      Some((w, h, chunks))
+    }
+  }
+
+  private val ImagePhashSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("h0", IntegerType, nullable = true),
+    StructField("h1", IntegerType, nullable = true),
+    StructField("h2", IntegerType, nullable = true),
+    StructField("h3", IntegerType, nullable = true)))
+
+  /** Perceptual-hash extraction over image assets: REAL decode +
+    * [[dHashKernel]] per asset (nulls when undecodable), the
+    * fingerprint pass of an image near-dup pipeline — downstream the
+    * four 16-bit chunks are pigeonhole blocking keys exactly like
+    * SimHash's (d4), so candidate pairs come from a chunk-keyed
+    * equi-join, never an all-pairs image comparison. Same bounded
+    * batched mapPartitions shape as [[decodeImages]]. */
+  def imagePhash(assets: DataFrame, batchSize: Int = 32): DataFrame = {
+    val spark = assets.sparkSession
+    val rows = assets
+      .select(col("asset_id"), col("content"), col("meta.media_type"))
+      .rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { rs =>
+          rs.map { r =>
+            val id = r.getLong(0)
+            val mt = r.getString(2)
+            val hashed =
+              if (mt == "image") dHashKernel(r.getAs[Array[Byte]](1)) else None
+            hashed match {
+              case Some((w, h, c)) => Row(id, w, h, c(0), c(1), c(2), c(3))
+              case None => Row(id, null, null, null, null, null, null)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, ImagePhashSchema)
+  }
+
   /** Deterministic REAL-PNG asset table from any keyed source: each id
     * becomes an actual PNG (encoded by the same JDK codec family that
     * decodes it) whose dimensions derive from the id — width =

@@ -63,6 +63,22 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
+    // M5: perceptual dHash over REAL decoded images — the image
+    // near-dup fingerprint pass. Where m4's oracle pins only the
+    // recovered dims, m5 pins the decoded PIXEL CONTENT: the synthetic
+    // PNGs' pixel fill is a pure integer function of the id, so the
+    // oracle re-derives the full 9×8 nearest-neighbor luminance grid
+    // and all 64 comparison bits in SQL — any loss anywhere in the
+    // encode→PNG→decode→sample→compare chain breaks the hash. The four
+    // 16-bit chunks double as pigeonhole blocking keys (Hamming ≤ 3 ⟹
+    // one chunk equal — d4's candidate machinery, no all-pairs).
+    "m5_image_phash" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticPngAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.imagePhash(assets)
+        .orderBy("asset_id")
+    }),
+
     // M2: video frame sampling — the explode shape of a frame
     // extractor over binary assets (frame count/offsets are
     // SQL-derivable from the byte length, so fully oracle-checked).
@@ -271,6 +287,36 @@ object PipelineQueries {
         | CAST(1 + doc_id % 8 AS INT) AS height,
         | TRUE AS decoded
         | FROM documents ORDER BY asset_id""".stripMargin.replaceAll("\n", ""),
+    // m5: the full dHash re-derived in SQL — the synthetic pixel fill
+    // (id·2654435761 + 97·px + 31·py) & 0xffffff, the 9×8 nearest-
+    // neighbor grid, the integer luminance, and all 64 comparison bits
+    // packed into the same four 16-bit chunks the engine emits.
+    "m5_image_phash" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h
+        |  FROM documents),
+        | gxs AS (SELECT unnest(range(0, 9)) gx),
+        | gys AS (SELECT unnest(range(0, 8)) gy),
+        | lum AS (SELECT doc_id, gx, gy,
+        |   ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+        |     + (v & 255) * 114) // 1000) AS l
+        |  FROM (SELECT doc_id, gx, gy,
+        |    ((doc_id * 2654435761 + ((gx * w) // 9) * 97
+        |      + ((gy * h) // 8) * 31) & 16777215) AS v
+        |   FROM d CROSS JOIN gxs CROSS JOIN gys)),
+        | bits AS (SELECT a.doc_id, (a.gy * 8 + a.gx) AS i,
+        |   CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        |   AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8)
+        | SELECT doc_id AS asset_id,
+        |  CAST(1 + doc_id % 16 AS INT) AS width,
+        |  CAST(1 + doc_id % 8 AS INT) AS height,
+        |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS INT) AS h0,
+        |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS INT) AS h1,
+        |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS INT) AS h2,
+        |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS INT) AS h3
+        | FROM bits GROUP BY doc_id ORDER BY asset_id"""
+        .stripMargin.replaceAll("\n", ""),
     "m1_media_features" ->
       """SELECT doc_id AS asset_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

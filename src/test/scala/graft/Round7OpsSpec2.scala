@@ -94,6 +94,62 @@ class Round7OpsSpec2 extends AnyFunSuite {
       ("a", "b"), ("b", "c"), ("a", "c"), ("a", "a"), ("a", "c")))
   }
 
+  // ---- m5 perceptual dHash ----
+
+  private def pngBytes(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def phashRow(content: Array[Byte], mediaType: String = "image") = {
+    import org.apache.spark.sql.Row
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, content, Row(mediaType, null, null, null, null))),
+      graft.multimodal.Multimodal.AssetSchema)
+    graft.multimodal.Multimodal.imagePhash(assets).head()
+  }
+
+  test("dHash is invariant under uniform brightness shift") {
+    // gray(x,y) with 299+587+114 = 1000 ⇒ integer luminance == gray
+    // value exactly; a constant +20 shift preserves every strict
+    // comparison, so the perceptual fingerprint must not move.
+    def gray(g: Int) = (g << 16) | (g << 8) | g
+    val base = pngBytes(32, 24)((x, y) => gray((x * 13 + y * 7) % 180 + 20))
+    val brighter =
+      pngBytes(32, 24)((x, y) => gray((x * 13 + y * 7) % 180 + 40))
+    val a = phashRow(base)
+    val b = phashRow(brighter)
+    assert((3 to 6).map(a.getInt) === (3 to 6).map(b.getInt))
+  }
+
+  test("dHash: one-pixel change moves ≤2 bits; pigeonhole chunk survives") {
+    def gray(g: Int) = (g << 16) | (g << 8) | g
+    def img(tweak: Boolean) = pngBytes(9, 8) { (x, y) =>
+      if (tweak && x == 4 && y == 3) gray(250)
+      else gray((x * 29 + y * 17) % 200)
+    }
+    val a = phashRow(img(tweak = false))
+    val b = phashRow(img(tweak = true))
+    val ham = (3 to 6).map(i =>
+      Integer.bitCount(a.getInt(i) ^ b.getInt(i))).sum
+    assert(ham >= 1 && ham <= 2, s"hamming=$ham")
+    // Hamming ≤ 3 over 4 chunks ⟹ at least one chunk identical — the
+    // d4-style blocking guarantee the candidate equi-join relies on
+    assert((3 to 6).exists(i => a.getInt(i) === b.getInt(i)))
+  }
+
+  test("imagePhash: non-image and undecodable assets yield null hashes") {
+    val r = phashRow(Array[Byte](1, 2, 3), mediaType = "audio")
+    assert((1 to 6).forall(r.isNullAt))
+    val broken = phashRow(Array[Byte](1, 2, 3), mediaType = "image")
+    assert((1 to 6).forall(broken.isNullAt))
+  }
+
   test("cooccurrencePairs: count = 2n-3 for n≥2; none for n<2") {
     import spark.implicits._
     forAll(docGen, n = 12) { text =>
