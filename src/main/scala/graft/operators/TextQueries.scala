@@ -795,15 +795,23 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
-    // D16: the SAME pairs via prefix filtering (AllPairs/PPJoin) — the
-    // corpus-scale EXACT set-similarity join (token-keyed equi-join on
-    // rarest-first prefixes + verification; no cross product, plan-
-    // pinned). Shares d2's oracle VERBATIM, so exact interchangeability
-    // with the brute-force definition is hash-checked cross-engine.
+    // D16: exact Jaccard pairs via prefix filtering (AllPairs/PPJoin)
+    // — the corpus-scale EXACT set-similarity join (token-keyed
+    // equi-join on rarest-first prefixes + verification; no cross
+    // product, plan-pinned), hash-checked against its own O(N²)
+    // brute-force SQL. UNBOUNDED, unlike d2: this is the scale path,
+    // so it runs the whole corpus. TRIGRAM shingles where d2 uses
+    // bigrams — prefix filtering's selectivity IS the df tail, and the
+    // synthetic vocabulary is so small (~30 words ⇒ ~900 possible
+    // bigrams over 5000 sf0.1 docs) that every bigram is common and
+    // bigram prefixes prune nothing (measured 160 s at sf0.1);
+    // trigrams restore the Zipf-like tail a real corpus has (~27k
+    // possible, avg df ~10) and the candidate join collapses to the
+    // true near-pairs. Same algorithm, exactness unaffected — shingle
+    // size is the tuning knob, as in the AllPairs literature.
     "d16_prefix_jaccard" -> ((s, dir) => {
-      Dedup.prefixJaccardJoin(
-          docs(s, dir).filter(col("doc_id") < 1000), "doc_id", "text",
-          n = 2, threshold = 0.4)
+      Dedup.prefixJaccardJoin(docs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.4)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("a_id", "b_id")
     }),
@@ -1962,13 +1970,14 @@ object TextQueries {
         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""),
-    // d16 shares d2's brute-force definition verbatim: prefix filtering
-    // is exact, so the scale algorithm must hash-match the O(N²) SQL.
+    // d16's oracle is d2's brute-force definition at TRIGRAM shingles,
+    // unbounded (d16 is the scale path): prefix filtering is exact, so
+    // the scale algorithm must hash-match the O(N²) SQL.
     "d16_prefix_jaccard" ->
       """WITH s AS (SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
-        |        WHERE doc_id < 1000))
+        |   range(1, len(tk) - 1),
+        |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents))
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
