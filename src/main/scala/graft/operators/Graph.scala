@@ -318,6 +318,53 @@ object Graph {
     ranks
   }
 
+  /** HITS — Kleinberg's hubs & authorities over a DIRECTED edge list
+    * (the classic shape is bipartite: queries→documents,
+    * customers→suppliers). Mutual reinforcement: auth(v) = Σ hub(u)
+    * over in-edges, hub(u) = Σ auth(v) over out-edges, each side
+    * L1-normalized per half-step (the L2 norm of the original paper
+    * only rescales — relative order and the fixed point's direction
+    * are identical, and staying in +,/ keeps the float chain exactly
+    * mirrorable in a SQL oracle). Returns (hubs(id, hub),
+    * auths(id, auth)), each summing to 1. NOTE: run on a SYMMETRIC
+    * edge list this degenerates (hub ≡ auth ≡ eigenvector
+    * centrality) — the operator is for directed/bipartite graphs.
+    *
+    * Scale shape: the O(E) edge list is cached once and never moves;
+    * each half-step is one keyed map-side-combined agg over it plus a
+    * 1-row normalizer broadcast — the O(V) score table is the only
+    * per-step shuffle (AQE broadcasts it while small, exactly
+    * [[pageRank]]'s story). Caller owns edge dedup. Laziness means an
+    * unused final half-step (e.g. hubs when only authorities are
+    * consumed) never executes. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): (DataFrame, DataFrame) = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = graft.Caches.shared(
+      edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")))
+    var hubs = e.select(col("_src").as("id")).distinct()
+      .select(col("id"), lit(1.0).as("hub"))
+    var auths: DataFrame = null
+    for (i <- 1 to iterations) {
+      val rawAuth = e
+        .join(hubs.withColumnRenamed("id", "_src"), "_src")
+        .groupBy(col("_dst").as("id"))
+        .agg(sum(col("hub")).as("_a"))
+      auths = graft.Caches.shared(
+        rawAuth.crossJoin(broadcast(rawAuth.agg(sum("_a").as("_s"))))
+          .select(col("id"), (col("_a") / col("_s")).as("auth")))
+      val rawHub = e
+        .join(auths.withColumnRenamed("id", "_dst"), "_dst")
+        .groupBy(col("_src").as("id"))
+        .agg(sum(col("auth")).as("_h"))
+      hubs = graft.Caches.shared(
+        rawHub.crossJoin(broadcast(rawHub.agg(sum("_h").as("_s"))))
+          .select(col("id"), (col("_h") / col("_s")).as("hub")))
+    }
+    (hubs, auths)
+  }
+
   /** Multi-source BFS: minimum hop distance from `seeds` (a single
     * `id` column) to every node within `maxHops`, over a directed edge
     * list. Returns (id, hops) — seeds at 0; unreached nodes absent.
@@ -624,6 +671,31 @@ object GraphQueries {
           round(col("rank") * col("_n"), 6).as("rank_scaled"))
         .orderBy(desc("rank_scaled"), asc("part_id"))
         .limit(100)
+    }),
+
+    // G7: HITS over the bipartite customer→supplier purchase graph —
+    // authorities = suppliers reinforced by strong buyers, the classic
+    // Kleinberg shape (the co-purchase graph would degenerate: on a
+    // symmetric edge list hub ≡ auth). 3 unrolled iterations in the
+    // oracle (6 half-step CTEs), L1-normalized so every float op is a
+    // +,/ chain mirrorable term-for-term; top-50 authorities, scaled
+    // by the authority count like g1. Out of the headline for g2–g5's
+    // reason (the lineitem⋈orders edge build dominates per-trial).
+    "g7_supplier_hits" -> ((s, dir) => {
+      val edges = graft.Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(graft.Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      val (_, auths) = Graph.hits(edges, "src", "dst", iterations = 3)
+      auths
+        .crossJoin(broadcast(auths.agg(count(lit(1)).as("_n"))))
+        .select(col("id").as("supp_key"),
+          round(col("auth") * col("_n"), 6).as("auth_scaled"))
+        .orderBy(desc("auth_scaled"), asc("supp_key"))
+        .limit(50)
     })
   )
 
@@ -773,6 +845,30 @@ object GraphQueries {
         |   ROUND(r * (SELECT n FROM nn), 6) AS rank_scaled
         | FROM r5 ORDER BY rank_scaled DESC, part_id
         | LIMIT 100""".stripMargin).replaceAll("\n", "")
+    },
+    // g7: HITS unrolled as 6 L1-normalized half-step CTEs — the same
+    // +,/ float chain the engine runs (raw sum, then divide by the
+    // 1-row normalizer), mirrored term-for-term.
+    "g7_supplier_hits" -> {
+      val steps = (1 to 3).map { i =>
+        s""" a${i}r AS (SELECT e.dst AS id, SUM(h.hub) AS a
+           |  FROM edges e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+           | a$i AS (SELECT id, a / (SELECT SUM(a) FROM a${i}r) AS auth
+           |  FROM a${i}r),
+           | h${i}r AS (SELECT e.src AS id, SUM(a.auth) AS h
+           |  FROM edges e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+           | h$i AS (SELECT id, h / (SELECT SUM(h) FROM h${i}r) AS hub
+           |  FROM h${i}r)""".stripMargin
+      }.mkString(",")
+      ("""WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | h0 AS (SELECT DISTINCT src AS id, 1.0 AS hub FROM edges),""".stripMargin
+        + steps +
+        """ SELECT CAST(id AS BIGINT) AS supp_key,
+        |  ROUND(auth * (SELECT COUNT(*) FROM a3), 6) AS auth_scaled
+        | FROM a3 ORDER BY auth_scaled DESC, supp_key
+        | LIMIT 50""".stripMargin).replaceAll("\n", "")
     }
   )
 }

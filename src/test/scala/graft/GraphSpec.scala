@@ -337,4 +337,36 @@ class GraphSpec extends AnyFunSuite {
       s"star should converge between 2 and 59 iterations, ran $starIters")
     Caches.release(spark)
   }
+
+  test("hits: hand-computed bipartite example; both sides sum to 1") {
+    import spark.implicits._
+    // c1→{s1,s2}, c2→{s1}; by hand with L1 normalization:
+    //  h0: c1=1, c2=1
+    //  a1 raw: s1=2, s2=1 → a1: s1=2/3, s2=1/3
+    //  h1 raw: c1=1, c2=2/3 → h1: c1=3/5, c2=2/5
+    //  a2 raw: s1=1, s2=3/5 → a2: s1=5/8, s2=3/8
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("src", "dst")
+    val (hubs, auths) = Graph.hits(edges, "src", "dst", iterations = 2)
+    val a = auths.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(a(10L) - 0.625) < 1e-12 &&
+      math.abs(a(20L) - 0.375) < 1e-12, a.toString)
+    val h = hubs.collect().map(_.getDouble(1))
+    assert(math.abs(a.values.sum - 1.0) < 1e-12)
+    assert(math.abs(h.sum - 1.0) < 1e-12)
+    Caches.release(spark)
+  }
+
+  test("hits: uniform-fan bipartite graph stays uniform") {
+    import spark.implicits._
+    // every customer buys from every supplier — symmetry forces
+    // uniform authorities and hubs at every iteration
+    val edges = (for (c <- 1L to 3L; s <- 10L to 14L) yield (c, s))
+      .toDF("src", "dst")
+    val (hubs, auths) = Graph.hits(edges, "src", "dst", iterations = 3)
+    auths.collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0 / 5) < 1e-12))
+    hubs.collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12))
+    Caches.release(spark)
+  }
 }
