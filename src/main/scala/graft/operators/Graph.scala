@@ -365,6 +365,66 @@ object Graph {
     (hubs, auths)
   }
 
+  /** k-core decomposition by iterative peeling: the MAXIMAL subgraph
+    * of a SYMMETRIC edge list in which every node has degree ≥ k —
+    * the graph-density filter behind spam farms / community cores /
+    * junk-page pruning. Each round drops every node whose remaining
+    * degree is < k (removals expose new under-k nodes, so peeling
+    * iterates to a fixed point — a path peels one layer of endpoints
+    * per round, the deep case the spec exercises). Returns
+    * (id, core_deg): surviving nodes with their degree INSIDE the
+    * core. Empty result when the whole graph peels away.
+    *
+    * Scale shape: each round is one map-side-combined degree agg over
+    * the LIVE edge list plus two semi-joins that shrink it; the live
+    * set is localCheckpoint-materialized per round (the dupClusters
+    * discipline — lineage stays O(1), previous round's blocks freed),
+    * and the survivor count needed for the fixed-point test rides the
+    * same materialization. Rounds are data-bounded (degeneracy
+    * ordering depth), `maxRounds` is the runaway backstop. Peeling is
+    * deterministic and IDEMPOTENT past convergence — the license for
+    * the g8 oracle to unroll a fixed round count ≥ the data's true
+    * peel depth. */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var live = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .localCheckpoint(true)
+    var prevSurvivors = -1L
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val keep = live.groupBy("_s").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k)
+        .select(col("_s").as("_id"))
+        .localCheckpoint(true)
+      val m = keep.count()
+      if (m == prevSurvivors) {
+        org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(keep)
+        stable = true
+      } else {
+        prevSurvivors = m
+        val next = live
+          .join(keep.withColumnRenamed("_id", "_s"), Seq("_s"), "left_semi")
+          .join(keep.withColumnRenamed("_id", "_d"), Seq("_d"), "left_semi")
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(live)
+        org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(keep)
+        live = next
+        rounds += 1
+      }
+    }
+    // never return a silently-unpeeled subgraph (the dupClusters rule)
+    require(stable,
+      s"kCore did not reach its fixed point in $maxRounds rounds; raise maxRounds")
+    val core = live
+    graft.Caches.registerCleanup(edges.sparkSession)(
+      () => org.apache.spark.sql.GraftShim.releaseLocalCheckpoint(core))
+    core.groupBy(col("_s").as("id")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Multi-source BFS: minimum hop distance from `seeds` (a single
     * `id` column) to every node within `maxHops`, over a directed edge
     * list. Returns (id, hops) — seeds at 0; unreached nodes absent.
@@ -696,6 +756,24 @@ object GraphQueries {
           round(col("auth") * col("_n"), 6).as("auth_scaled"))
         .orderBy(desc("auth_scaled"), asc("supp_key"))
         .limit(50)
+    }),
+
+    // G8: 130-core of the co-purchase graph — the density filter
+    // (median degree is ~115 at sf0.01, so k=130 peels roughly 3/4 of
+    // the graph and leaves a genuinely dense core). The engine peels
+    // to the FIXED POINT (convergence-driven); the oracle unrolls 6
+    // peel rounds, safe because peeling is idempotent past
+    // convergence and this graph stabilizes in 2 (measured; a spec
+    // covers the deep-peel case oracles can't — a path peels one
+    // endpoint layer per round). Out of the headline for g2–g5's
+    // reason (pair-build domination).
+    "g8_kcore" -> ((s, dir) => {
+      val pairs = graft.Caches.shared(copurchasePairs(s, dir))
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.kCore(edges, "src", "dst", k = 130)
+        .select(col("id").as("part_id"), col("core_deg"))
+        .orderBy("part_id")
     })
   )
 
@@ -869,6 +947,29 @@ object GraphQueries {
         |  ROUND(auth * (SELECT COUNT(*) FROM a3), 6) AS auth_scaled
         | FROM a3 ORDER BY auth_scaled DESC, supp_key
         | LIMIT 50""".stripMargin).replaceAll("\n", "")
+    },
+    // g8: peeling unrolled 6 rounds (idempotent past the measured
+    // 2-round convergence) — each round recomputes degrees on the
+    // surviving edge list and keeps ≥ 130 nodes.
+    "g8_kcore" -> {
+      val rounds = (1 to 6).map { i =>
+        s""" k$i AS (SELECT src AS id FROM e${i - 1}
+           |  GROUP BY src HAVING COUNT(*) >= 130),
+           | e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id)"""
+          .stripMargin
+      }.mkString(",")
+      ("""WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | e0 AS (SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),""".stripMargin
+        + rounds +
+        """ SELECT CAST(src AS BIGINT) AS part_id,
+        |  CAST(COUNT(*) AS BIGINT) AS core_deg
+        | FROM e6 GROUP BY src ORDER BY part_id""".stripMargin)
+        .replaceAll("\n", "")
     }
   )
 }

@@ -338,6 +338,27 @@ class GraphSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("kCore: pendant peels off a K4; 3-core is exactly the clique") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = sym(k4 :+ (0L, 9L)) // pendant node 9 on clique node 0
+    val core = Graph.kCore(edges, "src", "dst", k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    Caches.release(spark)
+  }
+
+  test("kCore: a path fully peels at k=2 (deep multi-round case)") {
+    // endpoints have degree 1; each round exposes the next layer —
+    // the fixed-point loop must run ~n/2 rounds, not stop early
+    val path = sym((0L until 9L).map(i => (i, i + 1)))
+    assert(Graph.kCore(path, "src", "dst", k = 2).count() === 0L)
+    // ...while closing the path into a cycle makes everything degree 2
+    val cycle = sym((0L until 10L).map(i => (i, (i + 1) % 10)))
+    val core = Graph.kCore(cycle, "src", "dst", k = 2).collect()
+    assert(core.length === 10 && core.forall(_.getLong(1) == 2L))
+    Caches.release(spark)
+  }
+
   test("hits: hand-computed bipartite example; both sides sum to 1") {
     import spark.implicits._
     // c1→{s1,s2}, c2→{s1}; by hand with L1 normalization:
