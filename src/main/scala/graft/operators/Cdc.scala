@@ -169,26 +169,34 @@ object Cdc {
       statePath: String,
       keyCols: Seq[String],
       aggregate: DataFrame => DataFrame,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      merge: (DataFrame, DataFrame, Seq[String]) => DataFrame = mergeRollup)
+      : StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(batch, batchId, statePath, keyCols, aggregate)
+        foldBatch(batch, batchId, statePath, keyCols, aggregate, merge)
       }
       .start()
 
   /** One fold of the streaming loop — also directly callable for a
-    * non-streaming daily driver (same state dirs, same idempotence). */
+    * non-streaming daily driver (same state dirs, same idempotence).
+    * `merge` defaults to the additive [[mergeRollup]] monoid; any
+    * associative keyed combine with the same schema contract slots in
+    * (e.g. HLL sketch union — [[graft.functions.HllRollup]]) and
+    * inherits the whole versioned-state protocol unchanged. */
   def foldBatch(
       batch: DataFrame, batchId: Long, statePath: String,
-      keyCols: Seq[String], aggregate: DataFrame => DataFrame): Unit = {
+      keyCols: Seq[String], aggregate: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame, Seq[String]) => DataFrame = mergeRollup)
+      : Unit = {
     val spark = batch.sparkSession
     val versions = committedVersions(spark, statePath)
     if (!versions.exists(_._2 >= batchId)) {
       val delta = aggregate(batch)
       val merged = readRollup(spark, statePath) match {
-        case Some(state) => mergeRollup(state, delta, keyCols)
+        case Some(state) => merge(state, delta, keyCols)
         case None => delta
       }
       val fs = fsOf(spark, statePath)

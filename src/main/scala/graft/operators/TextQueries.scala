@@ -468,7 +468,11 @@ object TextQueries {
       val d = docs(s, dir)
       val tok = graft.Caches.shared(
         d.select(explode(TextAnalysis.tokens(col("text"))).as("w")))
-      val uni = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      // shared: BOTH broadcast lookup sides (c_a via w1, c_b via w2)
+      // read this one materialized aggregation — without it the
+      // unigram groupBy runs twice, once per join side (plan-pinned)
+      val uni = graft.Caches.shared(
+        tok.groupBy("w").agg(count(lit(1)).as("c")))
       val nTok = broadcast(tok.agg(count(lit(1)).as("n_tok")))
       val pairs = graft.Caches.shared(
         d.select(explode(

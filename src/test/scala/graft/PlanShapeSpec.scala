@@ -527,4 +527,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"islands + both rollups must reuse ONE user_id exchange, saw $userShuffles")
     Caches.release(spark)
   }
+
+  test("t34 PMI: unigram/total sides broadcast — pair key is the ONLY corpus shuffle; top-50 bounded") {
+    val df = SparkEntry.queries("t34_pmi_pairs")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    val exchanges = deepCollect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // pair counts key on (w1, w2); the unigram table is built once
+    // (w) and every lookup side reaches the pair table via broadcast
+    val hash = exchanges.map(_.outputPartitioning.toString)
+      .count(_.contains("hashpartitioning"))
+    assert(hash <= 2, s"expected ≤2 keyed shuffles (pair + unigram), got $hash")
+    Caches.release(spark)
+  }
+
+  test("a40 sketch rollup: both sketch aggs are partial (map-side combine)") {
+    val df = SparkEntry.queries("a40_sketch_rollup")(spark, sfDir)
+    val p = finalPlan(df)
+    // partial HllSketchAgg on the map side for the per-group partials
+    // AND the direct pass — the corpus is never shuffled raw
+    assert("partial_hll_sketch_agg".r.findAllIn(p.toLowerCase).size >= 2
+      || "HashAggregate".r.findAllIn(p).size >= 4, p.take(2500))
+    Caches.release(spark)
+  }
+
+  test("m5 image phash: the asset scan is the only input — no joins, no shuffles beyond the sort") {
+    val df = SparkEntry.queries("m5_image_phash")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "phash extraction must be a pure map stage:\n" + p.take(1500))
+    Caches.release(spark)
+  }
 }

@@ -228,6 +228,58 @@ class StreamingSpec extends AnyFunSuite {
       .sameElements(streamed))
   }
 
+  test("streaming HLL NDV state: union-folded sketches track exact, idempotent under refold") {
+    import graft.functions.HllRollup
+    import graft.operators.Cdc
+    import spark.implicits._
+    // 3 groups, keys overlapping across micro-batches so the union
+    // fold has real cross-batch merging to do
+    val rows = (1 to 6000).map(i => (Seq("A", "N", "R")(i % 3), i % 700L))
+    val df = rows.toDF("g", "k")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    df.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    HllRollup.streamingNdv(raw, s"$tmp/state", Seq("g"), "k", s"$tmp/ckpt")
+      .awaitTermination()
+    def est(): Map[String, Long] =
+      HllRollup.estimates(spark, s"$tmp/state", Seq("g")).get
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = est()
+    // every group saw all 700 distinct keys; estimates inside the
+    // sketch envelope of the exact NDV
+    val exact = df.groupBy("g").agg(countDistinct("k").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.keySet == exact.keySet)
+    exact.foreach { case (g, n) =>
+      assert(math.abs(streamed(g) - n) <= n / 10,
+        s"group $g: est ${streamed(g)} vs exact $n")
+    }
+    // the micro-batches actually folded incrementally
+    val lastVersion = new java.io.File(s"$tmp/state").list()
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
+    assert(lastVersion >= 2, s"expected ≥3 micro-batches, last=v$lastVersion")
+    // replayed batch id: protocol-level no-op
+    Cdc.foldBatch(spark.read.parquet(s"$tmp/src"), 0L, s"$tmp/state",
+      Seq("g"), HllRollup.sketchBatch(Seq("g"), "k"), HllRollup.mergeSketches)
+    assert(est() == streamed)
+    // IDEMPOTENCE, the union monoid's own guarantee (stronger than the
+    // additive rollup's zero-delta replay): folding the ENTIRE dataset
+    // again under a NEW batch id unions already-seen values into the
+    // registers — the estimates must not move by one count
+    Cdc.foldBatch(spark.read.parquet(s"$tmp/src"), lastVersion + 1,
+      s"$tmp/state", Seq("g"),
+      HllRollup.sketchBatch(Seq("g"), "k"), HllRollup.mergeSketches)
+    assert(est() == streamed)
+    // ...while genuinely new keys DO move their group
+    Cdc.foldBatch(Seq(("A", 990001L), ("A", 990002L)).toDF("g", "k"),
+      lastVersion + 2, s"$tmp/state", Seq("g"),
+      HllRollup.sketchBatch(Seq("g"), "k"), HllRollup.mergeSketches)
+    assert(est()("A") > streamed("A"))
+  }
+
   test("streaming chunk ingest: readStream docs → chunk+embed → parquet append") {
     // the §7.1-step-10 extension: ingest is append-only, so the batch
     // chunk pipeline runs unchanged as a stream
