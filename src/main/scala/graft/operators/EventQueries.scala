@@ -329,6 +329,41 @@ object EventQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // S21: sliding-window DISTINCT users (1-hour window hopping every
+    // 15 minutes) through MERGEABLE per-hop HLL sketches — the shape
+    // s19's additive counts can't take: COUNT(DISTINCT) doesn't
+    // decompose over overlapping windows by re-adding, but sketch
+    // UNION does. Scale shape: the corpus aggregates ONCE into per-hop
+    // sketches (one keyed shuffle with partial aggregation — ~96
+    // sketch blobs per day regardless of event volume), then each
+    // window unions its 4 hop sketches (an O(windows) explode of the
+    // SKETCH table, not the event log). The exact side is oracle
+    // ballast (a21's derived-invariant pattern — it replays the
+    // 4× event replication the sketch path exists to avoid; the
+    // Scaladoc'd production form emits the estimate alone) and the
+    // hash-checked claim is the sketch contract: every window's
+    // union estimate within 10% of its exact distinct count.
+    "s21_sliding_distinct" -> ((s, dir) => {
+      val hopUs = 900L * 1000 * 1000 // 15 min
+      val e = Tables.eventsUs(s, dir)
+        .select(col("user_id"), expr(s"us div $hopUs").as("hop"))
+      val winEst = e.groupBy("hop")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .select(explode(sequence(col("hop") - 3, col("hop"))).as("win"),
+          col("sk"))
+        .groupBy("win")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = e
+        .select(explode(sequence(col("hop") - 3, col("hop"))).as("win"),
+          col("user_id"))
+        .groupBy("win").agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(winEst, "win")
+        .select((col("win") * hopUs).as("w_start"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * 0.10).as("within_rel_err"))
+        .orderBy("w_start")
+    }),
+
     // S15: retention cohorts — users grouped by first-activity day,
     // the (cohort, day-offset) distinct-user matrix every product
     // analytics pipeline derives from an event log. The day projection
@@ -491,6 +526,17 @@ object EventQueries {
         |  FROM events, UNNEST([0, 1]) AS u(i))
         | SELECT w_start, event_type, COUNT(*) AS cnt
         | FROM w GROUP BY 1, 2 ORDER BY w_start, event_type"""
+        .stripMargin.replaceAll("\n", ""),
+    // s21: DuckDB recomputes the exact per-window distinct count (the
+    // 4-hop replication) and asserts the sketch-contract boolean TRUE;
+    // the estimate itself is engine-specific and never hashed.
+    "s21_sliding_distinct" ->
+      """WITH w AS (SELECT user_id,
+        |   (epoch_us(ts) // 900000000 - i) * 900000000 AS w_start
+        |  FROM events, UNNEST([0, 1, 2, 3]) AS u(i))
+        | SELECT w_start, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |   AS exact_users, TRUE AS within_rel_err
+        | FROM w GROUP BY 1 ORDER BY w_start"""
         .stripMargin.replaceAll("\n", ""),
     "s18_interval_union" ->
       """WITH iv AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS st,

@@ -492,6 +492,44 @@ object TextQueries {
         .limit(50)
     }),
 
+    // T35: Gopher-style repetition quality filters (Rae et al. 2021,
+    // table A1) — per document and per n ∈ {2, 3, 5}, the fraction of
+    // characters inside (a) the most frequent word n-gram
+    // (top_frac: cnt·chars(top)/chars(doc), the "top n-gram character
+    // fraction" rule) and (b) ALL n-grams occurring ≥ 2 times
+    // (dup_frac, the "duplicated n-gram character fraction" rule —
+    // occurrences summed, the published implementations' overlap-
+    // counting convention). t9 scores single-token repetition; this is
+    // the n-gram family the actual Gopher/MassiveText filters use.
+    // Scale shape: ONE doc scan builds all three n-gram sets as a pure
+    // map-side expression (tagged by n, no per-n rescan), the corpus
+    // shuffles once on (doc_id, n, gram) with map-side combine, and
+    // the per-(doc, n) reduction is a second keyed agg over the
+    // already-small count table. "Top" is argmax by (count, chars) —
+    // a total order both engines reproduce (ties beyond it can't
+    // change cnt·chars). Fractions rounded to 6 before hashing.
+    "t35_gopher_repetition" -> ((s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), length(col("text")).as("l"),
+          explode(flatten(array(Seq(2, 3, 5).map(n =>
+            transform(TextAnalysis.ngrams(col("text"), n), g =>
+              struct(lit(n.toLong).as("n"), g.as("g")))): _*))).as("ng"))
+        .select(col("doc_id"), col("l"),
+          col("ng.n").as("n"), col("ng.g").as("g"))
+      grams.groupBy("doc_id", "l", "n", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "l", "n")
+        .agg(
+          max(struct(col("c"), (col("c") * length(col("g"))).as("chars")))
+            .getField("chars").as("top_chars"),
+          sum(when(col("c") >= 2, col("c") * length(col("g")))
+            .otherwise(lit(0L))).as("dup_chars"))
+        .select(col("doc_id"), col("n"),
+          round(col("top_chars").cast("double") / col("l"), 6).as("top_frac"),
+          round(col("dup_chars").cast("double") / col("l"), 6).as("dup_frac"))
+        .orderBy("doc_id", "n")
+    }),
+
     // T11: tf-idf top terms per document — the IR feature-extraction
     // shape: two keyed aggs (term frequency, doc frequency), a hash
     // join, a 1-row broadcast for N, rank window for top-3. Natural
@@ -1744,6 +1782,31 @@ object TextQueries {
         | WHERE c_ab >= 5
         | ORDER BY pmi DESC, w1, w2 LIMIT 50"""
         .stripMargin.replaceAll("\n", ""),
+    // t35: the n-gram construction mirrors the Spark expression
+    // (1-indexed inclusive slices rejoined with single spaces); the
+    // argmax-by-(count, chars) is reproduced as a windowed MAX(c)
+    // followed by MAX(c·len) among the tied rows.
+    "t35_gopher_repetition" ->
+      """WITH tk AS (SELECT doc_id, length(text) AS l,
+        |   string_split(text, ' ') AS tk FROM documents),
+        | g AS (SELECT doc_id, l, n, unnest(list_transform(
+        |    range(1, len(tk) - n + 2),
+        |    i -> array_to_string(tk[i : i + n - 1], ' '))) AS g
+        |  FROM tk, UNNEST([2, 3, 5]) AS u(n) WHERE len(tk) >= n),
+        | c AS (SELECT doc_id, l, n, g, COUNT(*) AS c FROM g
+        |  GROUP BY doc_id, l, n, g),
+        | m AS (SELECT *, MAX(c) OVER (PARTITION BY doc_id, n) AS mc FROM c),
+        | top AS (SELECT doc_id, n, MAX(c * length(g)) AS top_chars FROM m
+        |  WHERE c = mc GROUP BY doc_id, n),
+        | dup AS (SELECT doc_id, l, n,
+        |   COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0)
+        |    AS dup_chars
+        |  FROM c GROUP BY doc_id, l, n)
+        | SELECT d.doc_id, CAST(d.n AS BIGINT) AS n,
+        |  ROUND(CAST(t.top_chars AS DOUBLE) / d.l, 6) AS top_frac,
+        |  ROUND(CAST(d.dup_chars AS DOUBLE) / d.l, 6) AS dup_frac
+        | FROM dup d JOIN top t ON d.doc_id = t.doc_id AND d.n = t.n
+        | ORDER BY d.doc_id, n""".stripMargin.replaceAll("\n", ""),
     "t11_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
         |  FROM documents),

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventQueries, TextQueries}
+
+/** Round-7 contract specs, part 3: the Gopher repetition fractions
+  * (t35) against hand-derived golden values (including the overlap
+  * overcount convention and the < n-token exclusion), and the
+  * sliding-window distinct operator (s21) against independently
+  * computed per-hop invariants plus its streaming face (per-window HLL
+  * state maintained through the generic rollup protocol — no
+  * sliding-window-specific state code).
+  */
+class Round7OpsSpec3 extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Write a minimal documents.parquet into a temp dir so the
+    * dir-shaped query entry runs on handcrafted text. */
+  private def docsDir(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t35_docs").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t35 gopher repetition: hand-derived fractions, overlap overcount, <n exclusion") {
+    val dir = docsDir(Seq(
+      "x x x x x", // 9 chars: maximal repetition — fractions EXCEED 1
+      "a b c d e", // 9 chars: all distinct — dup_frac 0 everywhere
+      "a b a b")) // 7 chars: 4 tokens — NO n=5 row
+    val rows = TextQueries.queries("t35_gopher_repetition")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // doc 0: "x x"×4 → 4·3/9; "x x x"×3 → 3·5/9; the full 5-gram once
+    assert(rows((0L, 2L)) == (1.333333, 1.333333))
+    assert(rows((0L, 3L)) == (1.666667, 1.666667))
+    assert(rows((0L, 5L)) == (1.0, 0.0))
+    // doc 1: every gram unique → top is any 3-char / 5-char / 9-char
+    // gram at count 1, dup empty
+    assert(rows((1L, 2L)) == (0.333333, 0.0))
+    assert(rows((1L, 3L)) == (0.555556, 0.0))
+    assert(rows((1L, 5L)) == (1.0, 0.0))
+    // doc 2: "a b"×2 beats "b a"×1 on count (2·3/7); trigrams unique
+    assert(rows((2L, 2L)) == (0.857143, 0.857143))
+    assert(rows((2L, 3L)) == (0.714286, 0.0))
+    assert(!rows.contains((2L, 5L)), "4-token doc must yield no n=5 row")
+    assert(rows.size == 8)
+  }
+
+  test("t35: argmax prefers HIGHEST count, not highest count·chars") {
+    // "z z z a b c d a b c d": "z z"×2 (count 2, 6 chars) must beat
+    // "a b c d..." 4-grams at count 1 even though... — make it sharp at
+    // n=2: "z z" count 2 → 2·3=6 chars vs any count-1 bigram 6+ chars?
+    // bigrams here are 3 chars each; use longer distinct tokens so a
+    // count-1 bigram has MORE chars than the count-2 top: top must
+    // still be the count-2 gram.
+    val dir = docsDir(Seq("z z z longword1 longword2")) // 25 chars
+    val r = TextQueries.queries("t35_gopher_repetition")(spark, dir)
+      .filter(col("n") === 2).collect().head
+    // "z z" (count 2, 3 chars → 6) wins over "longword1 longword2"
+    // (count 1, 19 chars): 2·3/25, NOT 19/25
+    assert(r.getDouble(2) == math.rint(6.0 / 25 * 1e6) / 1e6)
+    assert(r.getDouble(3) == math.rint(6.0 / 25 * 1e6) / 1e6)
+  }
+
+  test("s21 sliding distinct: window set, hop bounds, and sketch contract on sf0.001") {
+    val out = EventQueries.queries("s21_sliding_distinct")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    // every window satisfied the 10% sketch contract (also the oracle's
+    // hashed claim — asserted here so a failure localizes to Spark)
+    assert(out.forall(_.getBoolean(2)))
+    // independent per-hop exact distincts
+    val hopUs = 900L * 1000 * 1000
+    val hops = Tables.eventsUs(spark, sfDir)
+      .select(expr(s"us div $hopUs").as("hop"), col("user_id"))
+      .groupBy("hop").agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the emitted windows are exactly the union of each hop's 4 windows
+    val expectedWins = hops.keySet.flatMap(h => (h - 3) to h)
+    assert(out.map(_.getLong(0) / hopUs).toSet == expectedWins)
+    // per-window exact distinct is bounded by its constituent hops:
+    // max single hop ≤ window ≤ sum of hops (union bounds)
+    out.foreach { r =>
+      val win = r.getLong(0) / hopUs
+      val ds = (win to win + 3).flatMap(hops.get)
+      assert(r.getLong(1) >= ds.max && r.getLong(1) <= ds.sum,
+        s"window $win: ${r.getLong(1)} outside [${ds.max}, ${ds.sum}]")
+    }
+  }
+
+  test("s21 streaming face: per-window HLL state via the generic rollup — stream tracks batch exact") {
+    import graft.functions.HllRollup
+    import spark.implicits._
+    // synthetic events: 3 hops, users overlapping across hops so the
+    // cross-batch union has work to do
+    val hopUs = 900L * 1000 * 1000
+    val rows = for { h <- 0L to 2L; u <- 0L until 400L }
+      yield (h * hopUs + u, (u * 7 + h * 131) % 500L)
+    val df = rows.toDF("us", "user_id")
+    val tmp = java.nio.file.Files.createTempDirectory("s21_stream").toString
+    df.repartition(3).write.parquet(s"$tmp/src")
+    // the same hop→window explode the batch query uses, applied to the
+    // STREAM before the generic sketch rollup — the window key makes
+    // sliding-NDV just another keyed NDV state, no new protocol
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+      .select(explode(sequence(
+        expr(s"us div $hopUs") - 3, expr(s"us div $hopUs"))).as("win"),
+        col("user_id"))
+    HllRollup.streamingNdv(raw, s"$tmp/state", Seq("win"), "user_id",
+        s"$tmp/ckpt")
+      .awaitTermination()
+    val est = HllRollup.estimates(spark, s"$tmp/state", Seq("win")).get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = df
+      .select(explode(sequence(
+        expr(s"us div $hopUs") - 3, expr(s"us div $hopUs"))).as("win"),
+        col("user_id"))
+      .groupBy("win").agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (w, n) =>
+      assert(math.abs(est(w) - n) <= math.max(n / 10, 1),
+        s"window $w: est ${est(w)} vs exact $n")
+    }
+  }
+}
