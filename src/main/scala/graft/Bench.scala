@@ -68,7 +68,9 @@ object Bench {
     "a39_part_skyline", // distributed sort-based Pareto frontier
     "t34_pmi_pairs", // windowed co-occurrence PMI: one pair-keyed shuffle
     "m5_image_phash", // real decode → 9×8 dHash (4×16-bit blocking chunks)
-    "a40_sketch_rollup") // mergeable HLL partials + union rollup
+    "a40_sketch_rollup", // mergeable HLL partials + union rollup
+    "t35_gopher_repetition", // n-gram repetition filters: one tagged-gram shuffle
+    "s21_sliding_distinct") // sliding-window NDV via per-hop sketch union
   // g2_triangle_count stays out of the headline by design: triangle
   // enumeration is Θ(Σ deg²) wedge work however it's partitioned —
   // at sf0.1 the co-purchase graph yields ~20M wedges for a 1-row

@@ -78,6 +78,21 @@ object Tables {
     (df.withColumn("us", eventsTsMicros(df.schema)).drop("ts"), bounds)
   }
 
+  /** `df` rebalanced to the session's parallelism ONLY when the file
+    * layout under-parallelizes it — the local-testdata artifact where a
+    * table is one sub-row-group parquet file, so every scan partition
+    * (and the whole map stage before the first shuffle: n-gram
+    * construction, per-row HOF work) lands on one core. At cluster
+    * scale a corpus scan has ≥ cores splits and this is a provable
+    * no-op (the condition is false) — the expensive-at-scale
+    * alternative, an unconditional corpus repartition, is exactly what
+    * this helper exists to avoid. Row placement never affects the
+    * callers' semantics (they aggregate by contained keys). */
+  def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Silence WindowExec's "No Partition Defined" warning. Every
     * unpartitioned window in this library is a BOUNDED subtotal (≤
     * #buckets, #types² or top-k rows — the documented house two-phase

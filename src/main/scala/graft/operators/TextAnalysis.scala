@@ -171,6 +171,58 @@ object TextAnalysis {
           .otherwise(array_distinct(array(array_join(toks, " ")))))
     }
 
+  /** Per-row n-gram repetition statistics (the Gopher filter kernels,
+    * t35): struct(topchars, dupchars) where `topchars` = count·chars of
+    * the most frequent word n-gram (argmax by count, then by chars) and
+    * `dupchars` = Σ count·chars over n-grams occurring ≥ 2 times.
+    * Computed WITHOUT any shuffle or per-gram row explosion: the gram
+    * array is sorted, so equal grams are adjacent and one aggregate()
+    * fold closes each run as it ends — per-document cost stays
+    * O(grams · log grams) inside the scan's map stage, and a corpus of
+    * any size pays zero exchanges for what is an intrinsically
+    * row-local statistic. The `run == 0` field is the fold's
+    * "no element seen yet" marker (a sentinel gram string would
+    * collide with legitimate empty-string grams from repeated
+    * spaces). */
+  def repetitionStats(text: Column, n: Int): Column = {
+    val grams = sort_array(ngrams(text, n))
+    def stats(topc: Column, topchars: Column, dupchars: Column) = Seq(
+      topc.as("topc"), topchars.as("topchars"), dupchars.as("dupchars"))
+    def state(prev: Column, run: Column, rest: Seq[Column]) =
+      struct(prev.as("prev") +: run.as("run") +: rest: _*)
+    // fold the finished run (prev × run) into the three accumulators
+    def closed(acc: Column): Seq[Column] = {
+      val run = acc.getField("run")
+      val chars = run * length(acc.getField("prev")).cast("long")
+      val better = (run > acc.getField("topc")) ||
+        (run === acc.getField("topc") && chars > acc.getField("topchars"))
+      stats(
+        when(better, run).otherwise(acc.getField("topc")),
+        when(better, chars).otherwise(acc.getField("topchars")),
+        acc.getField("dupchars") +
+          when(run >= 2, chars).otherwise(lit(0L)))
+    }
+    val zero = state(lit(""), lit(0L), stats(lit(0L), lit(0L), lit(0L)))
+    aggregate(grams, zero,
+      (acc, g) =>
+        when(acc.getField("run") === 0, // first gram
+          state(g, lit(1L), stats(lit(0L), lit(0L), lit(0L))))
+          .when(g === acc.getField("prev"), // run continues
+            state(g, acc.getField("run") + 1,
+              stats(acc.getField("topc"), acc.getField("topchars"),
+                acc.getField("dupchars"))))
+          .otherwise( // run ends: fold it, start the next
+            state(g, lit(1L), closed(acc))),
+      acc => { // close the final run; empty input → zeros
+        val c = closed(acc)
+        struct(
+          when(acc.getField("run") === 0, lit(0L))
+            .otherwise(c(1)).as("topchars"),
+          when(acc.getField("run") === 0, lit(0L))
+            .otherwise(c(2)).as("dupchars"))
+      })
+  }
+
   /** Unordered token co-occurrence pairs within a forward `window`:
     * for each position i, the pairs (tk[i], tk[i+j]) for j = 1..window,
     * each pair sorted so (a,b) and (b,a) accumulate together — the

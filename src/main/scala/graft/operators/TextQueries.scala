@@ -501,32 +501,34 @@ object TextQueries {
     // occurrences summed, the published implementations' overlap-
     // counting convention). t9 scores single-token repetition; this is
     // the n-gram family the actual Gopher/MassiveText filters use.
-    // Scale shape: ONE doc scan builds all three n-gram sets as a pure
-    // map-side expression (tagged by n, no per-n rescan), the corpus
-    // shuffles once on (doc_id, n, gram) with map-side combine, and
-    // the per-(doc, n) reduction is a second keyed agg over the
-    // already-small count table. "Top" is argmax by (count, chars) —
-    // a total order both engines reproduce (ties beyond it can't
-    // change cnt·chars). Fractions rounded to 6 before hashing.
+    // Scale shape: ZERO corpus shuffles — a per-document statistic
+    // needs no exchange because every gram of a document lives in its
+    // own row: sort the gram array and fold it once
+    // (TextAnalysis.repetitionStats closes equal-gram runs as they
+    // end), so the corpus never materializes an exploded gram table at
+    // all (the groupBy-(doc, n, gram) formulation this replaced
+    // shuffled ~150 gram rows per document; measured 1.4 → 0.6 s at
+    // sf0.1 and the delta GROWS with corpus size). "Top" is argmax by
+    // (count, chars) — a total order both engines reproduce (ties
+    // beyond it can't change cnt·chars). Fractions rounded to 6
+    // before hashing; docs with < n tokens yield no row for that n.
+    // balanced: the gram fold is the heaviest per-row expression in
+    // the text family; under the local one-file layout it would
+    // otherwise run on a single core (no-op on multi-split scans).
     "t35_gopher_repetition" -> ((s, dir) => {
-      val grams = docs(s, dir)
+      Tables.balanced(docs(s, dir))
         .select(col("doc_id"), length(col("text")).as("l"),
-          explode(flatten(array(Seq(2, 3, 5).map(n =>
-            transform(TextAnalysis.ngrams(col("text"), n), g =>
-              struct(lit(n.toLong).as("n"), g.as("g")))): _*))).as("ng"))
-        .select(col("doc_id"), col("l"),
-          col("ng.n").as("n"), col("ng.g").as("g"))
-      grams.groupBy("doc_id", "l", "n", "g")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "l", "n")
-        .agg(
-          max(struct(col("c"), (col("c") * length(col("g"))).as("chars")))
-            .getField("chars").as("top_chars"),
-          sum(when(col("c") >= 2, col("c") * length(col("g")))
-            .otherwise(lit(0L))).as("dup_chars"))
-        .select(col("doc_id"), col("n"),
-          round(col("top_chars").cast("double") / col("l"), 6).as("top_frac"),
-          round(col("dup_chars").cast("double") / col("l"), 6).as("dup_frac"))
+          size(TextAnalysis.tokens(col("text"))).as("ntok"),
+          explode(array(Seq(2, 3, 5).map(n =>
+            struct(lit(n.toLong).as("n"),
+              TextAnalysis.repetitionStats(col("text"), n).as("st"))): _*))
+            .as("e"))
+        .filter(col("ntok") >= col("e.n"))
+        .select(col("doc_id"), col("e.n").as("n"),
+          round(col("e.st.topchars").cast("double") / col("l"), 6)
+            .as("top_frac"),
+          round(col("e.st.dupchars").cast("double") / col("l"), 6)
+            .as("dup_frac"))
         .orderBy("doc_id", "n")
     }),
 
