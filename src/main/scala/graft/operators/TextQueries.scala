@@ -532,6 +532,66 @@ object TextQueries {
         .orderBy("doc_id", "n")
     }),
 
+    // T36: Naive-Bayes language classifier — the classifier-filtering
+    // component of LLM data pipelines (CCNet/GPT-3-style quality and
+    // language gates are linear models over token counts; multinomial
+    // NB is the one whose training is a SINGLE counting pass, the only
+    // kind of model fitting that is shuffle-shaped rather than
+    // iteration-shaped). Train on the doc_id%3==0 slice with gold
+    // `lang` labels, Laplace-smoothed; score EVERY doc; emit the
+    // confusion matrix vs gold. Contrast t24: that is a fixed
+    // stopword-list heuristic, this LEARNS its evidence from the seed.
+    // Determinism across engines: log-weights are quantized to
+    // integer micro-nats (round(ln·1e6) as BIGINT) at model-build
+    // time, so per-doc scores are exact INTEGER sums — argmax can't
+    // flip on float summation order (argmax ties break by class
+    // name via min(struct(-score, cls))).
+    // Scale shape: training is one explode + (cls, tok) count with
+    // map-side combine (vocab-bounded result); the model and the
+    // 5-row class-constant table broadcast; scoring explodes the
+    // corpus ONCE map-side, probes the broadcast model, and partial-
+    // aggregates to (doc, cls) rows before the single keyed shuffle.
+    "t36_nb_langid" -> ((s, dir) => {
+      val d = graft.Caches.shared(Tables.balanced(docs(s, dir))
+        .select(col("doc_id"), col("lang"), col("text")))
+      val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      // (class, token) counts — shared: totals and the model read it
+      val counts = graft.Caches.shared(
+        train.select(col("lang").as("cls"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("cls", "tok").agg(count(lit(1)).as("c")))
+      val totals = counts.groupBy("cls").agg(sum("c").as("tot"))
+      val vocab = counts.agg(countDistinct("tok").as("v"))
+      val priors = train.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("nd"))
+      val nTrain = train.agg(count(lit(1)).as("n"))
+      def q6(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        round(x * 1e6).cast("long")
+      val classes = broadcast(totals.join(priors, "cls")
+        .crossJoin(vocab).crossJoin(nTrain)
+        .select(col("cls"),
+          q6(log(col("nd").cast("double") / col("n"))).as("prior6"),
+          q6(log(lit(1.0) / (col("tot") + col("v")))).as("miss6"),
+          (col("tot") + col("v")).as("den")))
+      val model = broadcast(counts
+        .join(classes.select("cls", "den"), "cls")
+        .select(col("cls"), col("tok"),
+          q6(log((col("c") + lit(1)).cast("double") / col("den")))
+            .as("w6")))
+      d.select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .crossJoin(classes.select("cls", "prior6", "miss6"))
+        .join(model, Seq("cls", "tok"), "left")
+        .groupBy("doc_id", "lang", "cls")
+        .agg((sum(coalesce(col("w6"), col("miss6"))) +
+          min(col("prior6"))).as("score"))
+        .groupBy("doc_id", "lang")
+        .agg(min(struct((-col("score")).as("ns"), col("cls").as("cls")))
+          .getField("cls").as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    }),
+
     // T11: tf-idf top terms per document — the IR feature-extraction
     // shape: two keyed aggs (term frequency, doc frequency), a hash
     // join, a 1-row broadcast for N, rank window for top-3. Natural
@@ -1809,6 +1869,46 @@ object TextQueries {
         |  ROUND(CAST(d.dup_chars AS DOUBLE) / d.l, 6) AS dup_frac
         | FROM dup d JOIN top t ON d.doc_id = t.doc_id AND d.n = t.n
         | ORDER BY d.doc_id, n""".stripMargin.replaceAll("\n", ""),
+    // t36: full NB replay — same %3 train slice, same Laplace
+    // smoothing, same integer micro-nat quantization, so the per-doc
+    // scores are exact integer sums in both engines and the argmax
+    // (score DESC, class ASC) is bit-determined.
+    "t36_nb_langid" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        |   FROM documents),
+        | train AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+        | cnts AS (SELECT cls, tok, COUNT(*) AS c FROM (
+        |   SELECT lang AS cls, unnest(tk) AS tok FROM train)
+        |  GROUP BY cls, tok),
+        | tots AS (SELECT cls, SUM(c) AS tot FROM cnts GROUP BY cls),
+        | voc AS (SELECT COUNT(DISTINCT tok) AS v FROM cnts),
+        | pri AS (SELECT lang AS cls, COUNT(*) AS nd FROM train
+        |  GROUP BY lang),
+        | ntr AS (SELECT COUNT(*) AS n FROM train),
+        | cls AS (SELECT t.cls,
+        |   CAST(ROUND(ln(CAST(p.nd AS DOUBLE) / ntr.n) * 1000000)
+        |    AS BIGINT) AS prior6,
+        |   CAST(ROUND(ln(1.0 / (t.tot + voc.v)) * 1000000)
+        |    AS BIGINT) AS miss6,
+        |   t.tot + voc.v AS den
+        |  FROM tots t JOIN pri p ON t.cls = p.cls, voc, ntr),
+        | model AS (SELECT c.cls, c.tok,
+        |   CAST(ROUND(ln(CAST(c.c + 1 AS DOUBLE) / k.den) * 1000000)
+        |    AS BIGINT) AS w6
+        |  FROM cnts c JOIN cls k ON c.cls = k.cls),
+        | doctok AS (SELECT doc_id, lang, unnest(tk) AS tok FROM d),
+        | sc AS (SELECT dt.doc_id, dt.lang, k.cls,
+        |   SUM(COALESCE(m.w6, k.miss6)) + MIN(k.prior6) AS score
+        |  FROM doctok dt CROSS JOIN cls k
+        |   LEFT JOIN model m ON m.cls = k.cls AND m.tok = dt.tok
+        |  GROUP BY dt.doc_id, dt.lang, k.cls),
+        | pred AS (SELECT doc_id, lang, cls,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, cls) AS rn FROM sc)
+        | SELECT lang, cls AS predicted, COUNT(*) AS cnt
+        | FROM pred WHERE rn = 1
+        | GROUP BY lang, cls ORDER BY lang, predicted"""
+        .stripMargin.replaceAll("\n", ""),
     "t11_tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
         |  FROM documents),

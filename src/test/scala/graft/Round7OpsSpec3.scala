@@ -70,6 +70,40 @@ class Round7OpsSpec3 extends AnyFunSuite {
     assert(r.getDouble(3) == math.rint(6.0 / 25 * 1e6) / 1e6)
   }
 
+  test("t36 NB language classifier: hand-derived model and confusion matrix") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t36_docs").toString
+    // train slice = doc_id % 3 == 0 → docs 0, 3, 6
+    Seq(
+      (0L, "hello world hello", "en"),
+      (1L, "hello hello", "en"),
+      (2L, "bonjour bonjour", "fr"),
+      (3L, "bonjour monde bonjour", "fr"),
+      (4L, "monde", "fr"), // unseen-in-en token: miss weight decides
+      (5L, "world again", "en"),
+      (6L, "hello again", "en"))
+      .map { case (i, t, l) => (i, t, l, "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // hand NB: en counts {hello 3, world 1, again 1} tot 5, fr counts
+    // {bonjour 2, monde 1} tot 3, V=5 → every doc classifies to its
+    // gold language (doc 4 hinges on miss_en = ln(1/10) < ln(2/8)+gap)
+    val conf = TextQueries.queries("t36_nb_langid")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(conf == Map(("en", "en") -> 4L, ("fr", "fr") -> 3L))
+  }
+
+  test("t36: learns — diagonal beats chance on sf0.001") {
+    val conf = TextQueries.queries("t36_nb_langid")(spark, sfDir).collect()
+    val tot = conf.map(_.getLong(2)).sum
+    val diag = conf.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    val classes = conf.map(_.getString(0)).distinct.length
+    assert(diag.toDouble / tot > 1.0 / classes,
+      s"accuracy ${diag.toDouble / tot} not above chance 1/$classes")
+  }
+
   test("s21 sliding distinct: window set, hop bounds, and sketch contract on sf0.001") {
     val out = EventQueries.queries("s21_sliding_distinct")(spark, sfDir)
       .collect()
