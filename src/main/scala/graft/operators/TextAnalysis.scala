@@ -171,6 +171,41 @@ object TextAnalysis {
           .otherwise(array_distinct(array(array_join(toks, " ")))))
     }
 
+  /** The BPE segmentation of word `w` under `merges`, applied in rank
+    * order (t37's application kernel — t15/t31's regex pieces are the
+    * tokenizer PROXY; this is the real merge-table apply). Pieces start
+    * as single characters; each merge (a, b) is applied in one
+    * left-to-right fold that greedily joins a·b leftmost-first — the
+    * exhaustive-per-merge semantics of reference BPE encoders (a piece
+    * produced by merge i only participates in LATER merges, which is
+    * exactly rank-order application). Pure per-row expression: a
+    * broadcast-literal merge table means corpus-wide tokenization is a
+    * map stage with zero shuffles. */
+  def bpeSegment(w: Column, merges: Seq[(String, String)]): Column = {
+    val chars0 = when(length(w) >= 1,
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
+    merges.foldLeft(chars0) { case (pieces, (a, b)) =>
+      aggregate(pieces, array().cast("array<string>"),
+        (acc, p) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && p === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(p))))
+    }
+  }
+
+  /** Adjacent (left, right) piece pairs of a segmentation — the unit
+    * BPE training counts. Empty for segmentations shorter than 2. */
+  def piecePairs(pieces: Column): Column =
+    letBound(pieces) { p =>
+      when(size(p) >= 2,
+        transform(sequence(lit(1), size(p) - 1), j =>
+          struct(element_at(p, j).as("l"), element_at(p, j + 1).as("r"))))
+        .otherwise(
+          array().cast("array<struct<l:string,r:string>>"))
+    }
+
   /** Per-row n-gram repetition statistics (the Gopher filter kernels,
     * t35): struct(topchars, dupchars) where `topchars` = count·chars of
     * the most frequent word n-gram (argmax by count, then by chars) and

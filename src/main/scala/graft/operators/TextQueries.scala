@@ -23,6 +23,12 @@ object TextQueries {
     * seeded hashes and build-once index/codebook sidecars. */
   @volatile private var lastDedupCtx: Option[(SparkSession, String)] = None
 
+  /** t37's learned merge table, stashed at query time so the oracle
+    * can inline the claimed merges and re-derive each round's argmax
+    * independently (the v21 trained-constants pattern). */
+  @volatile private var lastBpeModel: Option[Seq[(String, String, Long)]] =
+    None
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1: token counting + type-token ratio (E3 as standalone ops).
     "t1_token_stats" -> ((s, dir) => {
@@ -590,6 +596,49 @@ object TextQueries {
           .getField("cls").as("predicted"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "predicted")
+    }),
+
+    // T37: REAL iterative BPE training — k rounds of "count adjacent
+    // piece pairs, merge the argmax" (Sennrich et al. 2016), the loop
+    // t31 unrolls only the first step of. The industrial shape: the
+    // corpus pays ONE word-count pass; every training round then runs
+    // over the VOCAB (word, count) table — segmentation is the pure
+    // per-row expression TextAnalysis.bpeSegment with the merges
+    // learned so far as broadcast literals, pair counts are weighted
+    // by word frequency with map-side combine, and the argmax is a
+    // TakeOrdered(1). k driver-side argmax collects of ONE ROW each
+    // are the loop-carried state — the d11 k-means training
+    // precedent, not a driver bottleneck. Output is the learned merge
+    // table (rank, l, r, pair_count); the oracle re-derives each
+    // round's argmax from scratch in SQL given the CLAIMED previous
+    // merges inlined (the v21 trained-constants pattern), so a wrong
+    // merge at any rank breaks the hash.
+    "t37_bpe_train" -> ((s, dir) => {
+      val k = 6
+      val words = graft.Caches.shared(
+        Tables.balanced(docs(s, dir))
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wc")))
+      var merges = Vector.empty[(String, String, Long)]
+      for (_ <- 1 to k) {
+        val top = words
+          .select(col("wc"), explode(TextAnalysis.piecePairs(
+            TextAnalysis.bpeSegment(col("w"),
+              merges.map(m => (m._1, m._2))))).as("pr"))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum("wc").as("c"))
+          .orderBy(desc("c"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (top.nonEmpty)
+          merges = merges :+
+            ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+      }
+      lastBpeModel = Some(merges)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+        .toDF("rank", "l", "r", "pair_count")
+        .orderBy("rank")
     }),
 
     // T11: tf-idf top terms per document — the IR feature-extraction
@@ -1337,6 +1386,51 @@ object TextQueries {
            | ORDER BY m.vec_id""".stripMargin.replaceAll("\n", "")
       }
 
+  private def sqEsc(s: String) = s.replace("'", "''")
+
+  /** t37's oracle, generated from the stashed merge table: re-derives
+    * EVERY round's argmax from scratch — round i segments the vocab
+    * with the CLAIMED merges 1..i-1 inlined as literal fold steps
+    * (chr(1) sentinel seeds each list_reduce; the corpus is ASCII
+    * text, so the sentinel can't collide), recomputes the weighted
+    * pair counts, and takes its own (count DESC, l, r) argmax. Any
+    * wrong claimed merge changes the derived row → hash mismatch. */
+  private def t37OracleSql: Option[String] = lastBpeModel.map { merges =>
+    // s_i = vocab segmented by merges 1..i (only s_0..s_{k-1} are
+    // read: round i counts pairs of the PREVIOUS segmentation)
+    val segCtes = merges.dropRight(1).zipWithIndex.map {
+      case ((a, b, _), i) =>
+        s""", s${i + 1} AS (SELECT wc, list_reduce(
+           |   list_prepend([chr(1)], list_transform(p, x -> [x])),
+           |   (acc, x) -> CASE WHEN acc[-1] = '${sqEsc(a)}'
+           |      AND x[1] = '${sqEsc(b)}'
+           |     THEN list_append(acc[:-2], '${sqEsc(a + b)}')
+           |     ELSE list_append(acc, x[1]) END)[2:] AS p FROM s$i)"""
+          .stripMargin.replaceAll("\n", "")
+    }
+    val cntCtes = merges.indices.map { i =>
+      s""", c${i + 1} AS (SELECT p2[1] AS l, p2[2] AS r, SUM(wc) AS c
+         |  FROM (SELECT wc, unnest(list_transform(range(1, len(p)),
+         |    j -> [p[j], p[j + 1]])) AS p2 FROM s$i WHERE len(p) >= 2)
+         |  GROUP BY l, r),
+         | m${i + 1} AS (SELECT ${i + 1} AS rank, l, r, c FROM c${i + 1}
+         |  ORDER BY c DESC, l, r LIMIT 1)"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    val union =
+      merges.indices.map(i => s"SELECT * FROM m${i + 1}")
+        .mkString(" UNION ALL ")
+    s"""WITH wc AS (SELECT w, COUNT(*) AS wc FROM (
+       |   SELECT unnest(string_split(lower(text), ' ')) AS w
+       |   FROM documents) GROUP BY w),
+       | s0 AS (SELECT wc, list_transform(range(1, length(w) + 1),
+       |   i -> w[i:i]) AS p FROM wc)""".stripMargin.replaceAll("\n", "") +
+      segCtes.mkString + cntCtes.mkString +
+      s""" SELECT CAST(rank AS BIGINT) AS rank, l, r,
+         |  CAST(c AS BIGINT) AS pair_count
+         | FROM ($union) ORDER BY rank""".stripMargin.replaceAll("\n", "")
+  }
+
   /** The pair-set oracles exist once their query has run this JVM
     * (always true when Verify dumps after a full sweep; a targeted run
     * that skips the dedup family simply omits them → rows-only). */
@@ -1348,7 +1442,8 @@ object TextQueries {
         d11OracleSql(s, dir).map("d11_semantic_dedup" -> _)
     }.toMap
 
-  def oracleSql: Map[String, String] = pairOracles ++ Map(
+  def oracleSql: Map[String, String] = pairOracles ++
+    t37OracleSql.map("t37_bpe_train" -> _) ++ Map(
     // t25/t33: the sketch queries' derived-invariant oracles (see the
     // query Scaladocs): DuckDB recomputes the EXACT side — the
     // frequent-token set for t25, the top-20 token counts for t33 —

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventQueries, TextQueries}
+import graft.operators.{EventQueries, TextAnalysis, TextQueries}
 
 /** Round-7 contract specs, part 3: the Gopher repetition fractions
   * (t35) against hand-derived golden values (including the overlap
@@ -102,6 +102,50 @@ class Round7OpsSpec3 extends AnyFunSuite {
     val classes = conf.map(_.getString(0)).distinct.length
     assert(diag.toDouble / tot > 1.0 / classes,
       s"accuracy ${diag.toDouble / tot} not above chance 1/$classes")
+  }
+
+  test("t37 BPE training: the classic corpus yields the hand-derived merge sequence") {
+    // Sennrich et al.'s worked example shape: low×5 lower×2 newest×6
+    // widest×3. Every round's winner (and each tie-break by pair name)
+    // is hand-computable.
+    val dir = docsDir(Seq(
+      "low low low low low lower lower widest widest widest",
+      "newest newest newest newest newest newest"))
+    val merges = TextQueries.queries("t37_bpe_train")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1L, "e", "s", 9L), // ties s-t on 9, wins on name
+      (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), // ties o-w, wins on name
+      (4L, "lo", "w", 7L),
+      (5L, "e", "w", 6L), // ties n-e and w-est, wins on name
+      (6L, "ew", "est", 6L)))
+  }
+
+  test("bpeSegment: pieces always reassemble the word; piece count monotone in merges") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import SparkTestSession.forAll
+    val merges = Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w",
+      "e" -> "w", "ew" -> "est")
+    val wordGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("l", "o", "w", "e", "r", "n", "s", "t"))
+        .map(_.mkString))
+    forAll(Gen.listOfN(12, wordGen), n = 6) { ws =>
+      val df = ws.toDF("w")
+      val segs = (0 to merges.length).map { i =>
+        df.select(
+          TextAnalysis.bpeSegment(org.apache.spark.sql.functions.col("w"),
+            merges.take(i)).as("p")).collect().map(_.getSeq[String](0))
+      }
+      ws.indices.foreach { r =>
+        segs.foreach(s => assert(s(r).mkString == ws(r),
+          s"pieces ${s(r)} don't reassemble '${ws(r)}'"))
+        (1 to merges.length).foreach(i =>
+          assert(segs(i)(r).size <= segs(i - 1)(r).size))
+      }
+    }
   }
 
   test("s21 sliding distinct: window set, hop bounds, and sketch contract on sf0.001") {
