@@ -561,4 +561,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "phash extraction must be a pure map stage:\n" + p.take(1500))
     Caches.release(spark)
   }
+
+  test("t35 gopher repetition: NO aggregation anywhere — the fold is map-side") {
+    // the operator's whole claim: a per-doc statistic pays zero
+    // keyed shuffles. The plan must be scan → (rebalance) → project
+    // (the sorted-gram fold) → sort, with no HashAggregate and no
+    // hash-partitioned exchange.
+    val df = SparkEntry.queries("t35_gopher_repetition")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(!p.toString.contains("HashAggregate"),
+      "t35 must not aggregate:\n" + p.toString.take(1500))
+    val keyed = deepCollect(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(keyed.isEmpty,
+      s"t35 must have no keyed shuffle, got ${keyed.size}")
+  }
+
+  test("t36 NB classifier: model and class constants broadcast; corpus shuffles only on (doc, cls)") {
+    val df = SparkEntry.queries("t36_nb_langid")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val bcasts = deepCollect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+    }
+    assert(bcasts.size >= 2, // class cross-join + model left join
+      "NB scoring must probe broadcast tables:\n" + p.toString.take(2000))
+    assert(!p.toString.contains("SortMergeJoin"),
+      "the vocab-bounded model must never sort-merge:\n" +
+        p.toString.take(1500))
+    Caches.release(spark)
+  }
 }
