@@ -458,6 +458,39 @@ object Graph {
     visited
   }
 
+  /** Fixed-round Bellman–Ford single/multi-source shortest paths over
+    * a WEIGHTED edge list — the relaxation primitive bfsHops's
+    * unit-cost traversal can't express (cheap high-traffic links vs
+    * expensive rare ones). `rounds` bounds path length in EDGES, the
+    * classic k-round Bellman–Ford semantics: dist_k(v) = cheapest
+    * ≤ k-edge path from any seed (deterministic for any weights —
+    * negative cycles can't bite a bounded unroll).
+    *
+    * Scale shape: each round relaxes via ONE join of the O(V) tentative
+    * distance table against the edge list plus one min-combine keyed on
+    * the node id (map-side combined); the edge list is built and cached
+    * once by the caller, the distance table is the only per-round
+    * shuffle — the same "only O(V) state moves per step" stance as
+    * [[pageRank]]. Integer weights make every distance an exact sum, so
+    * min-ties are value-identical across engines and partitionings. */
+  def ssspRounds(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(
+      col(srcCol).as("_s"), col(dstCol).as("_d"), col(wCol).as("_w"))
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("d", lit(0L))
+    for (i <- 1 to rounds) {
+      val relaxed = e.join(dist.withColumnRenamed("id", "_s"), "_s")
+        .select(col("_d").as("id"), (col("d") + col("_w")).as("d"))
+      val next = dist.union(relaxed)
+        .groupBy("id").agg(min("d").as("d"))
+      dist = if (i < rounds) graft.Caches.shared(next) else next
+    }
+    dist
+  }
+
   /** Synchronous label propagation (community detection, Raghavan et
     * al. 2007) over a SYMMETRIC edge list: every node starts labeled
     * with its own id; each round it adopts the most frequent label
@@ -621,7 +654,49 @@ object GraphQueries {
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dst"))
   }
 
+  /** Co-purchase pairs WITH order-count weights: same one-groupBy
+    * packed-long build as [[copurchasePairs]], but `array_distinct`
+    * dedups within each order BEFORE the explode (no extra shuffle)
+    * and the global dedup becomes a count — cnt = number of orders
+    * sharing the pair, the edge weight g9 inverts into a traversal
+    * cost. */
+  private[graft] def copurchaseWeighted(
+      s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    li.groupBy("l_orderkey")
+      .agg(collect_list(col("l_partkey")).as("ps"))
+      .select(explode(array_distinct(
+        flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+            shiftleft(least(x, y), 32).bitwiseOR(greatest(x, y)))))))
+        .as("pk"))
+      .filter(shiftright(col("pk"), 32) =!=
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)))
+      .groupBy("pk").agg(count(lit(1)).as("cnt"))
+      .select(shiftright(col("pk"), 32).as("src"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dst"), col("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G9: weighted shortest paths (4-round Bellman–Ford) from the
+    // % 1000 == 0 seed parts over the co-purchase graph, traversal
+    // cost = 1000000 div cnt (frequently co-purchased links are cheap
+    // — the "relatedness distance" used for hard-negative mining and
+    // taxonomy induction). Integer costs keep every distance an exact
+    // sum; the oracle unrolls the same 4 relaxation rounds as CTEs.
+    "g9_weighted_sssp" -> ((s, dir) => {
+      val pairs = graft.Caches.shared(copurchaseWeighted(s, dir))
+      val edges = pairs.select(col("src"), col("dst"),
+          (lit(1000000L) / col("cnt")).cast("long").as("w"))
+        .union(pairs.select(col("dst"), col("src"),
+          (lit(1000000L) / col("cnt")).cast("long").as("w")))
+      val seeds = edges.filter(col("src") % 1000 === 0)
+        .select(col("src").as("id")).distinct()
+      Graph.ssspRounds(edges, "src", "dst", "w", seeds, rounds = 4)
+        .select(col("id").as("part_id"), col("d").as("dist"))
+        .orderBy("part_id")
+    }),
+
     // G1: 5-iteration PageRank over the symmetric co-purchase graph.
     // rank_scaled = rank × N (mean 1.0 — stable 6dp resolution);
     // rounded BEFORE the sort so both engines cut the same top 100.
@@ -778,6 +853,38 @@ object GraphQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // g9: the 4 Bellman–Ford relaxation rounds unrolled as CTEs over
+    // the order-count-weighted symmetric edge list; integer costs, so
+    // distances are exact sums in both engines.
+    "g9_weighted_sssp" ->
+      """WITH op AS (SELECT DISTINCT a.l_orderkey AS ok,
+        |   a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        | wp AS (SELECT src, dst, COUNT(*) AS cnt FROM op
+        |  GROUP BY src, dst),
+        | we AS (SELECT src, dst, 1000000 // cnt AS w FROM wp
+        |  UNION ALL SELECT dst, src, 1000000 // cnt FROM wp),
+        | d0 AS (SELECT DISTINCT src AS id, 0 AS d FROM we
+        |  WHERE src % 1000 = 0),
+        | d1 AS (SELECT id, MIN(d) AS d FROM (
+        |   SELECT id, d FROM d0 UNION ALL
+        |   SELECT e.dst, p.d + e.w FROM d0 p JOIN we e ON e.src = p.id)
+        |  GROUP BY id),
+        | d2 AS (SELECT id, MIN(d) AS d FROM (
+        |   SELECT id, d FROM d1 UNION ALL
+        |   SELECT e.dst, p.d + e.w FROM d1 p JOIN we e ON e.src = p.id)
+        |  GROUP BY id),
+        | d3 AS (SELECT id, MIN(d) AS d FROM (
+        |   SELECT id, d FROM d2 UNION ALL
+        |   SELECT e.dst, p.d + e.w FROM d2 p JOIN we e ON e.src = p.id)
+        |  GROUP BY id),
+        | d4 AS (SELECT id, MIN(d) AS d FROM (
+        |   SELECT id, d FROM d3 UNION ALL
+        |   SELECT e.dst, p.d + e.w FROM d3 p JOIN we e ON e.src = p.id)
+        |  GROUP BY id)
+        | SELECT CAST(id AS BIGINT) AS part_id, CAST(d AS BIGINT) AS dist
+        | FROM d4 ORDER BY part_id""".stripMargin.replaceAll("\n", ""),
     "g1_part_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -23,11 +23,49 @@ object TextQueries {
     * seeded hashes and build-once index/codebook sidecars. */
   @volatile private var lastDedupCtx: Option[(SparkSession, String)] = None
 
-  /** t37's learned merge table, stashed at query time so the oracle
-    * can inline the claimed merges and re-derive each round's argmax
-    * independently (the v21 trained-constants pattern). */
+  /** t37/t38's learned merge table, stashed at query time so the
+    * oracles can inline the claimed merges and re-derive each round's
+    * argmax / the vocab segmentation independently (the v21
+    * trained-constants pattern). Both queries train on the same data
+    * with the same deterministic loop, so either writer stashes the
+    * same model. */
   @volatile private var lastBpeModel: Option[Seq[(String, String, Long)]] =
     None
+
+  private val BpeMergeCount = 6
+
+  /** The corpus word-frequency table BPE training and inference run
+    * over — the original-BPE trick that bounds all per-word work to
+    * one evaluation per DISTINCT word. */
+  private def bpeWordCounts(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.shared(
+      Tables.balanced(docs(s, dir))
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc")))
+
+  /** k rounds of count-pairs / merge-the-argmax over the vocab (the
+    * Sennrich training loop); each round's pair counts are weighted by
+    * word frequency and partial-aggregate map-side, the argmax is a
+    * TakeOrdered(1), and the one-row collects are the loop-carried
+    * state (the d11 k-means precedent). */
+  private def trainBpe(
+      words: DataFrame, k: Int): Vector[(String, String, Long)] = {
+    var merges = Vector.empty[(String, String, Long)]
+    for (_ <- 1 to k) {
+      val top = words
+        .select(col("wc"), explode(TextAnalysis.piecePairs(
+          TextAnalysis.bpeSegment(col("w"),
+            merges.map(m => (m._1, m._2))))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("wc").as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.nonEmpty)
+        merges = merges :+
+          ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+    }
+    merges
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T1: token counting + type-token ratio (E3 as standalone ops).
@@ -614,31 +652,40 @@ object TextQueries {
     // merges inlined (the v21 trained-constants pattern), so a wrong
     // merge at any rank breaks the hash.
     "t37_bpe_train" -> ((s, dir) => {
-      val k = 6
-      val words = graft.Caches.shared(
-        Tables.balanced(docs(s, dir))
-          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("wc")))
-      var merges = Vector.empty[(String, String, Long)]
-      for (_ <- 1 to k) {
-        val top = words
-          .select(col("wc"), explode(TextAnalysis.piecePairs(
-            TextAnalysis.bpeSegment(col("w"),
-              merges.map(m => (m._1, m._2))))).as("pr"))
-          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-          .agg(sum("wc").as("c"))
-          .orderBy(desc("c"), asc("l"), asc("r"))
-          .limit(1).collect()
-        if (top.nonEmpty)
-          merges = merges :+
-            ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
-      }
+      val merges = trainBpe(bpeWordCounts(s, dir), BpeMergeCount)
       lastBpeModel = Some(merges)
       import s.implicits._
       merges.zipWithIndex
         .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
         .toDF("rank", "l", "r", "pair_count")
         .orderBy("rank")
+    }),
+
+    // T38: corpus BPE ENCODE under the t37-trained tokenizer — the
+    // real per-document token counter (t15/t26's regex pieces are the
+    // proxy; token budgets, packing and billing all want THIS number).
+    // Scale shape: training reruns t37's vocab-level loop
+    // (deterministic, so t37/t38 stash identical models); application
+    // segments only the VOCAB (word → piece count, a bounded table
+    // that BROADCASTS), and the corpus pays one token explode probed
+    // against it map-side, partial-aggregated to one row per doc
+    // before the single doc_id shuffle. The corpus never runs the
+    // merge folds itself — per-word work is done once per DISTINCT
+    // word, the original-BPE word-count trick applied to inference.
+    "t38_bpe_encode" -> ((s, dir) => {
+      val words = bpeWordCounts(s, dir)
+      val merges = trainBpe(words, BpeMergeCount)
+      lastBpeModel = Some(merges)
+      val pieces = words.select(col("w"),
+        size(TextAnalysis.bpeSegment(col("w"),
+          merges.map(m => (m._1, m._2)))).cast("long").as("np"))
+      Tables.balanced(docs(s, dir))
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .join(broadcast(pieces), "w")
+        .groupBy("doc_id")
+        .agg(sum("np").as("bpe_tokens"), count(lit(1)).as("n_words"))
+        .orderBy("doc_id")
     }),
 
     // T11: tf-idf top terms per document — the IR feature-extraction
@@ -1431,6 +1478,36 @@ object TextQueries {
          | FROM ($union) ORDER BY rank""".stripMargin.replaceAll("\n", "")
   }
 
+  /** t38's oracle: segment the DISTINCT vocab with ALL claimed merges
+    * inlined as chained folds, then join the per-word piece counts
+    * back onto the corpus token stream — the same
+    * vocab-once/corpus-probe shape as the Spark plan. */
+  private def t38OracleSql: Option[String] = lastBpeModel.map { merges =>
+    val segCtes = merges.zipWithIndex.map { case ((a, b, _), i) =>
+      s""", s${i + 1} AS (SELECT w, list_reduce(
+         |   list_prepend([chr(1)], list_transform(p, x -> [x])),
+         |   (acc, x) -> CASE WHEN acc[-1] = '${sqEsc(a)}'
+         |      AND x[1] = '${sqEsc(b)}'
+         |     THEN list_append(acc[:-2], '${sqEsc(a + b)}')
+         |     ELSE list_append(acc, x[1]) END)[2:] AS p FROM s$i)"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    s"""WITH vocab AS (SELECT DISTINCT
+       |   unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       | s0 AS (SELECT w, list_transform(range(1, length(w) + 1),
+       |   i -> w[i:i]) AS p FROM vocab)""".stripMargin
+      .replaceAll("\n", "") +
+      segCtes.mkString +
+      s""", np AS (SELECT w, len(p) AS np FROM s${merges.length}),
+         | dt AS (SELECT doc_id,
+         |   unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         | SELECT dt.doc_id, CAST(SUM(np.np) AS BIGINT) AS bpe_tokens,
+         |  COUNT(*) AS n_words
+         | FROM dt JOIN np ON dt.w = np.w
+         | GROUP BY dt.doc_id ORDER BY dt.doc_id"""
+        .stripMargin.replaceAll("\n", "")
+  }
+
   /** The pair-set oracles exist once their query has run this JVM
     * (always true when Verify dumps after a full sweep; a targeted run
     * that skips the dedup family simply omits them → rows-only). */
@@ -1443,7 +1520,8 @@ object TextQueries {
     }.toMap
 
   def oracleSql: Map[String, String] = pairOracles ++
-    t37OracleSql.map("t37_bpe_train" -> _) ++ Map(
+    t37OracleSql.map("t37_bpe_train" -> _) ++
+    t38OracleSql.map("t38_bpe_encode" -> _) ++ Map(
     // t25/t33: the sketch queries' derived-invariant oracles (see the
     // query Scaladocs): DuckDB recomputes the EXACT side — the
     // frequent-token set for t25, the top-20 token counts for t33 —

@@ -148,6 +148,40 @@ class Round7OpsSpec3 extends AnyFunSuite {
     }
   }
 
+  test("t38 BPE encode: hand-derived token counts under the classic tokenizer") {
+    // same corpus as the t37 golden; after the 6 hand-derived merges:
+    // low→[low]=1, lower→[low,e,r]=3, widest→[w,i,d,est]=4,
+    // newest→[n,ewest]=2 (merge 5 makes ew, merge 6 ew+est)
+    val dir = docsDir(Seq(
+      "low low low low low lower lower widest widest widest",
+      "newest newest newest newest newest newest"))
+    val rows = TextQueries.queries("t38_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows == Map(
+      0L -> (5 * 1 + 2 * 3 + 3 * 4L, 10L), // 23 BPE tokens, 10 words
+      1L -> (6 * 2L, 6L)))
+  }
+
+  test("ssspRounds: relaxation finds the cheap 2-edge path; round bound is honest") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // 0 -10-> 1 -1-> 2 and a direct 0 -100-> 2: two rounds must find
+    // the 11-cost path; one round only the direct 100; node 3 hangs
+    // off 2 so it needs three rounds
+    val edges = Seq(
+      (0L, 1L, 10L), (1L, 2L, 1L), (0L, 2L, 100L), (2L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(0L)).toDF("id")
+    def dists(r: Int): Map[Long, Long] =
+      Graph.ssspRounds(edges, "src", "dst", "w", seeds, r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(dists(0) == Map(0L -> 0L))
+    assert(dists(1) == Map(0L -> 0L, 1L -> 10L, 2L -> 100L))
+    assert(dists(2) == Map(0L -> 0L, 1L -> 10L, 2L -> 11L, 3L -> 105L))
+    assert(dists(3) == Map(0L -> 0L, 1L -> 10L, 2L -> 11L, 3L -> 16L))
+  }
+
   test("s21 sliding distinct: window set, hop bounds, and sketch contract on sf0.001") {
     val out = EventQueries.queries("s21_sliding_distinct")(spark, sfDir)
       .collect()
