@@ -69,8 +69,10 @@ object Bench {
     "t34_pmi_pairs", // windowed co-occurrence PMI: one pair-keyed shuffle
     "m5_image_phash", // real decode → 9×8 dHash (4×16-bit blocking chunks)
     "a40_sketch_rollup", // mergeable HLL partials + union rollup
-    "t35_gopher_repetition", // n-gram repetition filters: one tagged-gram shuffle
-    "s21_sliding_distinct") // sliding-window NDV via per-hop sketch union
+    "t35_gopher_repetition", // n-gram repetition filters: zero-shuffle fold
+    "s21_sliding_distinct", // sliding-window NDV via per-hop sketch union
+    "t36_nb_langid", // one-pass NB train + broadcast-model scoring
+    "t38_bpe_encode") // real-BPE corpus token counts (vocab broadcast)
   // g2_triangle_count stays out of the headline by design: triangle
   // enumeration is Θ(Σ deg²) wedge work however it's partitioned —
   // at sf0.1 the co-purchase graph yields ~20M wedges for a 1-row
@@ -80,6 +82,13 @@ object Bench {
   // g3/g4 likewise: their per-trial cost is dominated by the same
   // co-purchase pair build g1 already times — benching them would
   // count that build thrice. Both stay oracle-checked at 3 SFs.
+  // g9_weighted_sssp stays out for g3–g5's reason: its per-trial cost
+  // is ~80% the same co-purchase pair build g1 already times (the
+  // 4 relaxation rounds move only the O(V) distance table). t37 stays
+  // out for d16's reason: 6 training rounds over a few-hundred-word
+  // vocab is pure fixed stage latency at local SFs (t38, which IS
+  // headlined, re-runs that training plus the corpus-scale encode).
+  // Both remain hash-checked at 3 SFs.
   // d16_prefix_jaccard stays out too: the exact prefix-filtered
   // similarity join is ~9 chained shuffle stages (df → ordering →
   // prefix self-join → verify → dedup), and at sf0.1 its ~6.5 s wall
