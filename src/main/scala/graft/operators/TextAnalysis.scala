@@ -219,44 +219,54 @@ object TextAnalysis {
     * "no element seen yet" marker (a sentinel gram string would
     * collide with legitimate empty-string grams from repeated
     * spaces). */
-  def repetitionStats(text: Column, n: Int): Column = {
-    val grams = sort_array(ngrams(text, n))
-    def stats(topc: Column, topchars: Column, dupchars: Column) = Seq(
-      topc.as("topc"), topchars.as("topchars"), dupchars.as("dupchars"))
-    def state(prev: Column, run: Column, rest: Seq[Column]) =
-      struct(prev.as("prev") +: run.as("run") +: rest: _*)
-    // fold the finished run (prev × run) into the three accumulators
-    def closed(acc: Column): Seq[Column] = {
-      val run = acc.getField("run")
-      val chars = run * length(acc.getField("prev")).cast("long")
-      val better = (run > acc.getField("topc")) ||
-        (run === acc.getField("topc") && chars > acc.getField("topchars"))
-      stats(
-        when(better, run).otherwise(acc.getField("topc")),
-        when(better, chars).otherwise(acc.getField("topchars")),
-        acc.getField("dupchars") +
-          when(run >= 2, chars).otherwise(lit(0L)))
+  def repetitionStats(text: Column, n: Int): Column =
+    letBound(sort_array(ngrams(text, n))) { s =>
+      // fold over INDICES 2..size comparing each gram to its
+      // predecessor in the bound array: the state is four longs — no
+      // gram string is copied through the accumulator. (Measured at
+      // sf0.1/sf1: within noise of a prev-string state; the per-row
+      // cost is dominated by building the gram array itself, not the
+      // fold. Kept for the smaller interpreted state.)
+      val sz = size(s)
+      def g(i: Column) = element_at(s, i)
+      def st(run: Column, topc: Column, topchars: Column,
+          dup: Column) =
+        struct(run.as("run"), topc.as("topc"),
+          topchars.as("topchars"), dup.as("dupchars"))
+      // fold the run ENDING just before index gap (its gram length is
+      // `len`) into the three accumulators
+      def closed(acc: Column, len: Column): Seq[Column] = {
+        val run = acc.getField("run")
+        val chars = run * len
+        val better = (run > acc.getField("topc")) ||
+          (run === acc.getField("topc") &&
+            chars > acc.getField("topchars"))
+        Seq(
+          when(better, run).otherwise(acc.getField("topc")),
+          when(better, chars).otherwise(acc.getField("topchars")),
+          acc.getField("dupchars") +
+            when(run >= 2, chars).otherwise(lit(0L)))
+      }
+      aggregate(
+        when(sz >= 2, sequence(lit(2), sz))
+          .otherwise(array().cast("array<int>")),
+        st(lit(1L), lit(0L), lit(0L), lit(0L)),
+        (acc, i) =>
+          when(g(i) === g(i - 1), // run continues
+            st(acc.getField("run") + 1, acc.getField("topc"),
+              acc.getField("topchars"), acc.getField("dupchars")))
+            .otherwise { // run ends at i-1: fold it, restart
+              val c = closed(acc, length(g(i - 1)).cast("long"))
+              st(lit(1L), c(0), c(1), c(2))
+            },
+        acc => // close the final run; empty gram array → zeros
+          when(sz === 0,
+            struct(lit(0L).as("topchars"), lit(0L).as("dupchars")))
+            .otherwise {
+              val c = closed(acc, length(g(sz)).cast("long"))
+              struct(c(1).as("topchars"), c(2).as("dupchars"))
+            })
     }
-    val zero = state(lit(""), lit(0L), stats(lit(0L), lit(0L), lit(0L)))
-    aggregate(grams, zero,
-      (acc, g) =>
-        when(acc.getField("run") === 0, // first gram
-          state(g, lit(1L), stats(lit(0L), lit(0L), lit(0L))))
-          .when(g === acc.getField("prev"), // run continues
-            state(g, acc.getField("run") + 1,
-              stats(acc.getField("topc"), acc.getField("topchars"),
-                acc.getField("dupchars"))))
-          .otherwise( // run ends: fold it, start the next
-            state(g, lit(1L), closed(acc))),
-      acc => { // close the final run; empty input → zeros
-        val c = closed(acc)
-        struct(
-          when(acc.getField("run") === 0, lit(0L))
-            .otherwise(c(1)).as("topchars"),
-          when(acc.getField("run") === 0, lit(0L))
-            .otherwise(c(2)).as("dupchars"))
-      })
-  }
 
   /** Unordered token co-occurrence pairs within a forward `window`:
     * for each position i, the pairs (tk[i], tk[i+j]) for j = 1..window,
