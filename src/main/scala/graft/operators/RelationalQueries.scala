@@ -675,6 +675,41 @@ object RelationalQueries {
           (abs(col("merged_est") - col("direct_est")) <=
             col("exact_parts") * 0.05).as("merge_tracks_direct"))
     }),
+
+    // A41: sketch-based JOIN-KEY OVERLAP estimation — the pre-join
+    // planning statistic a 100 TB engine reads BEFORE choosing a join
+    // strategy (broadcast vs shuffle, runtime-filter selectivity):
+    // |keys(A) ∩ keys(B)| by inclusion–exclusion over per-side HLL
+    // sketches, est(A) + est(B) − est(A ∪ B), where the union is a
+    // register-wise sketch merge. Each side pays ONE map-side sketch
+    // pass and ships a 4 KB blob — no join is executed to learn the
+    // join's shape. The exact side (one distinct-key semi-join) is
+    // oracle ballast; the hashed claim is the estimator contract:
+    // inclusion–exclusion lands within max(10% of the true overlap,
+    // 5% of the estimated UNION) — the union term is the honest
+    // error driver (measured: direct sketches estimate 500-key sets
+    // EXACTLY via HIP, but the merged union must use the composite
+    // estimator, the a40 lesson — so near-disjoint inputs see an
+    // absolute error proportional to |A ∪ B|, not to the tiny
+    // overlap).
+    "a41_join_overlap" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val b = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val est = a.agg(hll_sketch_agg(col("k")).as("ska"))
+        .crossJoin(b.agg(hll_sketch_agg(col("k")).as("skb")))
+        .select(hll_sketch_estimate(col("ska")).as("ea"),
+          hll_sketch_estimate(col("skb")).as("eb"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            .as("eu"))
+      val exact = a.distinct().join(b.distinct(), "k")
+        .agg(count(lit(1)).as("exact_overlap"))
+      exact.crossJoin(est) // two 1-row locals — not a data join
+        .select(col("exact_overlap"),
+          (abs(col("ea") + col("eb") - col("eu") -
+            col("exact_overlap")) <=
+            greatest(col("exact_overlap") * 0.10, col("eu") * 0.05))
+            .as("within_rel_err"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -692,6 +727,12 @@ object RelationalQueries {
         | TRUE AS merged_within_rel_err, TRUE AS direct_within_rel_err,
         | TRUE AS merge_tracks_direct
         | FROM lineitem""".stripMargin.replaceAll("\n", ""),
+    "a41_join_overlap" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+        | TRUE AS within_rel_err
+        | FROM (SELECT DISTINCT c_custkey FROM customer) c
+        | JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin.replaceAll("\n", ""),
     "a26_approx_quantiles" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
         | TRUE AS p50_rank_ok, TRUE AS p95_rank_ok

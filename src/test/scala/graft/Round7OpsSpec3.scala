@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventQueries, TextAnalysis, TextQueries}
+import graft.operators.{EventQueries, RelationalQueries, TextAnalysis, TextQueries}
 
 /** Round-7 contract specs, part 3: the Gopher repetition fractions
   * (t35) against hand-derived golden values (including the overlap
@@ -68,6 +68,36 @@ class Round7OpsSpec3 extends AnyFunSuite {
     // (count 1, 19 chars): 2·3/25, NOT 19/25
     assert(r.getDouble(2) == math.rint(6.0 / 25 * 1e6) / 1e6)
     assert(r.getDouble(3) == math.rint(6.0 / 25 * 1e6) / 1e6)
+  }
+
+  test("a41 join-overlap estimator: inclusion–exclusion tracks truth across overlap regimes") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    def est(a: Seq[Long], b: Seq[Long]): (Long, Long) = {
+      def sk(xs: Seq[Long]): DataFrame =
+        xs.toDF("k").agg(hll_sketch_agg(col("k")).as("sk"))
+      val r = sk(a)
+        .crossJoin(sk(b).withColumnRenamed("sk", "sk2"))
+        .select(hll_sketch_estimate(col("sk")).as("ea"),
+          hll_sketch_estimate(col("sk2")).as("eb"),
+          hll_sketch_estimate(hll_union(col("sk"), col("sk2")))
+            .as("eu"))
+        .head()
+      (r.getLong(0) + r.getLong(1) - r.getLong(2), r.getLong(2))
+    }
+    // the union side is estimated with the composite estimator while
+    // the direct sides use HIP (the a40 lesson), so the estimator's
+    // absolute error scales with |A ∪ B| — the query's contract
+    def within(ab: (Long, Long), truth: Long): Boolean =
+      math.abs(ab._1 - truth) <= math.max(truth / 10, ab._2 / 20)
+    assert(within(est(1L to 500L, 1L to 500L), 500L))
+    assert(within(est(1L to 500L, 1001L to 1500L), 0L)) // near-disjoint
+    assert(within(est(1L to 500L, 251L to 750L), 250L))
+    assert(within(est(1L to 5000L, 10001L to 15000L), 0L))
+    // the declared query's contract holds on testdata
+    val row = RelationalQueries.queries("a41_join_overlap")(spark, sfDir)
+      .head()
+    assert(row.getLong(0) > 0 && row.getBoolean(1))
   }
 
   test("t36 NB language classifier: hand-derived model and confusion matrix") {
