@@ -364,6 +364,28 @@ object EventQueries {
         .orderBy("w_start")
     }),
 
+    // S22: sequential pattern mining — the top-20 most frequent
+    // 3-event-type sequences across user timelines (order-3 extension
+    // of s17's Markov transitions: funnels and habit loops that pair
+    // counts can't see). Same one-shuffle shape as s17: two stacked
+    // leads over the per-user time order (a SINGLE window — one
+    // user_id exchange + per-user sort, no arrays and no per-user
+    // collect), then a trigram-keyed count (map-side combined, bounded
+    // by |types|³) fused into TakeOrderedAndProject.
+    "s22_sequence_mining" -> ((s, dir) => {
+      val wSeq = Window.partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("e1"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("e2", lead("e1", 1).over(wSeq))
+        .withColumn("e3", lead("e1", 2).over(wSeq))
+        .filter(col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("e1"), asc("e2"), asc("e3"))
+        .limit(20)
+    }),
+
     // S15: retention cohorts — users grouped by first-activity day,
     // the (cohort, day-offset) distinct-user matrix every product
     // analytics pipeline derives from an event log. The day projection
@@ -510,6 +532,17 @@ object EventQueries {
         | SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
         |   ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY src), 6) AS p
         | FROM c ORDER BY src, dst""".stripMargin.replaceAll("\n", ""),
+    "s22_sequence_mining" ->
+      """WITH e AS (SELECT event_type AS e1,
+        |   lead(event_type, 1) OVER w AS e2,
+        |   lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id))
+        | SELECT e1, e2, e3, COUNT(*) AS cnt FROM e
+        | WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+        | ORDER BY cnt DESC, e1, e2, e3 LIMIT 20"""
+        .stripMargin.replaceAll("\n", ""),
     "s20_activity_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
         |   FROM events),

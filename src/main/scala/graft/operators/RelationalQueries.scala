@@ -710,6 +710,27 @@ object RelationalQueries {
             greatest(col("exact_overlap") * 0.10, col("eu") * 0.05))
             .as("within_rel_err"))
     }),
+
+    // A42: correlated scalar subquery, DECLARED AS SQL — each
+    // customer's maximum-price orders, written the way an analyst
+    // writes it (a per-row correlated MAX). The engine point is
+    // Catalyst's DECORRELATION: Spark cannot execute a correlated
+    // subquery per-row at all, so the optimizer must rewrite it into
+    // an aggregate + join — the declarative text costs one grouped
+    // aggregate and one join at any scale, and the plan spec pins
+    // that no per-row subquery survives. Equality on the stored
+    // double is exact in both engines (no arithmetic touches it);
+    // the projection scales to cents only for display.
+    "a42_correlated_max" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_a42")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders_a42 o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+          FROM orders_a42 o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -733,6 +754,13 @@ object RelationalQueries {
         | FROM (SELECT DISTINCT c_custkey FROM customer) c
         | JOIN (SELECT DISTINCT o_custkey FROM orders) o
         |  ON c.c_custkey = o.o_custkey""".stripMargin.replaceAll("\n", ""),
+    "a42_correlated_max" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        | FROM orders o
+        | WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""),
     "a26_approx_quantiles" ->
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
         | TRUE AS p50_rank_ok, TRUE AS p95_rank_ok

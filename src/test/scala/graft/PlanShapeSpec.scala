@@ -580,6 +580,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t35 must have no keyed shuffle, got ${keyed.size}")
   }
 
+  test("a42 correlated subquery decorrelates: no per-row subquery, one aggregate + join") {
+    val df = SparkEntry.queries("a42_correlated_max")(spark, sfDir)
+    // the optimizer must have rewritten the correlated scalar
+    // subquery away — a surviving one would execute per outer row
+    assert(!df.queryExecution.optimizedPlan.toString
+      .contains("scalar-subquery"),
+      df.queryExecution.optimizedPlan.toString.take(1500))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Join"), p.take(1500))
+  }
+
+  test("s22 sequence mining: ONE window pass (both leads share it), top-k fused") {
+    val df = SparkEntry.queries("s22_sequence_mining")(spark, sfDir)
+    val ws = windowsOf(df)
+    assert(ws.size == 1,
+      s"both leads must share one WindowExec, got ${ws.size}")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("t36 NB classifier: model and class constants broadcast; corpus shuffles only on (doc, cls)") {
     val df = SparkEntry.queries("t36_nb_langid")(spark, sfDir)
     df.collect()
