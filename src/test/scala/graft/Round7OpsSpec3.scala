@@ -100,6 +100,21 @@ class Round7OpsSpec3 extends AnyFunSuite {
     assert(row.getLong(0) > 0 && row.getBoolean(1))
   }
 
+  test("v27 distortion ladder: int8 nearly lossless and above the coarser rungs") {
+    import graft.operators.VectorQueries
+    val rows = VectorQueries.queries("v27_distortion_ladder")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(rows.keySet == Set("binary", "half", "int8"))
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.values.forall(_._2 == n))
+    val int8 = rows("int8")._1
+    assert(int8 > 0.999, s"int8 rung should be nearly lossless: $int8")
+    assert(int8 > rows("binary")._1 && int8 > rows("half")._1)
+    // every rung still points the same general direction
+    assert(rows.values.forall(_._1 > 0.0))
+  }
+
   test("t36 NB language classifier: hand-derived model and confusion matrix") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t36_docs").toString
