@@ -436,6 +436,36 @@ object TextQueries {
         .limit(1000)
     }),
 
+    // P8: schema evolution across append batches — the lakehouse
+    // reality that column sets GROW: batch 1 writes (doc_id, n_chars),
+    // batch 2 adds `lang`; the unified read uses mergeSchema so old
+    // rows surface the new column as NULL, and downstream aggregation
+    // group-keys on it null-safely. The WRITE path is exercised for
+    // real (two physical parquet batches with different schemas under
+    // one root); the oracle replays the semantics from the base table
+    // (same doc_id%2 batch rule → CASE-null lang). At scale,
+    // mergeSchema's footer reconciliation is per-file metadata work —
+    // the data itself is never rewritten, which is the entire point
+    // of evolution-by-union over migration-by-rewrite.
+    "p8_schema_evolution" -> ((s, dir) => {
+      val store =
+        s"${graft.store.AnnIndexes.root}/p8_${graft.store.AnnIndexes.keyOf(dir)}"
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val d = docs(s, dir)
+      d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .write.parquet(s"$store/batch=1")
+      d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.parquet(s"$store/batch=2")
+      s.read.option("mergeSchema", "true").parquet(store)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy(asc_nulls_first("lang"))
+    }),
+
     // T31: BPE-training merge candidates — the top-50 adjacent
     // character pairs across the corpus, i.e. the argmax table of the
     // first tokenizer-training iteration. At 100 TB this is the
@@ -2126,6 +2156,13 @@ object TextQueries {
          |  (SELECT doc_id, n_tokens FROM p ORDER BY pri DESC, doc_id LIMIT 200)
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
     },
+    // p8: replay of the batch rule — even-id docs predate the `lang`
+    // column, so they group under NULL in the merged read.
+    "p8_schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+        | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        | FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST"""
+        .stripMargin.replaceAll("\n", ""),
     "p6_compaction_plan" ->
       """WITH m AS (
         |  SELECT lang, source || '/' || CAST(doc_id AS VARCHAR) AS file,

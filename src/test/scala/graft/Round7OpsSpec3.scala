@@ -100,6 +100,17 @@ class Round7OpsSpec3 extends AnyFunSuite {
     assert(row.getLong(0) > 0 && row.getBoolean(1))
   }
 
+  test("p8 schema evolution: merged read surfaces the late column as NULL on old batches") {
+    val rows = TextQueries.queries("p8_schema_evolution")(spark, sfDir)
+      .collect()
+    val d = Tables.load(spark, sfDir, "documents")
+    val nEven = d.filter(col("doc_id") % 2 === 0).count()
+    // exactly one NULL-lang group holding every pre-evolution row
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length == 1 && nullRow.head.getLong(1) == nEven)
+    assert(rows.map(_.getLong(1)).sum == d.count())
+  }
+
   test("v27 distortion ladder: int8 nearly lossless and above the coarser rungs") {
     import graft.operators.VectorQueries
     val rows = VectorQueries.queries("v27_distortion_ladder")(spark, sfDir)
