@@ -846,7 +846,7 @@ object GraphQueries {
       val pairs = graft.Caches.shared(copurchasePairs(s, dir))
       val edges = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.kCore(edges, "src", "dst", k = 130)
+      Graph.kCore(edges, "src", "dst", k = 70)
         .select(col("id").as("part_id"), col("core_deg"))
         .orderBy("part_id")
     })
@@ -1055,27 +1055,36 @@ object GraphQueries {
         | FROM a3 ORDER BY auth_scaled DESC, supp_key
         | LIMIT 50""".stripMargin).replaceAll("\n", "")
     },
-    // g8: peeling unrolled 6 rounds (idempotent past the measured
-    // 2-round convergence) — each round recomputes degrees on the
-    // surviving edge list and keeps ≥ 130 nodes.
+    // g8: peeling unrolled 10 rounds — each round recomputes degrees
+    // on the surviving edge list and keeps ≥ 70-degree nodes. k = 70
+    // is chosen NON-VACUOUS at the gate SF (sf0.01: 1996-node core;
+    // sf0.1: 19674; sf0.001's fixpoint is empty — probed), and the
+    // unroll depth covers the measured worst convergence (8 rounds at
+    // sf0.001, ≤4 at the larger SFs) with margin; rounds past the
+    // fixpoint are idempotent.
     "g8_kcore" -> {
-      val rounds = (1 to 6).map { i =>
-        s""" k$i AS (SELECT src AS id FROM e${i - 1}
-           |  GROUP BY src HAVING COUNT(*) >= 130),
-           | e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+      // every e_i is read THREE times by round i+1 (k_i twice + the
+      // edge filter) — without MATERIALIZED, DuckDB may inline the
+      // reference chain and re-evaluate the pair build 3^6 times
+      // (observed: >78 GB of spill at sf0.1 before running out of
+      // disk). Materializing each round makes the unroll linear.
+      val rounds = (1 to 10).map { i =>
+        s""" k$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1}
+           |  GROUP BY src HAVING COUNT(*) >= 70),
+           | e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
            |  JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id)"""
           .stripMargin
       }.mkString(",")
-      ("""WITH pairs AS (
+      ("""WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        | e0 AS (SELECT src, dst FROM pairs
+        | e0 AS MATERIALIZED (SELECT src, dst FROM pairs
         |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),""".stripMargin
         + rounds +
         """ SELECT CAST(src AS BIGINT) AS part_id,
         |  CAST(COUNT(*) AS BIGINT) AS core_deg
-        | FROM e6 GROUP BY src ORDER BY part_id""".stripMargin)
+        | FROM e10 GROUP BY src ORDER BY part_id""".stripMargin)
         .replaceAll("\n", "")
     }
   )
