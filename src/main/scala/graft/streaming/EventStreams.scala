@@ -148,6 +148,37 @@ object EventStreams {
   case class AttribOut(user_id: Long, first_touch: String,
       last_touch: Option[String])
 
+  case class SeqState(p1: String, p2: String)
+  case class SeqOut(user_id: Long, e1: String, e2: String, e3: String)
+
+  /** Streaming sequential-pattern extraction — the stream face of the
+    * s22 batch query: per user, emit every 3-event-type sequence as
+    * its third event arrives. State per user is O(1) — the last TWO
+    * event types, the sliding context a trigram needs — so an
+    * unbounded clickstream costs state proportional to USERS. Emitted
+    * trigram multiset ≡ the batch double-lead window's (spec-pinned);
+    * the global top-k count is a downstream aggregation either way.
+    * Ordering contract as [[streamingAttribution]]: sorted within a
+    * micro-batch, time-ordered batch delivery across them. */
+  def streamingSequences(events: Dataset[TypedEv]): Dataset[SeqOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, SeqOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[TypedEv], state: GroupState[SeqState]) =>
+          var st = state.getOption.getOrElse(SeqState(null, null))
+          val out = scala.collection.mutable.ListBuffer.empty[SeqOut]
+          for (e <- evs.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
+            if (st.p1 != null)
+              out += SeqOut(uid, st.p1, st.p2, e.event_type)
+            st = SeqState(st.p2, e.event_type)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming conversion attribution — the stream face of the s16
     * batch query: per user, emit (first_touch, last_touch) exactly
     * once, at the moment the first `purchase` arrives; non-converting

@@ -465,6 +465,59 @@ class StreamingSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("streaming sequence mining equals the batch double-lead trigrams across 3 time-ordered batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // batch reference: the same double-lead construction s22 uses,
+    // WITHOUT the top-k cut (the stream emits the full multiset)
+    val wSeq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val batch = eventsSchemaDf
+      .select(col("user_id"), col("event_type").as("e1"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("e2", lead("e1", 1).over(wSeq))
+      .withColumn("e3", lead("e1", 2).over(wSeq))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+
+    val d = java.nio.file.Files.createTempDirectory("seq_stream")
+    val ev = eventsSchemaDf
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"))
+    val cuts = ev.stat.approxQuantile("ts_us", Array(1.0 / 3, 2.0 / 3), 0.0)
+    val parts = Seq(
+      ev.filter(col("ts_us") < cuts(0)),
+      ev.filter(col("ts_us") >= cuts(0) && col("ts_us") < cuts(1)),
+      ev.filter(col("ts_us") >= cuts(1)))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"seq_part$i")
+      p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val src = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = d.resolve(s"b$i.parquet")
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val raw = spark.readStream
+      .schema(parts.head.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d.toString)
+      .as[EventStreams.TypedEv]
+    val got = EventStreams.runToCompletion(
+        EventStreams.streamingSequences(raw).toDF(),
+        "seq_test", OutputMode.Append)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got == batch,
+      s"stream ${got.size} trigram cells vs batch ${batch.size}")
+    Caches.release(spark)
+  }
+
   test("streaming attribution equals batch s16 across 3 time-ordered batches") {
     import spark.implicits._
     val batch = graft.operators.EventQueries.queries("s16_attribution")(
