@@ -70,4 +70,29 @@ object HllRollup {
     Cdc.readRollup(spark, statePath).map(st =>
       st.select(keyCols.map(col) :+
         hll_sketch_estimate(col("sk")).as("ndv_est"): _*))
+
+  /** Sliding-window distinct counts — the PRODUCTION form of the s21
+    * query (which also computes an exact side as oracle ballast):
+    * (w_start, est) per window of `hopsPerWindow` hops. The input
+    * aggregates ONCE into O(hops) sketch blobs (one keyed shuffle
+    * with partial aggregation); each window then unions its hops —
+    * an explode of the SKETCH table, never of the input. COUNT
+    * DISTINCT does not decompose over overlapping windows; sketch
+    * union does, which is the whole reason this shape exists. */
+  def slidingDistinct(
+      df: DataFrame, tsUsCol: String, valueCol: String,
+      hopUs: Long, hopsPerWindow: Int): DataFrame = {
+    require(hopUs > 0 && hopsPerWindow >= 1)
+    df.select(col(valueCol).as("_v"),
+        org.apache.spark.sql.functions.expr(s"$tsUsCol div $hopUs")
+          .as("_hop"))
+      .groupBy("_hop").agg(hll_sketch_agg(col("_v")).as("sk"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(
+          col("_hop") - (hopsPerWindow - 1), col("_hop"))).as("_win"),
+        col("sk"))
+      .groupBy("_win")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select((col("_win") * hopUs).as("w_start"), col("est"))
+  }
 }

@@ -346,18 +346,18 @@ object EventQueries {
     "s21_sliding_distinct" -> ((s, dir) => {
       val hopUs = 900L * 1000 * 1000 // 15 min
       val e = Tables.eventsUs(s, dir)
-        .select(col("user_id"), expr(s"us div $hopUs").as("hop"))
-      val winEst = e.groupBy("hop")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        .select(explode(sequence(col("hop") - 3, col("hop"))).as("win"),
-          col("sk"))
-        .groupBy("win")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      // the production path (estimates only) is the library function;
+      // the declared query joins it against the exact ballast
+      val winEst = graft.functions.HllRollup.slidingDistinct(
+        e, "us", "user_id", hopUs, hopsPerWindow = 4)
       val exact = e
-        .select(explode(sequence(col("hop") - 3, col("hop"))).as("win"),
+        .select(explode(sequence(
+          expr(s"us div $hopUs") - 3, expr(s"us div $hopUs"))).as("win"),
           col("user_id"))
         .groupBy("win").agg(countDistinct(col("user_id")).as("exact_users"))
-      exact.join(winEst, "win")
+      exact
+        .join(winEst.withColumnRenamed("w_start", "ws"),
+          col("win") * hopUs === col("ws"))
         .select((col("win") * hopUs).as("w_start"), col("exact_users"),
           (abs(col("est") - col("exact_users")) <=
             col("exact_users") * 0.10).as("within_rel_err"))
