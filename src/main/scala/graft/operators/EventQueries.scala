@@ -345,14 +345,16 @@ object EventQueries {
     // union estimate within 10% of its exact distinct count.
     "s21_sliding_distinct" -> ((s, dir) => {
       val hopUs = 900L * 1000 * 1000 // 15 min
+      val hops = 4 // window = hops × hop: ONE constant for both sides
       val e = Tables.eventsUs(s, dir)
       // the production path (estimates only) is the library function;
       // the declared query joins it against the exact ballast
       val winEst = graft.functions.HllRollup.slidingDistinct(
-        e, "us", "user_id", hopUs, hopsPerWindow = 4)
+        e, "us", "user_id", hopUs, hopsPerWindow = hops)
       val exact = e
         .select(explode(sequence(
-          expr(s"us div $hopUs") - 3, expr(s"us div $hopUs"))).as("win"),
+          expr(s"us div $hopUs") - (hops - 1),
+          expr(s"us div $hopUs"))).as("win"),
           col("user_id"))
         .groupBy("win").agg(countDistinct(col("user_id")).as("exact_users"))
       exact

@@ -630,40 +630,22 @@ object GraphQueries {
     * undirected edge. The self-join key is l_orderkey (bounded
     * fan-out — TPC-H orders hold ≤ 7 lines, so pairs-per-order is
     * ≤ 21); DISTINCT collapses repeat co-purchases across orders. */
-  private[graft] def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    // ONE groupBy shuffle + map-side combination expansion, not a
-    // self-join: the join form re-shuffles and sorts the fact twice
-    // and was ~2× slower at sf0.1. Group fan-out is bounded (TPC-H
-    // orders hold ≤ 7 lines), so the per-group pair array is tiny —
-    // exactly the shape collect_list is safe for.
-    // each pair is PACKED into one long (src << 32 | dst; partkeys are
-    // well under 2^32) before the distinct: the dedup shuffle then
-    // moves and hashes 8-byte keys instead of two-field structs —
-    // measurably cheaper at 2M+ pairs — and unpacks after
-    li.groupBy("l_orderkey")
-      .agg(collect_list(col("l_partkey")).as("ps"))
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
-          shiftleft(least(x, y), 32).bitwiseOR(greatest(x, y))))))
-        .as("pk"))
-      .filter(shiftright(col("pk"), 32) =!=
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL))) // drop self-pairs
-      .distinct()
-      .select(shiftright(col("pk"), 32).as("src"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dst"))
-  }
-
-  /** Co-purchase pairs WITH order-count weights: same one-groupBy
-    * packed-long build as [[copurchasePairs]], but `array_distinct`
-    * dedups within each order BEFORE the explode (no extra shuffle)
-    * and the global dedup becomes a count — cnt = number of orders
-    * sharing the pair, the edge weight g9 inverts into a traversal
-    * cost. */
-  private[graft] def copurchaseWeighted(
-      s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    li.groupBy("l_orderkey")
+  /** The shared packed-pair build (one column `pk`, per-order-deduped
+    * but not yet globally deduped): ONE groupBy shuffle + map-side
+    * combination expansion, not a self-join — the join form
+    * re-shuffles and sorts the fact twice and was ~2× slower at
+    * sf0.1. Group fan-out is bounded (TPC-H orders hold ≤ 7 lines),
+    * so the per-group pair array is tiny — exactly the shape
+    * collect_list is safe for. Each pair is PACKED into one long
+    * (src << 32 | dst; partkeys are well under 2^32) before the
+    * global dedup/count: that shuffle then moves and hashes 8-byte
+    * keys instead of two-field structs — measurably cheaper at 2M+
+    * pairs. `array_distinct` dedups within each order BEFORE the
+    * explode (no extra shuffle; a no-op for the distinct consumer,
+    * the correctness prerequisite for the count consumer). */
+  private def packedOrderPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .groupBy("l_orderkey")
       .agg(collect_list(col("l_partkey")).as("ps"))
       .select(explode(array_distinct(
         flatten(transform(col("ps"), (x, i) =>
@@ -671,11 +653,25 @@ object GraphQueries {
             shiftleft(least(x, y), 32).bitwiseOR(greatest(x, y)))))))
         .as("pk"))
       .filter(shiftright(col("pk"), 32) =!=
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)))
-      .groupBy("pk").agg(count(lit(1)).as("cnt"))
-      .select(shiftright(col("pk"), 32).as("src"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dst"), col("cnt"))
-  }
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL))) // drop self-pairs
+
+  private def unpack(df: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    df.select(shiftright(col("pk"), 32).as("src") +:
+      col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dst") +:
+      extra.map(col): _*)
+
+  /** Distinct co-purchase pairs oriented src < dst: one row per
+    * undirected edge (DISTINCT collapses repeat co-purchases). */
+  private[graft] def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    unpack(packedOrderPairs(s, dir).distinct())
+
+  /** Co-purchase pairs WITH order-count weights — the same build, the
+    * global dedup replaced by a count: cnt = number of orders sharing
+    * the pair, the edge weight g9 inverts into a traversal cost. */
+  private[graft] def copurchaseWeighted(
+      s: SparkSession, dir: String): DataFrame =
+    unpack(packedOrderPairs(s, dir)
+      .groupBy("pk").agg(count(lit(1)).as("cnt")), Seq("cnt"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G9: weighted shortest paths (4-round Bellman–Ford) from the
@@ -685,11 +681,13 @@ object GraphQueries {
     // taxonomy induction). Integer costs keep every distance an exact
     // sum; the oracle unrolls the same 4 relaxation rounds as CTEs.
     "g9_weighted_sssp" -> ((s, dir) => {
-      val pairs = graft.Caches.shared(copurchaseWeighted(s, dir))
-      val edges = pairs.select(col("src"), col("dst"),
-          (lit(1000000L) / col("cnt")).cast("long").as("w"))
-        .union(pairs.select(col("dst"), col("src"),
-          (lit(1000000L) / col("cnt")).cast("long").as("w")))
+      // weight computed ONCE on the undirected pair, then both
+      // directions project it — the formula can't drift asymmetric
+      val pairs = graft.Caches.shared(copurchaseWeighted(s, dir)
+        .withColumn("w", (lit(1000000L) / col("cnt")).cast("long")))
+      val edges = pairs.select("src", "dst", "w")
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst"),
+          col("w")))
       val seeds = edges.filter(col("src") % 1000 === 0)
         .select(col("src").as("id")).distinct()
       Graph.ssspRounds(edges, "src", "dst", "w", seeds, rounds = 4)

@@ -619,7 +619,11 @@ object TextQueries {
     // integer micro-nats (round(ln·1e6) as BIGINT) at model-build
     // time, so per-doc scores are exact INTEGER sums — argmax can't
     // flip on float summation order (argmax ties break by class
-    // name via min(struct(-score, cls))).
+    // name via min(struct(-score, cls))). Residual risk, shared with
+    // every ln-then-round oracle in the repo (t11/t34): the two
+    // engines' libm ln can differ by 1 ulp, which flips a weight only
+    // if ln·1e6 sits within ~1e-10 of an exact .5 boundary — and an
+    // argmax only if two class scores then land within 1 micro-nat.
     // Scale shape: training is one explode + (cls, tok) count with
     // map-side combine (vocab-bounded result); the model and the
     // 5-row class-constant table broadcast; scoring explodes the
@@ -658,6 +662,9 @@ object TextQueries {
       val clsConst = classes.select("cls", "prior6", "miss6")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .sortBy(_._1)
+      require(clsConst.nonEmpty,
+        "t36: the doc_id % 3 == 0 training slice is empty — no class " +
+          "model can be fit on this corpus")
       val wide = broadcast(counts
         .join(classes.select("cls", "den"), "cls")
         .select(col("cls"), col("tok"),
@@ -1484,6 +1491,21 @@ object TextQueries {
 
   private def sqEsc(s: String) = s.replace("'", "''")
 
+  /** One BPE merge applied to segmentation CTE s{i} → s{i+1} in
+    * DuckDB: the chr(1)-sentinel-seeded list_reduce fold (the corpus
+    * is ASCII text, so the sentinel can't collide), shared by the t37
+    * and t38 oracles so the subtle splice/strip/escape logic exists
+    * exactly once. `carry` is the non-pieces column threaded through
+    * (word counts for training, the word itself for encoding). */
+  private def segCteSql(a: String, b: String, i: Int, carry: String): String =
+    s""", s${i + 1} AS (SELECT $carry, list_reduce(
+       |   list_prepend([chr(1)], list_transform(p, x -> [x])),
+       |   (acc, x) -> CASE WHEN acc[-1] = '${sqEsc(a)}'
+       |      AND x[1] = '${sqEsc(b)}'
+       |     THEN list_append(acc[:-2], '${sqEsc(a + b)}')
+       |     ELSE list_append(acc, x[1]) END)[2:] AS p FROM s$i)"""
+      .stripMargin.replaceAll("\n", "")
+
   /** t37's oracle, generated from the stashed merge table: re-derives
     * EVERY round's argmax from scratch — round i segments the vocab
     * with the CLAIMED merges 1..i-1 inlined as literal fold steps
@@ -1495,14 +1517,7 @@ object TextQueries {
     // s_i = vocab segmented by merges 1..i (only s_0..s_{k-1} are
     // read: round i counts pairs of the PREVIOUS segmentation)
     val segCtes = merges.dropRight(1).zipWithIndex.map {
-      case ((a, b, _), i) =>
-        s""", s${i + 1} AS (SELECT wc, list_reduce(
-           |   list_prepend([chr(1)], list_transform(p, x -> [x])),
-           |   (acc, x) -> CASE WHEN acc[-1] = '${sqEsc(a)}'
-           |      AND x[1] = '${sqEsc(b)}'
-           |     THEN list_append(acc[:-2], '${sqEsc(a + b)}')
-           |     ELSE list_append(acc, x[1]) END)[2:] AS p FROM s$i)"""
-          .stripMargin.replaceAll("\n", "")
+      case ((a, b, _), i) => segCteSql(a, b, i, "wc")
     }
     val cntCtes = merges.indices.map { i =>
       s""", c${i + 1} AS (SELECT p2[1] AS l, p2[2] AS r, SUM(wc) AS c
@@ -1532,14 +1547,8 @@ object TextQueries {
     * back onto the corpus token stream — the same
     * vocab-once/corpus-probe shape as the Spark plan. */
   private def t38OracleSql: Option[String] = lastBpeModel.map { merges =>
-    val segCtes = merges.zipWithIndex.map { case ((a, b, _), i) =>
-      s""", s${i + 1} AS (SELECT w, list_reduce(
-         |   list_prepend([chr(1)], list_transform(p, x -> [x])),
-         |   (acc, x) -> CASE WHEN acc[-1] = '${sqEsc(a)}'
-         |      AND x[1] = '${sqEsc(b)}'
-         |     THEN list_append(acc[:-2], '${sqEsc(a + b)}')
-         |     ELSE list_append(acc, x[1]) END)[2:] AS p FROM s$i)"""
-        .stripMargin.replaceAll("\n", "")
+    val segCtes = merges.zipWithIndex.map {
+      case ((a, b, _), i) => segCteSql(a, b, i, "w")
     }
     s"""WITH vocab AS (SELECT DISTINCT
        |   unnest(string_split(lower(text), ' ')) AS w FROM documents),
