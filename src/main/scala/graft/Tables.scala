@@ -90,7 +90,12 @@ object Tables {
     * callers' semantics (they aggregate by contained keys). */
   def balanced(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // partition count read from the planned scan itself (no df.rdd —
+    // that conversion builds a whole second RDD lineage with a to-Row
+    // projection just to read one number)
+    if (org.apache.spark.sql.GraftShim.planPartitions(df) < target)
+      df.repartition(target)
+    else df
   }
 
   /** Silence WindowExec's "No Partition Defined" warning. Every

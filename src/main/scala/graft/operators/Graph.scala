@@ -683,8 +683,10 @@ object GraphQueries {
     "g9_weighted_sssp" -> ((s, dir) => {
       // weight computed ONCE on the undirected pair, then both
       // directions project it — the formula can't drift asymmetric
+      // integral `div`, matching the oracle's `//` by construction
+      // (double-divide-then-cast only coincided for this range)
       val pairs = graft.Caches.shared(copurchaseWeighted(s, dir)
-        .withColumn("w", (lit(1000000L) / col("cnt")).cast("long")))
+        .withColumn("w", expr("1000000 div cnt")))
       val edges = pairs.select("src", "dst", "w")
         .union(pairs.select(col("dst").as("src"), col("src").as("dst"),
           col("w")))
@@ -1080,9 +1082,23 @@ object GraphQueries {
         | e0 AS MATERIALIZED (SELECT src, dst FROM pairs
         |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),""".stripMargin
         + rounds +
-        """ SELECT CAST(src AS BIGINT) AS part_id,
+        // peeling only removes edges, so e10 ⊆ e9 and equal COUNTs ⇒
+        // equal sets ⇒ the fixpoint was reached inside the unroll. A
+        // dataset needing >10 rounds now fails LOUDLY (error()) in the
+        // oracle run instead of surfacing as an opaque hash mismatch.
+        // The guard is a CASE in a 1-row CTE joined in, NOT an
+        // `= .. OR error(..)` predicate: DuckDB does not short-circuit
+        // OR in a decorrelated WHERE (measured — the OR form fired on
+        // converged data), while the CASE branch is evaluated lazily.
+        """, guard AS (SELECT CASE
+        |   WHEN (SELECT COUNT(*) FROM e9) = (SELECT COUNT(*) FROM e10)
+        |   THEN 1
+        |   ELSE error('g8 oracle: peel not converged in 10 rounds')
+        |  END AS ok)
+        | SELECT CAST(src AS BIGINT) AS part_id,
         |  CAST(COUNT(*) AS BIGINT) AS core_deg
-        | FROM e10 GROUP BY src ORDER BY part_id""".stripMargin)
+        | FROM e10 JOIN guard ON guard.ok = 1
+        | GROUP BY src ORDER BY part_id""".stripMargin)
         .replaceAll("\n", "")
     }
   )

@@ -37,8 +37,14 @@ object TextAnalysis {
     * punctuation run, each optionally glued to one preceding space —
     * the GPT-2-style pre-tokenizer shape restricted to a regex subset
     * with identical leftmost-first semantics in Java regex and RE2
-    * (no \s classes, no backreferences), so counts are engine-portable. */
-  val BpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+    * (no \s classes, no backreferences), so counts are engine-portable.
+    * Letter/digit classes are the UNICODE categories \p{L}/\p{N}
+    * (identical in Java regex and RE2), not ASCII ranges: "café" is
+    * ONE letter run and CJK text is letter runs, where the former
+    * ASCII classes split every accented word at the accent (verified
+    * piece-for-piece identical across both engines on accented + CJK
+    * fixtures — UnicodeTextSpec). */
+  val BpePattern: String = " ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N} ]+"
 
   /** The BPE-ish pre-token pieces of `text` (array<string>). A tokenizer
     * proxy for token-budget accounting when the real BPE merges table

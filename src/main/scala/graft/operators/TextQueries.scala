@@ -470,18 +470,21 @@ object TextQueries {
     // the data itself is never rewritten, which is the entire point
     // of evolution-by-union over migration-by-rewrite.
     "p8_schema_evolution" -> ((s, dir) => {
-      val store =
-        s"${graft.store.AnnIndexes.root}/p8_${graft.store.AnnIndexes.keyOf(dir)}"
-      val p = new org.apache.hadoop.fs.Path(store)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
-      val d = docs(s, dir)
-      d.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .select(col("doc_id"), col("n_chars"))
-        .write.parquet(s"$store/batch=1")
-      d.filter(pmod(col("doc_id"), lit(2)) === 1)
-        .select(col("doc_id"), col("n_chars"), col("lang"))
-        .write.parquet(s"$store/batch=2")
+      // build-once via materializeAtomic (fingerprint-keyed): the two
+      // schema-divergent batches are written into a private temp and
+      // renamed into place complete, so concurrent sessions on the
+      // same dataset never race delete-vs-read on a shared fixed path
+      val fp = graft.store.AnnIndexes.fingerprint(s, s"$dir/documents.parquet")
+      val store = graft.store.AnnIndexes.materializeAtomic(s,
+        s"${graft.store.AnnIndexes.root}/p8_${graft.store.AnnIndexes.keyOf(dir)}_$fp") { tmp =>
+        val d = docs(s, dir)
+        d.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("n_chars"))
+          .write.parquet(s"$tmp/batch=1")
+        d.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.parquet(s"$tmp/batch=2")
+      }
       s.read.option("mergeSchema", "true").parquet(store)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
@@ -1535,7 +1538,11 @@ object TextQueries {
     * text, so the sentinel can't collide), recomputes the weighted
     * pair counts, and takes its own (count DESC, l, r) argmax. Any
     * wrong claimed merge changes the derived row → hash mismatch. */
-  private def t37OracleSql: Option[String] = lastBpeModel.map { merges =>
+  private def t37OracleSql: Option[String] =
+      lastBpeModel.filter(_.nonEmpty).map { merges =>
+    // (an empty merge table — degenerate corpus with no adjacent
+    // pairs — would render `FROM ()`; the filter above drops the
+    // oracle entirely so the driver records rows-only, not a crash)
     // s_i = vocab segmented by merges 1..i (only s_0..s_{k-1} are
     // read: round i counts pairs of the PREVIOUS segmentation)
     val segCtes = merges.dropRight(1).zipWithIndex.map {
@@ -1888,10 +1895,10 @@ object TextQueries {
     "t15_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text,
-        |   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_pieces,
+        |   ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+')) AS BIGINT) AS n_pieces,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         | ROUND(CAST(len(regexp_extract_all(text,
-        |   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS DOUBLE)
+        |   ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+')) AS DOUBLE)
         |  / len(string_split(text, ' ')), 6) AS pieces_per_token
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d8_repeated_passages" ->

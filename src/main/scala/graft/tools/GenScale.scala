@@ -82,11 +82,17 @@ object GenScale {
       .parquet(s"$out/events.parquet")
     println(s"GEN events -> ${reps}x")
 
+    // replica suffix carries a NON-ASCII letter (ř ∈ \p{L}) — the
+    // scale probes exercise the Unicode tokenizer classes on every
+    // replica > 0, not just ASCII-coincidental text (round-8 gate)
     replicate("documents", Map("doc_id" -> M), (d, i) =>
       if (i == 0) d
       else d.withColumn("text",
         array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s"_r$i"))), " ")))
+          t => concat(t, lit(s"_ř$i"))), " "))
+        // keep the driver's invariant n_chars = length(text) — stale
+        // lengths would skew the quality/repetition probe workloads
+        .withColumn("n_chars", length(col("text"))))
 
     val remix = udf { (emb: Seq[Float], id: Long, rep: Int) =>
       if (rep == 0) emb.toArray

@@ -17,6 +17,25 @@ object GraftShim {
   def flushListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** The session's effective auto-broadcast threshold in bytes (-1 =
+    * broadcasting disabled). `sessionState` is private[sql]; size-
+    * derived join-strategy decisions (d16's vocab table) read the SAME
+    * knob Catalyst uses instead of inventing a parallel one. */
+  def autoBroadcastBytes(spark: SparkSession): Long = spark match {
+    case s: classic.SparkSession => s.sessionState.conf.autoBroadcastJoinThreshold
+    case _ => 10L * 1024 * 1024
+  }
+
+  /** Planned partition count of `df`'s physical plan WITHOUT the
+    * `df.rdd` conversion (which appends a to-Row deserialization
+    * projection and builds a second RDD lineage just to read a
+    * number). `toRdd` is the already-planned internal-row RDD — no
+    * job runs, no extra plan is built. */
+  def planPartitions(df: Dataset[_]): Int = df match {
+    case c: classic.Dataset[_] => c.queryExecution.toRdd.getNumPartitions
+    case _ => df.rdd.getNumPartitions
+  }
+
   /** Free the block-manager copies held by a `localCheckpoint(true)`
     * result. `Dataset.localCheckpoint` materializes the plan into a
     * persisted RDD wrapped in a `LogicalRDD`; `unpersist` on the

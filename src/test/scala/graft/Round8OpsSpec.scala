@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Round-8 hardening specs: star-contraction ≡ min-label CC on random
+  * pair graphs (semanticDedup now defaults to the O(log n) star form),
+  * and d16's size-DERIVED broadcast-vs-shuffle decision for the
+  * shingle-df table. */
+class Round8OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select(col("id").cast("long"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("dupClustersStar ≡ dupClusters on seeded random pair graphs") {
+    // shapes that stress both algorithms: sparse random (forest-ish),
+    // dense random (big components), and a long chain spliced with
+    // random chords (deep diameter — the case star contraction exists
+    // for). Same RNG seeds every run.
+    val cases = Seq(
+      (11L, 200, 80), // sparse: mostly small components + singleton pairs
+      (13L, 120, 300), // dense: a giant component
+      (17L, 400, 60)) // sparse over a wider id space
+    for ((seed, nIds, nEdges) <- cases) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(nEdges) {
+        val a = rnd.nextInt(nIds).toLong
+        val b = rnd.nextInt(nIds).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+        .toDF("a_id", "b_id")
+      val viaStar = labelMap(Dedup.dupClustersStar(pairs))
+      val viaProp = labelMap(Dedup.dupClusters(pairs))
+      assert(viaStar == viaProp, s"seed=$seed")
+      Caches.release(spark)
+    }
+    // the deep-chain case: 0-1-2-...-149 plus a few chords
+    val chain = ((0L until 149L).map(i => (i, i + 1)) ++
+      Seq((10L, 100L), (30L, 120L))).toDF("a_id", "b_id")
+    // min-label needs O(diameter) ≈ 150 rounds here — exactly the
+    // shape the star default exists for (star converges well inside
+    // its default 25)
+    val s = labelMap(Dedup.dupClustersStar(chain))
+    val p = labelMap(Dedup.dupClusters(chain, maxIters = 200))
+    assert(s == p && s.values.toSet == Set(0L))
+    Caches.release(spark)
+  }
+
+  test("d16 df-table join is size-derived: broadcast small vocab, shuffle large") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 300)
+    def planOf(): String = {
+      val df = Dedup.prefixJaccardJoin(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // default threshold (10 MB): the sf0.001 shingle vocabulary fits
+    // comfortably -> the df table must broadcast
+    val small = planOf()
+    assert(small.contains("BroadcastHashJoin"), small.take(2000))
+    Caches.release(spark)
+    // a corpus whose vocabulary exceeds the session's broadcast budget
+    // (modeled by shrinking the budget under the SAME real fixture —
+    // the decision reads vocab_rows * 24 > threshold either way):
+    // the hint must NOT be forced; the df join falls back to shuffle
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024")
+      val large = planOf()
+      // the tok-keyed df join must not be a forced broadcast: with a
+      // 1 KB budget Catalyst can't legally plan ANY broadcast hash
+      // join, so a surviving one would mean the hardcoded hint is back
+      assert(!large.contains("BroadcastHashJoin"), large.take(2000))
+      assert(large.contains("SortMergeJoin") || large.contains("ShuffledHashJoin"),
+        large.take(2000))
+    } finally {
+      spark.conf.set(key, prev)
+      Caches.release(spark)
+    }
+  }
+
+  test("balanced reads plan partitions without an RDD conversion") {
+    // single parquet file -> fewer planned partitions than cores ->
+    // repartition to defaultParallelism; an already-wide frame is
+    // returned untouched (same object, no Exchange added)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = org.apache.spark.sql.GraftShim.planPartitions(docs)
+    if (narrow < target)
+      assert(org.apache.spark.sql.GraftShim.planPartitions(
+        Tables.balanced(docs)) == target)
+    val wide = docs.repartition(target)
+    assert(Tables.balanced(wide) eq wide)
+  }
+
+  test("d16 pairs unchanged by the join-strategy fallback") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 200)
+    def run(): Set[(Long, Long)] = {
+      val r = Dedup.prefixJaccardJoin(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Caches.release(spark)
+      r
+    }
+    val viaBcast = run()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val viaShuffle = try { spark.conf.set(key, "1024"); run() }
+      finally spark.conf.set(key, prev)
+    assert(viaBcast == viaShuffle && viaBcast.nonEmpty)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Round-8 Unicode-tokenization gate: the BPE pre-tokenizer and every
+  * tokenizer-adjacent kernel must treat non-ASCII letters as LETTERS
+  * (Unicode \p{L}/\p{N} classes), not punctuation — the former ASCII
+  * classes split "café" at the accent, which silently corrupts token
+  * budgets, BPE training, shingles, and quality scores on any real
+  * multilingual corpus (the reference's own Gutenberg EPUBs carry
+  * non-ASCII typography). Cross-engine portability of the new classes
+  * is held by the fixture sweep (tools/gen_unicode_fixture.py + a full
+  * Verify/check_correctness run — see README) plus the java-regex
+  * reference comparison below; these specs pin the JVM-side semantics.
+  */
+class UnicodeTextSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def pieces(s: String): Seq[String] = {
+    Seq(s).toDF("text")
+      .select(TextAnalysis.bpePieces(col("text")).as("p"))
+      .collect().head.getSeq[String](0)
+  }
+
+  test("café tokenizes as ONE letter run (the round-8 pin)") {
+    assert(pieces("café") == Seq("café"))
+    assert(pieces("un café crème") == Seq("un", " café", " crème"))
+  }
+
+  test("accented, CJK and mixed runs match the java.util.regex reference") {
+    val samples = Seq(
+      "café 世界 naïve 42x, done",
+      "straße połącz датенменге Ελλάδα",
+      "数据引擎123abc!",
+      "naïve-déjà vu №5")
+    val pat = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+    samples.foreach { s =>
+      val m = pat.matcher(s)
+      val expected = Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).toVector
+      assert(pieces(s) == expected, s"sample: $s")
+      // and the identity property holds on non-ASCII text too
+      assert(expected.mkString == s)
+    }
+    // the concrete shape, pinned: digits are one run, the letter 'x'
+    // after them starts a new run WITHOUT the space (leftmost-first)
+    assert(pieces("café 世界 naïve 42x, done") ==
+      Seq("café", " 世界", " naïve", " 42", "x", ",", " done"))
+  }
+
+  test("charPairs / bpeSegment are character-based on non-ASCII words") {
+    // charPairs: adjacent CHARACTER pairs — é is one character
+    val cp = Seq("café 世界").toDF("text")
+      .select(TextAnalysis.charPairs(col("text")).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(cp == Seq("ca", "af", "fé", "世界"))
+    // bpeSegment: seeds from single characters and merges apply to
+    // multi-byte letters exactly like ASCII ones
+    val seg = Seq("café").toDF("w")
+      .select(TextAnalysis.bpeSegment(col("w"),
+        Seq(("c", "a"), ("f", "é"), ("ca", "fé"))).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(seg == Seq("café"))
+  }
+
+  test("tokens / shingles / fingerprint are byte-order-free on Unicode") {
+    val df = Seq("世界 datenmenge café café straße").toDF("text")
+    val toks = df.select(TextAnalysis.tokens(col("text"))).collect()
+      .head.getSeq[String](0)
+    assert(toks == Seq("世界", "datenmenge", "café", "café", "straße"))
+    val sh = df.select(TextAnalysis.shingles(col("text"), 2)).collect()
+      .head.getSeq[String](0)
+    assert(sh.contains("café café") && sh.contains("世界 datenmenge"))
+    // fingerprint normalizes case Unicode-aware: CAFÉ and café collide
+    val fps = Seq("CAFÉ straße", "café straße").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).distinct().count()
+    assert(fps == 1)
+  }
+
+  test("quality/repetition kernels run clean over the unicode fixture shape") {
+    // a miniature of the fixture recipe: accented swaps + CJK tails
+    val docs = Seq(
+      (0L, "the rápido mergé 世界 数据 引擎 世界"),
+      (1L, "straße straße straße straße straße"),
+      (2L, "plain ascii text stays plain")).toDF("doc_id", "text")
+    val rep = docs.select(col("doc_id"),
+        TextAnalysis.repetitionStats(col("text"), 2).as("r"))
+      .orderBy("doc_id").collect()
+    // doc 1: "straße straße" bigram repeats 4 times -> dupchars > 0
+    assert(rep(1).getStruct(1).getLong(1) > 0)
+    // doc 2 has no repeated bigram
+    assert(rep(2).getStruct(1).getLong(1) == 0)
+    val q = docs.select(TextAnalysis.qualityScore(col("text"))).collect()
+    assert(q.forall(r => r.getDouble(0) >= 0 && r.getDouble(0) <= 1))
+  }
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Non-ASCII fixture generator (round-8 Unicode-tokenization gate).
+
+Usage: python3 tools/gen_unicode_fixture.py [srcSfDir] [outDir]
+
+Copies every table of a driver testdata SF dir verbatim EXCEPT
+`documents.parquet`, whose text gets deterministic Unicode pressure:
+
+  - doc_id % 3 == 0: common corpus words swapped for accented variants
+    ("merge"->"mergé", "fast"->"rápido", "join"->"połącz",
+     "data"->"datenmenge", "big"->"straße")
+  - doc_id % 7 == 0: a CJK tail " 世界 数据 引擎 世界" appended
+  - n_chars recomputed (the column is derived from text in the
+    driver's recipe, so the invariant n_chars = len(text) must hold)
+
+Everything else (doc_id, lang, source, row count/order) is unchanged,
+so EVERY declared query can run against the fixture and its DuckDB
+oracle recomputes from the same mutated table — a full
+Verify + tools/check_correctness.py sweep over this dir proves the
+whole text family (tokenizers, shingles, BPE train/encode, Gopher
+stats, NB language ID, quality scores, dedup) is Unicode-clean in
+BOTH engines, not just ASCII-coincidentally portable.
+"""
+import shutil
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_unifix"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+import os
+os.makedirs(out, exist_ok=True)
+for t in TABLES:
+    if t == "documents":
+        continue
+    # copy verbatim (file-level, keeps the driver's parquet footers —
+    # s4's stats fast path reads them)
+    s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
+    if os.path.isdir(s):
+        shutil.copytree(s, d, dirs_exist_ok=True)
+    else:
+        shutil.copyfile(s, d)
+
+SWAPS = [("merge", "mergé"), ("fast", "rápido"), ("join", "połącz"),
+         ("data", "datenmenge"), ("big", "straße")]
+repl = "text"
+for a, b in SWAPS:
+    # whole-token replace: the corpus is single-space-joined tokens
+    repl = (f"array_to_string(list_transform(string_split({repl}, ' '),"
+            f" t -> CASE WHEN t = '{a}' THEN '{b}' ELSE t END), ' ')")
+
+con = duckdb.connect()
+con.sql(f"""
+COPY (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN t2 || ' 世界 数据 引擎 世界'
+              ELSE t2 END AS text,
+         lang, source,
+         length(CASE WHEN doc_id % 7 = 0 THEN t2 || ' 世界 数据 引擎 世界'
+                     ELSE t2 END) AS n_chars
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN {repl} ELSE text END AS t2,
+           lang, source
+    FROM '{src}/documents.parquet'
+  ) ORDER BY doc_id
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+n = con.sql(f"""SELECT count(*) FROM '{out}/documents.parquet'
+  WHERE text != regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')""").fetchone()[0]
+tot = con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
+print(f"unicode fixture at {out}: {n}/{tot} docs carry non-ASCII text")
