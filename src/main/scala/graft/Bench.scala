@@ -55,6 +55,17 @@ object Bench {
     "a37_scd2_asof", // SCD2 via as-of union-sort (vs a35's interval join)
     "m1_media_features", // batched binary decode plumbing
     "m4_image_decode", // REAL ImageIO PNG encode+decode roundtrip
+    // g1 is the headline's measured floor (round-8 decomposition,
+    // tools.ProfileG1b at sf0.1, warm minima): pairs build 1.45 s +
+    // ~0.9 s fixed (degree/weight build, N, top-100) + ~0.75 s per
+    // rank iteration — each iteration is ONE broadcast join + ONE agg
+    // shuffle, i.e. local-mode stage latency, not algorithmic waste
+    // (round 7 already measured hinted shuffle/merge variants 1.2-1.3×
+    // slower and pointer-jump a net loss). The oracle pins 5
+    // iterations; a tol-cut cannot reproduce the 6dp-rounded top-100
+    // before iter 5, so fewer iterations would break the hash. On a
+    // cluster the per-stage latency amortizes and the same plan is the
+    // right one.
     "g1_part_pagerank", // iterative rank: cached degree-weighted edges
     "a38_cdc_apply", // lakehouse MERGE: latest-wins window + one anti-join
     "t31_bpe_merges", // tokenizer-training pair counts: pure map-reduce

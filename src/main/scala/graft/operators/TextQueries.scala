@@ -32,16 +32,99 @@ object TextQueries {
   @volatile private var lastBpeModel: Option[Seq[(String, String, Long)]] =
     None
 
-  private val BpeMergeCount = 6
+  private[graft] val BpeMergeCount = 6
+
+  /** One-batch word-frequency aggregate over a documents frame — the
+    * unit both the batch vocab build and the streaming word-count
+    * state fold ([[graft.streaming.ModelStreams]]) run; counts are an
+    * additive monoid, so per-batch partials merge exactly. */
+  private[graft] def bpeWordCountsOf(d: DataFrame): DataFrame =
+    d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
 
   /** The corpus word-frequency table BPE training and inference run
     * over — the original-BPE trick that bounds all per-word work to
     * one evaluation per DISTINCT word. */
   private def bpeWordCounts(s: SparkSession, dir: String): DataFrame =
-    graft.Caches.shared(
-      Tables.balanced(docs(s, dir))
-        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("wc")))
+    graft.Caches.shared(bpeWordCountsOf(Tables.balanced(docs(s, dir))))
+
+  /** NB training state, token half: (cls, tok, c) counts over a
+    * training slice. Additive — per-batch partials merge exactly, so
+    * the same aggregate is the unit of the streaming model fold
+    * ([[graft.streaming.ModelStreams]]). */
+  private[graft] def nbTokCounts(train: DataFrame): DataFrame =
+    train.select(col("lang").as("cls"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("cls", "tok").agg(count(lit(1)).as("c"))
+
+  /** NB training state, document half: (cls, nd) document counts —
+    * the prior's numerator. Additive like [[nbTokCounts]]. */
+  private[graft] def nbDocCounts(train: DataFrame): DataFrame =
+    train.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("nd"))
+
+  /** The t36 scoring pipeline from its two TRAINING-STATE tables
+    * (token counts + doc counts): derive the quantized model, pivot it
+    * wide, score every doc of `d`, emit the confusion matrix. Batch
+    * t36 passes counts computed directly from the training slice; the
+    * streaming face passes counts folded incrementally across append
+    * batches — identical state in, identical matrix out (spec-pinned
+    * stream == batch). All totals (class totals, vocab size, n_train)
+    * derive from the state tables, so the state IS the whole model. */
+  private[graft] def nbConfusion(
+      d: DataFrame, counts0: DataFrame, priors0: DataFrame): DataFrame = {
+    val counts = graft.Caches.shared(counts0)
+    val totals = counts.groupBy("cls").agg(sum("c").as("tot"))
+    val vocab = counts.agg(countDistinct("tok").as("v"))
+    val priors = priors0
+    val nTrain = priors.agg(sum("nd").as("n"))
+    def q6(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(x * 1e6).cast("long")
+    val classes = broadcast(totals.join(priors, "cls")
+      .crossJoin(vocab).crossJoin(nTrain)
+      .select(col("cls"),
+        q6(log(col("nd").cast("double") / col("n"))).as("prior6"),
+        q6(log(lit(1.0) / (col("tot") + col("v")))).as("miss6"),
+        (col("tot") + col("v")).as("den")))
+    // class constants land on the driver (C rows — the k-means-
+    // centroid precedent) so the model can PIVOT to one row per
+    // token with C weight columns: the corpus token stream then
+    // probes the broadcast wide model once per token instead of
+    // once per (token, class), and the per-doc partial aggregate
+    // carries C sum columns in ONE row — corpus-side work never
+    // multiplies by the class count (measured 2.3 → ~1.2 s at
+    // sf0.1 with C = 5).
+    val clsConst = classes.select("cls", "prior6", "miss6")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(clsConst.nonEmpty,
+      "t36: the training slice is empty — no class model can be fit " +
+        "on this corpus")
+    val wide = broadcast(counts
+      .join(classes.select("cls", "den"), "cls")
+      .select(col("cls"), col("tok"),
+        q6(log((col("c") + lit(1)).cast("double") / col("den")))
+          .as("w6"))
+      .groupBy("tok").pivot("cls", clsConst.map(_._1))
+      .agg(first("w6")))
+    val sums = d.select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .join(wide, Seq("tok"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(
+        sum(coalesce(col(clsConst.head._1), lit(clsConst.head._3)))
+          .as(s"_s_${clsConst.head._1}"),
+        clsConst.tail.map { case (c, _, miss) =>
+          sum(coalesce(col(c), lit(miss))).as(s"_s_$c")
+        }.toSeq: _*)
+    sums
+      .select(col("lang"),
+        array_min(array(clsConst.map { case (c, prior, _) =>
+          struct((-(col(s"_s_$c") + lit(prior))).as("ns"),
+            lit(c).as("cls"))
+        }.toSeq: _*)).getField("cls").as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "predicted")
+  }
 
   /** The trained merge table with a build-once sidecar (the d11
     * codebook precedent): the first invocation per corpus fingerprint
@@ -70,7 +153,7 @@ object TextQueries {
     * word frequency and partial-aggregate map-side, the argmax is a
     * TakeOrdered(1), and the one-row collects are the loop-carried
     * state (the d11 k-means precedent). */
-  private def trainBpe(
+  private[graft] def trainBpe(
       words: DataFrame, k: Int): Vector[(String, String, Long)] = {
     var merges = Vector.empty[(String, String, Long)]
     for (_ <- 1 to k) {
@@ -658,63 +741,7 @@ object TextQueries {
       val d = graft.Caches.shared(Tables.balanced(docs(s, dir))
         .select(col("doc_id"), col("lang"), col("text")))
       val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-      // (class, token) counts — shared: totals and the model read it
-      val counts = graft.Caches.shared(
-        train.select(col("lang").as("cls"),
-            explode(TextAnalysis.tokens(col("text"))).as("tok"))
-          .groupBy("cls", "tok").agg(count(lit(1)).as("c")))
-      val totals = counts.groupBy("cls").agg(sum("c").as("tot"))
-      val vocab = counts.agg(countDistinct("tok").as("v"))
-      val priors = train.groupBy(col("lang").as("cls"))
-        .agg(count(lit(1)).as("nd"))
-      val nTrain = train.agg(count(lit(1)).as("n"))
-      def q6(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        round(x * 1e6).cast("long")
-      val classes = broadcast(totals.join(priors, "cls")
-        .crossJoin(vocab).crossJoin(nTrain)
-        .select(col("cls"),
-          q6(log(col("nd").cast("double") / col("n"))).as("prior6"),
-          q6(log(lit(1.0) / (col("tot") + col("v")))).as("miss6"),
-          (col("tot") + col("v")).as("den")))
-      // class constants land on the driver (C rows — the k-means-
-      // centroid precedent) so the model can PIVOT to one row per
-      // token with C weight columns: the corpus token stream then
-      // probes the broadcast wide model once per token instead of
-      // once per (token, class), and the per-doc partial aggregate
-      // carries C sum columns in ONE row — corpus-side work never
-      // multiplies by the class count (measured 2.3 → ~1.2 s at
-      // sf0.1 with C = 5).
-      val clsConst = classes.select("cls", "prior6", "miss6")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        .sortBy(_._1)
-      require(clsConst.nonEmpty,
-        "t36: the doc_id % 3 == 0 training slice is empty — no class " +
-          "model can be fit on this corpus")
-      val wide = broadcast(counts
-        .join(classes.select("cls", "den"), "cls")
-        .select(col("cls"), col("tok"),
-          q6(log((col("c") + lit(1)).cast("double") / col("den")))
-            .as("w6"))
-        .groupBy("tok").pivot("cls", clsConst.map(_._1))
-        .agg(first("w6")))
-      val sums = d.select(col("doc_id"), col("lang"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .join(wide, Seq("tok"), "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-          sum(coalesce(col(clsConst.head._1), lit(clsConst.head._3)))
-            .as(s"_s_${clsConst.head._1}"),
-          clsConst.tail.map { case (c, _, miss) =>
-            sum(coalesce(col(c), lit(miss))).as(s"_s_$c")
-          }.toSeq: _*)
-      sums
-        .select(col("lang"),
-          array_min(array(clsConst.map { case (c, prior, _) =>
-            struct((-(col(s"_s_$c") + lit(prior))).as("ns"),
-              lit(c).as("cls"))
-          }.toSeq: _*)).getField("cls").as("predicted"))
-        .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
-        .orderBy("lang", "predicted")
+      nbConfusion(d, nbTokCounts(train), nbDocCounts(train))
     }),
 
     // T37: REAL iterative BPE training — k rounds of "count adjacent

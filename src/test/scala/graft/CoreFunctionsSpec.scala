@@ -9,7 +9,10 @@ import graft.functions.{Embedding, VectorFunctions}
 import graft.ingest.Chunker
 
 object SparkTestSession {
-  lazy val spark: SparkSession = Tables.session("local[4]", shufflePartitions = 4)
+  // local[4, 2]: 4 threads, task maxFailures = 2 — inert unless a task
+  // actually fails, and required by the retry-determinism spec
+  // (Round8OpsSpec injects attempt-0 task failures into ingest)
+  lazy val spark: SparkSession = Tables.session("local[4, 2]", shufflePartitions = 4)
 
   /** Minimal property-check loop over ScalaCheck generators (the
     * scalatest-scalacheck bridge artifact is not on the offline

@@ -5,10 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
 
+/** In-JVM probe for the retry spec: local-mode tasks run in this JVM,
+  * so a static counter observes injected failures that accumulators
+  * would drop (failed-task accumulator updates are discarded). */
+object RetryProbe {
+  val fails = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Round-8 hardening specs: star-contraction ≡ min-label CC on random
   * pair graphs (semanticDedup now defaults to the O(log n) star form),
-  * and d16's size-DERIVED broadcast-vs-shuffle decision for the
-  * shingle-df table. */
+  * d16's size-DERIVED broadcast-vs-shuffle decision for the shingle-df
+  * table, and ingest determinism under task retries. */
 class Round8OpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -98,6 +105,52 @@ class Round8OpsSpec extends AnyFunSuite {
         Tables.balanced(docs)) == target)
     val wide = docs.repartition(target)
     assert(Tables.balanced(wide) eq wide)
+  }
+
+  test("ingest store is bit-identical under injected first-attempt task failures") {
+    // the README claim under test: chunk ids are retry/speculation-safe
+    // deterministic composites — so a run where EVERY task's first
+    // attempt dies (and Spark retries it) must produce a bit-identical
+    // store. Requires task retries: SparkTestSession runs local[4, 2].
+    assume(spark.sparkContext.master.contains(","),
+      "needs a maxFailures>1 master")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    // through parquet, NOT the in-memory demo corpus: a LocalRelation
+    // is folded driver-side by ConvertToLocalRelation (TaskContext is
+    // null there — no tasks, nothing to retry); a file scan makes
+    // every downstream stage real executor work
+    graft.cli.Demo.demoCorpus(spark).write.parquet(s"$tmp/docs")
+    val docs = spark.read.parquet(s"$tmp/docs")
+    graft.cli.Demo.importDocs(spark, docs, s"$tmp/clean",
+      "graft/test-model", 64, 32)
+    RetryProbe.fails.set(0)
+    val flaky = udf { (t: String) =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0) {
+        RetryProbe.fails.incrementAndGet()
+        throw new RuntimeException("injected first-attempt task failure")
+      }
+      t
+    }
+    graft.cli.Demo.importDocs(spark,
+      docs.withColumn("text", flaky(col("text"))), s"$tmp/flaky",
+      "graft/test-model", 64, 32)
+    assert(RetryProbe.fails.get() > 0, "injection never fired")
+    // normalize the one legitimately run-scoped field (import_date is
+    // captured once on the DRIVER per run — not retry-sensitive)
+    def canon(store: String): Seq[String] =
+      spark.read.parquet(s"$store/chunks")
+        .withColumn("metadata",
+          map_filter(col("metadata"), (k, _) => k =!= "import_date"))
+        .select("id", "source_id", "model_id", "chunk_number",
+          "chunk_size", "chunk_text", "embedding", "metadata")
+        .collect().map(_.toString).sorted.toIndexedSeq
+    assert(canon(s"$tmp/clean") == canon(s"$tmp/flaky"))
+    def ids(store: String, table: String): Seq[String] =
+      spark.read.parquet(s"$store/$table").collect()
+        .map(_.toString).sorted.toIndexedSeq
+    assert(ids(s"$tmp/clean", "models") == ids(s"$tmp/flaky", "models"))
+    assert(ids(s"$tmp/clean", "sources") == ids(s"$tmp/flaky", "sources"))
   }
 
   test("d16 pairs unchanged by the join-strategy fallback") {

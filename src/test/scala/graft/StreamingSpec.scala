@@ -633,4 +633,71 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
     assert(lastVersion >= 2, s"expected ≥3 micro-batches, last=v$lastVersion")
   }
+
+  test("streaming NB model state: folded counts == batch train, same confusion matrix") {
+    import graft.streaming.ModelStreams
+    import graft.operators.TextQueries
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nbstream").toString
+    train.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    ModelStreams.streamingNbCounts(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    // several micro-batches actually folded, not one big batch
+    val lastVersion = new java.io.File(s"$tmp/state").list()
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
+    assert(lastVersion >= 2, s"expected >=3 micro-batches, last=v$lastVersion")
+    // state == the one-shot batch aggregates (byte-identical counts)
+    val st = graft.operators.Cdc.readRollup(spark, s"$tmp/state").get
+    def toks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(toks(st.filter(col("kind") === "tok").select("cls", "tok", "c")) ==
+      toks(TextQueries.nbTokCounts(train).select("cls", "tok", "c")))
+    assert(toks(st.filter(col("kind") === "doc")
+        .select(col("cls"), lit("_").as("t"), col("c"))) ==
+      toks(TextQueries.nbDocCounts(train)
+        .select(col("cls"), lit("_").as("t"), col("nd"))))
+    // identical state -> identical derived model -> identical matrix
+    // (the exact output shape t36's DuckDB oracle hash-checks)
+    def mat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val streamed = ModelStreams.nbConfusionFromState(spark, s"$tmp/state", docs)
+    assert(streamed.isDefined)
+    val batch = SparkEntry.queries("t36_nb_langid")(spark, sfDir)
+    assert(mat(streamed.get) == mat(batch))
+    Caches.release(spark)
+  }
+
+  test("streaming BPE word-count state: folded vocab == batch, same trained merges") {
+    import graft.streaming.ModelStreams
+    import graft.operators.TextQueries
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpestream").toString
+    docs.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    ModelStreams.streamingBpeWordCounts(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    val lastVersion = new java.io.File(s"$tmp/state").list()
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
+    assert(lastVersion >= 2, s"expected >=3 micro-batches, last=v$lastVersion")
+    val st = graft.operators.Cdc.readRollup(spark, s"$tmp/state").get
+    def wc(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(wc(st) == wc(TextQueries.bpeWordCountsOf(docs)))
+    // identical vocab state -> identical merge table (the exact rows
+    // t37's per-round-argmax oracle re-derives)
+    val streamedModel = ModelStreams.bpeModelFromState(spark, s"$tmp/state").get
+    val batchModel = TextQueries.trainBpe(
+      TextQueries.bpeWordCountsOf(docs), TextQueries.BpeMergeCount)
+    assert(streamedModel == batchModel && streamedModel.nonEmpty)
+    Caches.release(spark)
+  }
 }
