@@ -83,7 +83,13 @@ object Bench {
     "t35_gopher_repetition", // n-gram repetition filters: zero-shuffle fold
     "s21_sliding_distinct", // sliding-window NDV via per-hop sketch union
     "t36_nb_langid", // one-pass NB train + broadcast-model scoring
-    "t38_bpe_encode") // real-BPE corpus token counts (vocab broadcast)
+    "t38_bpe_encode", // real-BPE corpus token counts (vocab broadcast)
+    "t40_nfc_fingerprint") // native NFC expression + canonical md5
+  // t39/t41 stay out of the headline: t39 is five regex passes over
+  // the same scan shape t40 times (map-only, zero shuffles), t41 is
+  // t31's count-agg shape plus a 1000-row bounded fit — neither adds
+  // a plan family the headline doesn't already measure. Both stay
+  // oracle-checked at 3 SFs + the Unicode fixture.
   // g2_triangle_count stays out of the headline by design: triangle
   // enumeration is Θ(Σ deg²) wedge work however it's partitioned —
   // at sf0.1 the co-purchase graph yields ~20M wedges for a 1-row

@@ -796,6 +796,98 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T39: Unicode script composition per document — the multilingual
+    // routing primitive (which tokenizer/quality model applies, which
+    // corpus bucket a page lands in). Per-script char counts via
+    // Unicode script classes (Java \p{IsX} ≡ RE2 \p{X} — verified
+    // char-for-char on mixed-script fixtures), dominant script by
+    // (count, name) struct-max with deterministic ties. Pure per-row
+    // map work inside the scan — a corpus of any size pays zero
+    // shuffles for what is a row-local statistic.
+    "t39_script_mix" -> ((s, dir) => {
+      val scripts = Seq("Latin", "Han", "Cyrillic", "Greek")
+      def cnt(cls: String) =
+        length(regexp_replace(col("text"), s"[^\\p{Is$cls}]", ""))
+      val d0 = docs(s, dir).select(
+        col("doc_id") +:
+          scripts.map(sc => cnt(sc).as(s"n_${sc.toLowerCase}")) :+
+          length(regexp_replace(col("text"), "[^\\p{N}]", ""))
+            .as("n_digit"): _*)
+      d0.select(col("doc_id"),
+          col("n_latin"), col("n_han"), col("n_cyrillic"), col("n_greek"),
+          col("n_digit"),
+          when(greatest(scripts.map(sc =>
+              col(s"n_${sc.toLowerCase}")): _*) === 0, lit("none"))
+            .otherwise(array_max(array(scripts.map(sc =>
+              struct(col(s"n_${sc.toLowerCase}").as("c"),
+                lit(sc.toLowerCase).as("s"))): _*)).getField("s"))
+            .as("dominant"))
+        .orderBy("doc_id")
+    }),
+
+    // T40: NFC-canonical fingerprinting — dedup identity that survives
+    // Unicode composition differences ("café" precomposed vs
+    // e + combining acute are byte-different, duplicate documents).
+    // The normalize is a native codegen'd expression
+    // (functions.NfcNormalize, java.text.Normalizer) with an
+    // already-normalized fast path, so the common ASCII corpus pays
+    // one quick-check scan per row; DuckDB's nfc_normalize computes
+    // the identical Unicode mapping, making the oracle portable.
+    // Row-local map work — zero shuffles.
+    "t40_nfc_fingerprint" -> ((s, dir) => {
+      val norm = graft.functions.NfcNormalize(col("text"))
+      docs(s, dir).select(
+          col("doc_id"),
+          (col("text") =!= norm).as("changed"),
+          md5(trim(regexp_replace(lower(norm), "\\s+", " "))).as("fp_nfc"))
+        .orderBy("doc_id")
+    }),
+
+    // T41: Zipf's-law fit over the token frequency spectrum — the
+    // corpus-health diagnostic (natural text slopes ≈ −1; templateized
+    // or spammy corpora flatten/steepen). Least squares over
+    // (ln rank, ln count) of the top-1000 tokens with the t36
+    // integer-quantization discipline: both logs are rounded to
+    // integer 1e-4-nats BEFORE summation, so every moment sum AND
+    // every cross product (n·Σxy ≤ 1000·1000·7e4·2e5 < 2^53) stays
+    // exact in 64-bit integers and in the double casts on both
+    // engines — slope/intercept are a deterministic function of
+    // identical integers; float summation order can't flip the fit.
+    // (1e6 quantization would overflow n·Σxy past 2^63 on Spark while
+    // DuckDB's HUGEINT sums stayed exact — a portability trap, not
+    // just a wrongness one.) Scale shape: counts are one map-side-combined agg fused to
+    // TakeOrdered(1000); the fit itself runs on ≤1000 BOUNDED rows
+    // (rank window + one agg), corpus-size-independent.
+    "t41_zipf_fit" -> ((s, dir) => {
+      val top = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok"))
+        .limit(1000)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cnt"), asc("tok"))
+      val pts = top
+        .withColumn("rk", row_number().over(w))
+        .select(
+          round(log(col("rk").cast("double")) * 1e4).cast("long").as("x"),
+          round(log(col("cnt").cast("double")) * 1e4).cast("long").as("y"))
+      pts.agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("slope"),
+          // intercept back in nats: (Σy − m·Σx)/n is 1e-4-nats ÷ 1e4
+          round((col("sy").cast("double") -
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              col("sx").cast("double")) /
+            col("n").cast("double") / 1e4, 6).as("intercept_ln"))
+    }),
+
     // T11: tf-idf top terms per document — the IR feature-extraction
     // shape: two keyed aggs (term frequency, doc frequency), a hash
     // join, a 1-row broadcast for N, rank window for top-3. Natural
@@ -1928,6 +2020,60 @@ object TextQueries {
         |   ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+')) AS DOUBLE)
         |  / len(string_split(text, ' ')), 6) AS pieces_per_token
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // t39: RE2 spells the script classes \p{X} where Java spells them
+    // \p{IsX} — same Unicode script property, verified char-for-char.
+    // The dominant-script CASE chain reproduces Spark's struct-max
+    // tie-break (equal counts -> lexicographically LARGER script name).
+    "t39_script_mix" ->
+      """WITH c AS (SELECT doc_id,
+        |  length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS n_latin,
+        |  length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS n_han,
+        |  length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
+        |  length(regexp_replace(text, '[^\p{Greek}]', '', 'g')) AS n_greek,
+        |  length(regexp_replace(text, '[^\p{N}]', '', 'g')) AS n_digit
+        | FROM documents)
+        | SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+        |  CAST(n_han AS BIGINT) AS n_han,
+        |  CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+        |  CAST(n_greek AS BIGINT) AS n_greek,
+        |  CAST(n_digit AS BIGINT) AS n_digit,
+        |  CASE
+        |   WHEN greatest(n_latin, n_han, n_cyrillic, n_greek) = 0 THEN 'none'
+        |   WHEN n_latin >= n_han AND n_latin >= n_cyrillic
+        |    AND n_latin >= n_greek THEN 'latin'
+        |   WHEN n_han >= n_cyrillic AND n_han >= n_greek THEN 'han'
+        |   WHEN n_greek >= n_cyrillic THEN 'greek'
+        |   ELSE 'cyrillic'
+        |  END AS dominant
+        | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // t40: DuckDB's nfc_normalize computes the same Unicode canonical
+    // composition as java.text.Normalizer NFC.
+    "t40_nfc_fingerprint" ->
+      """SELECT doc_id,
+        | text != nfc_normalize(text) AS changed,
+        | md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |   '\s+', ' ', 'g'))) AS fp_nfc
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // t41: every moment is an exact integer (1e-4-nat quantized logs,
+    // all products < 2^53), so the DOUBLE casts agree bit-for-bit.
+    "t41_zipf_fit" ->
+      """WITH tc AS (SELECT tok, COUNT(*) AS cnt FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 1000),
+        | pts AS (SELECT
+        |  CAST(round(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)) * 1e4)
+        |    AS BIGINT) AS x,
+        |  CAST(round(ln(cnt) * 1e4) AS BIGINT) AS y FROM tc),
+        | m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |  SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
+        | SELECT CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |    - CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1e4, 6) AS intercept_ln
+        | FROM m""".stripMargin.replaceAll("\n", ""),
     "d8_repeated_passages" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
         | ch AS (SELECT doc_id,

@@ -81,6 +81,48 @@ class UnicodeTextSpec extends AnyFunSuite {
     assert(fps == 1)
   }
 
+  test("NfcNormalize: decomposed → precomposed, ASCII fast-path, null-safe") {
+    import graft.functions.NfcNormalize
+    val nfd = "caf" + "e" + "́" // e + combining acute (5 chars)
+    val nfc = "café" // precomposed é (4 chars)
+    val rows = Seq(("a", nfd), ("b", nfc), ("c", "plain ascii"), ("d", null))
+      .toDF("k", "text")
+      .select(col("k"), NfcNormalize(col("text")).as("n"),
+        length(NfcNormalize(col("text"))).as("len"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) -1 else r.getInt(2)))
+      .toMap
+    assert(rows("a") == (Some(nfc), 4)) // normalized, 5 -> 4 chars
+    assert(rows("b") == (Some(nfc), 4)) // already NFC: unchanged
+    assert(rows("c") == (Some("plain ascii"), 11))
+    assert(rows("d") == (None, -1)) // null-intolerant propagation
+    // the t40 semantics: NFD and NFC spellings collide post-normalize
+    val fps = Seq(nfd, nfc).toDF("text")
+      .select(md5(trim(regexp_replace(lower(
+        NfcNormalize(col("text"))), "\\s+", " "))))
+      .distinct().count()
+    assert(fps == 1)
+  }
+
+  test("t39 dominant-script argmax ties break to the larger script name") {
+    // equal latin/cyrillic counts -> struct-max takes 'latin'
+    // (lexicographically larger), matching the oracle's CASE chain
+    val r = SparkEntry.queries("t39_script_mix")(spark,
+      "/root/testdata/sf0.001").limit(0) // plan compiles against real data
+    assert(r.columns.toSeq == Seq("doc_id", "n_latin", "n_han",
+      "n_cyrillic", "n_greek", "n_digit", "dominant"))
+    val mixed = Seq((1L, "abc где"), (2L, "мир мир"), (3L, "123 456"))
+      .toDF("doc_id", "text")
+    val got = mixed.select(col("doc_id"),
+        array_max(array(Seq("Latin", "Cyrillic").map(sc =>
+          struct(length(regexp_replace(col("text"), s"[^\\p{Is$sc}]", ""))
+            .as("c"), lit(sc.toLowerCase).as("s"))): _*)).getField("s")
+          .as("dom"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "latin") // 3 == 3 tie -> latin
+    assert(got(2L) == "cyrillic")
+  }
+
   test("quality/repetition kernels run clean over the unicode fixture shape") {
     // a miniature of the fixture recipe: accented swaps + CJK tails
     val docs = Seq(

@@ -53,23 +53,37 @@ for a, b in SWAPS:
     repl = (f"array_to_string(list_transform(string_split({repl}, ' '),"
             f" t -> CASE WHEN t = '{a}' THEN '{b}' ELSE t END), ' ')")
 
+# decomposed form: 'e' + U+0301 combining acute — byte-different from
+# the precomposed 'é' swaps above, NFC-identical (exercises t40's
+# changed=true branch); %41 docs become CJK-dominant (t39's 'han'
+# branch); %43 docs get Cyrillic+Greek runs
+NFD_WORD = "caf" + "e" + "\u0301"  # e + combining acute; NFC -> caf\u00e9
 con = duckdb.connect()
 con.sql(f"""
 COPY (
   SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN t2 || ' 世界 数据 引擎 世界'
+         CASE WHEN doc_id % 41 = 0 THEN '世界 数据 引擎 模型 训练 数据 世界 引擎'
+              WHEN doc_id % 43 = 0 THEN t2 || ' Москва Ελλάδα текст λόγος'
+              WHEN doc_id % 13 = 0 THEN t2 || ' {NFD_WORD}'
+              WHEN doc_id % 7 = 0 THEN t2 || ' 世界 数据 引擎 世界'
               ELSE t2 END AS text,
-         lang, source,
-         length(CASE WHEN doc_id % 7 = 0 THEN t2 || ' 世界 数据 引擎 世界'
-                     ELSE t2 END) AS n_chars
+         lang, source, 0 AS n_chars
   FROM (
     SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN {repl} ELSE text END AS t2,
            lang, source
     FROM '{src}/documents.parquet'
   ) ORDER BY doc_id
+) TO '{out}/_docs_tmp.parquet' (FORMAT PARQUET)
+""")
+# n_chars = length(text) invariant, recomputed after all mutations
+con.sql(f"""
+COPY (
+  SELECT doc_id, text, lang, source, length(text) AS n_chars
+  FROM '{out}/_docs_tmp.parquet' ORDER BY doc_id
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
 """)
+os.remove(f"{out}/_docs_tmp.parquet")
 n = con.sql(f"""SELECT count(*) FROM '{out}/documents.parquet'
   WHERE text != regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')""").fetchone()[0]
 tot = con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
