@@ -1097,6 +1097,21 @@ object TextQueries {
         .orderBy("fp")
     }),
 
+    // D17: winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm) — cross-document shared passages at ANY offset, the
+    // stride-1 generalization of d8's 16-aligned chunks: hash every
+    // 8-token gram, keep each 4-window's min hash. Guarantee: a shared
+    // run of ≥ 11 tokens always yields a shared fingerprint, at ~2/5
+    // the stored density of all-grams. Per-doc map work; one
+    // fingerprint-keyed shuffle for the match aggregation.
+    "d17_winnowing" -> ((s, dir) => {
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 8, w = 4)
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("fp")
+    }),
+
     // D1: exact dedup on a key expression (hash-groupBy; first-writer-
     // wins representative = min id, the reference's R10 semantics).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -2082,6 +2097,20 @@ object TextQueries {
         | d AS (SELECT DISTINCT doc_id, fp FROM ch)
         | SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         | FROM d GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp"""
+        .stripMargin.replaceAll("\n", ""),
+    // d17: same two nested bounded HOFs in list algebra; DuckDB slices
+    // are inclusive (tk[i : i+7] = 8 grams, g[j : j+3] = 4 hashes) and
+    // clamp at the list end exactly like Spark's slice(start, len).
+    "d17_winnowing" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+        | gs AS (SELECT doc_id, list_transform(
+        |   range(1, greatest(len(tk) - 7, 1) + 1),
+        |   i -> md5(array_to_string(tk[i : i + 7], ' '))) AS g FROM toks),
+        | fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(g) - 3, 1) + 1),
+        |   j -> list_min(g[j : j + 3])))) AS fp FROM gs)
+        | SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        | FROM fp GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp"""
         .stripMargin.replaceAll("\n", ""),
     "d1_exact_dedup" ->
       """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS dedup_key,

@@ -107,6 +107,76 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(Tables.balanced(wide) eq wide)
   }
 
+  test("dupClustersAuto ≡ both distributed forms, branch forced each way") {
+    val rnd = new scala.util.Random(41L)
+    val pairs = Seq.fill(250) {
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("a_id", "b_id")
+    val viaProp = labelMap(Dedup.dupClusters(pairs))
+    Caches.release(spark)
+    // small branch (driver union-find): default broadcast budget
+    val viaAutoSmall = labelMap(Dedup.dupClustersAuto(pairs))
+    Caches.release(spark)
+    assert(viaAutoSmall == viaProp)
+    // large branch (star contraction): shrink the budget below the
+    // pair count so the same data takes the distributed path
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val viaAutoLarge = try {
+      spark.conf.set(key, "64")
+      labelMap(Dedup.dupClustersAuto(pairs))
+    } finally { spark.conf.set(key, prev); Caches.release(spark) }
+    assert(viaAutoLarge == viaProp)
+  }
+
+  test("winnowing: selection guarantee, density bound, reference equality") {
+    val (k, w) = (8, 4)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // reference implementation: the paper's algorithm, plainly
+    def ref(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      val grams =
+        if (toks.length <= k) Array(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toArray
+      val hs = grams.map(md5hex)
+      val wins =
+        if (hs.length <= w) Array(hs)
+        else hs.sliding(w).toArray
+      wins.map(_.min).toSet
+    }
+    val rnd = new scala.util.Random(29L)
+    val vocab = Vector("the", "data", "engine", "spark", "merge", "join",
+      "café", "straße", "世界", "row")
+    def randDoc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // guarantee: an 11-token (w+k-1) shared run between two otherwise
+    // different documents always yields a shared fingerprint
+    val run = randDoc(k + w - 1)
+    val a = randDoc(30) + " " + run + " " + randDoc(25)
+    val b = randDoc(17) + " " + run + " " + randDoc(40)
+    assert(ref(a).intersect(ref(b)).nonEmpty)
+    // engine == reference on the guarantee pair + random docs
+    val samples = Seq(a, b, randDoc(3), randDoc(k), randDoc(k + w - 2),
+      randDoc(60), randDoc(200))
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
+    samples.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"doc $i")
+      // density: never more fingerprints than windows
+      val nGrams = math.max(t.split(" ", -1).length - k + 1, 1)
+      assert(got(i.toLong).size <= math.max(nGrams - w + 1, 1))
+    }
+    // and the engine pair shares the guaranteed fingerprint
+    assert(got(0L).intersect(got(1L)).nonEmpty)
+  }
+
   test("ingest store is bit-identical under injected first-attempt task failures") {
     // the README claim under test: chunk ids are retry/speculation-safe
     // deterministic composites — so a run where EVERY task's first
