@@ -292,6 +292,120 @@ object Multimodal {
     spark.createDataFrame(rows, AssetSchema)
   }
 
+  /** Deterministic REAL video containers: each asset is a zip archive
+    * of PNG key-frames (frame j's pixels derive from (id, j, x, y) by
+    * the same arithmetic family as [[syntheticPngAssets]] — so an
+    * oracle can recompute any frame statistic without a codec). Zip of
+    * PNGs is the honest stand-in for a fragmented-MP4/TAR-of-keyframes
+    * container: entry listing is cheap metadata, frames decode
+    * selectively, and the whole build runs distributed with the
+    * codec-work-spreading repartition of the PNG builder. Frame count
+    * 2 + id % 7; fixed frame geometry per asset (like real video). */
+  def syntheticVideoAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          val n = 2 + (id % 7).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val zos = new java.util.zip.ZipOutputStream(bos)
+          var j = 0
+          while (j < n) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  ((id * 2654435761L + j * 1013904223L + x * 97L + y * 31L)
+                    & 0xffffffL).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            zos.putNextEntry(new java.util.zip.ZipEntry(f"f$j%03d.png"))
+            javax.imageio.ImageIO.write(img, "png", zos)
+            zos.closeEntry()
+            j += 1
+          }
+          zos.close()
+          Row(id, bos.toByteArray, Row("video", w, h, null, 40L * n))
+        }
+      }
+    spark.createDataFrame(rows, AssetSchema)
+  }
+
+  private val FrameStatsSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_number", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("luma_sum", LongType, nullable = false),
+    StructField("n_px", IntegerType, nullable = false)))
+
+  /** REAL container frame sampling: stream each video asset's zip
+    * directory, decode every `everyNth` entry with the actual PNG
+    * codec, and emit per-frame integer luminance statistics (sum +
+    * pixel count — exact integers, so a second engine can recompute
+    * them arithmetically for the synthetic corpus). The scale shape a
+    * keyframe sampler needs: skipped entries are never decoded (the
+    * zip stream skips compressed bytes), per-row output is bounded by
+    * frames/everyNth, and the byte-heavy column never shuffles — the
+    * explode happens inside the map stage. */
+  def sampleZipFrames(assets: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1)
+    val spark = assets.sparkSession
+    val rows = assets
+      .filter(col("meta.media_type") === "video")
+      .select(col("asset_id"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val zis = new java.util.zip.ZipInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var j = 0
+          var e = zis.getNextEntry
+          while (e != null) {
+            if (j % everyNth == 0) {
+              // read THIS entry fully (readAllBytes stops at the entry
+              // boundary), decode from memory — ImageIO never touches
+              // the shared zip stream, so entry framing stays intact
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(zis.readAllBytes()))
+              if (img != null) {
+                val w = img.getWidth
+                val h = img.getHeight
+                var luma = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    luma += (((rgb >> 16) & 0xff) * 299 +
+                      ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                    x += 1
+                  }
+                  y += 1
+                }
+                out += Row(id, j, w, h, luma, w * h)
+              }
+            }
+            zis.closeEntry()
+            j += 1
+            e = zis.getNextEntry
+          }
+          out
+        }
+      }
+    spark.createDataFrame(rows, FrameStatsSchema)
+  }
+
   /** STUB frame sampling for video assets: every `everyNth` "frame"
     * (byte-window stand-in) becomes a row — the explode shape of a
     * real frame extractor, with the ordinal carried like the chunker's

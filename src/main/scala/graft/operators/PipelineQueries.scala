@@ -79,6 +79,23 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
+    // M6: REAL container frame sampling — each asset is an actual zip
+    // archive of PNG key-frames; the sampler streams the zip
+    // directory, decodes every 2nd entry with the real codec
+    // (skipped entries are never decoded — the container directory,
+    // not the frames, is the metadata cost), and emits exact integer
+    // per-frame luminance sums. The oracle recomputes every sampled
+    // frame's statistic arithmetically from the synthetic pixel
+    // formula, so the hash pins the whole zip→entry→PNG→pixels chain.
+    // The m4/m5/m6 ladder: decode dims → decoded pixels → selective
+    // decode inside a container.
+    "m6_video_frames" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticVideoAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.sampleZipFrames(assets, everyNth = 2)
+        .orderBy("asset_id", "frame_number")
+    }),
+
     // M2: video frame sampling — the explode shape of a frame
     // extractor over binary assets (frame count/offsets are
     // SQL-derivable from the byte length, so fully oracle-checked).
@@ -317,6 +334,27 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS INT) AS h3
         | FROM bits GROUP BY doc_id ORDER BY asset_id"""
         .stripMargin.replaceAll("\n", ""),
+    // m6: every sampled frame's luminance sum recomputed from the
+    // synthetic pixel function — integer-exact in both engines.
+    "m6_video_frames" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+        |   2 + doc_id % 7 AS nf FROM documents),
+        | fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS j FROM d),
+        | sampled AS (SELECT * FROM fr WHERE j % 2 = 0),
+        | px AS (SELECT doc_id, j, w, h,
+        |   ((doc_id * 2654435761 + j * 1013904223 + x * 97 + y * 31)
+        |     & 16777215) AS v
+        |  FROM sampled
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) x)
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) y)
+        |  WHERE x < w AND y < h)
+        | SELECT doc_id AS asset_id, CAST(j AS INT) AS frame_number,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(SUM((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+        |    + (v & 255) * 114) // 1000) AS BIGINT) AS luma_sum,
+        |  CAST(w * h AS INT) AS n_px
+        | FROM px GROUP BY doc_id, j, w, h
+        | ORDER BY asset_id, frame_number""".stripMargin.replaceAll("\n", ""),
     "m1_media_features" ->
       """SELECT doc_id AS asset_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -114,4 +114,30 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
     got.foreach(r => assert(stub(r.getLong(0)) == r.getSeq[Float](6)))
   }
+
+  test("zip video containers: full sample round-trips the pixel formula; everyNth skips") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").filter(col("doc_id") < 40)
+    val vids = Multimodal.syntheticVideoAssets(docs, "doc_id")
+    // everyNth = 1: every frame decoded; counts and stats match the
+    // generator arithmetic exactly
+    val all = Multimodal.sampleZipFrames(vids, everyNth = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5))).toMap
+    (0L until 40L).foreach { id =>
+      val (w, h, n) = (1 + (id % 16).toInt, 1 + (id % 8).toInt, 2 + (id % 7).toInt)
+      (0 until n).foreach { j =>
+        val expectLuma = (for (y <- 0 until h; x <- 0 until w) yield {
+          val v = (id * 2654435761L + j * 1013904223L + x * 97L + y * 31L) & 0xffffffL
+          (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000
+        }).sum
+        assert(all((id, j)) == (w, h, expectLuma, w * h), s"id=$id j=$j")
+      }
+    }
+    // everyNth = 3: exactly the j % 3 == 0 frames appear
+    val sampled = Multimodal.sampleZipFrames(vids, everyNth = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sampled == all.keySet.filter(_._2 % 3 == 0))
+  }
 }
