@@ -616,4 +616,31 @@ class PlanShapeSpec extends AnyFunSuite {
         p.toString.take(1500))
     Caches.release(spark)
   }
+
+  test("t39/t40 are single-codegen map scans: no exchange before the output sort") {
+    // row-local statistics must never shuffle the corpus; the only
+    // exchange allowed is the final presentation orderBy's range
+    // partitioning. t40's NfcNormalize participates in whole-stage
+    // codegen (defineCodeGen), so the scan+project fuses.
+    Seq("t39_script_mix", "t40_nfc_fingerprint").foreach { q =>
+      val p = planOf(q).split("== Initial Plan ==")(0)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"$q:\n${p.take(2000)}")
+      // "*(n)" is the tree-string rendering of a WholeStageCodegen span
+      assert(p.contains("*(1)"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("d17 winnowing: fingerprints shuffle once (fp agg), corpus never joins pairwise") {
+    val p = planOf("d17_winnowing").split("== Initial Plan ==")(0)
+    // one fp-keyed exchange for the match aggregation; no join at all
+    assert("Exchange hashpartitioning\\(fp".r.findAllIn(p).size == 1,
+      p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("t41 zipf: counts fuse to TakeOrdered; the fit runs on bounded rows") {
+    val p = planOf("t41_zipf_fit").split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
