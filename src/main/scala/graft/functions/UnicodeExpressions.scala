@@ -16,16 +16,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * `nfc_normalize` computes the identical ICU/Unicode mapping, which
   * is what makes the t40 oracle portable. */
 object UnicodeNorm {
-  /** JVM kernel, shared by interpreted eval and generated code. The
-    * common case (already-NFC text — all ASCII for one) returns the
-    * input UTF8String untouched: isNormalized is a cheap quick-check
-    * scan, so the fast path allocates nothing. */
-  def nfc(s: UTF8String): UTF8String = {
-    val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
-  }
+  /** JVM kernel, shared by interpreted eval and generated code. Two
+    * fast paths: all-ASCII input (the common corpus row) is NFC by
+    * definition and returns after one byte scan with ZERO allocation
+    * — no String materializes at all; non-ASCII but already-NFC text
+    * pays the UTF-16 transcode for the quick-check scan and returns
+    * the original UTF8String. Only genuinely denormalized text pays
+    * the normalize. */
+  def nfc(s: UTF8String): UTF8String =
+    if (s.isFullAscii) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
 }
 
 case class NfcNormalize(child: Expression) extends UnaryExpression {

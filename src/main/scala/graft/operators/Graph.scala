@@ -1068,7 +1068,7 @@ object GraphQueries {
       // reference chain and re-evaluate the pair build 3^6 times
       // (observed: >78 GB of spill at sf0.1 before running out of
       // disk). Materializing each round makes the unroll linear.
-      val rounds = (1 to 10).map { i =>
+      val rounds = (1 to 11).map { i =>
         s""" k$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1}
            |  GROUP BY src HAVING COUNT(*) >= 70),
            | e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
@@ -1082,16 +1082,19 @@ object GraphQueries {
         | e0 AS MATERIALIZED (SELECT src, dst FROM pairs
         |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),""".stripMargin
         + rounds +
-        // peeling only removes edges, so e10 ⊆ e9 and equal COUNTs ⇒
-        // equal sets ⇒ the fixpoint was reached inside the unroll. A
-        // dataset needing >10 rounds now fails LOUDLY (error()) in the
-        // oracle run instead of surfacing as an opaque hash mismatch.
+        // peeling only removes edges, so e11 ⊆ e10 and equal COUNTs ⇒
+        // equal sets ⇒ round 11 was idempotent ⇒ e10 IS the fixpoint.
+        // The guard compares the LAST TWO unrolled rounds, so a
+        // dataset converging exactly at round 10 passes (round 11 is
+        // purely the idempotence witness; the emitted result stays
+        // e10). A dataset needing >10 peel rounds fails LOUDLY
+        // (error()) instead of surfacing as an opaque hash mismatch.
         // The guard is a CASE in a 1-row CTE joined in, NOT an
         // `= .. OR error(..)` predicate: DuckDB does not short-circuit
         // OR in a decorrelated WHERE (measured — the OR form fired on
         // converged data), while the CASE branch is evaluated lazily.
         """, guard AS (SELECT CASE
-        |   WHEN (SELECT COUNT(*) FROM e9) = (SELECT COUNT(*) FROM e10)
+        |   WHEN (SELECT COUNT(*) FROM e10) = (SELECT COUNT(*) FROM e11)
         |   THEN 1
         |   ELSE error('g8 oracle: peel not converged in 10 rounds')
         |  END AS ok)

@@ -29,6 +29,14 @@ object TextAnalysis {
   def letBound(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
+  /** Portable whitespace class, spelled EXPLICITLY: Java's `\s` is
+    * `[ \t\n\x0B\f\r]` but RE2's `\s` OMITS `\x0B` (vertical tab) —
+    * so a `\s+`-normalized fingerprint diverges between the engines on
+    * VT-bearing text (real EPUB/crawl content has it). One spelled-out
+    * class, used verbatim on both sides; identical to Java `\s`, so
+    * Spark-side behavior is unchanged. */
+  val PortableWs: String = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Whitespace tokens (single-space split, keeping empties — matches
     * the chunker's and the oracle's `string_split(text, ' ')`). */
   def tokens(text: Column): Column = split(text, " ", -1)
@@ -118,7 +126,7 @@ object TextAnalysis {
     * lexicographic on fields, ties break to the later language code —
     * deterministic). */
   def langId(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
+    val toks = split(lower(text), PortableWs)
     val cjkChars = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
     val scored = array(StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, stops) =>
       struct(
@@ -138,14 +146,14 @@ object TextAnalysis {
   /** Canonical document fingerprint: md5 of the lowercased,
     * whitespace-collapsed, trimmed text. Stable across engines. */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    md5(trim(regexp_replace(lower(text), PortableWs, " ")))
 
   /** Prefix fingerprint: identity over the first `n` normalized
     * tokens — catches syndication/mirror copies whose bodies diverge
     * after the shared opening (exact fingerprints miss them). */
   def prefixFingerprint(text: Column, n: Int): Column =
     md5(array_join(
-      slice(split(trim(regexp_replace(lower(text), "\\s+", " ")), " "), 1, n),
+      slice(split(trim(regexp_replace(lower(text), PortableWs, " ")), " "), 1, n),
       " "))
 
   /** Word n-gram shingles (distinct), via sequence+transform — the

@@ -556,7 +556,12 @@ object TextQueries {
       // build-once via materializeAtomic (fingerprint-keyed): the two
       // schema-divergent batches are written into a private temp and
       // renamed into place complete, so concurrent sessions on the
-      // same dataset never race delete-vs-read on a shared fixed path
+      // same dataset never race delete-vs-read on a shared fixed path.
+      // MEASUREMENT NOTE (round 8): steady-state timings of this query
+      // are therefore READ-ONLY (mergeSchema reconciliation) — only
+      // the first run per dataset fingerprint pays the two physical
+      // writes, so post-change numbers aren't comparable to the
+      // round-7 figures that included both writes every run.
       val fp = graft.store.AnnIndexes.fingerprint(s, s"$dir/documents.parquet")
       val store = graft.store.AnnIndexes.materializeAtomic(s,
         s"${graft.store.AnnIndexes.root}/p8_${graft.store.AnnIndexes.keyOf(dir)}_$fp") { tmp =>
@@ -839,7 +844,8 @@ object TextQueries {
       docs(s, dir).select(
           col("doc_id"),
           (col("text") =!= norm).as("changed"),
-          md5(trim(regexp_replace(lower(norm), "\\s+", " "))).as("fp_nfc"))
+          md5(trim(regexp_replace(lower(norm), TextAnalysis.PortableWs, " ")))
+            .as("fp_nfc"))
         .orderBy("doc_id")
     }),
 
@@ -848,14 +854,16 @@ object TextQueries {
     // or spammy corpora flatten/steepen). Least squares over
     // (ln rank, ln count) of the top-1000 tokens with the t36
     // integer-quantization discipline: both logs are rounded to
-    // integer 1e-4-nats BEFORE summation, so every moment sum AND
-    // every cross product (n·Σxy ≤ 1000·1000·7e4·2e5 < 2^53) stays
-    // exact in 64-bit integers and in the double casts on both
-    // engines — slope/intercept are a deterministic function of
-    // identical integers; float summation order can't flip the fit.
-    // (1e6 quantization would overflow n·Σxy past 2^63 on Spark while
-    // DuckDB's HUGEINT sums stayed exact — a portability trap, not
-    // just a wrongness one.) Scale shape: counts are one map-side-combined agg fused to
+    // integer 1e-4-nats BEFORE summation, so every moment sum and
+    // cross product stays EXACT in 64-bit integers (n·Σxy ≤
+    // 1000·1000·7e4·3.5e5 ≈ 2.5e16 ≪ 2^63, with ln(count) bounded by
+    // any physical corpus), and the final casts convert the SAME
+    // int64 on both engines — IEEE nearest-even is deterministic, so
+    // identical integers give identical doubles even above 2^53,
+    // hence identical slope/intercept; float summation order can't
+    // flip the fit. (1e6 quantization would overflow n·Σxy past 2^63
+    // on Spark while DuckDB's HUGEINT sums stayed exact — a
+    // portability trap, not just a wrongness one.) Scale shape: counts are one map-side-combined agg fused to
     // TakeOrdered(1000); the fit itself runs on ≤1000 BOUNDED rows
     // (rank window + one agg), corpus-size-independent.
     "t41_zipf_fit" -> ((s, dir) => {
@@ -1766,7 +1774,7 @@ object TextQueries {
           stops.map(s => s"'$s'").mkString("[", ",", "]")}, x)))"
       val l = TextAnalysis.StopwordsByLang
       s"""WITH t AS (SELECT doc_id, lang, text,
-         |   regexp_split_to_array(lower(text), '\\s+') tk FROM documents),
+         |   regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+') tk FROM documents),
          | sc AS (SELECT doc_id, lang, text,
          |   ${filt(l("en"))} AS en, ${filt(l("de"))} AS de,
          |   ${filt(l("es"))} AS es, ${filt(l("fr"))} AS fr FROM t),
@@ -1785,7 +1793,7 @@ object TextQueries {
     "d13_cross_source_dups" ->
       """WITH f AS (SELECT doc_id, source,
         |  md5(array_to_string(list_slice(string_split(
-        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |    trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')), ' '),
         |    1, 10), ' ')) AS fp
         |  FROM documents)
         | SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS dup_pairs
@@ -1904,7 +1912,7 @@ object TextQueries {
         |   / len(string_split(text, ' ')), 6) AS ttr
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t2_fingerprint" ->
-      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t3_quality" -> {
       val stops = TextAnalysis.EnglishStopwords
@@ -2067,10 +2075,11 @@ object TextQueries {
       """SELECT doc_id,
         | text != nfc_normalize(text) AS changed,
         | md5(trim(regexp_replace(lower(nfc_normalize(text)),
-        |   '\s+', ' ', 'g'))) AS fp_nfc
+        |   '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp_nfc
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
-    // t41: every moment is an exact integer (1e-4-nat quantized logs,
-    // all products < 2^53), so the DOUBLE casts agree bit-for-bit.
+    // t41: every moment is an exact 64-bit integer (1e-4-nat
+    // quantized logs), and casting the same integer to DOUBLE is
+    // deterministic in both engines, so the fit agrees bit-for-bit.
     "t41_zipf_fit" ->
       """WITH tc AS (SELECT tok, COUNT(*) AS cnt FROM (
         |   SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -2191,7 +2200,7 @@ object TextQueries {
          |    LEAST(CAST(n_stop AS DOUBLE) / n_tokens * 4.0, 1.0)) / 3.0, 6)
          |    AS quality FROM m),
          | f AS (SELECT doc_id, n_tokens,
-         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
          |  FROM q WHERE quality >= 0.35 AND n_tokens BETWEEN 20 AND 2000),
          | dd AS (SELECT MIN(doc_id) AS doc_id, arg_min(n_tokens, doc_id) AS n_tokens
          |  FROM f GROUP BY fp),
@@ -2231,7 +2240,7 @@ object TextQueries {
           stops.map(s => s"'$s'").mkString("[", ",", "]")}, x)))"
       val l = TextAnalysis.StopwordsByLang
       s"""WITH t AS (SELECT doc_id, text,
-         |   regexp_split_to_array(lower(text), '\\s+') tk FROM documents),
+         |   regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+') tk FROM documents),
          | sc AS (SELECT doc_id, text,
          |   ${filt(l("en"))} AS en, ${filt(l("de"))} AS de,
          |   ${filt(l("es"))} AS es, ${filt(l("fr"))} AS fr FROM t),
@@ -2524,7 +2533,7 @@ object TextQueries {
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d10_bloom_incremental" ->
       """WITH f AS (SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
         |  FROM documents)
         | SELECT doc_id FROM f WHERE doc_id % 3 <> 0
         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 = 0)
@@ -2591,7 +2600,7 @@ object TextQueries {
         | FROM o ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d14_bloom_state" ->
       """WITH f AS (SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
         |  FROM documents)
         | SELECT doc_id FROM f WHERE doc_id % 3 <> 0
         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 = 0)
