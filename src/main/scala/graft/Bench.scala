@@ -205,7 +205,13 @@ object Bench {
         "\"" + k + "\":" + t.map(x => f"$x%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"java_procs":${javaProcs()},"trials":$ts}""")
+    // explicit provenance for every bench-only shape override: a reader
+    // of the JSON can see which timed entries differ from the declared,
+    // oracle-checked query (the override's containment in the declared
+    // plan is spec-pinned — Round9OpsSpec "s21 bench override")
+    val ov = Headline.filter(BenchOverrides.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","overrides":$ov,"loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"java_procs":${javaProcs()},"trials":$ts}""")
     spark.stop()
   }
 }

@@ -562,9 +562,15 @@ object TextQueries {
       // the first run per dataset fingerprint pays the two physical
       // writes, so post-change numbers aren't comparable to the
       // round-7 figures that included both writes every run.
+      // the store key carries a RECIPE VERSION alongside the dataset
+      // fingerprint: a future change to the batch-split rule or the
+      // selected columns must invalidate prior materializations, or
+      // steady-state runs would silently read a store that no longer
+      // matches the code (and never exercise the write path again)
+      val recipe = "p8v2"
       val fp = graft.store.AnnIndexes.fingerprint(s, s"$dir/documents.parquet")
       val store = graft.store.AnnIndexes.materializeAtomic(s,
-        s"${graft.store.AnnIndexes.root}/p8_${graft.store.AnnIndexes.keyOf(dir)}_$fp") { tmp =>
+        s"${graft.store.AnnIndexes.root}/${recipe}_${graft.store.AnnIndexes.keyOf(dir)}_$fp") { tmp =>
         val d = docs(s, dir)
         d.filter(pmod(col("doc_id"), lit(2)) === 0)
           .select(col("doc_id"), col("n_chars"))
@@ -884,14 +890,22 @@ object TextQueries {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
         .select(col("n"),
+          // nullif guard: a degenerate corpus (one distinct token →
+          // n = 1, all x equal) zeroes the denominator; double ÷ 0 is
+          // NaN/Inf in Spark but an error-or-NULL in DuckDB, so the
+          // engines would diverge exactly where the comparison should
+          // fail loudly. NULL slope/intercept, identically on both
+          // sides, is the portable "no fit" answer.
           round((col("n") * col("sxy") - col("sx") * col("sy"))
             .cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            nullif((col("n") * col("sxx") - col("sx") * col("sx")), lit(0))
+              .cast("double"),
             6).as("slope"),
           // intercept back in nats: (Σy − m·Σx)/n is 1e-4-nats ÷ 1e4
           round((col("sy").cast("double") -
             (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              nullif((col("n") * col("sxx") - col("sx") * col("sx")), lit(0))
+                .cast("double") *
               col("sx").cast("double")) /
             col("n").cast("double") / 1e4, 6).as("intercept_ln"))
     }),
@@ -2092,10 +2106,11 @@ object TextQueries {
         |  SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
         | SELECT CAST(n AS BIGINT) AS n,
         |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |    / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS slope,
         |  ROUND((CAST(sy AS DOUBLE)
         |    - CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+        |      * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1e4, 6) AS intercept_ln
         | FROM m""".stripMargin.replaceAll("\n", ""),
     "d8_repeated_passages" ->
