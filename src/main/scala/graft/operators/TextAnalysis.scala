@@ -41,18 +41,76 @@ object TextAnalysis {
     * the chunker's and the oracle's `string_split(text, ' ')`). */
   def tokens(text: Column): Column = split(text, " ", -1)
 
-  /** BPE-ish pre-tokenization pattern: a letter run, digit run, or
-    * punctuation run, each optionally glued to one preceding space —
-    * the GPT-2-style pre-tokenizer shape restricted to a regex subset
-    * with identical leftmost-first semantics in Java regex and RE2
-    * (no \s classes, no backreferences), so counts are engine-portable.
-    * Letter/digit classes are the UNICODE categories \p{L}/\p{N}
-    * (identical in Java regex and RE2), not ASCII ranges: "café" is
-    * ONE letter run and CJK text is letter runs, where the former
-    * ASCII classes split every accented word at the accent (verified
-    * piece-for-piece identical across both engines on accented + CJK
-    * fixtures — UnicodeTextSpec). */
-  val BpePattern: String = " ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N} ]+"
+  /** BPE-ish pre-tokenization pattern: a digit run, a letter run
+    * BOUNDED BY SCRIPT, or a punctuation run, each optionally glued to
+    * one preceding space — the GPT-2-style pre-tokenizer shape
+    * restricted to a regex subset with identical leftmost-first
+    * semantics in Java regex and RE2 (no \s classes, no
+    * backreferences), so counts are engine-portable.
+    *
+    * Script-boundary segmentation (round 9): a bare `\p{L}+` consumes
+    * an entire UNSPACED CJK sentence as one letter run — useless as a
+    * pre-token. Letter alternatives are therefore per-script: Han one
+    * CHARACTER at a time (the byte-level-BPE-compatible fallback for
+    * a script with no word delimiter), Kana/Hangul/alphabetic scripts
+    * as single-script runs, and any script not listed one letter at a
+    * time (still split at every boundary; deterministic). Alternation
+    * order is overlap-free at any start position except the trailing
+    * catch-alls, so leftmost-first picks the same piece in both
+    * engines. "café" is ONE Latin run (é is Script=Latin); an NFD
+    * combining mark is Script=Inherited — not a letter class — and
+    * falls to the punctuation run exactly as it did pre-round-9.
+    * Script classes are spelled \p{IsX} in Java, \p{X} in RE2
+    * ([[BpePatternRe2]]) — same Unicode Script property (verified
+    * piece-for-piece identical across both engines on unspaced-CJK +
+    * accented + mixed-script fixtures — UnicodeTextSpec). */
+  val BpePattern: String =
+    " ?\\p{N}+| ?\\p{IsHan}| ?\\p{IsHiragana}+| ?\\p{IsKatakana}+" +
+      "| ?\\p{IsHangul}+| ?\\p{IsLatin}+| ?\\p{IsCyrillic}+" +
+      "| ?\\p{IsGreek}+| ?\\p{IsArabic}+| ?\\p{IsHebrew}+" +
+      "| ?\\p{IsDevanagari}+| ?\\p{IsThai}+| ?\\p{L}| ?[^\\p{L}\\p{N} ]+"
+
+  /** [[BpePattern]] in RE2 spelling for the DuckDB oracle — the same
+    * alternation with \p{IsX} → \p{X}. Kept adjacent so the two can
+    * never drift independently. */
+  val BpePatternRe2: String =
+    " ?\\p{N}+| ?\\p{Han}| ?\\p{Hiragana}+| ?\\p{Katakana}+" +
+      "| ?\\p{Hangul}+| ?\\p{Latin}+| ?\\p{Cyrillic}+" +
+      "| ?\\p{Greek}+| ?\\p{Arabic}+| ?\\p{Hebrew}+" +
+      "| ?\\p{Devanagari}+| ?\\p{Thai}+| ?\\p{L}| ?[^\\p{L}\\p{N} ]+"
+
+  /** Script-segmenting WORD tokenizer pattern: whitespace separates
+    * (all five [[PortableWs]] characters), and within a run letters
+    * split at CJK script boundaries — Han per CHARACTER (no word
+    * delimiter exists; per-char is the byte-level-BPE-compatible
+    * fallback), Hiragana/Katakana/Hangul as runs, everything else
+    * (including punctuation glued to words, matching [[tokens]]'
+    * single-space semantics) as one run. On single-space-delimited
+    * non-CJK text this yields exactly [[tokens]] minus empty strings;
+    * on unspaced CJK it yields per-char/per-script tokens where
+    * [[tokens]] yields one giant token per sentence. Java and RE2
+    * ([[SegPatternRe2]]) agree token-for-token — same Script property,
+    * same leftmost-first alternation. */
+  val SegPattern: String =
+    "\\p{IsHan}|\\p{IsHiragana}+|\\p{IsKatakana}+|\\p{IsHangul}+" +
+      "|[^\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}" +
+      " \\t\\n\\x0B\\f\\r]+"
+
+  /** [[SegPattern]] in RE2 spelling for the DuckDB oracle. */
+  val SegPatternRe2: String =
+    "\\p{Han}|\\p{Hiragana}+|\\p{Katakana}+|\\p{Hangul}+" +
+      "|[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul} \\t\\n\\x0B\\f\\r]+"
+
+  /** Script-aware word tokens (array<string>) — the tokenizer-grade
+    * segmentation every TOKENIZER-SEMANTIC operator uses (BPE
+    * training/encoding, NB language-ID features, Zipf spectra,
+    * winnowing grams): unspaced CJK segments per-char/per-script
+    * instead of one run per sentence. [[tokens]] stays the plain
+    * whitespace WORD splitter for word-count statistics and shingle
+    * identities (t1/t5/t9/t11/t34/t35, d2/d3 …) whose oracles replay
+    * `string_split`. Pure codegen'd map work, zero shuffles. */
+  def segTokens(text: Column): Column =
+    regexp_extract_all(text, lit(SegPattern), lit(0))
 
   /** The BPE-ish pre-token pieces of `text` (array<string>). A tokenizer
     * proxy for token-budget accounting when the real BPE merges table
@@ -66,9 +124,11 @@ object TextAnalysis {
     * unit of the first BPE-training iteration: tokenizer training at
     * corpus scale IS "count these pairs, merge the argmax, repeat",
     * and the counting step is pure map-side explode + one keyed agg.
-    * Words shorter than 2 chars contribute nothing. */
+    * Words shorter than 2 chars contribute nothing. Words are
+    * [[segTokens]] (script-aware): unspaced Han yields 1-char words —
+    * no cross-character Han merges, by the per-char fallback design. */
   def charPairs(text: Column): Column =
-    flatten(transform(tokens(lower(text)), w =>
+    flatten(transform(segTokens(lower(text)), w =>
       // sequence(1, 0) would DESCEND — guard short words explicitly
       when(length(w) >= 2,
         transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))

@@ -39,7 +39,7 @@ object TextQueries {
     * state fold ([[graft.streaming.ModelStreams]]) run; counts are an
     * additive monoid, so per-batch partials merge exactly. */
   private[graft] def bpeWordCountsOf(d: DataFrame): DataFrame =
-    d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+    d.select(explode(TextAnalysis.segTokens(lower(col("text")))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
 
   /** The corpus word-frequency table BPE training and inference run
@@ -54,7 +54,7 @@ object TextQueries {
     * ([[graft.streaming.ModelStreams]]). */
   private[graft] def nbTokCounts(train: DataFrame): DataFrame =
     train.select(col("lang").as("cls"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        explode(TextAnalysis.segTokens(col("text"))).as("tok"))
       .groupBy("cls", "tok").agg(count(lit(1)).as("c"))
 
   /** NB training state, document half: (cls, nd) document counts —
@@ -107,7 +107,7 @@ object TextQueries {
       .groupBy("tok").pivot("cls", clsConst.map(_._1))
       .agg(first("w6")))
     val sums = d.select(col("doc_id"), col("lang"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        explode(TextAnalysis.segTokens(col("text"))).as("tok"))
       .join(wide, Seq("tok"), "left")
       .groupBy("doc_id", "lang")
       .agg(
@@ -134,7 +134,10 @@ object TextQueries {
     * corpus gets a fresh fingerprint and retrains. */
   private def bpeModelFor(
       s: SparkSession, dir: String): Vector[(String, String, Long)] = {
-    val path = s"${graft.store.AnnIndexes.root}/bpe_" +
+    // bpe2: recipe version — round 9's script-aware segTokens change
+    // the word-count recipe, so round-8 sidecars (whitespace words)
+    // must not be reused (the p8 store-key principle)
+    val path = s"${graft.store.AnnIndexes.root}/bpe2_" +
       s"${graft.store.AnnIndexes.keyOf(dir)}_" +
       graft.store.AnnIndexes.fingerprint(s, s"$dir/documents.parquet")
     graft.store.AnnIndexes.materializeAtomic(s, path) { tmp =>
@@ -800,7 +803,7 @@ object TextQueries {
           merges.map(m => (m._1, m._2)))).cast("long").as("np"))
       Tables.balanced(docs(s, dir))
         .select(col("doc_id"),
-          explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+          explode(TextAnalysis.segTokens(lower(col("text")))).as("w"))
         .join(broadcast(pieces), "w")
         .groupBy("doc_id")
         .agg(sum("np").as("bpe_tokens"), count(lit(1)).as("n_words"))
@@ -816,23 +819,25 @@ object TextQueries {
     // map work inside the scan — a corpus of any size pays zero
     // shuffles for what is a row-local statistic.
     "t39_script_mix" -> ((s, dir) => {
-      val scripts = Seq("Latin", "Han", "Cyrillic", "Greek")
-      def cnt(cls: String) =
-        length(regexp_replace(col("text"), s"[^\\p{Is$cls}]", ""))
-      val d0 = docs(s, dir).select(
-        col("doc_id") +:
-          scripts.map(sc => cnt(sc).as(s"n_${sc.toLowerCase}")) :+
-          length(regexp_replace(col("text"), "[^\\p{N}]", ""))
-            .as("n_digit"): _*)
-      d0.select(col("doc_id"),
-          col("n_latin"), col("n_han"), col("n_cyrillic"), col("n_greek"),
-          col("n_digit"),
-          when(greatest(scripts.map(sc =>
-              col(s"n_${sc.toLowerCase}")): _*) === 0, lit("none"))
-            .otherwise(array_max(array(scripts.map(sc =>
-              struct(col(s"n_${sc.toLowerCase}").as("c"),
-                lit(sc.toLowerCase).as("s"))): _*)).getField("s"))
-            .as("dominant"))
+      // round 9: ONE code-point scan emits all nine script counts +
+      // digits (ScriptCounts, codegen'd) — the round-8 shape paid six
+      // full regexp traversals per row for four scripts. Dominant
+      // script stays the (count, name) struct-max: ties break to the
+      // lexicographically LARGER script name (explicit rule, replayed
+      // as a name-descending CASE chain in the oracle).
+      val fields = graft.functions.ScriptCountsKernel.FieldNames
+      val scriptFields = fields.dropRight(1) // all but n_digit
+      val d0 = docs(s, dir).select(col("doc_id"),
+        graft.functions.ScriptCounts(col("text")).as("sc"))
+      d0.select(
+          col("doc_id") +:
+            fields.map(f => col(s"sc.$f").as(f)) :+
+            when(greatest(scriptFields.map(f => col(s"sc.$f")): _*) === 0,
+                lit("none"))
+              .otherwise(array_max(array(scriptFields.map(f =>
+                struct(col(s"sc.$f").as("c"),
+                  lit(f.stripPrefix("n_")).as("s"))): _*)).getField("s"))
+              .as("dominant"): _*)
         .orderBy("doc_id")
     }),
 
@@ -874,7 +879,7 @@ object TextQueries {
     // (rank window + one agg), corpus-size-independent.
     "t41_zipf_fit" -> ((s, dir) => {
       val top = docs(s, dir)
-        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(explode(TextAnalysis.segTokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("tok"))
         .limit(1000)
@@ -1557,11 +1562,26 @@ object TextQueries {
     }),
   )
 
+  /** Oracle-side distinct word-n-gram shingle list over a `tk` token
+    * list, INCLUDING Spark [[TextAnalysis.shingles]]' whole-text
+    * fallback: a document shorter than n tokens contributes its whole
+    * text as one shingle (so two identical one-token documents — e.g.
+    * unspaced-CJK docs under the whitespace splitter — are Jaccard-1
+    * duplicates in BOTH engines, not NaN-vs-1 divergent; surfaced by
+    * the round-9 unspaced-CJK fixture). */
+  private def shingleListSql(n: Int): String = {
+    val gram = (0 until n)
+      .map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN len(tk) >= $n THEN list_distinct(list_transform(" +
+      s"range(1, len(tk) - ${n - 2}), i -> $gram)) " +
+      "ELSE [array_to_string(tk, ' ')] END"
+  }
+
   /** Transitive-closure CC oracle (DuckDB recursive CTE) shared by the
     * label-propagation (d6) and star-contraction (d9) cluster queries. */
   private val DupClustersOracle: String =
-    """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
-      |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
+    s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleListSql(2)} s
       |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
       |        WHERE doc_id < 1000)),
       | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -1630,8 +1650,7 @@ object TextQueries {
   private def d3OracleSql(s: SparkSession, dir: String): Option[String] =
     longPairValues(queries("d3_minhash_neardup")(s, dir), "a_id", "b_id")
       .map { vals =>
-        s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(
-           |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh
+        s"""WITH sh AS (SELECT doc_id, ${shingleListSql(2)} sh
            |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents)),
            | p(a_id, b_id) AS (SELECT * FROM (VALUES $vals))
            | SELECT p.a_id, p.b_id,
@@ -1717,7 +1736,8 @@ object TextQueries {
       merges.indices.map(i => s"SELECT * FROM m${i + 1}")
         .mkString(" UNION ALL ")
     s"""WITH wc AS (SELECT w, COUNT(*) AS wc FROM (
-       |   SELECT unnest(string_split(lower(text), ' ')) AS w
+       |   SELECT unnest(regexp_extract_all(lower(text),
+       |     '${TextAnalysis.SegPatternRe2}')) AS w
        |   FROM documents) GROUP BY w),
        | s0 AS (SELECT wc, list_transform(range(1, length(w) + 1),
        |   i -> w[i:i]) AS p FROM wc)""".stripMargin.replaceAll("\n", "") +
@@ -1736,14 +1756,16 @@ object TextQueries {
       case ((a, b, _), i) => segCteSql(a, b, i, "w")
     }
     s"""WITH vocab AS (SELECT DISTINCT
-       |   unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |   unnest(regexp_extract_all(lower(text),
+       |     '${TextAnalysis.SegPatternRe2}')) AS w FROM documents),
        | s0 AS (SELECT w, list_transform(range(1, length(w) + 1),
        |   i -> w[i:i]) AS p FROM vocab)""".stripMargin
       .replaceAll("\n", "") +
       segCtes.mkString +
       s""", np AS (SELECT w, len(p) AS np FROM s${merges.length}),
          | dt AS (SELECT doc_id,
-         |   unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |   unnest(regexp_extract_all(lower(text),
+         |     '${TextAnalysis.SegPatternRe2}')) AS w FROM documents)
          | SELECT dt.doc_id, CAST(SUM(np.np) AS BIGINT) AS bpe_tokens,
          |  COUNT(*) AS n_words
          | FROM dt JOIN np ON dt.w = np.w
@@ -1838,8 +1860,7 @@ object TextQueries {
         | FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n
         | GROUP BY st.source ORDER BY st.source""".stripMargin.replaceAll("\n", ""),
     "d12_quality_keep" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleListSql(2)} s
         |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
         |        WHERE doc_id < 1000)),
         | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -1949,9 +1970,8 @@ object TextQueries {
         | AS n_chunks FROM documents ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
     "t5_top_bigrams" ->
-      """SELECT bigram, COUNT(*) AS cnt FROM (
-        |  SELECT unnest(list_distinct(list_transform(range(1, len(tk)),
-        |    i -> tk[i] || ' ' || tk[i+1]))) AS bigram
+      s"""SELECT bigram, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(${shingleListSql(2)}) AS bigram
         |  FROM (SELECT string_split(text, ' ') tk FROM documents))
         | GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20"""
         .stripMargin.replaceAll("\n", ""),
@@ -2048,41 +2068,43 @@ object TextQueries {
          | FROM q JOIN s USING (source) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", "")
     },
+    // t15: the pre-tokenizer pattern is TextAnalysis.BpePattern in its
+    // RE2 spelling — one definition, two engines.
     "t15_bpe_tokens" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text,
-        |   ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+')) AS BIGINT) AS n_pieces,
-        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        | ROUND(CAST(len(regexp_extract_all(text,
-        |   ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+')) AS DOUBLE)
-        |  / len(string_split(text, ' ')), 6) AS pieces_per_token
-        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text,
+         |   '${TextAnalysis.BpePatternRe2}')) AS BIGINT) AS n_pieces,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         | ROUND(CAST(len(regexp_extract_all(text,
+         |   '${TextAnalysis.BpePatternRe2}')) AS DOUBLE)
+         |  / len(string_split(text, ' ')), 6) AS pieces_per_token
+         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     // t39: RE2 spells the script classes \p{X} where Java spells them
-    // \p{IsX} — same Unicode script property, verified char-for-char.
-    // The dominant-script CASE chain reproduces Spark's struct-max
-    // tie-break (equal counts -> lexicographically LARGER script name).
-    "t39_script_mix" ->
-      """WITH c AS (SELECT doc_id,
-        |  length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS n_latin,
-        |  length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS n_han,
-        |  length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
-        |  length(regexp_replace(text, '[^\p{Greek}]', '', 'g')) AS n_greek,
-        |  length(regexp_replace(text, '[^\p{N}]', '', 'g')) AS n_digit
-        | FROM documents)
-        | SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
-        |  CAST(n_han AS BIGINT) AS n_han,
-        |  CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
-        |  CAST(n_greek AS BIGINT) AS n_greek,
-        |  CAST(n_digit AS BIGINT) AS n_digit,
-        |  CASE
-        |   WHEN greatest(n_latin, n_han, n_cyrillic, n_greek) = 0 THEN 'none'
-        |   WHEN n_latin >= n_han AND n_latin >= n_cyrillic
-        |    AND n_latin >= n_greek THEN 'latin'
-        |   WHEN n_han >= n_cyrillic AND n_han >= n_greek THEN 'han'
-        |   WHEN n_greek >= n_cyrillic THEN 'greek'
-        |   ELSE 'cyrillic'
-        |  END AS dominant
-        | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // \p{IsX} — same Unicode Script property the single-pass
+    // ScriptCounts kernel reads via Character.UnicodeScript (verified
+    // char-for-char). The oracle keeps the one-regex-per-script replay
+    // (correctness reference, not the production kernel); the
+    // dominant-script CASE chain tests names in DESCENDING order so
+    // equal counts resolve to the lexicographically LARGER name —
+    // exactly Spark's (count, name) struct-max tie-break.
+    "t39_script_mix" -> {
+      val k = graft.functions.ScriptCountsKernel
+      val cnts = k.Re2Names.zip(k.FieldNames).map { case (re2, f) =>
+        s"length(regexp_replace(text, '[^\\p{$re2}]', '', 'g')) AS $f"
+      } :+ "length(regexp_replace(text, '[^\\p{N}]', '', 'g')) AS n_digit"
+      val casts = k.FieldNames.map(f => s"CAST($f AS BIGINT) AS $f")
+      val namesDesc = k.FieldNames.dropRight(1)
+        .map(_.stripPrefix("n_")).sorted.reverse
+      val whens = namesDesc
+        .map(n => s"WHEN n_$n = mx THEN '$n'").mkString(" ")
+      s"""WITH c AS (SELECT doc_id, ${cnts.mkString(", ")}
+         | FROM documents),
+         | g AS (SELECT *, greatest(${k.FieldNames.dropRight(1)
+               .mkString(", ")}) AS mx FROM c)
+         | SELECT doc_id, ${casts.mkString(", ")},
+         |  CASE WHEN mx = 0 THEN 'none' $whens END AS dominant
+         | FROM g ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+    },
     // t40: DuckDB's nfc_normalize computes the same Unicode canonical
     // composition as java.text.Normalizer NFC.
     "t40_nfc_fingerprint" ->
@@ -2095,8 +2117,9 @@ object TextQueries {
     // quantized logs), and casting the same integer to DOUBLE is
     // deterministic in both engines, so the fit agrees bit-for-bit.
     "t41_zipf_fit" ->
-      """WITH tc AS (SELECT tok, COUNT(*) AS cnt FROM (
-        |   SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      s"""WITH tc AS (SELECT tok, COUNT(*) AS cnt FROM (
+        |   SELECT unnest(regexp_extract_all(text,
+        |     '${TextAnalysis.SegPatternRe2}')) AS tok FROM documents)
         |  GROUP BY tok ORDER BY cnt DESC, tok LIMIT 1000),
         | pts AS (SELECT
         |  CAST(round(ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)) * 1e4)
@@ -2126,7 +2149,8 @@ object TextQueries {
     // are inclusive (tk[i : i+7] = 8 grams, g[j : j+3] = 4 hashes) and
     // clamp at the list end exactly like Spark's slice(start, len).
     "d17_winnowing" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text,
+        |   '${TextAnalysis.SegPatternRe2}') tk FROM documents),
         | gs AS (SELECT doc_id, list_transform(
         |   range(1, greatest(len(tk) - 7, 1) + 1),
         |   i -> md5(array_to_string(tk[i : i + 7], ' '))) AS g FROM toks),
@@ -2359,8 +2383,12 @@ object TextQueries {
     // smoothing, same integer micro-nat quantization, so the per-doc
     // scores are exact integer sums in both engines and the argmax
     // (score DESC, class ASC) is bit-determined.
+    // t36: tokens are the script-aware segmentation (SegPatternRe2 ≡
+    // TextAnalysis.SegPattern) — unspaced-CJK docs train/score on
+    // per-char features in both engines.
     "t36_nb_langid" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+      s"""WITH d AS (SELECT doc_id, lang, regexp_extract_all(text,
+        |   '${TextAnalysis.SegPatternRe2}') AS tk
         |   FROM documents),
         | train AS (SELECT * FROM d WHERE doc_id % 3 = 0),
         | cnts AS (SELECT cls, tok, COUNT(*) AS c FROM (
@@ -2460,8 +2488,9 @@ object TextQueries {
         | FROM k ORDER BY p_partkey LIMIT 1000"""
         .stripMargin.replaceAll("\n", ""),
     "t31_bpe_merges" ->
-      """WITH words AS (
-        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      s"""WITH words AS (
+        |  SELECT unnest(regexp_extract_all(lower(text),
+        |    '${TextAnalysis.SegPatternRe2}')) AS w FROM documents),
         | prs AS (
         |  SELECT unnest(list_transform(range(1, length(w)),
         |                i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
@@ -2529,8 +2558,7 @@ object TextQueries {
     // pair graph), so the star-contraction form shares the oracle
     "d9_dup_clusters_star" -> DupClustersOracle,
     "d7_global_dedup" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) s
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleListSql(2)} s
         |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
         |        WHERE doc_id < 1000)),
         | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -2621,8 +2649,7 @@ object TextQueries {
         |  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 3 = 0)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d2_ngram_jaccard" ->
-      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) sh
+      s"""WITH s AS (SELECT doc_id, ${shingleListSql(2)} sh
         |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
         |        WHERE doc_id < 1000))
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -2636,9 +2663,7 @@ object TextQueries {
     // unbounded (d16 is the scale path): prefix filtering is exact, so
     // the scale algorithm must hash-match the O(N²) SQL.
     "d16_prefix_jaccard" ->
-      """WITH s AS (SELECT doc_id, list_distinct(list_transform(
-        |   range(1, len(tk) - 1),
-        |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sh
+      s"""WITH s AS (SELECT doc_id, ${shingleListSql(3)} sh
         |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents))
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)

@@ -135,9 +135,17 @@ class Round8OpsSpec extends AnyFunSuite {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-    // reference implementation: the paper's algorithm, plainly
+    // reference implementation: the paper's algorithm, plainly —
+    // tokenized with the same script-aware segmentation the engine
+    // kernel uses (round 9: 世界 is TWO per-char tokens, not one word)
+    def segRef(text: String): Array[String] = {
+      val m = java.util.regex.Pattern
+        .compile(graft.operators.TextAnalysis.SegPattern).matcher(text)
+      Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).toArray
+    }
     def ref(text: String): Set[String] = {
-      val toks = text.split(" ", -1)
+      val toks = segRef(text)
       val grams =
         if (toks.length <= k) Array(toks.mkString(" "))
         else toks.sliding(k).map(_.mkString(" ")).toArray
@@ -170,7 +178,7 @@ class Round8OpsSpec extends AnyFunSuite {
     samples.zipWithIndex.foreach { case (t, i) =>
       assert(got(i.toLong) == ref(t), s"doc $i")
       // density: never more fingerprints than windows
-      val nGrams = math.max(t.split(" ", -1).length - k + 1, 1)
+      val nGrams = math.max(segRef(t).length - k + 1, 1)
       assert(got(i.toLong).size <= math.max(nGrams - w + 1, 1))
     }
     // and the engine pair shares the guaranteed fingerprint

@@ -61,6 +61,56 @@ class Round9OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("segTokens: unspaced Han per-char, café one token, scripts split") {
+    import spark.implicits._
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(graft.operators.TextAnalysis.segTokens(col("text")).as("t"))
+        .collect().head.getSeq[String](0)
+    // the round-9 pin: an UNSPACED Han sentence segments per character
+    assert(seg("世界数据引擎") == Seq("世", "界", "数", "据", "引", "擎"))
+    // while an accented Latin word stays ONE token
+    assert(seg("café") == Seq("café"))
+    // mixed unspaced text splits at every script boundary; Kana and
+    // Hangul segment as runs, Han per char, punctuation glues to the
+    // preceding non-CJK word exactly like the whitespace tokenizer
+    assert(seg("abc世界です ハロー한글 café, done") ==
+      Seq("abc", "世", "界", "です", "ハロ", "ー", "한글", "café,", "done"))
+    // single-space ASCII text: identical to tokens() (minus empties)
+    assert(seg("hello, world") == Seq("hello,", "world"))
+    // and the engine matches the java.util.regex reference on all four
+    val pat = java.util.regex.Pattern
+      .compile(graft.operators.TextAnalysis.SegPattern)
+    Seq("世界数据引擎", "café", "abc世界です ハロー한글 café, done",
+        "hello, world").foreach { s =>
+      val m = pat.matcher(s)
+      val expected = Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).toSeq
+      assert(seg(s) == expected, s"sample: $s")
+    }
+    Caches.release(spark)
+  }
+
+  test("winnowing finds shared UNSPACED-CJK passages (per-char grams)") {
+    import spark.implicits._
+    val (k, w) = (8, 4)
+    // a shared unspaced Han run of w+k-1 = 11 chars between two docs
+    // whose remainders differ — pre-round-9 this was ONE token per doc
+    // (no gram structure at all); per-char segmentation restores the
+    // selection guarantee for CJK exactly as for spaced text
+    val run = "数据引擎分布式查询优化"   // 11 Han chars, unspaced
+    require(run.codePointCount(0, run.length) == k + w - 1)
+    val a = "完全不同的前缀内容在这里" + run + "后缀甲乙丙"
+    val b = "另一份文档的开头部分" + run + "不同的结尾文字段落"
+    val df = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup
+      .winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
+    assert(fps(0L).intersect(fps(1L)).nonEmpty)
+    Caches.release(spark)
+  }
+
   test("t41 zipf fit yields NULL slope on a degenerate corpus") {
     // One distinct token → n = 1 → zero denominator: the guard must
     // emit NULL (the portable no-fit answer) instead of NaN/Infinity.

@@ -47,9 +47,11 @@ class UnicodeTextSpec extends AnyFunSuite {
       assert(expected.mkString == s)
     }
     // the concrete shape, pinned: digits are one run, the letter 'x'
-    // after them starts a new run WITHOUT the space (leftmost-first)
+    // after them starts a new run WITHOUT the space (leftmost-first),
+    // and Han segments PER CHARACTER (round 9 — the unspaced-CJK
+    // fallback; only the first char absorbs the preceding space)
     assert(pieces("café 世界 naïve 42x, done") ==
-      Seq("café", " 世界", " naïve", " 42", "x", ",", " done"))
+      Seq("café", " 世", "界", " naïve", " 42", "x", ",", " done"))
   }
 
   test("charPairs / bpeSegment are character-based on non-ASCII words") {
@@ -57,7 +59,9 @@ class UnicodeTextSpec extends AnyFunSuite {
     val cp = Seq("café 世界").toDF("text")
       .select(TextAnalysis.charPairs(col("text")).as("p"))
       .collect().head.getSeq[String](0)
-    assert(cp == Seq("ca", "af", "fé", "世界"))
+    // 世界 is two PER-CHAR words after round 9's script segmentation —
+    // single-char words contribute no pairs (no cross-Han merges)
+    assert(cp == Seq("ca", "af", "fé"))
     // bpeSegment: seeds from single characters and merges apply to
     // multi-byte letters exactly like ASCII ones
     val seg = Seq("café").toDF("w")
@@ -109,8 +113,9 @@ class UnicodeTextSpec extends AnyFunSuite {
     // (lexicographically larger), matching the oracle's CASE chain
     val r = SparkEntry.queries("t39_script_mix")(spark,
       "/root/testdata/sf0.001").limit(0) // plan compiles against real data
-    assert(r.columns.toSeq == Seq("doc_id", "n_latin", "n_han",
-      "n_cyrillic", "n_greek", "n_digit", "dominant"))
+    assert(r.columns.toSeq ==
+      Seq("doc_id") ++ graft.functions.ScriptCountsKernel.FieldNames
+        :+ "dominant")
     val mixed = Seq((1L, "abc где"), (2L, "мир мир"), (3L, "123 456"))
       .toDF("doc_id", "text")
     val got = mixed.select(col("doc_id"),

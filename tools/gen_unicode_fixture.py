@@ -58,11 +58,21 @@ for a, b in SWAPS:
 # changed=true branch); %41 docs become CJK-dominant (t39's 'han'
 # branch); %43 docs get Cyrillic+Greek runs
 NFD_WORD = "caf" + "e" + "\u0301"  # e + combining acute; NFC -> caf\u00e9
+# Round 9: %37 docs become UNSPACED CJK — no word delimiter at all
+# (real Chinese/Japanese), including a mixed Kana/Hangul doc — the
+# hardest multilingual case: every tokenizer-semantic operator must
+# segment these per-script/per-char identically in both engines, and
+# the two variants share an unspaced Han passage ('世界数据引擎模型训练')
+# so the winnowing/dedup families see real cross-doc CJK structure.
+UNSPACED_A = "世界数据引擎模型训练分布式查询优化器批处理流水线"
+UNSPACED_B = "数据引擎です処理パイプラインハロー한글분산처리世界数据引擎模型训练"
 con = duckdb.connect()
 con.sql(f"""
 COPY (
   SELECT doc_id,
-         CASE WHEN doc_id % 41 = 0 THEN '世界 数据 引擎 模型 训练 数据 世界 引擎'
+         CASE WHEN doc_id % 37 = 0 AND doc_id % 2 = 0 THEN '{UNSPACED_A}'
+              WHEN doc_id % 37 = 0 THEN '{UNSPACED_B}'
+              WHEN doc_id % 41 = 0 THEN '世界 数据 引擎 模型 训练 数据 世界 引擎'
               WHEN doc_id % 43 = 0 THEN t2 || ' Москва Ελλάδα текст λόγος'
               WHEN doc_id % 13 = 0 THEN t2 || ' {NFD_WORD}'
               WHEN doc_id % 7 = 0 THEN t2 || ' 世界 数据 引擎 世界'
