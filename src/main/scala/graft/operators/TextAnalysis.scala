@@ -223,8 +223,16 @@ object TextAnalysis {
     * n-gram language models need; `shingles` below is the distinct
     * set-form for Jaccard/MinHash). Docs with < n tokens yield an
     * empty array. */
-  def ngrams(text: Column, n: Int): Column =
-    letBound(tokens(text)) { toks =>
+  def ngrams(text: Column, n: Int): Column = ngramsOf(tokens(text), n)
+
+  /** [[ngrams]] over the SCRIPT-AWARE segmentation — the round-10
+    * migration target for gram statistics that must stay meaningful on
+    * delimiter-free scripts (an unspaced Han sentence yields per-char
+    * grams, not one sentence-sized "token"). */
+  def ngramsSeg(text: Column, n: Int): Column = ngramsOf(segTokens(text), n)
+
+  private def ngramsOf(toks0: Column, n: Int): Column =
+    letBound(toks0) { toks =>
       val count = size(toks) - (n - 1)
       when(count > 0,
         transform(sequence(lit(1), greatest(count, lit(1))),
@@ -232,11 +240,19 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))
     }
 
-  def shingles(text: Column, n: Int): Column =
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
+  /** [[shingles]] over the SCRIPT-AWARE segmentation (see
+    * [[ngramsSeg]]) — set-form shingles for Jaccard/MinHash that keep
+    * their resolution on unspaced CJK. */
+  def shinglesSeg(text: Column, n: Int): Column =
+    shinglesOf(segTokens(text), n)
+
+  private def shinglesOf(toks0: Column, n: Int): Column =
     // bind the token array once per row: the lambda below reads it
     // n times per shingle position, which would otherwise re-split the
     // document every time (see letBound)
-    letBound(tokens(text)) { toks =>
+    letBound(toks0) { toks =>
       val count = size(toks) - (n - 1)
       array_distinct(
         when(count > 0,
@@ -292,9 +308,11 @@ object TextAnalysis {
     * row-local statistic. The `run == 0` field is the fold's
     * "no element seen yet" marker (a sentinel gram string would
     * collide with legitimate empty-string grams from repeated
-    * spaces). */
+    * spaces). Grams are [[ngramsSeg]] (round 10): a Han-dominant doc
+    * gets real per-char gram repetition statistics instead of one
+    * sentence-sized gram that can never repeat. */
   def repetitionStats(text: Column, n: Int): Column =
-    letBound(sort_array(ngrams(text, n))) { s =>
+    letBound(sort_array(ngramsSeg(text, n))) { s =>
       // fold over INDICES 2..size comparing each gram to its
       // predecessor in the bound array: the state is four longs — no
       // gram string is copied through the accumulator. (Measured at
@@ -347,10 +365,12 @@ object TextAnalysis {
     * each pair sorted so (a,b) and (b,a) accumulate together — the
     * per-row expression under PMI / word-embedding co-occurrence
     * counting (explode → groupBy upstream; no shuffle here). Docs with
-    * < 2 tokens yield no pairs (null → explode drops the row). */
+    * < 2 tokens yield no pairs (null → explode drops the row).
+    * Tokens are [[segTokens]] (round 10): CJK co-occurrence is
+    * per-char within the window, not one degenerate sentence token. */
   def cooccurrencePairs(text: Column, window: Int): Column = {
     require(window >= 1, "window must be >= 1")
-    letBound(tokens(text)) { tk =>
+    letBound(segTokens(text)) { tk =>
       when(size(tk) >= 2,
         flatten(transform(sequence(lit(1), size(tk) - 1), i =>
           transform(

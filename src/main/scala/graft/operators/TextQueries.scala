@@ -1139,6 +1139,20 @@ object TextQueries {
         .orderBy("fp")
     }),
 
+    // D18: shared-passage PAIR decisions — the MOSS output d17's
+    // fingerprints exist for: per doc pair, how many winnowing
+    // fingerprints are shared and what fraction of the smaller doc's
+    // fingerprint set that covers (containment). Singleton and
+    // >64-doc boilerplate fps are pruned BEFORE the fp self-join
+    // (the maxDf move), so the pair fanout is bounded per key; one
+    // fp-keyed exchange + one pair-keyed agg, int64 fp keys (4×
+    // narrower than round-8's md5-hex strings).
+    "d18_shared_passages" -> ((s, dir) => {
+      Dedup.sharedPassagePairs(docs(s, dir), "doc_id", "text",
+          k = 8, w = 4, minShared = 2L, maxDocsPerFp = 64L)
+        .orderBy("a_id", "b_id")
+    }),
+
     // D1: exact dedup on a key expression (hash-groupBy; first-writer-
     // wins representative = min id, the reference's R10 semantics).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -1577,6 +1591,15 @@ object TextQueries {
       s"range(1, len(tk) - ${n - 2}), i -> $gram)) " +
       "ELSE [array_to_string(tk, ' ')] END"
   }
+
+  /** Oracle-side spelling of [[Dedup.md5Long]]: parse the first 15 hex
+    * digits of md5(expr) back to a BIGINT with a strpos fold — 60 bits,
+    * exact in a signed 64-bit value in both engines (16 digits would
+    * overflow Spark's signed long — the round-8 HUGEINT trap). */
+  private def md5LongSql(expr: String): String =
+    "list_reduce(list_transform(range(1, 16), " +
+      s"h -> strpos('0123456789abcdef', substr(md5($expr), h, 1)) - 1), " +
+      "(a, b) -> a * 16 + b)"
 
   /** Transitive-closure CC oracle (DuckDB recursive CTE) shared by the
     * label-propagation (d6) and star-contraction (d9) cluster queries. */
@@ -2148,18 +2171,47 @@ object TextQueries {
     // d17: same two nested bounded HOFs in list algebra; DuckDB slices
     // are inclusive (tk[i : i+7] = 8 grams, g[j : j+3] = 4 hashes) and
     // clamp at the list end exactly like Spark's slice(start, len).
+    // Gram hash = int64 md5 slice (md5LongSql ≡ Dedup.md5Long).
     "d17_winnowing" ->
       s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text,
         |   '${TextAnalysis.SegPatternRe2}') tk FROM documents),
         | gs AS (SELECT doc_id, list_transform(
         |   range(1, greatest(len(tk) - 7, 1) + 1),
-        |   i -> md5(array_to_string(tk[i : i + 7], ' '))) AS g FROM toks),
+        |   i -> ${md5LongSql("array_to_string(tk[i : i + 7], ' ')")}) AS g
+        |   FROM toks),
         | fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |   range(1, greatest(len(g) - 3, 1) + 1),
         |   j -> list_min(g[j : j + 3])))) AS fp FROM gs)
         | SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         | FROM fp GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp"""
         .stripMargin.replaceAll("\n", ""),
+    // d18: the pair decision winnowing feeds — shared-fp counts +
+    // containment per doc pair; singleton/boilerplate fps pruned
+    // before the self-join exactly as the engine does.
+    "d18_shared_passages" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text,
+        |   '${TextAnalysis.SegPatternRe2}') tk FROM documents),
+        | gs AS (SELECT doc_id, list_transform(
+        |   range(1, greatest(len(tk) - 7, 1) + 1),
+        |   i -> ${md5LongSql("array_to_string(tk[i : i + 7], ' ')")}) AS g
+        |   FROM toks),
+        | fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(g) - 3, 1) + 1),
+        |   j -> list_min(g[j : j + 3])))) AS fp FROM gs),
+        | nfp AS (SELECT doc_id, COUNT(*) AS nfp FROM fp GROUP BY doc_id),
+        | keep AS (SELECT fp FROM fp GROUP BY fp
+        |   HAVING COUNT(*) BETWEEN 2 AND 64),
+        | pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+        | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |   COUNT(*) AS shared_fps
+        |   FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |   GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        | SELECT a_id, b_id, shared_fps,
+        |   ROUND(CAST(shared_fps AS DOUBLE) / least(na.nfp, nb.nfp), 6)
+        |     AS containment
+        | FROM pairs JOIN nfp na ON na.doc_id = a_id
+        |   JOIN nfp nb ON nb.doc_id = b_id
+        | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""),
     "d1_exact_dedup" ->
       """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS dedup_key,
         | COUNT(*) AS cnt, MIN(doc_id) AS keep_id

@@ -144,12 +144,15 @@ class Round8OpsSpec extends AnyFunSuite {
       Iterator.continually(m.find()).takeWhile(identity)
         .map(_ => m.group()).toArray
     }
-    def ref(text: String): Set[String] = {
+    // round 10: the gram hash is the int64 md5 slice (first 15 hex
+    // digits) — the reference mirrors Dedup.md5Long exactly
+    def md5long(s: String): Long = BigInt(md5hex(s).take(15), 16).toLong
+    def ref(text: String): Set[Long] = {
       val toks = segRef(text)
       val grams =
         if (toks.length <= k) Array(toks.mkString(" "))
         else toks.sliding(k).map(_.mkString(" ")).toArray
-      val hs = grams.map(md5hex)
+      val hs = grams.map(md5long)
       val wins =
         if (hs.length <= w) Array(hs)
         else hs.sliding(w).toArray
@@ -174,7 +177,7 @@ class Round8OpsSpec extends AnyFunSuite {
     val got = graft.operators.Dedup
       .winnowFingerprints(df, "doc_id", "text", k, w)
       .collect().groupBy(_.getLong(0))
-      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
     samples.zipWithIndex.foreach { case (t, i) =>
       assert(got(i.toLong) == ref(t), s"doc $i")
       // density: never more fingerprints than windows

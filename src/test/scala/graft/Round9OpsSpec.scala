@@ -106,7 +106,7 @@ class Round9OpsSpec extends AnyFunSuite {
     val fps = graft.operators.Dedup
       .winnowFingerprints(df, "doc_id", "text", k, w)
       .collect().groupBy(_.getLong(0))
-      .map { case (id, rows) => id -> rows.map(_.getString(1)).toSet }
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
     assert(fps(0L).intersect(fps(1L)).nonEmpty)
     Caches.release(spark)
   }
