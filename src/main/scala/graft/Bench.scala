@@ -84,7 +84,10 @@ object Bench {
     "s21_sliding_distinct", // sliding-window NDV via per-hop sketch union
     "t36_nb_langid", // one-pass NB train + broadcast-model scoring
     "t38_bpe_encode", // real-BPE corpus token counts (vocab broadcast)
-    "t40_nfc_fingerprint") // native NFC expression + canonical md5
+    "t40_nfc_fingerprint", // native NFC expression + canonical md5
+    "t42_canonical_key", // NFKC+casefold canonical key (round 11)
+    "m7_audio_decode", // real WAV encode+decode windows (round 11)
+    "d18_shared_passages") // winnowing pair decisions (round 10/11)
   // t39/t41 stay out of the headline: t39 is five regex passes over
   // the same scan shape t40 times (map-only, zero shuffles), t41 is
   // t31's count-agg shape plus a 1000-row bounded fit — neither adds

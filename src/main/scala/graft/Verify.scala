@@ -4,22 +4,21 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val (Array(sfDir, outDir), rest) = args.splitAt(2)
-    // optional 3rd arg: comma-separated query-name filter (local
-    // iteration on one query without the ~70-query sweep)
-    val only: Set[String] = rest.headOption
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Tables.quietBoundedWindowWarnings()
+
+  /** Run each selected query against `sfDir`, write its result to
+    * `outDir/<name>`, then dump `SparkEntry.oracleSql` as
+    * `outDir/oracle_sql.json` (AFTER the queries ran — the v21-family
+    * inlined-constant oracles are stashed at query time). Shared by
+    * [[main]] (the driver's gate) and the in-suite Unicode fixture
+    * gate (UnicodeFixtureGateSpec), so the CI gate exercises the REAL
+    * dump path, not a parallel reimplementation. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String] = Set.empty): Unit = {
     new java.io.File(outDir).mkdirs()
+    // retired-recipe sidecars (superseded store prefixes) are garbage
+    // the moment the recipe bumps — sweep them here so they never
+    // accumulate across rounds
+    graft.store.AnnIndexes.gcRetired(spark)
     // sequential by design: concurrent submission of the heavy queries
     // (pairwise joins + embedding pipelines) thrashes a single local
     // JVM (measured >4× slower than sequential at sf0.01)
@@ -53,6 +52,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (Array(sfDir, outDir), rest) = args.splitAt(2)
+    // optional 3rd arg: comma-separated query-name filter (local
+    // iteration on one query without the ~70-query sweep)
+    val only: Set[String] = rest.headOption
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.quietBoundedWindowWarnings()
+    dump(spark, sfDir, outDir, only)
     spark.stop()
   }
 }

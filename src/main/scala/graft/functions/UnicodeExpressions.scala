@@ -33,6 +33,67 @@ object UnicodeNorm {
     }
 }
 
+object UnicodeCanon {
+  /** Web-dedup canonical key kernel (t42 — t40's production sibling):
+    * NFKD compatibility decomposition → per-code-point SIMPLE case
+    * fold (`Character.toLowerCase`, 1:1 on code points) → NFC
+    * recomposition. Equivalent to Unicode NFKC_Casefold minus the
+    * expanding full case foldings (ß stays ß) and default-ignorable
+    * removals — the per-code-point-replayable subset, chosen so a SQL
+    * oracle can re-derive the whole key from an inlined character map
+    * (DuckDB has no nfkc function): ﬁle→file, Ａｂｃ→abc, ㎏→kg,
+    * É→é, and the NFD/NFC byte difference collapses exactly as in
+    * NFC. Composition NFC∘fold∘NFKD is per-code-point decomposable
+    * because NFKD(s) concatenates the per-code-point NFKD images
+    * whenever no cross-character canonical reordering applies (single
+    * combining marks — the web-text case; multi-mark clusters of
+    * distinct combining classes would reorder, a documented exclusion).
+    * ASCII fast path: one byte scan + ASCII lowercase, no Normalizer
+    * call. */
+  def canonicalFold(s: UTF8String): UTF8String =
+    if (s.isFullAscii) s.toLowerCase
+    else {
+      val d = java.text.Normalizer.normalize(
+        s.toString, java.text.Normalizer.Form.NFKD)
+      val sb = new java.lang.StringBuilder(d.length)
+      var i = 0
+      while (i < d.length) {
+        val cp = d.codePointAt(i)
+        i += Character.charCount(cp)
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      }
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        sb.toString, java.text.Normalizer.Form.NFC))
+    }
+
+  /** The per-code-point map image of `cp` under the same kernel —
+    * what the t42 oracle inlines as its character map. */
+  def foldCodePoint(cp: Int): String =
+    canonicalFold(UTF8String.fromString(
+      new String(Character.toChars(cp)))).toString
+}
+
+case class NfkcCasefold(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfkc_casefold"
+
+  override def nullSafeEval(v: Any): Any =
+    UnicodeCanon.canonicalFold(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnicodeCanon.canonicalFold($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+object NfkcCasefold {
+  def apply(text: Column): Column =
+    GraftShim.column(NfkcCasefold(GraftShim.expression(text)))
+}
+
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = StringType

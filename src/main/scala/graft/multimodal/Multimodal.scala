@@ -443,6 +443,122 @@ object Multimodal {
       .filter(col("window_len") > 0)
   }
 
+  /** Deterministic REAL WAV assets: each id becomes an actual RIFF/WAVE
+    * file — 16-bit signed little-endian mono PCM at 8 kHz, encoded by
+    * `javax.sound.sampled.AudioSystem` (JDK-only, the audio analogue of
+    * [[syntheticPngAssets]]' ImageIO encode). Sample count and every
+    * sample VALUE are pure integer functions of the id
+    * (n = 64 + id % 64; s(k) = (id·2654435761 + k·1013904223) mod
+    * 20001 − 10000 ∈ [−10000, 10000] ⊂ int16), so a SQL oracle can
+    * recompute any windowed sample statistic without an audio codec —
+    * the m5/m6 id-pure-content trick applied to audio. */
+  def syntheticWavAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val n = 64 + (id % 64).toInt
+          val pcm = new Array[Byte](n * 2)
+          var k = 0
+          while (k < n) {
+            val v = ((id * 2654435761L + k * 1013904223L) % 20001L - 10000L).toInt
+            pcm(2 * k) = (v & 0xff).toByte
+            pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+            k += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, bos.toByteArray,
+            Row("audio", null, null, 8000, 1000L * n / 8000))
+        }
+      }
+    spark.createDataFrame(rows, AssetSchema)
+  }
+
+  private val AudioWindowSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("window_number", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("sample_sum", LongType, nullable = false),
+    StructField("sample_min", IntegerType, nullable = false),
+    StructField("sample_max", IntegerType, nullable = false)))
+
+  /** REAL audio decode + windowed sample statistics (m7 — completes the
+    * decode ladder: m4 dims → m5 pixels → m6 container → m7 audio):
+    * parse each audio asset's container with
+    * `AudioSystem.getAudioInputStream` (the actual WAV header parser),
+    * check the PCM format, read the sample stream, and emit EXACT
+    * integer statistics (sum/min/max) per non-overlapping window of
+    * `windowSamples` samples — the segmentation a spectrogram/feature
+    * pipeline runs, with values a second engine can recompute
+    * arithmetically for the synthetic corpus. [[audioWindows]] (m3) is
+    * the byte-offset PLANNING shape over opaque content; this decodes.
+    * Scale shape: same narrow batched mapPartitions as the image path —
+    * the byte-heavy column never shuffles, per-asset work is bounded by
+    * sample count, undecodable/non-PCM assets contribute no rows (so a
+    * silently-skipped decode breaks the oracle's row count, never
+    * passes). Non-mono/big-endian PCM is handled by the frame loop
+    * (channel 0, format-directed byte order). */
+  def decodeWavWindows(assets: DataFrame, windowSamples: Int = 32): DataFrame = {
+    require(windowSamples >= 1)
+    val spark = assets.sparkSession
+    val rows = assets
+      .filter(col("meta.media_type") === "audio")
+      .select(col("asset_id"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = ais.getFormat
+            if (fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16) {
+              val bytes = ais.readAllBytes()
+              val stride = fmt.getFrameSize // bytes per frame (all channels)
+              val n = bytes.length / stride
+              var w = 0
+              while (w * windowSamples < n) {
+                var sum = 0L
+                var mn = Int.MaxValue
+                var mx = Int.MinValue
+                var k = w * windowSamples
+                val end = math.min(n, k + windowSamples)
+                val cnt = end - k
+                while (k < end) {
+                  val b0 = bytes(k * stride).toInt
+                  val b1 = bytes(k * stride + 1).toInt
+                  // channel 0 of the frame, byte order per the header
+                  val v =
+                    if (fmt.isBigEndian) (b0 << 8) | (b1 & 0xff)
+                    else (b1 << 8) | (b0 & 0xff)
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  k += 1
+                }
+                out += Row(id, w, cnt, sum, mn, mx)
+                w += 1
+              }
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+            case _: java.io.IOException => ()
+          }
+          out
+        }
+      }
+    spark.createDataFrame(rows, AudioWindowSchema)
+  }
+
   /** Repartition a binary-heavy table by byte budget: binary rows are
     * orders of magnitude heavier than relational rows, so partition
     * count must follow Σ bytes, not row count — this is what keeps

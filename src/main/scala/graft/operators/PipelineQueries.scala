@@ -137,6 +137,23 @@ object PipelineQueries {
         .orderBy("asset_id", "window_number")
     }),
 
+    // M7: REAL audio decode — each document id becomes an actual WAV
+    // file (JDK-encoded 16-bit PCM whose sample values are pure integer
+    // functions of the id), then decodeWavWindows parses the RIFF
+    // header back with javax.sound.sampled and emits exact integer
+    // per-window sample sums/extrema. The oracle recomputes every
+    // window statistic arithmetically from the id formula, so the hash
+    // pins the whole encode→WAV→header-parse→samples→window chain —
+    // completing the decode ladder (m4 dims, m5 pixels, m6 container,
+    // m7 audio). m3 stays the byte-offset planning shape over opaque
+    // content.
+    "m7_audio_decode" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticWavAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.decodeWavWindows(assets, windowSamples = 32)
+        .orderBy("asset_id", "window_number")
+    }),
+
     // G1–G4: the assembled contextualized prompt as a 1-row result
     // (deterministic end-to-end: chunking, embedding, retrieval and
     // template are all pure). ORACLE-CHECKED (round 7): DuckDB
@@ -355,6 +372,22 @@ object PipelineQueries {
         |  CAST(w * h AS INT) AS n_px
         | FROM px GROUP BY doc_id, j, w, h
         | ORDER BY asset_id, frame_number""".stripMargin.replaceAll("\n", ""),
+    // m7: every windowed sample statistic recomputed from the id-pure
+    // sample formula — integer-exact in both engines (values in
+    // [-10000, 10000], sums bounded by 32·10⁴ ≪ 2⁶³; the mod operands
+    // are non-negative so % agrees across engines).
+    "m7_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        | s AS (SELECT doc_id, CAST(k // 32 AS INT) AS window_number,
+        |   ((doc_id * 2654435761 + k * 1013904223) % 20001 - 10000) AS v
+        |  FROM d, UNNEST(range(0, n)) AS u(k))
+        | SELECT doc_id AS asset_id, window_number,
+        |  CAST(COUNT(*) AS INT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sample_sum,
+        |  CAST(MIN(v) AS INT) AS sample_min,
+        |  CAST(MAX(v) AS INT) AS sample_max
+        | FROM s GROUP BY doc_id, window_number
+        | ORDER BY asset_id, window_number""".stripMargin.replaceAll("\n", ""),
     "m1_media_features" ->
       """SELECT doc_id AS asset_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

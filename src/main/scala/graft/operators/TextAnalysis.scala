@@ -54,30 +54,41 @@ object TextAnalysis {
     * CHARACTER at a time (the byte-level-BPE-compatible fallback for
     * a script with no word delimiter), Kana/Hangul/alphabetic scripts
     * as single-script runs, and any script not listed one letter at a
-    * time (still split at every boundary; deterministic). Alternation
+    * time (still split at every boundary; deterministic). Round 11
+    * widens the run-enumerated alphabetic scripts (Armenian, Georgian,
+    * the Indic family, Sinhala, Myanmar, Khmer, Lao, Ethiopic) — under
+    * the old list those segmented one LETTER per piece through the
+    * `\p{L}` catch-all, degenerate for scripts that do delimit words;
+    * the catch-all now covers only genuinely rare scripts. Alternation
     * order is overlap-free at any start position except the trailing
-    * catch-alls, so leftmost-first picks the same piece in both
-    * engines. "café" is ONE Latin run (é is Script=Latin); an NFD
-    * combining mark is Script=Inherited — not a letter class — and
-    * falls to the punctuation run exactly as it did pre-round-9.
-    * Script classes are spelled \p{IsX} in Java, \p{X} in RE2
-    * ([[BpePatternRe2]]) — same Unicode Script property (verified
-    * piece-for-piece identical across both engines on unspaced-CJK +
-    * accented + mixed-script fixtures — UnicodeTextSpec). */
+    * catch-alls (script classes are disjoint), so leftmost-first picks
+    * the same piece in both engines. "café" is ONE Latin run (é is
+    * Script=Latin); an NFD combining mark is Script=Inherited — not a
+    * letter class — and falls to the punctuation run exactly as it
+    * did pre-round-9. Script classes are spelled \p{IsX} in Java,
+    * \p{X} in RE2 ([[BpePatternRe2]]) — same Unicode Script property
+    * (verified piece-for-piece identical across both engines on
+    * unspaced-CJK + accented + mixed-script fixtures —
+    * UnicodeTextSpec). */
+  private val RunScripts: Seq[String] = Seq(
+    "Hiragana", "Katakana", "Hangul", "Latin", "Cyrillic", "Greek",
+    "Arabic", "Hebrew", "Devanagari", "Thai", "Armenian", "Georgian",
+    "Bengali", "Tamil", "Telugu", "Kannada", "Malayalam", "Gujarati",
+    "Gurmukhi", "Oriya", "Sinhala", "Myanmar", "Khmer", "Lao",
+    "Ethiopic")
+
   val BpePattern: String =
-    " ?\\p{N}+| ?\\p{IsHan}| ?\\p{IsHiragana}+| ?\\p{IsKatakana}+" +
-      "| ?\\p{IsHangul}+| ?\\p{IsLatin}+| ?\\p{IsCyrillic}+" +
-      "| ?\\p{IsGreek}+| ?\\p{IsArabic}+| ?\\p{IsHebrew}+" +
-      "| ?\\p{IsDevanagari}+| ?\\p{IsThai}+| ?\\p{L}| ?[^\\p{L}\\p{N} ]+"
+    " ?\\p{N}+| ?\\p{IsHan}" +
+      RunScripts.map(s => s"| ?\\p{Is$s}+").mkString +
+      "| ?\\p{L}| ?[^\\p{L}\\p{N} ]+"
 
   /** [[BpePattern]] in RE2 spelling for the DuckDB oracle — the same
-    * alternation with \p{IsX} → \p{X}. Kept adjacent so the two can
-    * never drift independently. */
+    * alternation with \p{IsX} → \p{X}. Derived from the SAME script
+    * list so the two can never drift independently. */
   val BpePatternRe2: String =
-    " ?\\p{N}+| ?\\p{Han}| ?\\p{Hiragana}+| ?\\p{Katakana}+" +
-      "| ?\\p{Hangul}+| ?\\p{Latin}+| ?\\p{Cyrillic}+" +
-      "| ?\\p{Greek}+| ?\\p{Arabic}+| ?\\p{Hebrew}+" +
-      "| ?\\p{Devanagari}+| ?\\p{Thai}+| ?\\p{L}| ?[^\\p{L}\\p{N} ]+"
+    " ?\\p{N}+| ?\\p{Han}" +
+      RunScripts.map(s => s"| ?\\p{$s}+").mkString +
+      "| ?\\p{L}| ?[^\\p{L}\\p{N} ]+"
 
   /** Script-segmenting WORD tokenizer pattern: whitespace separates
     * (all five [[PortableWs]] characters), and within a run letters
@@ -102,13 +113,20 @@ object TextAnalysis {
       "|[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul} \\t\\n\\x0B\\f\\r]+"
 
   /** Script-aware word tokens (array<string>) — the tokenizer-grade
-    * segmentation every TOKENIZER-SEMANTIC operator uses (BPE
+    * segmentation every TOKEN-IDENTITY operator uses (BPE
     * training/encoding, NB language-ID features, Zipf spectra,
-    * winnowing grams): unspaced CJK segments per-char/per-script
-    * instead of one run per sentence. [[tokens]] stays the plain
-    * whitespace WORD splitter for word-count statistics and shingle
-    * identities (t1/t5/t9/t11/t34/t35, d2/d3 …) whose oracles replay
-    * `string_split`. Pure codegen'd map work, zero shuffles. */
+    * winnowing grams, tf-idf/surprise/CMS statistics, PMI windows,
+    * Gopher repetition grams, Jaccard/MinHash/SimHash shingles and
+    * passage fingerprints — migrated in full in round 11): unspaced
+    * CJK segments per-char/per-script instead of one run per
+    * sentence. [[tokens]] stays the plain whitespace WORD splitter
+    * ONLY for word-COUNT statistics whose unit is "whitespace-
+    * delimited word" by definition (t1 counts, t3/t14 quality,
+    * chunk sizing c1/c2, packing budgets) and whose oracles replay
+    * `string_split`. Every seg-tokenized oracle derives its tokens
+    * from [[SegPatternRe2]] via ONE shared helper (TextQueries
+    * `segTokSql`), so the two sides cannot drift independently.
+    * Pure codegen'd map work, zero shuffles. */
   def segTokens(text: Column): Column =
     regexp_extract_all(text, lit(SegPattern), lit(0))
 

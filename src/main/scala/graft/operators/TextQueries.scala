@@ -32,6 +32,11 @@ object TextQueries {
   @volatile private var lastBpeModel: Option[Seq[(String, String, Long)]] =
     None
 
+  /** Set by the t42 query closure; consumed at oracle-dump time to
+    * collect the corpus code-point alphabet and inline its canonical
+    * fold map (DuckDB has no NFKC function). */
+  @volatile private var lastCanonCtx: Option[(SparkSession, String)] = None
+
   private[graft] val BpeMergeCount = 6
 
   /** One-batch word-frequency aggregate over a documents frame — the
@@ -218,7 +223,7 @@ object TextQueries {
     // shuffle on the bigram key.
     "t5_top_bigrams" -> ((s, dir) => {
       docs(s, dir)
-        .select(explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+        .select(explode(TextAnalysis.shinglesSeg(col("text"), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("bigram"))
@@ -385,10 +390,13 @@ object TextQueries {
     // T9: repetition signal (Gopher-style quality heuristic): the
     // dominance of the single most frequent token per document. Two
     // keyed aggregations — the distributed shape (explode + partial
-    // aggs), never a per-doc O(n²) HOF.
+    // aggs), never a per-doc O(n²) HOF. Tokens are the script-aware
+    // segmentation (round 11): an unspaced Han doc gets a real
+    // per-char repetition signal instead of one unrepeatable
+    // sentence-sized token.
     "t9_repetition" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), explode(TextAnalysis.segTokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("max_tok_cnt"), sum("c").as("n"))
         .select(col("doc_id"), col("max_tok_cnt"),
@@ -419,9 +427,9 @@ object TextQueries {
       // outgrows broadcast, drop the hint and AQE falls back to the
       // shuffle join.
       val tri = docs(s, dir)
-        .filter(TextAnalysis.tokenCount(col("text")) >= 3)
+        .filter(size(TextAnalysis.segTokens(col("text"))) >= 3)
         .select(col("doc_id"),
-          explode(TextAnalysis.shingles(col("text"), 3)).as("tri"))
+          explode(TextAnalysis.shinglesSeg(col("text"), 3)).as("tri"))
       val evalTris = tri.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select("tri").distinct()
       tri.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -486,9 +494,9 @@ object TextQueries {
     // doc_id, for the final sum.
     "t30_dsir_weights" -> ((s, dir) => {
       val bi = graft.Caches.shared(docs(s, dir)
-        .filter(TextAnalysis.tokenCount(col("text")) >= 2)
+        .filter(size(TextAnalysis.segTokens(col("text"))) >= 2)
         .select(col("doc_id"), col("lang"),
-          explode(TextAnalysis.ngrams(col("text"), 2)).as("bg"))
+          explode(TextAnalysis.ngramsSeg(col("text"), 2)).as("bg"))
         .withColumn("f",
           conv(substring(md5(col("bg")), 1, 2), 16, 10).cast("long")))
       val fc = bi.groupBy("f").agg(
@@ -616,7 +624,7 @@ object TextQueries {
     "t33_cms_counts" -> ((s, dir) => {
       val (depth, width, seed) = (4, 2048, 42L)
       val tok = graft.Caches.shared(docs(s, dir).select(
-        explode(TextAnalysis.tokens(col("text"))).as("tok")))
+        explode(TextAnalysis.segTokens(col("text"))).as("tok")))
       val grid = tok.agg(
         graft.functions.CountMin.sketch(depth, width, seed)(col("tok"))
           .as("grid"),
@@ -662,8 +670,13 @@ object TextQueries {
     // precedent); top-50 fuses to TakeOrderedAndProject.
     "t34_pmi_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
+      // unigram counts and n_tok come from the SAME script-aware
+      // segmentation the pair window runs over (round 11): PMI
+      // numerators and denominators share one tokenization, and
+      // per-char CJK tokens join against real unigram counts instead
+      // of silently dropping
       val tok = graft.Caches.shared(
-        d.select(explode(TextAnalysis.tokens(col("text"))).as("w")))
+        d.select(explode(TextAnalysis.segTokens(col("text"))).as("w")))
       // shared: BOTH broadcast lookup sides (c_a via w1, c_b via w2)
       // read this one materialized aggregation — without it the
       // unigram groupBy runs twice, once per join side (plan-pinned)
@@ -714,7 +727,10 @@ object TextQueries {
     "t35_gopher_repetition" -> ((s, dir) => {
       Tables.balanced(docs(s, dir))
         .select(col("doc_id"), length(col("text")).as("l"),
-          size(TextAnalysis.tokens(col("text"))).as("ntok"),
+          // the < n row-drop gate counts the SAME seg tokens the
+          // grams are built from (round 11) — one tokenization,
+          // both sides
+          size(TextAnalysis.segTokens(col("text"))).as("ntok"),
           explode(array(Seq(2, 3, 5).map(n =>
             struct(lit(n.toLong).as("n"),
               TextAnalysis.repetitionStats(col("text"), n).as("st"))): _*))
@@ -860,6 +876,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T42: NFKC-compatibility + casefold canonical fingerprint — t40's
+    // PRODUCTION sibling: web dedup needs identity across
+    // compatibility variants (ﬁle vs file, full-width Ａｂｃ vs abc,
+    // ㎏ vs kg) and case (É vs é), not just composition form. The
+    // canonical key is NFC∘simpleFold∘NFKD (functions.NfkcCasefold, a
+    // native codegen'd expression with an ASCII fast path — zero
+    // Normalizer calls on the common corpus row). DuckDB has no NFKC
+    // function, so the oracle is built at DUMP TIME (the v21
+    // inlined-constants pattern): the corpus's code-point ALPHABET is
+    // collected (bounded — an alphabet, not a corpus), each
+    // non-identity code point's fold image is inlined as a chained
+    // replace, and DuckDB recomposes with its own nfc_normalize and
+    // recomputes the whitespace-collapse + md5 + changed flag
+    // independently. Row-local map work — zero shuffles.
+    "t42_canonical_key" -> ((s, dir) => {
+      lastCanonCtx = Some((s, dir))
+      val canon = graft.functions.NfkcCasefold(col("text"))
+      docs(s, dir).select(
+          col("doc_id"),
+          (col("text") =!= canon).as("changed"),
+          md5(trim(regexp_replace(canon, TextAnalysis.PortableWs, " ")))
+            .as("fp_cfc"))
+        .orderBy("doc_id")
+    }),
+
     // T41: Zipf's-law fit over the token frequency spectrum — the
     // corpus-health diagnostic (natural text slopes ≈ −1; templateized
     // or spammy corpora flatten/steepen). Least squares over
@@ -923,7 +964,7 @@ object TextQueries {
       val d = docs(s, dir)
       val n = broadcast(d.agg(count(lit(1)).as("n")))
       val tf = graft.Caches.shared(d.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          explode(TextAnalysis.segTokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
@@ -958,7 +999,7 @@ object TextQueries {
     // persisted pass.
     "t12_unigram_surprise" -> ((s, dir) => {
       val tok = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("tok")))
+          explode(TextAnalysis.segTokens(col("text"))).as("tok")))
       val cnt = tok.groupBy("tok").agg(count(lit(1)).as("c"))
       val tot = broadcast(cnt.agg(sum("c").cast("double").as("tot")))
       tok.join(cnt, "tok").crossJoin(tot)
@@ -976,9 +1017,9 @@ object TextQueries {
     // agg — the n-gram-LM scoring shape at corpus scale.
     "t16_bigram_surprise" -> ((s, dir) => {
       val bi = graft.Caches.shared(docs(s, dir)
-        .filter(TextAnalysis.tokenCount(col("text")) >= 2)
+        .filter(size(TextAnalysis.segTokens(col("text"))) >= 2)
         .select(col("doc_id"),
-          explode(TextAnalysis.ngrams(col("text"), 2)).as("bg")))
+          explode(TextAnalysis.ngramsSeg(col("text"), 2)).as("bg")))
       val bgCnt = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
       val hist = bgCnt
         .groupBy(substring_index(col("bg"), " ", 1).as("h"))
@@ -1320,8 +1361,11 @@ object TextQueries {
     // hash-mismatches. Recall-vs-d2 stays asserted in ScalaTest.
     "d3_minhash_neardup" -> ((s, dir) => {
       lastDedupCtx = Some((s, dir))
+      // mh2: recipe version — round 11's script-aware shinglesSeg
+      // changes the stored shingle sets, so round-10 whitespace-shingle
+      // indexes must not be reused (the p8 store-key principle)
       val path =
-        s"${graft.store.AnnIndexes.root}/mh_${graft.store.AnnIndexes.keyOf(dir)}" +
+        s"${graft.store.AnnIndexes.root}/mh2_${graft.store.AnnIndexes.keyOf(dir)}" +
           s"_${graft.store.AnnIndexes.fingerprint(s, s"$dir/documents.parquet")}" +
           "_n2_h64"
       graft.store.AnnIndexes.materializeAtomic(s, path) { tmp =>
@@ -1375,15 +1419,28 @@ object TextQueries {
     // of the corpus and densifies the CC graph for nothing).
     "d11_semantic_dedup" -> ((s, dir) => {
       lastDedupCtx = Some((s, dir))
+      // nCells DERIVED from the corpus size (round 11 — the dump-time
+      // derived-constant discipline applied to the DECLARED query):
+      // target ~1k vectors per cell so within-cell pair work scales
+      // ~N·1024 instead of N²/nCells with a PINNED nCells=16 — the one
+      // measured sf3 superlinearity of round 10. The count is one
+      // parquet metadata read; max(16, ·) keeps small corpora at the
+      // spec'd round-7 geometry (sf0.001–0.1 are byte-identical to the
+      // old query), and the codebook sidecar key carries the derived
+      // value so a regenerated/larger corpus retrains instead of
+      // loading a mismatched codebook.
+      val n = Tables.load(s, dir, "embeddings").count()
+      val nCells = math.max(16, ((n + 1023) / 1024).toInt)
       // build-once codebook sidecar (keyed like the ANN indexes): the
       // first run trains k-means, every later run loads the cells and
       // skips training — spec-pinned by job count in DedupTextSpec
       val modelPath =
         s"${graft.store.AnnIndexes.root}/semcb_${graft.store.AnnIndexes.keyOf(dir)}" +
-          s"_${graft.store.AnnIndexes.fingerprint(s, s"$dir/embeddings.parquet")}_n16"
+          s"_${graft.store.AnnIndexes.fingerprint(s, s"$dir/embeddings.parquet")}" +
+          s"_n$nCells"
       Dedup.semanticDedupMapWithCodebook(
           Tables.load(s, dir, "embeddings").select("vec_id", "embedding"),
-          "vec_id", "embedding", nCells = 16, threshold = 0.45, modelPath)
+          "vec_id", "embedding", nCells = nCells, threshold = 0.45, modelPath)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
@@ -1401,7 +1458,7 @@ object TextQueries {
     // sketch that drops a true heavy hitter loses a row → hash fail.
     "t25_freq_items" -> ((s, dir) => {
       val toks = graft.Caches.shared(docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("tok")))
+        .select(explode(TextAnalysis.segTokens(col("text"))).as("tok")))
       val items = toks.stat.freqItems(Seq("tok"), support = 0.02)
         .head().getSeq[String](0)
       val total = broadcast(toks.agg(count(lit(1)).as("n_total")))
@@ -1468,7 +1525,7 @@ object TextQueries {
     // corpus marginal.
     "t22_source_divergence" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("source"),
-        explode(split(col("text"), " ")).as("tok"))
+        explode(TextAnalysis.segTokens(col("text"))).as("tok"))
       val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
       val perSource = st.groupBy("source").agg(sum("c_st").as("n_s"))
       val perTok = st.groupBy("tok").agg(sum("c_st").as("c_t"))
@@ -1592,6 +1649,14 @@ object TextQueries {
       "ELSE [array_to_string(tk, ' ')] END"
   }
 
+  /** Oracle-side script-aware token list (≡ [[TextAnalysis.segTokens]]):
+    * the RE2 spelling of the same segmentation pattern, so every oracle
+    * that replays a seg-tokenized query derives its tokens from the ONE
+    * shared constant — the two sides of the tokenizer cannot drift
+    * independently (the round-10 regression class). */
+  private def segTokSql: String =
+    s"regexp_extract_all(text, '${TextAnalysis.SegPatternRe2}')"
+
   /** Oracle-side spelling of [[Dedup.md5Long]]: parse the first 15 hex
     * digits of md5(expr) back to a BIGINT with a strpos fold — 60 bits,
     * exact in a signed 64-bit value in both engines (16 digits would
@@ -1605,7 +1670,7 @@ object TextQueries {
     * label-propagation (d6) and star-contraction (d9) cluster queries. */
   private val DupClustersOracle: String =
     s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleListSql(2)} s
-      |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+      |  FROM (SELECT doc_id, $segTokSql tk FROM documents
       |        WHERE doc_id < 1000)),
       | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1674,7 +1739,7 @@ object TextQueries {
     longPairValues(queries("d3_minhash_neardup")(s, dir), "a_id", "b_id")
       .map { vals =>
         s"""WITH sh AS (SELECT doc_id, ${shingleListSql(2)} sh
-           |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents)),
+           |  FROM (SELECT doc_id, $segTokSql tk FROM documents)),
            | p(a_id, b_id) AS (SELECT * FROM (VALUES $vals))
            | SELECT p.a_id, p.b_id,
            |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -1796,6 +1861,43 @@ object TextQueries {
         .stripMargin.replaceAll("\n", "")
   }
 
+  /** t42's oracle, generated at dump time: the corpus code-point
+    * ALPHABET (bounded — an alphabet, never the corpus) maps each
+    * non-identity code point to its canonical fold image
+    * ([[graft.functions.UnicodeCanon.foldCodePoint]]), inlined as a
+    * chained single-char replace; DuckDB then recomposes with its own
+    * `nfc_normalize` and re-derives fingerprint + changed flag
+    * independently. Chained replaces replay a per-ORIGINAL-char map
+    * only if every fold image is itself a fixed point of the map —
+    * asserted here at dump time, so a violating corpus fails loudly
+    * instead of silently diverging. */
+  private def t42OracleSql(s: SparkSession, dir: String): Option[String] = {
+    import s.implicits._
+    val cps = docs(s, dir).select(col("text")).as[String]
+      .flatMap(t => t.codePoints().toArray.toSeq)
+      .distinct().collect().sorted
+    val entries = cps.toSeq.flatMap { cp =>
+      val from = new String(Character.toChars(cp))
+      val to = graft.functions.UnicodeCanon.foldCodePoint(cp)
+      if (to == from) None else Some((from, to))
+    }
+    entries.foreach { case (_, to) =>
+      to.codePoints().toArray.foreach { c =>
+        require(graft.functions.UnicodeCanon.foldCodePoint(c) ==
+          new String(Character.toChars(c)),
+          f"t42 oracle: fold image of U+$c%04X is not a map fixed point")
+      }
+    }
+    val chain = entries.foldLeft("text") { case (acc, (from, to)) =>
+      s"replace($acc, '${sqEsc(from)}', '${sqEsc(to)}')"
+    }
+    Some(
+      s"""SELECT doc_id, text != nfc_normalize($chain) AS changed,
+         | md5(trim(regexp_replace(nfc_normalize($chain),
+         |   '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp_cfc
+         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))
+  }
+
   /** The pair-set oracles exist once their query has run this JVM
     * (always true when Verify dumps after a full sweep; a targeted run
     * that skips the dedup family simply omits them → rows-only). */
@@ -1809,21 +1911,24 @@ object TextQueries {
 
   def oracleSql: Map[String, String] = pairOracles ++
     t37OracleSql.map("t37_bpe_train" -> _) ++
-    t38OracleSql.map("t38_bpe_encode" -> _) ++ Map(
+    t38OracleSql.map("t38_bpe_encode" -> _) ++
+    lastCanonCtx.toSeq.flatMap { case (s, dir) =>
+      t42OracleSql(s, dir).map("t42_canonical_key" -> _)
+    } ++ Map(
     // t25/t33: the sketch queries' derived-invariant oracles (see the
     // query Scaladocs): DuckDB recomputes the EXACT side — the
     // frequent-token set for t25, the top-20 token counts for t33 —
     // and asserts the sketch-contract booleans are TRUE.
     "t25_freq_items" ->
-      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+      s"""WITH tk AS (SELECT unnest($segTokSql) AS tok
         |   FROM documents),
         | n AS (SELECT COUNT(*) AS n_total FROM tk)
         | SELECT tok, COUNT(*) AS cnt FROM tk, n GROUP BY tok, n_total
         | HAVING COUNT(*) > n_total * 0.02 ORDER BY tok"""
         .stripMargin.replaceAll("\n", ""),
     "t33_cms_counts" ->
-      """SELECT tok, COUNT(*) AS exact_cnt, TRUE AS within_bounds
-        | FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      s"""SELECT tok, COUNT(*) AS exact_cnt, TRUE AS within_bounds
+        | FROM (SELECT unnest($segTokSql) AS tok
         |       FROM documents)
         | GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20"""
         .stripMargin.replaceAll("\n", ""),
@@ -1859,7 +1964,7 @@ object TextQueries {
         | FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", ""),
     "t23_dup_window_rate" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      s"""WITH t AS (SELECT doc_id, $segTokSql AS tk
         |   FROM documents),
         | w AS (SELECT doc_id,
         |   array_to_string(list_slice(tk, i, i + 7), ' ') AS win
@@ -1872,8 +1977,8 @@ object TextQueries {
         | FROM w JOIN c USING (win) GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
     "t22_source_divergence" ->
-      """WITH st AS (SELECT source, tok, COUNT(*) AS c_st
-        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      s"""WITH st AS (SELECT source, tok, COUNT(*) AS c_st
+        |  FROM (SELECT source, unnest($segTokSql) AS tok
         |        FROM documents) GROUP BY source, tok),
         | s AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
         | t AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY tok),
@@ -1884,7 +1989,7 @@ object TextQueries {
         | GROUP BY st.source ORDER BY st.source""".stripMargin.replaceAll("\n", ""),
     "d12_quality_keep" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleListSql(2)} s
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |  FROM (SELECT doc_id, $segTokSql tk FROM documents
         |        WHERE doc_id < 1000)),
         | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1995,7 +2100,7 @@ object TextQueries {
     "t5_top_bigrams" ->
       s"""SELECT bigram, COUNT(*) AS cnt FROM (
         |  SELECT unnest(${shingleListSql(2)}) AS bigram
-        |  FROM (SELECT string_split(text, ' ') tk FROM documents))
+        |  FROM (SELECT $segTokSql tk FROM documents))
         | GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20"""
         .stripMargin.replaceAll("\n", ""),
     "t6_length_histogram" ->
@@ -2160,7 +2265,7 @@ object TextQueries {
         |    / CAST(n AS DOUBLE) / 1e4, 6) AS intercept_ln
         | FROM m""".stripMargin.replaceAll("\n", ""),
     "d8_repeated_passages" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+      s"""WITH toks AS (SELECT doc_id, $segTokSql tk FROM documents),
         | ch AS (SELECT doc_id,
         |  md5(array_to_string(tk[(i-1)*16+1 : (i-1)*16+16], ' ')) AS fp
         |  FROM toks, UNNEST(range(1, CAST(CEIL(len(tk)/16.0) AS BIGINT) + 1)) AS u(i)),
@@ -2259,17 +2364,17 @@ object TextQueries {
         | FROM documents GROUP BY domain ORDER BY domain"""
         .stripMargin.replaceAll("\n", ""),
     "t9_repetition" ->
-      """WITH c AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
-        |   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      s"""WITH c AS (SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |   SELECT doc_id, unnest($segTokSql) AS tok FROM documents)
         |  GROUP BY doc_id, tok)
         | SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_tok_cnt,
         |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_tok_ratio
         | FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t10_contamination" ->
-      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
         |    AS tri
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |  FROM (SELECT doc_id, $segTokSql AS tk FROM documents)
         |  WHERE len(tk) >= 3),
         | ev AS (SELECT DISTINCT tri FROM sh WHERE doc_id % 50 = 0)
         | SELECT doc_id, COUNT(*) AS n_overlap FROM sh JOIN ev USING (tri)
@@ -2386,7 +2491,7 @@ object TextQueries {
         | FROM j GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
     "t34_pmi_pairs" ->
-      """WITH tk AS (SELECT string_split(text, ' ') tk FROM documents),
+      s"""WITH tk AS (SELECT $segTokSql tk FROM documents),
         | tok AS (SELECT unnest(tk) w FROM tk),
         | uni AS (SELECT w, COUNT(*) c FROM tok GROUP BY w),
         | tot AS (SELECT COUNT(*) n_tok FROM tok),
@@ -2411,8 +2516,8 @@ object TextQueries {
     // argmax-by-(count, chars) is reproduced as a windowed MAX(c)
     // followed by MAX(c·len) among the tied rows.
     "t35_gopher_repetition" ->
-      """WITH tk AS (SELECT doc_id, length(text) AS l,
-        |   string_split(text, ' ') AS tk FROM documents),
+      s"""WITH tk AS (SELECT doc_id, length(text) AS l,
+        |   $segTokSql AS tk FROM documents),
         | g AS (SELECT doc_id, l, n, unnest(list_transform(
         |    range(1, len(tk) - n + 2),
         |    i -> array_to_string(tk[i : i + n - 1], ' '))) AS g
@@ -2476,7 +2581,7 @@ object TextQueries {
         | GROUP BY lang, cls ORDER BY lang, predicted"""
         .stripMargin.replaceAll("\n", ""),
     "t11_tfidf_top_terms" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+      s"""WITH tok AS (SELECT doc_id, unnest($segTokSql) tok
         |  FROM documents),
         | tf AS (SELECT doc_id, tok, COUNT(*) tf FROM tok GROUP BY doc_id, tok),
         | df AS (SELECT tok, COUNT(*) df FROM tf GROUP BY tok),
@@ -2550,8 +2655,8 @@ object TextQueries {
         | SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
         | FROM prs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin.replaceAll("\n", ""),
     "t30_dsir_weights" ->
-      """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
-        |   FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      s"""WITH tk AS (SELECT doc_id, lang, $segTokSql AS tk
+        |   FROM documents WHERE len($segTokSql) >= 2),
         | bi AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS bg
         |   FROM tk, UNNEST(range(1, len(tk))) u(i)),
         | f AS (SELECT doc_id, lang,
@@ -2568,8 +2673,8 @@ object TextQueries {
         | FROM f JOIN model USING (f)
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t28_tfidf_neardup" ->
-      """WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
-        | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM d),
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id < 1000),
+        | tok AS (SELECT doc_id, unnest($segTokSql) tok FROM d),
         | tf AS (SELECT doc_id, tok, COUNT(*) tf FROM tok GROUP BY 1, 2),
         | df AS (SELECT tok, COUNT(*) df FROM tf GROUP BY 1),
         | n AS (SELECT COUNT(*) n FROM d),
@@ -2587,8 +2692,8 @@ object TextQueries {
         | WHERE cosine >= 0.5 ORDER BY a_id, b_id"""
         .stripMargin.replaceAll("\n", ""),
     "t16_bigram_surprise" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') tk FROM documents
-        |   WHERE len(string_split(text, ' ')) >= 2),
+      s"""WITH tk AS (SELECT doc_id, $segTokSql tk FROM documents
+        |   WHERE len($segTokSql) >= 2),
         | bi AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg, tk[i] AS h
         |   FROM tk, UNNEST(range(1, len(tk))) u(i)),
         | cb AS (SELECT bg, COUNT(*) c_bg FROM bi GROUP BY bg),
@@ -2598,7 +2703,7 @@ object TextQueries {
         | FROM bi JOIN cb USING (bg) JOIN ch USING (h)
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t12_unigram_surprise" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) tok
+      s"""WITH tok AS (SELECT doc_id, unnest($segTokSql) tok
         |  FROM documents),
         | c AS (SELECT tok, COUNT(*) c FROM tok GROUP BY tok),
         | t AS (SELECT CAST(SUM(c) AS DOUBLE) tot FROM c)
@@ -2611,7 +2716,7 @@ object TextQueries {
     "d9_dup_clusters_star" -> DupClustersOracle,
     "d7_global_dedup" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleListSql(2)} s
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |  FROM (SELECT doc_id, $segTokSql tk FROM documents
         |        WHERE doc_id < 1000)),
         | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -2656,10 +2761,10 @@ object TextQueries {
         .stripMargin.replaceAll("\n", "")
     },
     "t27_decontaminate" ->
-      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
         |    AS tri
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |  FROM (SELECT doc_id, $segTokSql AS tk FROM documents)
         |  WHERE len(tk) >= 3),
         | ev AS (SELECT DISTINCT tri FROM sh WHERE doc_id % 50 = 0),
         | ov AS (SELECT doc_id, COUNT(*) AS n FROM sh JOIN ev USING (tri)
@@ -2702,7 +2807,7 @@ object TextQueries {
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "d2_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id, ${shingleListSql(2)} sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents
+        |  FROM (SELECT doc_id, $segTokSql tk FROM documents
         |        WHERE doc_id < 1000))
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -2716,7 +2821,7 @@ object TextQueries {
     // the scale algorithm must hash-match the O(N²) SQL.
     "d16_prefix_jaccard" ->
       s"""WITH s AS (SELECT doc_id, ${shingleListSql(3)} sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk FROM documents))
+        |  FROM (SELECT doc_id, $segTokSql tk FROM documents))
         | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard

@@ -108,4 +108,30 @@ object AnnIndexes {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(new org.apache.hadoop.fs.Path(dir, MarkerName))
   }
+
+  /** Store prefixes RETIRED by a recipe-version bump (the p8 store-key
+    * principle): a code change that alters what a sidecar contains
+    * bumps its prefix, so the old entries can never be read again —
+    * they are garbage that would otherwise accumulate one orphan per
+    * dataset fingerprint forever. Every retirement is recorded here. */
+  val RetiredPrefixes: Seq[String] = Seq(
+    "bpe_", // round-8 whitespace-word BPE counts → bpe2_ (round 9)
+    "p8_", // unversioned schema-evolution batches → p8v2_ (round 8)
+    "mh_") // whitespace-shingle MinHash index → mh2_ (round 11)
+
+  /** Delete retired-recipe sidecars under [[root]] (idempotent; a
+    * missing root is a no-op). Invoked at the start of every Verify
+    * sweep, so orphans never outlive the round that retired them.
+    * Returns the number of entries removed. */
+  def gcRetired(spark: SparkSession): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) 0
+    else fs.listStatus(rootPath).count { st =>
+      val name = st.getPath.getName
+      val dead = RetiredPrefixes.exists(name.startsWith)
+      if (dead) fs.delete(st.getPath, true)
+      dead
+    }
+  }
 }

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Cdc, Dedup}
+
+/** Streaming face of the winnowing dedup family (round-11 item — the
+  * d14-Bloom/ModelStreams precedent applied to d17/d18): the per-doc
+  * winnowing fingerprints fold as VERSIONED STREAMING STATE on an
+  * append document stream, so passage-level dedup over a continuously
+  * ingested corpus never re-fingerprints history — each batch pays
+  * O(batch) winnowing map work plus one keyed merge into the state.
+  *
+  * Two state shapes, matching the two batch outputs:
+  *
+  *  - [[streamingWinnowRollup]] — d17's aggregate per fingerprint
+  *    ((fp) → n_docs, first_doc): count is an additive monoid and
+  *    first_doc a min monoid over APPEND-ONLY docs (each document
+  *    contributes its within-doc-distinct fingerprints exactly once),
+  *    so a custom sum+min merge rides [[Cdc.streamingRollup]]'s
+  *    exactly-once protocol unchanged — state is one row per distinct
+  *    fingerprint, vocabulary-sized.
+  *  - [[streamingWinnowFps]] — the full (id, fp) POSTING LIST d18's
+  *    pair decisions need (containment denominators + the fp-keyed
+  *    self-join want per-doc rows, not the rollup). This is the
+  *    materialized ingest-time index (the buildMinHashIndex shape) as
+  *    streaming state; pair queries run
+  *    [[Dedup.sharedPassagePairsFrom]] over the committed version.
+  *
+  * Stream ≡ batch is spec-pinned (Round11OpsSpec): folding the corpus
+  * through in N append batches yields state whose derived d17/d18
+  * tables are row-identical to the one-shot batch queries. */
+object DedupStreams {
+
+  /** One batch's d17-state delta: within-doc-distinct fingerprints
+    * aggregated per fp. */
+  def winnowRollupBatch(k: Int, w: Int)(batch: DataFrame): DataFrame =
+    Dedup.winnowFingerprints(batch, "doc_id", "text", k, w)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+
+  /** sum(n_docs) + min(first_doc) keyed merge — the d17 monoid
+    * (mergeRollup's default is additive-only; first_doc must take the
+    * minimum across batches, not the sum). */
+  private[streaming] def mergeSumMin(
+      state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("n_docs").as("n_docs"), min("first_doc").as("first_doc"))
+
+  /** Fold an append document stream (doc_id, text, …) into d17's
+    * per-fingerprint rollup state. */
+  def streamingWinnowRollup(
+      docs: DataFrame, statePath: String, checkpoint: String,
+      k: Int = 8, w: Int = 4): StreamingQuery =
+    Cdc.streamingRollup(docs, statePath, Seq("fp"),
+      winnowRollupBatch(k, w), checkpoint, mergeSumMin)
+
+  /** d17's repeated-fingerprint table from the CURRENT committed
+    * state (None until a first batch commits) — identical contract to
+    * the batch query: (fp, n_docs, first_doc), n_docs ≥ 2. */
+  def winnowRepeatsFromState(
+      spark: SparkSession, statePath: String): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(
+      _.filter(col("n_docs") >= 2).select("fp", "n_docs", "first_doc"))
+
+  /** One batch's posting-list delta: (id, fp) rows with a count-1
+    * payload (the additive default merges replayed keys exactly;
+    * within-doc distinctness makes c always 1 for an append corpus). */
+  def winnowFpBatch(k: Int, w: Int)(batch: DataFrame): DataFrame =
+    Dedup.winnowFingerprints(batch, "doc_id", "text", k, w)
+      .select(col("doc_id").cast("long").as("id"), col("fp"),
+        lit(1L).as("c"))
+
+  /** Fold an append document stream into the (id, fp) posting-list
+    * state d18's pair decisions query. */
+  def streamingWinnowFps(
+      docs: DataFrame, statePath: String, checkpoint: String,
+      k: Int = 8, w: Int = 4): StreamingQuery =
+    Cdc.streamingRollup(docs, statePath, Seq("id", "fp"),
+      winnowFpBatch(k, w), checkpoint)
+
+  /** d18's shared-passage pair decisions from the CURRENT committed
+    * posting-list state (None until a first batch commits) — identical
+    * contract to the batch query. */
+  def sharedPassagesFromState(
+      spark: SparkSession, statePath: String,
+      minShared: Long = 2L, maxDocsPerFp: Long = 64L): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(st =>
+      Dedup.sharedPassagePairsFrom(st.select("id", "fp"),
+        minShared, maxDocsPerFp))
+}

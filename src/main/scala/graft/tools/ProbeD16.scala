@@ -15,7 +15,7 @@ object ProbeD16 {
     // warmup scan
     time("warmup") { df.count() }
     val sets = df.select(col("doc_id").cast("long").as("id"),
-      array_sort(transform(TextAnalysis.shingles(col("text"), n),
+      array_sort(transform(TextAnalysis.shinglesSeg(col("text"), n),
         s => xxhash64(s))).as("sh"))
     time("sets_once") { sets.count() }
     val toks = sets.select(col("id"), explode(col("sh")).as("tok"))

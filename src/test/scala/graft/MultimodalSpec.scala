@@ -140,4 +140,34 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(sampled == all.keySet.filter(_._2 % 3 == 0))
   }
+
+  test("m7 WAV decode: real header parse round-trips the sample formula") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id").filter(col("doc_id") < 40)
+    val wavs = Multimodal.syntheticWavAssets(docs, "doc_id")
+    // the encoder produced REAL RIFF containers
+    val head = wavs.select("content").head().getAs[Array[Byte]](0)
+    assert(new String(head.take(4), "US-ASCII") == "RIFF" &&
+      new String(head.slice(8, 12), "US-ASCII") == "WAVE")
+    val got = Multimodal.decodeWavWindows(wavs, windowSamples = 32).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5))).toMap
+    (0L until 40L).foreach { id =>
+      val n = 64 + (id % 64).toInt
+      val samples = (0 until n).map(k =>
+        ((id * 2654435761L + k * 1013904223L) % 20001L - 10000L).toInt)
+      val wins = samples.grouped(32).toSeq
+      assert(got.keySet.count(_._1 == id) == wins.length, s"id=$id")
+      wins.zipWithIndex.foreach { case (w, j) =>
+        assert(got((id, j)) ==
+          (w.length, w.map(_.toLong).sum, w.min, w.max), s"id=$id w=$j")
+      }
+    }
+    // decode is REAL: corrupted bytes (no RIFF header) yield no rows,
+    // never stub values
+    val broken = wavs.withColumn("content",
+      expr("substring(content, 9, 64)"))
+    assert(Multimodal.decodeWavWindows(broken, 32).count() == 0L)
+  }
 }

@@ -108,6 +108,80 @@ class UnicodeTextSpec extends AnyFunSuite {
     assert(fps == 1)
   }
 
+  test("Unicode-version coupling probe: script assignments pinned") {
+    // Every seg/BPE oracle assumes Java's Unicode Script property
+    // agrees with DuckDB/RE2's for the classes both sides spell. Pin
+    // one representative code point per enumerated script (plus the
+    // Inherited combining-mark fallback) at the values the fixture
+    // sweep was verified under: a JVM/ICU upgrade that moves one of
+    // these fails HERE with a pointer to re-run the fixture sweep,
+    // instead of silently shifting tokenizations out from under the
+    // oracles.
+    import java.lang.Character.{UnicodeScript => US}
+    val pins = Seq(
+      0x4E16 -> US.HAN, 0x3042 -> US.HIRAGANA, 0x30A2 -> US.KATAKANA,
+      0xD55C -> US.HANGUL, 0x00E9 -> US.LATIN, 0x0414 -> US.CYRILLIC,
+      0x03BB -> US.GREEK, 0x0627 -> US.ARABIC, 0x05D0 -> US.HEBREW,
+      0x0915 -> US.DEVANAGARI, 0x0E01 -> US.THAI, 0x0531 -> US.ARMENIAN,
+      0x10D0 -> US.GEORGIAN, 0x0995 -> US.BENGALI, 0x0BA4 -> US.TAMIL,
+      0x0C24 -> US.TELUGU, 0x0C95 -> US.KANNADA, 0x0D15 -> US.MALAYALAM,
+      0x0A95 -> US.GUJARATI, 0x0A15 -> US.GURMUKHI, 0x0B15 -> US.ORIYA,
+      0x0D85 -> US.SINHALA, 0x1000 -> US.MYANMAR, 0x1780 -> US.KHMER,
+      0x0E81 -> US.LAO, 0x1208 -> US.ETHIOPIC,
+      0x0301 -> US.INHERITED)
+    pins.foreach { case (cp, sc) =>
+      assert(java.lang.Character.UnicodeScript.of(cp) == sc,
+        f"U+$cp%04X moved off $sc — re-verify the fixture sweep")
+    }
+    // combining marks are Mn, not \p{L} — the documented NFD fallback
+    assert(Character.getType(0x0301) == Character.NON_SPACING_MARK)
+  }
+
+  test("round-11 scripts segment as RUNS, not per-letter (BpePattern)") {
+    // Armenian/Bengali/Tamil words were one letter per piece under the
+    // old \p{L} catch-all; they are single-script runs now. Virama /
+    // dependent-vowel marks carry their script's property, so a full
+    // word stays one run.
+    assert(pieces("Հայերեն բառ") == Seq("Հայերեն", " բառ"))
+    assert(pieces("বাংলা শব্দ") == Seq("বাংলা", " শব্দ"))
+    assert(pieces("தமிழ் சொல்") == Seq("தமிழ்", " சொல்"))
+    // mixed with the established families: boundaries still split
+    assert(pieces("abcՀայ123") == Seq("abc", "Հայ", "123"))
+    // the java reference agrees piece-for-piece (the Re2 twin is held
+    // by the fixture sweep)
+    val pat = java.util.regex.Pattern.compile(TextAnalysis.BpePattern)
+    Seq("Հայերեն բառ", "বাংলা শব্দ", "தமிழ் சொல்").foreach { s =>
+      val m = pat.matcher(s)
+      val expected = Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).toVector
+      assert(pieces(s) == expected && expected.mkString == s, s"sample: $s")
+    }
+  }
+
+  test("NfkcCasefold: compatibility + case collapse; ASCII fast path") {
+    import graft.functions.NfkcCasefold
+    val rows = Seq(
+      ("lig", "ﬁle"), ("wide", "Ａｂｃ"), ("unit", "5㎏"),
+      ("case", "Épsilon"), ("nfd", "caf" + "e" + "́"),
+      ("ascii", "Plain ASCII"), ("eszett", "straße"))
+      .toDF("k", "text")
+      .select(col("k"), NfkcCasefold(col("text")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("lig") == "file")
+    assert(rows("wide") == "abc")
+    assert(rows("unit") == "5kg")
+    assert(rows("case") == "épsilon")
+    assert(rows("nfd") == "café") // composed AND already lowercase
+    assert(rows("ascii") == "plain ascii")
+    // SIMPLE fold, documented: ß is its own lowercase (no ss expansion)
+    assert(rows("eszett") == "straße")
+    // idempotence — canonical keys must be fixed points
+    val twice = Seq("ﬁle Ａｂｃ ㎏ É").toDF("text")
+      .select(NfkcCasefold(NfkcCasefold(col("text"))) ===
+        NfkcCasefold(col("text"))).head().getBoolean(0)
+    assert(twice)
+  }
+
   test("t39 dominant-script argmax ties break to the larger script name") {
     // equal latin/cyrillic counts -> struct-max takes 'latin'
     // (lexicographically larger), matching the oracle's CASE chain
