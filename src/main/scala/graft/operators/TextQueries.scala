@@ -1194,6 +1194,66 @@ object TextQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // D19: boilerplate-paragraph removal (CCNet-family paragraph-hash
+    // cleanup, Wenzek et al. 2020) — paragraphs whose hash appears in
+    // MORE than 32 distinct docs are dropped from EVERY doc (nav
+    // bars/cookie banners repeat across a site; no occurrence is
+    // content), docs rebuilt from survivors in order. Frequency
+    // semantics, unlike d15's keep-first. The synthetic corpus has no
+    // paragraph structure, so it is PLANTED deterministically (the t8
+    // PII precedent): 10-word paragraphs plus one boilerplate
+    // paragraph appended to every doc — which the op must then strip
+    // from all of them. Scale shape: int64 paragraph hashes, one
+    // (h, doc)-distinct + h-keyed count, threshold-bounded boilerplate
+    // set broadcast back, one doc-keyed ordered rebuild.
+    "d19_boilerplate_removal" -> ((s, dir) => {
+      val withParas = docs(s, dir).select(col("doc_id"),
+        concat(
+          array_join(Chunker.chunksCol(col("text"), 10), "\n"),
+          lit("\nsubscribe now cookie policy accept terms")).as("text"))
+      Dedup.boilerplateRemoval(withParas, "doc_id", "text", maxDocs = 32L)
+        .orderBy("doc_id")
+    }),
+
+    // T43: the Gopher RULE SET (Rae et al. 2021, table A1) as a
+    // per-document keep/drop decision with per-rule flags — the
+    // canonical web-corpus quality gate (t3's composite score is a
+    // ranking signal; this is the filter decision production pipelines
+    // apply). Every rule compares in EXACT INTEGER arithmetic
+    // (hash_cnt·10 ≤ wc, not hash_cnt/wc ≤ 0.1), so no float boundary
+    // can diverge between engines. Words are whitespace tokens — the
+    // rules are defined over delimiter-separated words by the paper.
+    // Pure map work in the scan projection; zero shuffles.
+    "t43_gopher_rules" -> ((s, dir) => {
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      d0.select(
+          col("doc_id"),
+          size(col("tk")).cast("long").as("wc"),
+          length(col("text")).as("len"),
+          regexp_count(col("text"), lit("#")).as("hash_cnt"),
+          regexp_count(col("text"), lit("\\.\\.\\.")).as("ell_cnt"),
+          size(filter(col("tk"), w => w.rlike("\\p{L}"))).as("alpha_w"),
+          size(array_intersect(array_distinct(col("tk")),
+            typedLit(stops))).as("stop_hits"))
+        .select(
+          col("doc_id"), col("wc"),
+          col("wc").between(50, 100000).as("r_wordcount"),
+          // mean word length in [3, 10]: (len − (wc−1)) is the total
+          // word chars under single-space joining — integer bounds
+          ((col("len") - (col("wc") - 1)) >= col("wc") * 3 &&
+            (col("len") - (col("wc") - 1)) <= col("wc") * 10).as("r_meanwordlen"),
+          (col("hash_cnt") * 10 <= col("wc")).as("r_hash"),
+          (col("ell_cnt") * 10 <= col("wc")).as("r_ellipsis"),
+          (col("alpha_w") * 5 >= col("wc") * 4).as("r_alpha"),
+          (col("stop_hits") >= 2).as("r_stopwords"))
+        .withColumn("keep",
+          col("r_wordcount") && col("r_meanwordlen") && col("r_hash") &&
+            col("r_ellipsis") && col("r_alpha") && col("r_stopwords"))
+        .orderBy("doc_id")
+    }),
+
     // D1: exact dedup on a key expression (hash-groupBy; first-writer-
     // wins representative = min id, the reference's R10 semantics).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -2317,6 +2377,55 @@ object TextQueries {
         | FROM pairs JOIN nfp na ON na.doc_id = a_id
         |   JOIN nfp nb ON nb.doc_id = b_id
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""),
+    // d19: the planted paragraph structure (10-word chunks + the
+    // boilerplate tail) is replayed arithmetically; paragraph hashes
+    // are md5LongSql ≡ Dedup.md5Long; chr(10) joins avoid literal
+    // newlines in the SQL string.
+    "d19_boilerplate_removal" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
+        | pt AS (SELECT doc_id, list_append(
+        |   list_transform(range(1, GREATEST(CAST(CEIL(len(tk)/10.0) AS BIGINT), 1) + 1),
+        |     i -> array_to_string(tk[(i-1)*10+1 : (i-1)*10+10], ' ')),
+        |   'subscribe now cookie policy accept terms') AS paras FROM base),
+        | p AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS pn, paras[CAST(u.i AS INT)] AS para
+        |   FROM pt, UNNEST(range(1, len(paras) + 1)) AS u(i)),
+        | hh AS (SELECT doc_id, pn, para,
+        |   ${md5LongSql("para")} AS h FROM p),
+        | bo AS (SELECT h FROM (SELECT h, doc_id FROM hh GROUP BY h, doc_id)
+        |   GROUP BY h HAVING COUNT(*) > 32)
+        | SELECT doc_id, COUNT(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN h IN (SELECT h FROM bo) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN h NOT IN (SELECT h FROM bo)
+        |    THEN para END, chr(10) ORDER BY pn), '') AS new_text
+        | FROM hh GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""),
+    "t43_gopher_rules" -> {
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH m AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+         |  FROM documents),
+         | c AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS wc, length(text) AS len,
+         |  len(regexp_extract_all(text, '#')) AS hash_cnt,
+         |  len(regexp_extract_all(text, '\\.\\.\\.')) AS ell_cnt,
+         |  len(list_filter(tk, w -> regexp_matches(w, '\\p{L}'))) AS alpha_w,
+         |  len(list_intersect(list_distinct(tk), $stops)) AS stop_hits
+         |  FROM m)
+         | SELECT doc_id, wc,
+         |  wc BETWEEN 50 AND 100000 AS r_wordcount,
+         |  (len - (wc - 1)) >= wc * 3 AND (len - (wc - 1)) <= wc * 10
+         |    AS r_meanwordlen,
+         |  hash_cnt * 10 <= wc AS r_hash,
+         |  ell_cnt * 10 <= wc AS r_ellipsis,
+         |  alpha_w * 5 >= wc * 4 AS r_alpha,
+         |  stop_hits >= 2 AS r_stopwords,
+         |  (wc BETWEEN 50 AND 100000)
+         |   AND ((len - (wc - 1)) >= wc * 3 AND (len - (wc - 1)) <= wc * 10)
+         |   AND hash_cnt * 10 <= wc AND ell_cnt * 10 <= wc
+         |   AND alpha_w * 5 >= wc * 4 AND stop_hits >= 2 AS keep
+         | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+    },
     "d1_exact_dedup" ->
       """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS dedup_key,
         | COUNT(*) AS cnt, MIN(doc_id) AS keep_id

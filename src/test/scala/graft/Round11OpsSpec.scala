@@ -76,6 +76,58 @@ class Round11OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  private def docsDir(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11_docs").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "unit", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d19: every occurrence above the doc-frequency bar is dropped") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"unique body $i\ncookie banner text")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .boilerplateRemoval(docs, "doc_id", "text", maxDocs = 32L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // the banner (40 docs > 32) dies in ALL docs — not keep-first
+    (0 until 40).foreach { i =>
+      assert(out(i.toLong) == (2L, 1L, s"unique body $i"), s"doc $i")
+    }
+    // below the bar nothing is dropped and text round-trips
+    val kept = graft.operators.Dedup
+      .boilerplateRemoval(docs, "doc_id", "text", maxDocs = 64L).collect()
+    assert(kept.forall(_.getLong(2) == 0L))
+    assert(kept.forall(r =>
+      r.getString(3) == s"unique body ${r.getLong(0)}\ncookie banner text"))
+    Caches.release(spark)
+  }
+
+  test("t43 gopher rules: crafted docs flip each rule") {
+    val good = (("the data and engine " * 15).trim) // 60 words, stops present
+    val short = "the and of to five short words here now end" // 10 words
+    val hashy = (("# " * 30) + "the and " + ("word " * 28)).trim // 30 '#' of 60
+    val numeric = (("12 34 " * 30)).trim // 60 words, no letters, no stops
+    val dir = docsDir(Seq(good, short, hashy, numeric))
+    val got = SparkEntry.queries("t43_gopher_rules")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8)))
+      .toMap
+    // (r_wordcount, r_meanwordlen, r_hash, r_ellipsis, r_alpha, r_stopwords, keep)
+    assert(got(0L) == (true, true, true, true, true, true, true))
+    assert(got(1L)._1 == false && got(1L)._7 == false) // word count
+    assert(got(2L)._3 == false && got(2L)._7 == false) // hash ratio
+    assert(got(3L)._5 == false && got(3L)._6 == false &&
+      got(3L)._7 == false) // alpha + stopwords
+  }
+
   test("gcRetired removes retired-prefix sidecars, keeps live recipes") {
     val root = new java.io.File(graft.store.AnnIndexes.root)
     root.mkdirs()
