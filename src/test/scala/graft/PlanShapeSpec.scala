@@ -111,6 +111,16 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("d19 boilerplate set broadcasts; paragraph stream never self-joins") {
+    val p = planOf("d19_boilerplate_removal")
+    // the threshold-bounded boilerplate hash set reaches the paragraph
+    // stream as a broadcast — the corpus-side rows never shuffle on
+    // the paragraph hash for the membership probe
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+  }
+
   test("sequence packing never windows the corpus in one partition") {
     // the only unpartitioned Window may run over the per-partition
     // subtotals (one row per partition); the corpus-wide Window must be
