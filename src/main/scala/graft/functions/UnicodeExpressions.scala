@@ -173,6 +173,90 @@ object ScriptCountsKernel {
   }
 }
 
+/** Single-pass script-aware word tokenizer — the native form of
+  * `TextAnalysis.SegPattern` (round 11, the ScriptCounts precedent
+  * applied to the tokenizer itself): round 11 moved the WHOLE
+  * token-identity family onto the seg segmentation, which made
+  * `regexp_extract_all` over a 5-alternative alternation the hot
+  * kernel of the text pipeline. This kernel classifies each code
+  * point once (5-char whitespace class, Han, Hiragana, Katakana,
+  * Hangul, other) and emits exactly the pieces the regex's
+  * greedy leftmost-first alternation produces: whitespace skipped,
+  * Han one char per token, Kana/Hangul as maximal same-script runs,
+  * everything else as maximal other-runs. Equivalence with the regex
+  * form is PROPERTY-PINNED (random mixed-script strings,
+  * UnicodeTextSpec) and held corpus-wide by the fixture sweep — the
+  * oracle keeps speaking `SegPatternRe2`, so the two spellings cannot
+  * drift without the gate going red. */
+object SegTokensKernel {
+  import java.lang.Character.{UnicodeScript => US}
+  private final val Ws = 0
+  private final val Han = 1
+  private final val Hira = 2
+  private final val Kata = 3
+  private final val Hang = 4
+  private final val Other = 5
+
+  private def classify(cp: Int): Int = cp match {
+    case ' ' | '\t' | '\n' | 0x0B | '\f' | '\r' => Ws
+    case _ => US.of(cp) match {
+      case US.HAN => Han
+      case US.HIRAGANA => Hira
+      case US.KATAKANA => Kata
+      case US.HANGUL => Hang
+      case _ => Other
+    }
+  }
+
+  def tokens(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val n = Character.charCount(cp)
+      val c = classify(cp)
+      if (c == Ws) i += n
+      else if (c == Han) {
+        out += UTF8String.fromString(str.substring(i, i + n))
+        i += n
+      } else {
+        var j = i + n
+        var done = false
+        while (j < str.length && !done) {
+          val cp2 = str.codePointAt(j)
+          if (classify(cp2) == c) j += Character.charCount(cp2)
+          else done = true
+        }
+        out += UTF8String.fromString(str.substring(i, j))
+        i = j
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+case class SegTokens(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "seg_tokens"
+
+  override def nullSafeEval(v: Any): Any =
+    SegTokensKernel.tokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SegTokensKernel.tokens($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+object SegTokens {
+  def apply(text: Column): Column =
+    GraftShim.column(SegTokens(GraftShim.expression(text)))
+}
+
 case class ScriptCounts(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = StructType(

@@ -126,8 +126,20 @@ object TextAnalysis {
     * `string_split`. Every seg-tokenized oracle derives its tokens
     * from [[SegPatternRe2]] via ONE shared helper (TextQueries
     * `segTokSql`), so the two sides cannot drift independently.
-    * Pure codegen'd map work, zero shuffles. */
+    * Pure codegen'd map work, zero shuffles.
+    *
+    * Round 11 made this a NATIVE single-pass expression
+    * ([[graft.functions.SegTokens]] — one classify per code point, no
+    * regex machinery): the whole-family migration made this the text
+    * pipeline's hot kernel. [[segTokensRegex]] keeps the regex
+    * spelling as the semantic reference; equality is property-pinned
+    * (UnicodeTextSpec) and corpus-pinned by the fixture gate. */
   def segTokens(text: Column): Column =
+    graft.functions.SegTokens(text)
+
+  /** The regex reference form of [[segTokens]] — same pieces by
+    * construction; kept for the equivalence property spec. */
+  def segTokensRegex(text: Column): Column =
     regexp_extract_all(text, lit(SegPattern), lit(0))
 
   /** The BPE-ish pre-token pieces of `text` (array<string>). A tokenizer

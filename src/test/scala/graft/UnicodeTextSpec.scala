@@ -137,6 +137,39 @@ class UnicodeTextSpec extends AnyFunSuite {
     assert(Character.getType(0x0301) == Character.NON_SPACING_MARK)
   }
 
+  test("native SegTokens ≡ the SegPattern regex on random mixed-script text") {
+    import org.scalacheck.Gen
+    // alphabet stresses every classifier branch: the five whitespace
+    // chars (incl. \x0B — the RE2 \s divergence), Han, Hiragana,
+    // Katakana, Hangul, Latin/accented/Cyrillic, combining marks,
+    // digits, punctuation, and a non-BMP surrogate-pair code point
+    val alphabet: Seq[String] = Seq(
+      " ", "\t", "\n", "\u000b", "\f", "\r",
+      "世", "界", "引", "あ", "い", "ア", "カ", "한", "글",
+      "a", "b", "é", "ß", "д", "λ", "ع", "ह",
+      "́", "1", "9", ".", ",", "-", "№", "😀")
+    val gen = Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    SparkTestSession.forAll(gen, n = 120) { s =>
+      val row = Seq(Tuple1(s)).toDF("text")
+        .select(TextAnalysis.segTokens(col("text")).as("native"),
+          TextAnalysis.segTokensRegex(col("text")).as("regex"))
+        .head()
+      assert(row.getSeq[String](0) == row.getSeq[String](1),
+        s"mismatch on: ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+    // empty + pure-whitespace + unspaced-CJK shape pins
+    assert(Seq(Tuple1("")).toDF("text")
+      .select(TextAnalysis.segTokens(col("text"))).head().getSeq[String](0)
+      .isEmpty)
+    assert(Seq(Tuple1(" \t ")).toDF("text")
+      .select(TextAnalysis.segTokens(col("text"))).head().getSeq[String](0)
+      .isEmpty)
+    assert(Seq(Tuple1("世界です한글ab")).toDF("text")
+      .select(TextAnalysis.segTokens(col("text"))).head().getSeq[String](0)
+      == Seq("世", "界", "です", "한글", "ab"))
+  }
+
   test("round-11 scripts segment as RUNS, not per-letter (BpePattern)") {
     // Armenian/Bengali/Tamil words were one letter per piece under the
     // old \p{L} catch-all; they are single-script runs now. Virama /
