@@ -1254,6 +1254,77 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T44: n-gram LM perplexity scoring — the CCNet quality-filtering
+    // step (Wenzek et al. 2020): fit a bigram LM with Laplace
+    // smoothing on a held-out slice (doc_id%3==0, the t36 train-slice
+    // convention), score EVERY document's average negative log-
+    // likelihood over its seg-token bigrams, and cut the corpus into
+    // head/middle/tail terciles — the signal CCNet filters crawls
+    // with (low-ppl docs read like the reference corpus).
+    // Determinism across engines: the per-bigram NLL
+    // ln((c1(w1)+V)/(c2(w1,w2)+1)) is quantized to integer micro-nats
+    // PER MODEL CELL (a6 = round(ln(c1+V)·1e6), b6 = round(ln(c2+1)
+    // ·1e6) — the t36 move), so every doc score is an exact integer
+    // sum and the tercile cut reads rounded exact divisions only.
+    // Unseen w1 backs off to ln(V) (c1=0), unseen bigram to b6=0
+    // (ln 1) — both exact model constants. Docs with < 2 seg tokens
+    // have no bigram and emit no row (the t35 row-drop convention).
+    // Scale shape: training is two counting passes with map-side
+    // combine; the unigram a6 table is vocab-bounded and BROADCASTS,
+    // but the bigram model is NOT assumed broadcastable (bigram vocab
+    // grows far past the driver at web scale) — scoring pre-
+    // aggregates per-doc gram counts map-side and joins the model on
+    // the (w1, w2) key, one exchange per side; the tercile is t18's
+    // bounded-histogram prefix sum (the rounded score domain caps the
+    // window input at ~10⁶ rows), never an ntile over the corpus.
+    "t44_lm_perplexity" -> ((s, dir) => {
+      val d = graft.Caches.shared(docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.segTokens(col("text")).as("tk")))
+      def grams(df: DataFrame) =
+        df.select(col("doc_id"),
+            explode(TextAnalysis.piecePairs(col("tk"))).as("p"))
+          .select(col("doc_id"), col("p.l").as("w1"), col("p.r").as("w2"))
+      val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      def q6(x: org.apache.spark.sql.Column) = round(x * 1e6).cast("long")
+      val uni = graft.Caches.shared(train.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1")))
+      val voc = broadcast(uni.agg(count(lit(1)).as("v")))
+      val a = broadcast(uni.crossJoin(voc)
+        .select(col("w").as("w1"),
+          q6(log((col("c1") + col("v")).cast("double"))).as("a6")))
+      val b = grams(train).groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c2"))
+        .select(col("w1"), col("w2"),
+          q6(log((col("c2") + lit(1)).cast("double"))).as("b6"))
+      val scored = graft.Caches.shared(grams(d)
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+        .join(b, Seq("w1", "w2"), "left")
+        .join(a, Seq("w1"), "left")
+        .crossJoin(voc)
+        .withColumn("g6",
+          coalesce(col("a6"), q6(log(col("v").cast("double")))) -
+            coalesce(col("b6"), lit(0L)))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_big"), sum(col("c") * col("g6")).as("nll6"))
+        .withColumn("avg_nll",
+          round(col("nll6") / lit(1e6) / col("n_big"), 6)))
+      val hist = scored.groupBy("avg_nll").agg(count(lit(1)).as("hc"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("avg_nll")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val n = broadcast(scored.agg(count(lit(1)).as("n")))
+      val buckets = broadcast(hist
+        .withColumn("before", sum("hc").over(wCum) - col("hc"))
+        .crossJoin(n)
+        .select(col("avg_nll"),
+          (floor(col("before") * 3 / col("n")) + 1).cast("int")
+            .as("bucket")))
+      scored.join(buckets, Seq("avg_nll"))
+        .select("doc_id", "n_big", "nll6", "avg_nll", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // D1: exact dedup on a key expression (hash-groupBy; first-writer-
     // wins representative = min id, the reference's R10 semantics).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -2426,6 +2497,46 @@ object TextQueries {
          |   AND alpha_w * 5 >= wc * 4 AND stop_hits >= 2 AS keep
          | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
     },
+    // t44: full LM replay — same %3 train slice, same Laplace
+    // smoothing, same per-cell micro-nat quantization (a6/b6 computed
+    // by the SAME decomposition the engine uses, so the two sides'
+    // rounding points coincide); doc scores are exact integer sums,
+    // the tercile reads the bounded avg_nll histogram. Residual ln
+    // 1-ulp risk shared with t11/t34/t36 (flips only on a ~.5 micro-
+    // nat boundary).
+    "t44_lm_perplexity" ->
+      s"""WITH d AS (SELECT doc_id, $segTokSql tk FROM documents),
+        | dg AS (SELECT doc_id, tk[CAST(u.i AS INT)] AS w1,
+        |   tk[CAST(u.i AS INT) + 1] AS w2
+        |  FROM d, UNNEST(range(1, len(tk))) AS u(i)),
+        | uni AS (SELECT w, COUNT(*) AS c1 FROM (
+        |   SELECT unnest(tk) AS w FROM d WHERE doc_id % 3 = 0) GROUP BY w),
+        | voc AS (SELECT COUNT(*) AS v FROM uni),
+        | a AS (SELECT w AS w1,
+        |   CAST(ROUND(ln(CAST(c1 + v AS DOUBLE)) * 1000000) AS BIGINT) AS a6
+        |  FROM uni, voc),
+        | b AS (SELECT w1, w2,
+        |   CAST(ROUND(ln(CAST(COUNT(*) + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS b6
+        |  FROM dg WHERE doc_id % 3 = 0 GROUP BY w1, w2),
+        | g AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM dg GROUP BY 1, 2, 3),
+        | sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_big,
+        |   CAST(SUM(c * (COALESCE(a6,
+        |     CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT))
+        |     - COALESCE(b6, 0))) AS BIGINT) AS nll6
+        |  FROM g LEFT JOIN a USING (w1) LEFT JOIN b USING (w1, w2), voc
+        |  GROUP BY doc_id),
+        | sa AS (SELECT doc_id, n_big, nll6,
+        |   ROUND(nll6 / 1000000.0 / n_big, 6) AS avg_nll FROM sc),
+        | hist AS (SELECT avg_nll, COUNT(*) AS hc FROM sa GROUP BY avg_nll),
+        | nn AS (SELECT COUNT(*) AS n FROM sa),
+        | bk AS (SELECT avg_nll, CAST(FLOOR((SUM(hc) OVER (ORDER BY avg_nll
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - hc)
+        |     * 3 / nn.n) + 1 AS INT) AS bucket
+        |  FROM hist, nn)
+        | SELECT sa.doc_id, sa.n_big, sa.nll6, sa.avg_nll, bk.bucket
+        | FROM sa JOIN bk USING (avg_nll) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""),
     "d1_exact_dedup" ->
       """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS dedup_key,
         | COUNT(*) AS cnt, MIN(doc_id) AS keep_id

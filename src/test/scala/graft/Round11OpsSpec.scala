@@ -148,4 +148,48 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(nCells(500) == 16 && nCells(16384) == 16)
     assert(nCells(50000) == 49 && nCells(1000000) == 977)
   }
+
+  test("t44 LM perplexity: golden micro-nat scores on a crafted corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t44").toString
+    // train slice = docs 0 and 3 ("a b a b a b"): c1(a)=c1(b)=6, V=2,
+    // c2(a,b)=6, c2(b,a)=4. doc 1 repeats the train text (all bigrams
+    // seen); doc 2 is out-of-vocabulary (every bigram backs off).
+    Seq(
+      (0L, "a b a b a b", "en", "s", 11L),
+      (3L, "a b a b a b", "en", "s", 11L),
+      (1L, "a b a b a b", "en", "s", 11L),
+      (2L, "z q x w v u", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    def q6(x: Double) = math.round(x * 1e6)
+    val aSeen = q6(math.log(6 + 2.0))     // ln(c1 + V)
+    val bAb = q6(math.log(6 + 1.0))       // ln(c2(a,b) + 1)
+    val bBa = q6(math.log(4 + 1.0))
+    val miss = q6(math.log(2.0))          // unseen w1 → ln(V)
+    val got = SparkEntry.queries("t44_lm_perplexity")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    // each "a b a b a b" doc: 3·(A(a)−B(ab)) + 2·(A(b)−B(ba)), 5 grams
+    val seenNll = 3 * (aSeen - bAb) + 2 * (aSeen - bBa)
+    assert(got(0L) == ((5L, seenNll, 1)))
+    assert(got(1L) == ((5L, seenNll, 1)))
+    assert(got(3L) == ((5L, seenNll, 1)))
+    // OOV doc: every gram costs exactly ln(V) micro-nats; ties put the
+    // three equal-scored seen docs in bucket 1, the OOV doc alone in 3
+    assert(got(2L) == ((5L, 5 * miss, 3)))
+    Caches.release(spark)
+  }
+
+  test("t44 LM perplexity: tercile buckets are monotone in avg_nll") {
+    val rows = SparkEntry.queries("t44_lm_perplexity")(spark, sfDir)
+      .select("bucket", "avg_nll").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(rows.map(_._1).distinct.sorted.sameElements(Seq(1, 2, 3)))
+    val maxByBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    val minByBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    assert(maxByBucket(1) <= minByBucket(2) &&
+      maxByBucket(2) <= minByBucket(3))
+    Caches.release(spark)
+  }
 }
