@@ -131,6 +131,79 @@ object TextQueries {
       .orderBy("lang", "predicted")
   }
 
+  /** t44's seg-token bigram stream of a (doc_id, tk) table. */
+  private def lmGrams(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        explode(TextAnalysis.piecePairs(col("tk"))).as("p"))
+      .select(col("doc_id"), col("p.l").as("w1"), col("p.r").as("w2"))
+
+  /** LM training state, unigram half: (w, c1) seg-token counts over a
+    * (doc_id, tk) training slice. Additive — per-batch partials merge
+    * exactly, so the same aggregate is the unit of the streaming
+    * model fold ([[graft.streaming.ModelStreams]]). */
+  private[graft] def lmUniCounts(train: DataFrame): DataFrame =
+    train.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+
+  /** LM training state, bigram half: (w1, w2, c2) counts. Additive
+    * like [[lmUniCounts]]. */
+  private[graft] def lmBigCounts(train: DataFrame): DataFrame =
+    lmGrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+
+  /** The t44 scoring pipeline from its two TRAINING-STATE tables:
+    * derive the micro-nat-quantized model (a6 = round(ln(c1+V)·1e6)
+    * per unigram, b6 = round(ln(c2+1)·1e6) per bigram — V and both
+    * cells all come FROM the state, so the state IS the whole model),
+    * score every doc of `d` (a (doc_id, tk) table), cut terciles.
+    * Batch t44 passes counts computed directly from the %3 training
+    * slice; the streaming face passes counts folded incrementally
+    * across append batches — identical state in, identical scores
+    * out (spec-pinned stream == batch). Scale shape: the unigram a6
+    * table is vocab-bounded and BROADCASTS, the bigram model is NOT
+    * assumed broadcastable (bigram vocab grows far past the driver at
+    * web scale) — per-doc gram counts pre-aggregate map-side and join
+    * the model on (w1, w2), one exchange per side; the tercile is
+    * t18's bounded-histogram prefix sum (the rounded score domain
+    * caps the window input), never an ntile over the corpus. */
+  private[graft] def lmPerplexity(
+      d: DataFrame, uniIn: DataFrame, bigIn: DataFrame): DataFrame = {
+    def q6(x: org.apache.spark.sql.Column) = round(x * 1e6).cast("long")
+    val uni = graft.Caches.shared(uniIn)
+    val voc = broadcast(uni.agg(count(lit(1)).as("v")))
+    val a = broadcast(uni.crossJoin(voc)
+      .select(col("w").as("w1"),
+        q6(log((col("c1") + col("v")).cast("double"))).as("a6")))
+    val b = bigIn.select(col("w1"), col("w2"),
+      q6(log((col("c2") + lit(1)).cast("double"))).as("b6"))
+    val scored = graft.Caches.shared(lmGrams(d)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+      .join(b, Seq("w1", "w2"), "left")
+      .join(a, Seq("w1"), "left")
+      .crossJoin(voc)
+      .withColumn("g6",
+        coalesce(col("a6"), q6(log(col("v").cast("double")))) -
+          coalesce(col("b6"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_big"), sum(col("c") * col("g6")).as("nll6"))
+      .withColumn("avg_nll",
+        round(col("nll6") / lit(1e6) / col("n_big"), 6)))
+    val hist = scored.groupBy("avg_nll").agg(count(lit(1)).as("hc"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("avg_nll")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val n = broadcast(scored.agg(count(lit(1)).as("n")))
+    val buckets = broadcast(hist
+      .withColumn("before", sum("hc").over(wCum) - col("hc"))
+      .crossJoin(n)
+      .select(col("avg_nll"),
+        (floor(col("before") * 3 / col("n")) + 1).cast("int")
+          .as("bucket")))
+    scored.join(buckets, Seq("avg_nll"))
+      .select("doc_id", "n_big", "nll6", "avg_nll", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** The trained merge table with a build-once sidecar (the d11
     * codebook precedent): the first invocation per corpus fingerprint
     * trains and persists the merges atomically; every later one —
@@ -1215,6 +1288,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D20: exact-substring dedup REMOVAL (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better") —
+    // any 8-seg-token run appearing in >= 2 distinct docs is
+    // duplicated text; covered tokens are removed from every doc
+    // EXCEPT the smallest-id holder (keep-one-canonical-copy — vs
+    // d19's drop-everywhere boilerplate semantics and d18's
+    // report-only pairs). Gram resolution stands in for the paper's
+    // suffix array: a duplicated run of length L >= 8 is covered
+    // exactly by its L-7 grams. One cached gram pass, g-keyed dup
+    // table on int64 keys, constant-fanout (x8) coverage expansion,
+    // per-doc hash-set rebuild (array_except) — linear per row; the
+    // corpus never self-joins.
+    "d20_substring_removal" -> ((s, dir) => {
+      Dedup.exactSubstringRemoval(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    }),
+
     // T43: the Gopher RULE SET (Rae et al. 2021, table A1) as a
     // per-document keep/drop decision with per-rule flags — the
     // canonical web-corpus quality gate (t3's composite score is a
@@ -1280,49 +1370,8 @@ object TextQueries {
     "t44_lm_perplexity" -> ((s, dir) => {
       val d = graft.Caches.shared(docs(s, dir)
         .select(col("doc_id"), TextAnalysis.segTokens(col("text")).as("tk")))
-      def grams(df: DataFrame) =
-        df.select(col("doc_id"),
-            explode(TextAnalysis.piecePairs(col("tk"))).as("p"))
-          .select(col("doc_id"), col("p.l").as("w1"), col("p.r").as("w2"))
       val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-      def q6(x: org.apache.spark.sql.Column) = round(x * 1e6).cast("long")
-      val uni = graft.Caches.shared(train.select(explode(col("tk")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c1")))
-      val voc = broadcast(uni.agg(count(lit(1)).as("v")))
-      val a = broadcast(uni.crossJoin(voc)
-        .select(col("w").as("w1"),
-          q6(log((col("c1") + col("v")).cast("double"))).as("a6")))
-      val b = grams(train).groupBy("w1", "w2")
-        .agg(count(lit(1)).as("c2"))
-        .select(col("w1"), col("w2"),
-          q6(log((col("c2") + lit(1)).cast("double"))).as("b6"))
-      val scored = graft.Caches.shared(grams(d)
-        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
-        .join(b, Seq("w1", "w2"), "left")
-        .join(a, Seq("w1"), "left")
-        .crossJoin(voc)
-        .withColumn("g6",
-          coalesce(col("a6"), q6(log(col("v").cast("double")))) -
-            coalesce(col("b6"), lit(0L)))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_big"), sum(col("c") * col("g6")).as("nll6"))
-        .withColumn("avg_nll",
-          round(col("nll6") / lit(1e6) / col("n_big"), 6)))
-      val hist = scored.groupBy("avg_nll").agg(count(lit(1)).as("hc"))
-      val wCum = org.apache.spark.sql.expressions.Window.orderBy("avg_nll")
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val n = broadcast(scored.agg(count(lit(1)).as("n")))
-      val buckets = broadcast(hist
-        .withColumn("before", sum("hc").over(wCum) - col("hc"))
-        .crossJoin(n)
-        .select(col("avg_nll"),
-          (floor(col("before") * 3 / col("n")) + 1).cast("int")
-            .as("bucket")))
-      scored.join(buckets, Seq("avg_nll"))
-        .select("doc_id", "n_big", "nll6", "avg_nll", "bucket")
-        .orderBy("doc_id")
+      lmPerplexity(d, lmUniCounts(train), lmBigCounts(train))
     }),
 
     // D1: exact dedup on a key expression (hash-groupBy; first-writer-
@@ -2470,6 +2519,35 @@ object TextQueries {
         |  COALESCE(string_agg(CASE WHEN h NOT IN (SELECT h FROM bo)
         |    THEN para END, chr(10) ORDER BY pn), '') AS new_text
         | FROM hh GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""),
+    // d20: full replay — same seg tokens, same stride-1 8-gram int64
+    // hashes, same keep-one (min doc_id) semantics; covered positions
+    // expand per hit, kept tokens rebuilt by position anti-join, docs
+    // with everything removed (or no tokens) surface via the LEFT
+    // JOIN with an empty text_clean.
+    "d20_substring_removal" ->
+      s"""WITH d AS (SELECT doc_id, $segTokSql tk FROM documents),
+        | g AS (SELECT doc_id, CAST(u.i AS INT) AS st,
+        |   ${md5LongSql("array_to_string(tk[CAST(u.i AS INT) : CAST(u.i AS INT) + 7], ' ')")} AS g
+        |  FROM d, UNNEST(range(1, len(tk) - 6)) AS u(i)),
+        | dup AS (SELECT g, MIN(doc_id) AS keep_id
+        |  FROM (SELECT DISTINCT g, doc_id FROM g)
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        | cov AS (SELECT DISTINCT g.doc_id, g.st + CAST(u.j AS INT) AS p
+        |  FROM g JOIN dup USING (g), UNNEST(range(0, 8)) AS u(j)
+        |  WHERE g.doc_id <> dup.keep_id),
+        | pos AS (SELECT doc_id, CAST(u.i AS INT) AS p,
+        |   tk[CAST(u.i AS INT)] AS w
+        |  FROM d, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        | kept AS (SELECT pos.doc_id, pos.p, pos.w
+        |  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |  WHERE cov.p IS NULL),
+        | agg AS (SELECT doc_id, COUNT(*) AS nk,
+        |   string_agg(w, ' ' ORDER BY p) AS tc FROM kept GROUP BY doc_id)
+        | SELECT d.doc_id, len(d.tk) AS n_tokens,
+        |  len(d.tk) - COALESCE(a.nk, 0) AS n_removed,
+        |  COALESCE(a.tc, '') AS text_clean
+        | FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
     "t43_gopher_rules" -> {
       val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -87,4 +87,48 @@ object ModelStreams {
       k: Int = TextQueries.BpeMergeCount)
       : Option[Vector[(String, String, Long)]] =
     Cdc.readRollup(spark, statePath).map(TextQueries.trainBpe(_, k))
+
+  // -------------------------------------------------------------
+  // Bigram-LM counts (t44's training state)
+  // -------------------------------------------------------------
+
+  /** One batch's LM training-state delta: unigram and bigram counts
+    * stacked in one keyed table (kind ∈ uni|big; uni rows carry a
+    * null w2 — mergeRollup keys null-safely). One state table means
+    * ONE streaming sink and an atomic model: V, the a6 cells and the
+    * b6 cells always derive from the same committed version. */
+  def lmCountBatch(batch: DataFrame): DataFrame = {
+    val t = batch.select(col("doc_id"),
+      graft.operators.TextAnalysis.segTokens(col("text")).as("tk"))
+    TextQueries.lmUniCounts(t)
+      .select(lit("uni").as("kind"), col("w").as("w1"),
+        lit(null).cast("string").as("w2"), col("c1").as("c"))
+      .unionByName(TextQueries.lmBigCounts(t)
+        .select(lit("big").as("kind"), col("w1"), col("w2"),
+          col("c2").as("c")))
+  }
+
+  /** Fold an append stream of TRAINING documents (doc_id, text) into
+    * the bigram-LM count state at `statePath`. The caller picks the
+    * training slice (t44 trains on doc_id % 3 == 0) by filtering the
+    * stream — the fold itself is slice-agnostic. */
+  def streamingLmCounts(
+      docs: DataFrame, statePath: String, checkpoint: String): StreamingQuery =
+    Cdc.streamingRollup(docs, statePath, Seq("kind", "w1", "w2"),
+      lmCountBatch, checkpoint)
+
+  /** t44's perplexity + tercile output scored from the CURRENT
+    * streamed count state — identical pipeline to the batch query,
+    * reading the model counts from the committed state version
+    * instead of re-aggregating the training corpus. `d` is the
+    * (doc_id, tk) table to score. None until a first batch commits. */
+  def lmPerplexityFromState(
+      spark: SparkSession, statePath: String, d: DataFrame): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map { st =>
+      TextQueries.lmPerplexity(d,
+        st.filter(col("kind") === "uni")
+          .select(col("w1").as("w"), col("c").as("c1")),
+        st.filter(col("kind") === "big")
+          .select(col("w1"), col("w2"), col("c").as("c2")))
+    }
 }

@@ -121,6 +121,18 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("d20 dup-gram probe stays g-keyed; no corpus self-join or cartesian") {
+    val p = planOf("d20_substring_removal")
+    // dup-gram detection and the coverage probe both key on the int64
+    // gram hash; the rebuild keys on the doc id — never a cartesian
+    // or an unkeyed nested-loop over the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    // (g, id)-distinct and the per-doc coverage set aggregate with
+    // map-side partials before their shuffles
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("sequence packing never windows the corpus in one partition") {
     // the only unpartitioned Window may run over the per-partition
     // subtotals (one row per partition); the corpus-wide Window must be

@@ -181,6 +181,62 @@ class Round11OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("d20 exact-substring removal: keep-one semantics on a crafted corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d20").toString
+    // doc 0 and doc 3 are identical; doc 1 embeds doc 0's 8-token run
+    // "a..h" at offset 3; doc 2 is disjoint; doc 4 is shorter than the
+    // gram size (sub-k duplication is d1's job, not d20's)
+    Seq(
+      (0L, "a b c d e f g h i j", "en", "s", 19L),
+      (1L, "x y a b c d e f g h w", "en", "s", 21L),
+      (2L, "p q r s t u v m n o", "en", "s", 19L),
+      (3L, "a b c d e f g h i j", "en", "s", 19L),
+      (4L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("d20_substring_removal")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // smallest-id holder keeps its copy untouched
+    assert(got(0L) == ((10L, 0L, "a b c d e f g h i j")))
+    // doc 1: the shared run covers positions 3..10, survivors x y w
+    assert(got(1L) == ((11L, 8L, "x y w")))
+    // disjoint and sub-k docs pass through
+    assert(got(2L) == ((10L, 0L, "p q r s t u v m n o")))
+    assert(got(4L) == ((3L, 0L, "a b c")))
+    // the full duplicate loses everything but still emits a row
+    assert(got(3L) == ((10L, 10L, "")))
+    Caches.release(spark)
+  }
+
+  test("streaming LM counts: scores from folded state == batch t44 output") {
+    import graft.streaming.ModelStreams
+    import graft.operators.TextAnalysis
+    val train = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lmstream").toString
+    train.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    ModelStreams.streamingLmCounts(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    // several micro-batches actually folded, not one big batch
+    assert(lastVersion(s"$tmp/state") >= 2)
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), TextAnalysis.segTokens(col("text")).as("tk"))
+    val streamed = ModelStreams.lmPerplexityFromState(spark, s"$tmp/state", d)
+    assert(streamed.isDefined, "no committed LM state")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(rows(streamed.get) ==
+      rows(SparkEntry.queries("t44_lm_perplexity")(spark, sfDir)))
+    Caches.release(spark)
+  }
+
   test("t44 LM perplexity: tercile buckets are monotone in avg_nll") {
     val rows = SparkEntry.queries("t44_lm_perplexity")(spark, sfDir)
       .select("bucket", "avg_nll").collect()
