@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{Cdc, Dedup}
+import graft.operators.{Cdc, Dedup, TextAnalysis}
 
 /** Streaming face of the winnowing dedup family (round-11 item — the
   * d14-Bloom/ModelStreams precedent applied to d17/d18): the per-doc
@@ -91,4 +91,52 @@ object DedupStreams {
     Cdc.readRollup(spark, statePath).map(st =>
       Dedup.sharedPassagePairsFrom(st.select("id", "fp"),
         minShared, maxDocsPerFp))
+
+  // -------------------------------------------------------------
+  // Exact-substring dup-gram state (d20's duplicated-text table)
+  // -------------------------------------------------------------
+
+  /** One batch's d20-state delta: per stride-1 k-gram hash, the
+    * batch's distinct-doc count and min doc id. Within-batch
+    * (g, id)-distinct plus append-only docs (a doc never recurs
+    * across batches) make the summed deltas equal the global
+    * distinct-doc count — the same argument as
+    * [[winnowRollupBatch]]'s. */
+  def substringDupBatch(k: Int)(batch: DataFrame): DataFrame =
+    Dedup.gramStarts(batch.select(
+        col("doc_id").cast("long").as("id"),
+        TextAnalysis.segTokens(col("text")).as("tk")), k)
+      .select("g", "id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"), min("id").as("keep_id"))
+
+  /** sum(nd) + min(keep_id) keyed merge — the d20 monoid (the
+    * [[mergeSumMin]] shape on d20's column names). */
+  private[streaming] def mergeSumMinDup(
+      state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("nd").as("nd"), min("keep_id").as("keep_id"))
+
+  /** Fold an append document stream into d20's per-gram dup state. */
+  def streamingSubstringDups(
+      docs: DataFrame, statePath: String, checkpoint: String,
+      k: Int = 8): StreamingQuery =
+    Cdc.streamingRollup(docs, statePath, Seq("g"),
+      substringDupBatch(k), checkpoint, mergeSumMinDup)
+
+  /** d20's removal output for `df` scored against the CURRENT
+    * committed dup state (None until a first batch commits) — the
+    * ingest-time form: the duplicated-gram table comes from the fold
+    * of everything ingested so far, and only the documents being
+    * cleaned pay gram + rebuild work. Identical contract to the batch
+    * query when the state has folded the same corpus
+    * (spec-pinned). */
+  def substringRemovalFromState(
+      spark: SparkSession, statePath: String, df: DataFrame,
+      k: Int = 8): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map { st =>
+      val toks = Dedup.tokArrays(df, "doc_id", "text")
+      Dedup.removeCoveredAgainst(toks, Dedup.gramStarts(toks, k),
+        st.filter(col("nd") >= 2).select("g", "keep_id"), k)
+    }
 }

@@ -210,6 +210,29 @@ class Round11OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("streaming substring-dup state: removal from state == batch d20 output") {
+    import graft.streaming.DedupStreams
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d20stream").toString
+    docs.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    DedupStreams.streamingSubstringDups(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    assert(lastVersion(s"$tmp/state") >= 2)
+    val streamed = DedupStreams.substringRemovalFromState(
+      spark, s"$tmp/state", docs)
+    assert(streamed.isDefined, "no committed dup-gram state")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(rows(streamed.get) ==
+      rows(SparkEntry.queries("d20_substring_removal")(spark, sfDir)))
+    Caches.release(spark)
+  }
+
   test("streaming LM counts: scores from folded state == batch t44 output") {
     import graft.streaming.ModelStreams
     import graft.operators.TextAnalysis
