@@ -1305,6 +1305,37 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // D21: benchmark DECONTAMINATION (Brown et al. 2020 appendix C;
+    // Rae et al. 2021 §A.3) — the train/test-overlap check every LM
+    // pipeline runs before training: a train doc sharing any
+    // 13-seg-token gram with the eval benchmark is contaminated. The
+    // benchmark is a deterministic doc_id % 23 slice of the corpus;
+    // contamination is PLANTED (the t8/d19 precedent) so the check is
+    // non-vacuous at every SF: train docs with doc_id % 13 == 5 get
+    // the first 16 seg tokens of benchmark doc (doc_id - doc_id % 23)
+    // appended, when that doc exists and has tokens. Scale shape: the
+    // bench gram set is distinct + BROADCAST (benchmarks are tiny next
+    // to a 100 TB corpus) — the corpus gram pass joins it map-side
+    // with zero corpus exchange; only the narrow per-doc report joins
+    // by id.
+    "d21_benchmark_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 23 === 0)
+      val pass = bench.select(col("doc_id").as("b_id"),
+        concat_ws(" ",
+          slice(TextAnalysis.segTokens(col("text")), 1, 16)).as("passage"))
+      val train = d.filter(col("doc_id") % 23 =!= 0)
+        .withColumn("b_id", col("doc_id") - (col("doc_id") % 23))
+        .join(broadcast(pass), Seq("b_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5 && col("passage").isNotNull &&
+              length(col("passage")) > 0,
+            concat(col("text"), lit(" "), col("passage")))
+            .otherwise(col("text")).as("text"))
+      Dedup.benchmarkContamination(train, bench, "doc_id", "text", k = 13)
+        .orderBy("doc_id")
+    }),
+
     // T43: the Gopher RULE SET (Rae et al. 2021, table A1) as a
     // per-document keep/drop decision with per-rule flags — the
     // canonical web-corpus quality gate (t3's composite score is a
@@ -2548,6 +2579,39 @@ object TextQueries {
         |  len(d.tk) - COALESCE(a.nk, 0) AS n_removed,
         |  COALESCE(a.tc, '') AS text_clean
         | FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""),
+    // d21: full replay — same % 23 benchmark slice, same planted
+    // passages (first 16 seg tokens of the paired bench doc), same
+    // 13-gram int64 hashes; the gram sides reuse the ONE shared
+    // segTokSql/md5LongSql spellings so neither tokenizer nor hash can
+    // drift from the engine independently.
+    "d21_benchmark_decontamination" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents
+        |   WHERE doc_id % 23 = 0),
+        | bp AS (SELECT doc_id,
+        |   array_to_string(($segTokSql)[1:16], ' ') AS passage FROM bench),
+        | tr0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0),
+        | tr AS (SELECT t.doc_id,
+        |   CASE WHEN t.doc_id % 13 = 5 AND p.passage IS NOT NULL
+        |     AND length(p.passage) > 0
+        |    THEN t.text || ' ' || p.passage ELSE t.text END AS text
+        |  FROM tr0 t LEFT JOIN bp p
+        |   ON p.doc_id = t.doc_id - (t.doc_id % 23)),
+        | d AS (SELECT doc_id, $segTokSql tk FROM tr),
+        | bt AS (SELECT doc_id, $segTokSql tk FROM bench),
+        | bg AS (SELECT DISTINCT ${md5LongSql(
+             "array_to_string(tk[CAST(u.i AS INT) : CAST(u.i AS INT) + 12], ' ')")} AS g
+        |  FROM bt, UNNEST(range(1, len(tk) - 11)) AS u(i)),
+        | tg AS (SELECT doc_id, ${md5LongSql(
+             "array_to_string(tk[CAST(u.i AS INT) : CAST(u.i AS INT) + 12], ' ')")} AS g
+        |  FROM d, UNNEST(range(1, len(tk) - 11)) AS u(i)),
+        | hits AS (SELECT doc_id, COUNT(DISTINCT g) AS n_hits FROM tg
+        |  WHERE g IN (SELECT g FROM bg) GROUP BY doc_id)
+        | SELECT d.doc_id,
+        |  GREATEST(len(d.tk) - 12, CAST(0 AS BIGINT)) AS n_grams,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+        | FROM d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
     "t43_gopher_rules" -> {
       val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")

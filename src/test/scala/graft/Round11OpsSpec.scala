@@ -233,6 +233,40 @@ class Round11OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("d21 benchmark contamination: crafted corpus semantics + broadcast plan") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // bench doc 0: 20 distinct pure-letter tokens -> 8 thirteen-grams
+    val benchWords = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+      "tango")
+    val bench = Seq((0L, benchWords.mkString(" "))).toDF("doc_id", "text")
+    val run13 = benchWords.slice(2, 15) // exactly one bench 13-gram
+    val run12 = benchWords.slice(4, 16) // sub-k: no full 13-gram
+    val fill = (1 to 8).map(i => "filler" + ('a' + i).toChar)
+    val train = Seq(
+      // 5 + 13 + 3 = 21 tokens; the copied run matches exactly 1 gram
+      (1L, (fill.take(5) ++ run13 ++ fill.drop(5)).mkString(" ")),
+      (2L, ((1 to 15).map(i => "word" + ('a' + i).toChar)).mkString(" ")),
+      (3L, "short doc of five words"),
+      // 12-token overlap only -> invisible at k=13
+      (4L, (fill.take(4) ++ run12 ++ fill.drop(4)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.benchmarkContamination(train, bench, "doc_id", "text", 13)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows(1L) == ((9L, 1L, true)))
+    assert(rows(2L) == ((3L, 0L, false)))
+    assert(rows(3L) == ((0L, 0L, false)))
+    assert(rows(4L) == ((8L, 0L, false)))
+    // the bench gram set joins the corpus grams map-side (broadcast),
+    // never by shuffling the corpus gram table
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    Caches.release(spark)
+  }
+
   test("streaming LM counts: scores from folded state == batch t44 output") {
     import graft.streaming.ModelStreams
     import graft.operators.TextAnalysis

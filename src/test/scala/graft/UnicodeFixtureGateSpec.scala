@@ -47,6 +47,7 @@ class UnicodeFixtureGateSpec extends AnyFunSuite {
     "t44_lm_perplexity",
     "t41_zipf_fit", "d1_exact_dedup", "d2_ngram_jaccard",
     "d19_boilerplate_removal", "d20_substring_removal",
+    "d21_benchmark_decontamination",
     "d8_repeated_passages", "d16_prefix_jaccard", "d17_winnowing",
     "d18_shared_passages")
 
