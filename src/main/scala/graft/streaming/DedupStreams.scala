@@ -139,4 +139,73 @@ object DedupStreams {
       Dedup.removeCoveredAgainst(toks, Dedup.gramStarts(toks, k),
         st.filter(col("nd") >= 2).select("g", "keep_id"), k)
     }
+
+  // -------------------------------------------------------------
+  // Boilerplate paragraph doc-frequency state (d19)
+  // -------------------------------------------------------------
+
+  /** One batch's d19-state delta: per paragraph hash, the batch's
+    * distinct-doc count. Within-batch (h, doc)-distinct plus
+    * append-only docs make the summed deltas equal the global
+    * doc frequency — the additive default merge suffices. */
+  def boilerplateBatch(batch: DataFrame): DataFrame =
+    Dedup.paraTable(batch, "doc_id", "text")
+      .select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+
+  /** Fold an append document stream into d19's per-paragraph-hash
+    * doc-frequency state. */
+  def streamingBoilerplateCounts(
+      docs: DataFrame, statePath: String, checkpoint: String): StreamingQuery =
+    Cdc.streamingRollup(docs, statePath, Seq("h"),
+      boilerplateBatch, checkpoint)
+
+  /** d19's removal output for `df` scored against the CURRENT
+    * committed paragraph-frequency state (None until a first batch
+    * commits) — the ingest-time form: the boilerplate set comes from
+    * the fold of everything ingested so far, and only the documents
+    * being cleaned pay paragraph + rebuild work. */
+  def boilerplateRemovalFromState(
+      spark: SparkSession, statePath: String, df: DataFrame,
+      maxDocs: Long = 32L): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map { st =>
+      Dedup.removeBoilerplateAgainst(
+        Dedup.paraTable(df, "doc_id", "text"),
+        st.filter(col("nd") > maxDocs).select("h"))
+    }
+
+  // -------------------------------------------------------------
+  // Benchmark gram-set state (d21's contamination screen)
+  // -------------------------------------------------------------
+
+  /** One batch's d21-state delta: the batch's distinct 13-gram hashes
+    * with a count payload (benchmark suites GROW over time — each new
+    * eval slice folds its grams in; replayed grams merge
+    * additively). */
+  def benchGramBatch(k: Int)(batch: DataFrame): DataFrame =
+    Dedup.gramStarts(batch.select(
+        col("doc_id").cast("long").as("id"),
+        TextAnalysis.segTokens(col("text")).as("tk")), k)
+      .select("g").distinct()
+      .select(col("g"), lit(1L).as("c"))
+
+  /** Fold an append BENCHMARK stream into the gram-set state train
+    * batches are screened against. */
+  def streamingBenchGrams(
+      bench: DataFrame, statePath: String, checkpoint: String,
+      k: Int = 13): StreamingQuery =
+    Cdc.streamingRollup(bench, statePath, Seq("g"),
+      benchGramBatch(k), checkpoint)
+
+  /** d21's contamination report for `train` against the CURRENT
+    * committed benchmark gram state (None until a first batch
+    * commits) — the ingest-time screen: only the train documents
+    * being checked pay gram work; the committed gram set broadcasts
+    * exactly like the batch op's. */
+  def contaminationFromState(
+      spark: SparkSession, statePath: String, train: DataFrame,
+      k: Int = 13): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(st =>
+      Dedup.contaminationAgainst(train, st.select("g"),
+        "doc_id", "text", k))
 }

@@ -267,6 +267,75 @@ class Round11OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("streaming boilerplate counts: removal from state == batch d19 output") {
+    import graft.streaming.DedupStreams
+    import graft.ingest.Chunker
+    // the d19 query's planted paragraph corpus, replayed here so the
+    // stream folds exactly what the oracle-checked batch query sees
+    val withParas = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), concat(
+        array_join(Chunker.chunksCol(col("text"), 10), "\n"),
+        lit("\nsubscribe now cookie policy accept terms")).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d19stream").toString
+    withParas.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    DedupStreams.streamingBoilerplateCounts(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    assert(lastVersion(s"$tmp/state") >= 2)
+    val streamed = DedupStreams.boilerplateRemovalFromState(
+      spark, s"$tmp/state", withParas)
+    assert(streamed.isDefined, "no committed boilerplate state")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(rows(streamed.get) ==
+      rows(SparkEntry.queries("d19_boilerplate_removal")(spark, sfDir)))
+    // the planted banner paragraph is actually being dropped
+    assert(streamed.get.agg(sum("n_dropped")).head().getLong(0) > 0)
+    Caches.release(spark)
+  }
+
+  test("streaming bench grams: contamination from state == batch d21 output") {
+    import graft.streaming.DedupStreams
+    import graft.operators.TextAnalysis
+    val d = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val bench = d.filter(col("doc_id") % 23 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d21stream").toString
+    bench.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    DedupStreams.streamingBenchGrams(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    assert(lastVersion(s"$tmp/state") >= 2)
+    // the d21 query's planted train corpus, replayed
+    val pass = bench.select(col("doc_id").as("b_id"),
+      concat_ws(" ",
+        slice(TextAnalysis.segTokens(col("text")), 1, 16)).as("passage"))
+    val train = d.filter(col("doc_id") % 23 =!= 0)
+      .withColumn("b_id", col("doc_id") - (col("doc_id") % 23))
+      .join(broadcast(pass), Seq("b_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5 && col("passage").isNotNull &&
+            length(col("passage")) > 0,
+          concat(col("text"), lit(" "), col("passage")))
+          .otherwise(col("text")).as("text"))
+    val streamed = DedupStreams.contaminationFromState(
+      spark, s"$tmp/state", train)
+    assert(streamed.isDefined, "no committed bench-gram state")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(rows(streamed.get) ==
+      rows(SparkEntry.queries("d21_benchmark_decontamination")(spark, sfDir)))
+    assert(streamed.get.filter(col("contaminated")).count() > 0)
+    Caches.release(spark)
+  }
+
   test("streaming LM counts: scores from folded state == batch t44 output") {
     import graft.streaming.ModelStreams
     import graft.operators.TextAnalysis
