@@ -89,7 +89,8 @@ object Bench {
     "m7_audio_decode", // real WAV encode+decode windows (round 11)
     "d18_shared_passages", // winnowing pair decisions (round 10/11)
     "t44_lm_perplexity", // bigram-LM CCNet scoring: model join + tercile
-    "d20_substring_removal") // ExactSubstr dedup: gram dup table + rebuild
+    "d20_substring_removal", // ExactSubstr dedup: gram dup table + rebuild
+    "d21_benchmark_decontamination") // broadcast bench-gram screen (round 11)
   // t39/t41 stay out of the headline: t39 is five regex passes over
   // the same scan shape t40 times (map-only, zero shuffles), t41 is
   // t31's count-agg shape plus a 1000-row bounded fit — neither adds
