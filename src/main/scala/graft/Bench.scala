@@ -90,7 +90,11 @@ object Bench {
     "d18_shared_passages", // winnowing pair decisions (round 10/11)
     "t44_lm_perplexity", // bigram-LM CCNet scoring: model join + tercile
     "d20_substring_removal", // ExactSubstr dedup: gram dup table + rebuild
-    "d21_benchmark_decontamination") // broadcast bench-gram screen (round 11)
+    "d21_benchmark_decontamination", // broadcast bench-gram screen (round 11)
+    "t45_c4_cleaning") // C4 line rules: planted lines + HOF filter, 0-shuffle
+  // t46 stays out of the headline: it is t45's scan shape (split-once
+  // line array + HOF filter, zero shuffles) with an array_position
+  // body — no new plan family; oracle-checked at 3 SFs + the fixture.
   // t39/t41 stay out of the headline: t39 is five regex passes over
   // the same scan shape t40 times (map-only, zero shuffles), t41 is
   // t31's count-agg shape plus a 1000-row bounded fit — neither adds

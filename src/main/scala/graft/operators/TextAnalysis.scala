@@ -411,6 +411,96 @@ object TextAnalysis {
     }
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
+    * heuristics behind the C4 corpus, reference ground: the cleaning
+    * mandate over TESTDATA.md's documents table). Line rules: keep a
+    * line only if it (1) ends in terminal punctuation (`[.!?"]`),
+    * (2) has ≥ `minWordsPerLine` whitespace words, and (3) does not
+    * contain the policy ban word (the paper drops lines with the word
+    * "javascript"). Document rules: drop the whole page when fewer
+    * than `minKeptLines` lines survive (the paper's "< 3 sentences"
+    * gate, applied to RETAINED lines) or when the raw page contains a
+    * banned substring ("lorem ipsum", "{" — the paper's boilerplate /
+    * code markers). Word membership is whitespace-token EXACT match
+    * (not substring), matching the paper's "word" phrasing; lines are
+    * `\n`-separated.
+    *
+    * This is the line-granular sibling of t43's document-granular
+    * Gopher rule set, and differs from d19 (cross-doc paragraph
+    * frequency) in needing NO corpus statistics: every decision is
+    * local to the row. Spark-first shape: built-in higher-order
+    * functions over the split-once line array — a pure scan
+    * projection, ZERO shuffles, trivially data-parallel at 100 TB
+    * (and stateless, so it runs unchanged on a stream).
+    * → (idCol, n_lines, n_kept, keep_doc, clean_text). */
+  def c4Clean(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5, minKeptLines: Int = 3,
+      banWord: String = "javascript",
+      docBans: Seq[String] = Seq("lorem ipsum", "{")): org.apache.spark.sql.DataFrame = {
+    require(minWordsPerLine >= 1 && minKeptLines >= 0,
+      s"c4Clean thresholds must be positive: " +
+        s"minWordsPerLine=$minWordsPerLine minKeptLines=$minKeptLines")
+    df.select(
+        col(idCol), col(textCol).as("__t"),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"),
+        filter(split(col(textCol), "\n", -1), l =>
+          l.rlike("[.!?\"]$") &&
+            // bind the per-line split once: both word conditions read
+            // it, and an unbound split would re-run per condition
+            letBound(split(l, " ", -1)) { w =>
+              size(w) >= minWordsPerLine && !array_contains(w, banWord)
+            }).as("__kept"))
+      .select(
+        col(idCol), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__kept")) >= minKeptLines &&
+          docBans.map(b => !col("__t").contains(b)).reduce(_ && _))
+          .as("keep_doc"),
+        col("__kept"))
+      .select(
+        col(idCol), col("n_lines"), col("n_kept"), col("keep_doc"),
+        when(col("keep_doc"), array_join(col("__kept"), "\n"))
+          .otherwise(lit("")).as("clean_text"))
+  }
+
+  /** Within-document repeated-line removal (the RefinedWeb /
+    * MassiveWeb intra-document dedup step — Penedo et al. 2023 §3.2,
+    * Rae et al. 2021 §A.1.2: crawled pages repeat nav bars, footers
+    * and listing rows INSIDE one page; those repeats are removed
+    * keeping the FIRST occurrence, before any cross-document pass).
+    * Keep-first semantics: line i survives iff no earlier identical
+    * line exists in the same document. Cross-document duplication is
+    * deliberately out of scope here — that is d15 (chunk keep-first) /
+    * d19 (boilerplate drop-everywhere).
+    *
+    * Spark-first shape: `array_position` (first index) against the
+    * split-once line array inside an indexed `filter` — first
+    * occurrence keeps, later ones drop. O(lines²) comparisons per
+    * document, entirely row-local: documents have bounded line counts
+    * (a 10k-line page is pathological), so this beats materializing an
+    * explode + window just to rank line occurrences — a pure scan
+    * projection, ZERO shuffles, stateless (stream-safe).
+    * → (idCol, n_lines, n_dupes, text_clean). */
+  def intraDocLineDedup(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(
+        col(idCol),
+        letBound(split(col(textCol), "\n", -1)) { ls =>
+          // ls is a lambda variable: shared by the nested filter
+          // lambda, so the line array materializes once per document
+          val kept = filter(ls, (l, i) =>
+            array_position(ls, l) === (i + 1).cast("long"))
+          struct(
+            size(ls).cast("long").as("n_lines"),
+            (size(ls) - size(kept)).cast("long").as("n_dupes"),
+            array_join(kept, "\n").as("text_clean"))
+        }.as("__r"))
+      .select(col(idCol), col("__r.n_lines").as("n_lines"),
+        col("__r.n_dupes").as("n_dupes"),
+        col("__r.text_clean").as("text_clean"))
+
   /** Per-doc vocabulary coverage: the fraction of a document's tokens
     * inside the corpus top-`vocabSize` vocabulary (count-desc, token
     * tie-break) — the tokenizer-coverage / OOV-rate diagnostic. One

@@ -1405,6 +1405,61 @@ object TextQueries {
       lmPerplexity(d, lmUniCounts(train), lmBigCounts(train))
     }),
 
+    // T45: C4 line-level cleaning (Raffel et al. 2020 §2.2) — the
+    // third rung of the cleaning ladder's RULE family: t43 decides
+    // per DOCUMENT (Gopher), this decides per LINE (C4), d19 decides
+    // per cross-doc paragraph frequency (CCNet). The corpus has no
+    // line structure, so lines + violations are PLANTED (the t8/d19/
+    // d21 precedent) deterministically per (doc_id, line): 8-word
+    // chunks; (doc_id+i) % 7 == 3 lines get " javascript now." (the
+    // paper's banned word, still punctuated + long — isolates rule
+    // 3), % 3 == 2 lines stay unpunctuated (isolates rule 1), the
+    // rest get "."; short final chunks violate the ≥ 5-words rule
+    // naturally. Page-level: doc_id % 17 == 3 plants a lorem-ipsum
+    // line, % 19 == 7 a "{" code line — each dooms the whole page.
+    // Pure scan projection on both the planting and the filter: zero
+    // shuffles end to end.
+    "t45_c4_cleaning" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.letBound(Chunker.chunksCol(col("text"), 8)) { ls =>
+          val marked = transform(sequence(lit(0), size(ls) - 1), i =>
+            when((col("doc_id") + i) % 7 === 3,
+              concat(element_at(ls, i + 1), lit(" javascript now.")))
+              .when((col("doc_id") + i) % 3 === 2, element_at(ls, i + 1))
+              .otherwise(concat(element_at(ls, i + 1), lit("."))))
+          val withLorem = when(col("doc_id") % 17 === 3,
+            concat(marked,
+              array(lit("lorem ipsum dolor sit amet consectetur."))))
+            .otherwise(marked)
+          val full = when(col("doc_id") % 19 === 7,
+            concat(withLorem, array(lit("function() { return; }"))))
+            .otherwise(withLorem)
+          array_join(full, "\n")
+        }.as("text"))
+      TextAnalysis.c4Clean(planted, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // T46: within-document repeated-line removal (RefinedWeb §3.2 /
+    // MassiveWeb A.1.2 intra-doc dedup — nav bars and footers repeat
+    // INSIDE a page; drop repeats keep-FIRST before any cross-doc
+    // pass). Duplicates are PLANTED: 6-word chunk lines, then every
+    // line whose (doc_id + i) % 5 == 1 is re-appended at the end of
+    // the page — deterministic dupes at every SF (plus any natural
+    // chunk collisions, handled identically by both sides). Row-local
+    // keep-first via array_position in an indexed filter: zero
+    // shuffles.
+    "t46_intradoc_dedup" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.letBound(Chunker.chunksCol(col("text"), 6)) { ls =>
+          val extraIdx = filter(sequence(lit(0), size(ls) - 1),
+            i => (col("doc_id") + i) % 5 === 1)
+          val extra = transform(extraIdx, i => element_at(ls, i + 1))
+          array_join(concat(ls, extra), "\n")
+        }.as("text"))
+      TextAnalysis.intraDocLineDedup(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // D1: exact dedup on a key expression (hash-groupBy; first-writer-
     // wins representative = min id, the reference's R10 semantics).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -2678,6 +2733,80 @@ object TextQueries {
         |  FROM hist, nn)
         | SELECT sa.doc_id, sa.n_big, sa.nll6, sa.avg_nll, bk.bucket
         | FROM sa JOIN bk USING (avg_nll) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""),
+    // t45: full replay — same 8-word chunk lines, same per-(doc,line)
+    // planting CASE (1-based i here vs the engine's 0-based, offset
+    // folded into the modulus operand), same page markers, then the
+    // C4 rules verbatim: terminal-punct regex, >= 5 whitespace words,
+    // word-exact javascript ban, >= 3 kept lines, lorem-ipsum / brace
+    // page bans. `$$` spells a literal regex end anchor through the
+    // interpolator.
+    "t45_c4_cleaning" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') tk
+        |   FROM documents),
+        | ch AS (SELECT doc_id, list_transform(
+        |   range(1, GREATEST(CAST(CEIL(len(tk)/8.0) AS BIGINT), 1) + 1),
+        |   i -> array_to_string(tk[(i-1)*8+1 : (i-1)*8+8], ' ')) AS ls
+        |  FROM base),
+        | pl AS (SELECT doc_id, list_transform(range(1, len(ls) + 1),
+        |   i -> CASE WHEN (doc_id + i - 1) % 7 = 3
+        |      THEN ls[CAST(i AS INT)] || ' javascript now.'
+        |     WHEN (doc_id + i - 1) % 3 = 2 THEN ls[CAST(i AS INT)]
+        |     ELSE ls[CAST(i AS INT)] || '.' END) AS ls FROM ch),
+        | doc AS (SELECT doc_id, array_to_string(list_concat(list_concat(ls,
+        |   CASE WHEN doc_id % 17 = 3
+        |    THEN ['lorem ipsum dolor sit amet consectetur.']
+        |    ELSE CAST([] AS VARCHAR[]) END),
+        |   CASE WHEN doc_id % 19 = 7 THEN ['function() { return; }']
+        |    ELSE CAST([] AS VARCHAR[]) END), chr(10)) AS text FROM pl),
+        | k AS (SELECT doc_id, text,
+        |   CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |   list_filter(string_split(text, chr(10)),
+        |     x -> regexp_matches(x, '[.!?"]$$')
+        |      AND len(string_split(x, ' ')) >= 5
+        |      AND NOT list_contains(string_split(x, ' '), 'javascript'))
+        |    AS kept
+        |  FROM doc),
+        | r AS (SELECT doc_id, n_lines,
+        |   CAST(len(kept) AS BIGINT) AS n_kept,
+        |   (len(kept) >= 3 AND NOT contains(text, 'lorem ipsum')
+        |     AND NOT contains(text, '{')) AS keep_doc, kept FROM k)
+        | SELECT doc_id, n_lines, n_kept, keep_doc,
+        |  CASE WHEN keep_doc THEN array_to_string(kept, chr(10))
+        |   ELSE '' END AS clean_text
+        | FROM r ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", ""),
+    // t46: full replay — same 6-word chunk lines, same re-appended
+    // (doc_id + i) % 5 == 1 duplicate planting, keep-first via the
+    // min-position self-rank (explode + first-occurrence join — the
+    // set-based spelling of the engine's row-local array_position);
+    // kept is never empty (line 1 always survives) so the join is
+    // inner.
+    "t46_intradoc_dedup" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') tk
+        |   FROM documents),
+        | ch AS (SELECT doc_id, list_transform(
+        |   range(1, GREATEST(CAST(CEIL(len(tk)/6.0) AS BIGINT), 1) + 1),
+        |   i -> array_to_string(tk[(i-1)*6+1 : (i-1)*6+6], ' ')) AS ls
+        |  FROM base),
+        | pt AS (SELECT doc_id, list_concat(ls, list_transform(
+        |   list_filter(range(1, len(ls) + 1),
+        |     i -> (doc_id + i - 1) % 5 = 1),
+        |   i -> ls[CAST(i AS INT)])) AS ls FROM ch),
+        | pos AS (SELECT doc_id, CAST(u.i AS INT) AS pn,
+        |   ls[CAST(u.i AS INT)] AS line
+        |  FROM pt, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        | fst AS (SELECT doc_id, line, MIN(pn) AS fp FROM pos
+        |  GROUP BY doc_id, line),
+        | kept AS (SELECT p.doc_id, p.pn, p.line FROM pos p JOIN fst f
+        |  ON p.doc_id = f.doc_id AND p.line = f.line AND p.pn = f.fp),
+        | agg AS (SELECT doc_id, COUNT(*) AS nk,
+        |   string_agg(line, chr(10) ORDER BY pn) AS tc FROM kept
+        |  GROUP BY doc_id)
+        | SELECT pt.doc_id, CAST(len(pt.ls) AS BIGINT) AS n_lines,
+        |  CAST(len(pt.ls) - agg.nk AS BIGINT) AS n_dupes,
+        |  agg.tc AS text_clean
+        | FROM pt JOIN agg USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
     "d1_exact_dedup" ->
       """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS dedup_key,

@@ -363,6 +363,70 @@ class Round11OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("t45 c4Clean: each rule isolated on a crafted corpus") {
+    import graft.operators.TextAnalysis
+    def doc(id: Long, lines: String*) = (id, lines.mkString("\n"))
+    val good = "alpha beta gamma delta epsilon." // 5 words, terminal .
+    val df = spark.createDataFrame(Seq(
+      // all lines survive
+      doc(1L, good, good, "one two three four five six!", "quoted line of five words\""),
+      // one violation of each LINE rule, plus 3 good lines -> kept
+      doc(2L, good, "no terminal punctuation here at all", // rule 1
+        "too few words.", // rule 2
+        "this line mentions javascript explicitly today.", // rule 3
+        good, good),
+      // word-exact ban: a SUBSTRING hit is NOT a hit
+      doc(3L, good, good, "we love javascripting frameworks daily."),
+      // only 2 kept lines -> whole page dropped
+      doc(4L, good, good, "short."),
+      // page bans
+      doc(5L, good, good, good, "this page embeds lorem ipsum text."),
+      doc(6L, good, good, good, "code block { inside } here today."))).
+      toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(df, "doc_id", "text").orderBy("doc_id")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getBoolean(3), x.getString(4))).toMap
+    assert(r(1L) == ((4L, 4L, true,
+      Seq(good, good, "one two three four five six!",
+        "quoted line of five words\"").mkString("\n"))))
+    assert(r(2L) == ((6L, 3L, true, Seq(good, good, good).mkString("\n"))))
+    assert(r(3L) == ((3L, 3L, true,
+      Seq(good, good, "we love javascripting frameworks daily.")
+        .mkString("\n"))))
+    assert(r(4L) == ((3L, 2L, false, "")))
+    assert(r(5L) == ((4L, 4L, false, "")))
+    // the brace line passes every LINE rule; the PAGE ban drops doc 6
+    assert(r(6L) == ((4L, 4L, false, "")))
+  }
+
+  test("t46 intraDocLineDedup: keep-first semantics on a crafted corpus") {
+    import graft.operators.TextAnalysis
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq("a a", "b b", "a a", "c c", "b b", "a a").mkString("\n")),
+      (2L, Seq("x", "y", "z").mkString("\n")), // no dupes
+      (3L, ""))) // one empty line, no dupes
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.intraDocLineDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(1L) == ((6L, 3L, "a a\nb b\nc c")))
+    assert(r(2L) == ((3L, 0L, "x\ny\nz")))
+    assert(r(3L) == ((1L, 0L, "")))
+  }
+
+  test("t45/t46 plan pin: the cleaning operators are pure scan " +
+    "projections — zero exchanges before the presentation sort") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    for (df <- Seq(TextAnalysis.c4Clean(docs, "doc_id", "text"),
+        TextAnalysis.intraDocLineDedup(docs, "doc_id", "text"))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p.take(2000))
+    }
+  }
+
   test("t44 LM perplexity: tercile buckets are monotone in avg_nll") {
     val rows = SparkEntry.queries("t44_lm_perplexity")(spark, sfDir)
       .select("bucket", "avg_nll").collect()

@@ -44,7 +44,7 @@ class UnicodeFixtureGateSpec extends AnyFunSuite {
     "t33_cms_counts", "t34_pmi_pairs", "t35_gopher_repetition",
     "t36_nb_langid", "t38_bpe_encode", "t40_nfc_fingerprint",
     "t42_canonical_key", "t15_bpe_tokens", "t43_gopher_rules",
-    "t44_lm_perplexity",
+    "t44_lm_perplexity", "t45_c4_cleaning", "t46_intradoc_dedup",
     "t41_zipf_fit", "d1_exact_dedup", "d2_ngram_jaccard",
     "d19_boilerplate_removal", "d20_substring_removal",
     "d21_benchmark_decontamination",
