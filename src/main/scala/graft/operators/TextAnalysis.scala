@@ -444,8 +444,14 @@ object TextAnalysis {
     df.select(
         col(idCol), col(textCol).as("__t"),
         size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"),
+        // \z (end of TEXT), not $: Java's $ also matches before a
+        // trailing line terminator, so a CRLF line ("…today.\r")
+        // would be kept by $ — and diverge from RE2, whose $ is
+        // end-of-text (the PortableWs divergence class). \z means
+        // end-of-text in BOTH engines, and a stray \r correctly
+        // fails the rule instead of leaking into clean_text.
         filter(split(col(textCol), "\n", -1), l =>
-          l.rlike("[.!?\"]$") &&
+          l.rlike("[.!?\"]\\z") &&
             // bind the per-line split once: both word conditions read
             // it, and an unbound split would re-run per condition
             letBound(split(l, " ", -1)) { w =>
@@ -454,8 +460,8 @@ object TextAnalysis {
       .select(
         col(idCol), col("n_lines"),
         size(col("__kept")).cast("long").as("n_kept"),
-        (size(col("__kept")) >= minKeptLines &&
-          docBans.map(b => !col("__t").contains(b)).reduce(_ && _))
+        docBans.foldLeft(size(col("__kept")) >= minKeptLines)(
+            (acc, b) => acc && !col("__t").contains(b))
           .as("keep_doc"),
         col("__kept"))
       .select(

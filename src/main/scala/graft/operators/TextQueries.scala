@@ -2739,8 +2739,9 @@ object TextQueries {
     // folded into the modulus operand), same page markers, then the
     // C4 rules verbatim: terminal-punct regex, >= 5 whitespace words,
     // word-exact javascript ban, >= 3 kept lines, lorem-ipsum / brace
-    // page bans. `$$` spells a literal regex end anchor through the
-    // interpolator.
+    // page bans. The punctuation anchor is \z (end of TEXT) on both
+    // sides — Java's $ also matches before a trailing \r, RE2's does
+    // not, so $ would diverge on CRLF lines.
     "t45_c4_cleaning" ->
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') tk
         |   FROM documents),
@@ -2762,7 +2763,7 @@ object TextQueries {
         | k AS (SELECT doc_id, text,
         |   CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
         |   list_filter(string_split(text, chr(10)),
-        |     x -> regexp_matches(x, '[.!?"]$$')
+        |     x -> regexp_matches(x, '[.!?"]\\z')
         |      AND len(string_split(x, ' ')) >= 5
         |      AND NOT list_contains(string_split(x, ' '), 'javascript'))
         |    AS kept

@@ -41,14 +41,20 @@ object DedupStreams {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
 
-  /** sum(n_docs) + min(first_doc) keyed merge — the d17 monoid
-    * (mergeRollup's default is additive-only; first_doc must take the
-    * minimum across batches, not the sum). */
-  private[streaming] def mergeSumMin(
+  /** The sum+min merge monoid shared by the d17 and d20 states
+    * (mergeRollup's default is additive-only; the min column must
+    * take the minimum across batches, not the sum) — parameterized
+    * on column names so a future protocol change lands once. */
+  private def mergeSumMinOn(countCol: String, minCol: String)(
       state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame =
     state.unionByName(delta)
       .groupBy(keyCols.map(col): _*)
-      .agg(sum("n_docs").as("n_docs"), min("first_doc").as("first_doc"))
+      .agg(sum(countCol).as(countCol), min(minCol).as(minCol))
+
+  /** sum(n_docs) + min(first_doc) keyed merge — the d17 monoid. */
+  private[streaming] def mergeSumMin(
+      state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame =
+    mergeSumMinOn("n_docs", "first_doc")(state, delta, keyCols)
 
   /** Fold an append document stream (doc_id, text, …) into d17's
     * per-fingerprint rollup state. */
@@ -109,13 +115,10 @@ object DedupStreams {
       .select("g", "id").distinct()
       .groupBy("g").agg(count(lit(1)).as("nd"), min("id").as("keep_id"))
 
-  /** sum(nd) + min(keep_id) keyed merge — the d20 monoid (the
-    * [[mergeSumMin]] shape on d20's column names). */
+  /** sum(nd) + min(keep_id) keyed merge — the d20 monoid. */
   private[streaming] def mergeSumMinDup(
       state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame =
-    state.unionByName(delta)
-      .groupBy(keyCols.map(col): _*)
-      .agg(sum("nd").as("nd"), min("keep_id").as("keep_id"))
+    mergeSumMinOn("nd", "keep_id")(state, delta, keyCols)
 
   /** Fold an append document stream into d20's per-gram dup state. */
   def streamingSubstringDups(
@@ -149,7 +152,15 @@ object DedupStreams {
     * append-only docs make the summed deltas equal the global
     * doc frequency — the additive default merge suffices. */
   def boilerplateBatch(batch: DataFrame): DataFrame =
-    Dedup.paraTable(batch, "doc_id", "text")
+    // the paragraph view is built INLINE, not via Dedup.paraTable:
+    // paraTable wraps its result in Caches.shared (right for the
+    // batch query, which scans it twice), but inside foreachBatch
+    // nothing releases the cache, so each micro-batch would pin one
+    // persisted table for the stream's lifetime — and the delta has
+    // exactly one consumer anyway (the substringDupBatch precedent)
+    batch.select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pn", "para")))
+      .withColumn("h", Dedup.md5Long(col("para")))
       .select("h", "doc_id").distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
 

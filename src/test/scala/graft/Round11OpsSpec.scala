@@ -381,7 +381,11 @@ class Round11OpsSpec extends AnyFunSuite {
       doc(4L, good, good, "short."),
       // page bans
       doc(5L, good, good, good, "this page embeds lorem ipsum text."),
-      doc(6L, good, good, good, "code block { inside } here today."))).
+      doc(6L, good, good, good, "code block { inside } here today."),
+      // CRLF page: a trailing \r means the line does NOT end in
+      // terminal punctuation (\z is end-of-TEXT in both engines;
+      // Java's $ would wrongly keep these and leak the \r)
+      doc(7L, good + "\r", good + "\r", good + "\r", good))).
       toDF("doc_id", "text")
     val r = TextAnalysis.c4Clean(df, "doc_id", "text").orderBy("doc_id")
       .collect().map(x => x.getLong(0) ->
@@ -397,6 +401,8 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(r(5L) == ((4L, 4L, false, "")))
     // the brace line passes every LINE rule; the PAGE ban drops doc 6
     assert(r(6L) == ((4L, 4L, false, "")))
+    // only the \r-free line survives -> below the 3-kept-lines gate
+    assert(r(7L) == ((4L, 1L, false, "")))
   }
 
   test("t46 intraDocLineDedup: keep-first semantics on a crafted corpus") {

@@ -99,6 +99,15 @@ class UnicodeFixtureGateSpec extends AnyFunSuite {
             .foreach(f => Files.deleteIfExists(f))
       }
       rm(fix); rm(out)
+      // build-once sidecars (bpe2_/mh2_/…) are keyed on the corpus
+      // DIR: a fresh temp fixture path each run would otherwise leak
+      // one orphan sidecar per `sbt test` forever (gcRetired sweeps
+      // only RETIRED prefixes, not live ones under dead keys)
+      val key = graft.store.AnnIndexes.keyOf(fix)
+      Option(new java.io.File(graft.store.AnnIndexes.root).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.contains(key))
+        .foreach(f => rm(f.getPath))
     }
   }
 }
