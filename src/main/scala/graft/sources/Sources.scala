@@ -64,13 +64,20 @@ object Sources {
     def toText(content: Array[Byte]): String
   }
 
-  /** Default formats: utf-8 passthrough for the text family. */
-  val TextFormats: Seq[SourceFormat] = Seq("text/plain", "text/markdown", "text/html")
+  /** Default formats: utf-8 passthrough for plain text and Markdown;
+    * standalone HTML goes through the SAME markup stripper the EPUB
+    * converter uses — a crawl-shaped .html ingested raw would carry
+    * its tags, scripts and styles straight into the token stream. */
+  val TextFormats: Seq[SourceFormat] = Seq("text/plain", "text/markdown")
     .map { m =>
       new SourceFormat {
         val mime: String = m
         def toText(content: Array[Byte]): String = new String(content, "UTF-8")
       }
+    } :+ new SourceFormat {
+      val mime: String = "text/html"
+      def toText(content: Array[Byte]): String =
+        htmlToText(new String(content, "UTF-8"))
     }
 
   /** S3 in-engine: pure-JVM EPUB→text. An EPUB is a zip of XHTML

@@ -25,6 +25,11 @@ class SourcesSpec extends AnyFunSuite {
         "subtitle: \"C# robots\"\npublication_date: 1956\n")
         .getBytes("UTF-8"))
     w("doc.md", "# heading\nbody text".getBytes("UTF-8"))
+    w("page.html",
+      ("<html><head><title>skip me</title>" +
+        "<script>var tracking = 1;</script></head>" +
+        "<body><h1>Crawl &amp; Clean</h1>" +
+        "<p>visible body text</p></body></html>").getBytes("UTF-8"))
     w("book.epub", ("PKfakezipcontent").getBytes("ISO-8859-1"))
     w("paper.pdf", "%PDF-1.4 fake".getBytes("ISO-8859-1"))
     w("pic.png",
@@ -153,6 +158,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("n") > 1000),
       "epub text extraction should produce substantial text")
     assert(rows.forall(r => r.getAs[String]("author") != null))
+  }
+
+  test("standalone .html ingests STRIPPED, not as raw markup") {
+    val scanned = Sources.ingestionReadyScan(spark, dir)
+    val row = scanned.filter(col("path").endsWith("page.html")).head()
+    assert(row.getAs[String]("mime") == "text/html")
+    assert(row.getAs[String]("action") == "ingest")
+    // head/script subtrees dropped, tags stripped, entities decoded —
+    // the same conversion the EPUB path applies; a raw passthrough
+    // would leak "<html>" and "var tracking" into the token stream
+    assert(row.getAs[String]("text") == "Crawl & Clean visible body text")
   }
 
   test("entity decoding: named, decimal, hex; unknown and bare pass through") {
