@@ -423,7 +423,7 @@ object TextAnalysis {
     * banned substring ("lorem ipsum", "{" — the paper's boilerplate /
     * code markers). Word membership is whitespace-token EXACT match
     * (not substring), matching the paper's "word" phrasing; lines are
-    * `\n`-separated.
+    * `\r?\n`-separated (CRLF corpora clean, not vanish).
     *
     * This is the line-granular sibling of t43's document-granular
     * Gopher rule set, and differs from d19 (cross-doc paragraph
@@ -441,16 +441,16 @@ object TextAnalysis {
     require(minWordsPerLine >= 1 && minKeptLines >= 0,
       s"c4Clean thresholds must be positive: " +
         s"minWordsPerLine=$minWordsPerLine minKeptLines=$minKeptLines")
+    // lines split on \r?\n (identical regex semantics in Java and
+    // RE2): a CRLF-ended corpus cleans instead of losing every line
+    // to a trailing \r. The punctuation anchor is \z (end of TEXT),
+    // not $: Java's $ also matches before a trailing line terminator
+    // and would diverge from RE2's end-of-text $ on any stray \r
+    // (the PortableWs divergence class).
     df.select(
         col(idCol), col(textCol).as("__t"),
-        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"),
-        // \z (end of TEXT), not $: Java's $ also matches before a
-        // trailing line terminator, so a CRLF line ("…today.\r")
-        // would be kept by $ — and diverge from RE2, whose $ is
-        // end-of-text (the PortableWs divergence class). \z means
-        // end-of-text in BOTH engines, and a stray \r correctly
-        // fails the rule instead of leaking into clean_text.
-        filter(split(col(textCol), "\n", -1), l =>
+        size(split(col(textCol), "\r?\n", -1)).cast("long").as("n_lines"),
+        filter(split(col(textCol), "\r?\n", -1), l =>
           l.rlike("[.!?\"]\\z") &&
             // bind the per-line split once: both word conditions read
             // it, and an unbound split would re-run per condition
@@ -478,7 +478,11 @@ object TextAnalysis {
     * Keep-first semantics: line i survives iff no earlier identical
     * line exists in the same document. Cross-document duplication is
     * deliberately out of scope here — that is d15 (chunk keep-first) /
-    * d19 (boilerplate drop-everywhere).
+    * d19 (boilerplate drop-everywhere). Lines are literal
+    * `\n`-separated (unlike c4Clean, no `\r?` tolerance is needed:
+    * CRLF duplicate lines still match EACH OTHER, so keep-first
+    * semantics are unaffected, and CRLF normalization is the ingest
+    * path's job — [[graft.sources.Sources.htmlToLines]]).
     *
     * Spark-first shape: `array_position` (first index) against the
     * split-once line array inside an indexed `filter` — first

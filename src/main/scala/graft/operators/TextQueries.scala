@@ -2761,8 +2761,9 @@ object TextQueries {
         |   CASE WHEN doc_id % 19 = 7 THEN ['function() { return; }']
         |    ELSE CAST([] AS VARCHAR[]) END), chr(10)) AS text FROM pl),
         | k AS (SELECT doc_id, text,
-        |   CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-        |   list_filter(string_split(text, chr(10)),
+        |   CAST(len(string_split_regex(text, '\\r?\\n')) AS BIGINT)
+        |    AS n_lines,
+        |   list_filter(string_split_regex(text, '\\r?\\n'),
         |     x -> regexp_matches(x, '[.!?"]\\z')
         |      AND len(string_split(x, ' ')) >= 5
         |      AND NOT list_contains(string_split(x, ' '), 'javascript'))

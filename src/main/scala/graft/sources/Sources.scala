@@ -77,7 +77,7 @@ object Sources {
     } :+ new SourceFormat {
       val mime: String = "text/html"
       def toText(content: Array[Byte]): String =
-        htmlToText(new String(content, "UTF-8"))
+        htmlToLines(new String(content, "UTF-8"))
     }
 
   /** S3 in-engine: pure-JVM EPUB→text. An EPUB is a zip of XHTML
@@ -116,14 +116,56 @@ object Sources {
     * the CLI scan/import paths use. */
   val AllFormats: Seq[SourceFormat] = TextFormats :+ EpubFormat
 
+  /** Drop the non-content subtrees, tolerating MALFORMED crawl HTML:
+    * after removing properly closed head/script/style pairs, an
+    * UNCLOSED `<head>` is dropped up to the first `<body` (the HTML
+    * spec makes `</head>` optional — head implicitly ends where body
+    * content starts), and an unclosed `<script>`/`<style>` — common
+    * in truncated crawl captures — is dropped to end-of-input, so a
+    * missing closer can't leak scripts into the token stream. */
+  private def dropNonContent(html: String): String =
+    html.replaceAll("(?is)<head\\b.*?</head>", " ")
+      .replaceAll("(?is)<head\\b.*?(?=<body\\b|$)", " ")
+      .replaceAll("(?is)<(script|style)\\b.*?</\\1>", " ")
+      .replaceAll("(?is)<(?:script|style)\\b.*$", " ")
+
   /** Markup → plain text: drop head/script/style subtrees, strip tags,
     * decode character entities, collapse whitespace to single spaces
-    * (the chunker's token delimiter). */
+    * (the chunker's token delimiter — the EPUB/RAG import shape; for
+    * the line-granular cleaning family use [[htmlToLines]]). */
   def htmlToText(html: String): String = {
-    val noHead = html.replaceAll("(?is)<head\\b.*?</head>", " ")
-    val noScript = noHead.replaceAll("(?is)<(script|style)\\b.*?</\\1>", " ")
-    val noTags = noScript.replaceAll("(?s)<[^>]*>", " ")
+    val noTags = dropNonContent(html).replaceAll("(?s)<[^>]*>", " ")
     decodeEntities(noTags).replaceAll("\\s+", " ").trim
+  }
+
+  /** Block-level tags that end a text line when HTML is converted for
+    * the line-granular cleaners. */
+  private val BlockTags =
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|table|blockquote|pre|section" +
+      "|article|header|footer|figure|figcaption|main|aside|nav|form"
+
+  /** Markup → newline-structured text: like [[htmlToText]] but block
+    * boundaries (`<p>`, `</div>`, `<br>`, headings, list items, table
+    * rows, …) become NEWLINES instead of spaces, so a crawled page
+    * keeps the line/paragraph structure the line-level cleaning
+    * family keys on (t45 C4 line rules, t46 intra-doc line dedup, d19
+    * paragraph boilerplate — all split on \n; a space-flattened page
+    * would be one giant line that t45 drops wholesale). Within a
+    * line, whitespace collapses to single spaces; blank lines
+    * collapse away. */
+  def htmlToLines(html: String): String = {
+    // source newlines are INLINE whitespace in HTML ("<p>foo\nbar</p>"
+    // is one paragraph) — flatten them first; only markup makes lines
+    val flat = dropNonContent(html).replaceAll("\\s+", " ")
+    val blocks = flat
+      .replaceAll("(?i)<br\\s*/?>", "\n")
+      .replaceAll(s"(?i)</?(?:$BlockTags)\\b[^>]*>", "\n")
+    val noTags = blocks.replaceAll("<[^>]*>", " ")
+    decodeEntities(noTags)
+      .split("\n", -1).iterator
+      .map(_.replaceAll("\\s+", " ").trim)
+      .filter(_.nonEmpty)
+      .mkString("\n")
   }
 
   private val EntityMap = Map(

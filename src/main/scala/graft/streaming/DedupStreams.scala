@@ -152,15 +152,12 @@ object DedupStreams {
     * append-only docs make the summed deltas equal the global
     * doc frequency — the additive default merge suffices. */
   def boilerplateBatch(batch: DataFrame): DataFrame =
-    // the paragraph view is built INLINE, not via Dedup.paraTable:
-    // paraTable wraps its result in Caches.shared (right for the
-    // batch query, which scans it twice), but inside foreachBatch
-    // nothing releases the cache, so each micro-batch would pin one
-    // persisted table for the stream's lifetime — and the delta has
-    // exactly one consumer anyway (the substringDupBatch precedent)
-    batch.select(col("doc_id"),
-        posexplode(split(col("text"), "\n", -1)).as(Seq("pn", "para")))
-      .withColumn("h", Dedup.md5Long(col("para")))
+    // paraView, NOT paraTable: the cached wrapper is right for the
+    // batch query (which scans the view twice), but inside
+    // foreachBatch nothing releases the cache, so each micro-batch
+    // would pin one persisted table for the stream's lifetime; the
+    // shared projection keeps the paragraph DEFINITION single-sourced
+    Dedup.paraView(batch, "doc_id", "text")
       .select("h", "doc_id").distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
 

@@ -382,10 +382,11 @@ class Round11OpsSpec extends AnyFunSuite {
       // page bans
       doc(5L, good, good, good, "this page embeds lorem ipsum text."),
       doc(6L, good, good, good, "code block { inside } here today."),
-      // CRLF page: a trailing \r means the line does NOT end in
-      // terminal punctuation (\z is end-of-TEXT in both engines;
-      // Java's $ would wrongly keep these and leak the \r)
-      doc(7L, good + "\r", good + "\r", good + "\r", good))).
+      // CRLF page: \r?\n splitting means a Windows-line-ended page
+      // CLEANS like any other (and no \r leaks into clean_text); a
+      // lone stray \r mid-line stays and fails the \z punct anchor
+      (7L, (good + "\r\n") * 3 + good),
+      (8L, Seq(good, good, good + "\rtail").mkString("\n")))).
       toDF("doc_id", "text")
     val r = TextAnalysis.c4Clean(df, "doc_id", "text").orderBy("doc_id")
       .collect().map(x => x.getLong(0) ->
@@ -401,8 +402,10 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(r(5L) == ((4L, 4L, false, "")))
     // the brace line passes every LINE rule; the PAGE ban drops doc 6
     assert(r(6L) == ((4L, 4L, false, "")))
-    // only the \r-free line survives -> below the 3-kept-lines gate
-    assert(r(7L) == ((4L, 1L, false, "")))
+    // CRLF page: all 4 lines keep, clean_text is \r-free
+    assert(r(7L) == ((4L, 4L, true, Seq(good, good, good, good).mkString("\n"))))
+    // the stray-\r line fails the end-of-text punctuation anchor
+    assert(r(8L) == ((3L, 2L, false, "")))
   }
 
   test("t46 intraDocLineDedup: keep-first semantics on a crafted corpus") {

@@ -160,15 +160,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[String]("author") != null))
   }
 
-  test("standalone .html ingests STRIPPED, not as raw markup") {
+  test("standalone .html ingests STRIPPED with line structure") {
     val scanned = Sources.ingestionReadyScan(spark, dir)
     val row = scanned.filter(col("path").endsWith("page.html")).head()
     assert(row.getAs[String]("mime") == "text/html")
     assert(row.getAs[String]("action") == "ingest")
-    // head/script subtrees dropped, tags stripped, entities decoded —
-    // the same conversion the EPUB path applies; a raw passthrough
-    // would leak "<html>" and "var tracking" into the token stream
-    assert(row.getAs[String]("text") == "Crawl & Clean visible body text")
+    // head/script subtrees dropped, tags stripped, entities decoded,
+    // and BLOCK boundaries become newlines (the line-level cleaning
+    // family keys on them); a raw passthrough would leak "<html>"
+    // and "var tracking" into the token stream
+    assert(row.getAs[String]("text") == "Crawl & Clean\nvisible body text")
+  }
+
+  test("htmlToLines: blocks make lines, source newlines are inline ws") {
+    assert(Sources.htmlToLines(
+      "<p>foo\nbar</p><p>baz</p><div>qux<br>quux</div>") ==
+      "foo bar\nbaz\nqux\nquux")
+    // blank paragraphs collapse away
+    assert(Sources.htmlToLines("<p> </p><p>a</p><p></p><p>b</p>") == "a\nb")
+  }
+
+  test("malformed crawl HTML: unclosed script/style/head cannot leak") {
+    // truncated capture: script never closes -> dropped to EOF
+    assert(Sources.htmlToText(
+      "<p>keep me</p><script>var tracking = 1; trackUser(") == "keep me")
+    // spec-valid head without </head>: ends where <body> starts
+    assert(Sources.htmlToText(
+      "<html><head><title>skip</title><body><p>kept body</p>") == "kept body")
+    assert(Sources.htmlToLines(
+      "<p>a</p><style>.x{color:red") == "a")
   }
 
   test("entity decoding: named, decimal, hex; unknown and bare pass through") {
