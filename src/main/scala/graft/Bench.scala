@@ -95,6 +95,9 @@ object Bench {
   // t46 stays out of the headline: it is t45's scan shape (split-once
   // line array + HOF filter, zero shuffles) with an array_position
   // body — no new plan family; oracle-checked at 3 SFs + the fixture.
+  // m8 stays out too: its costs are m5's decode+hash pass (already
+  // headlined) plus d3/d4's banded candidate join (already headlined
+  // twice) — no new plan family; oracle-checked at 3 SFs.
   // t39/t41 stay out of the headline: t39 is five regex passes over
   // the same scan shape t40 times (map-only, zero shuffles), t41 is
   // t31's count-agg shape plus a 1000-row bounded fit — neither adds

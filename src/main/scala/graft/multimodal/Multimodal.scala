@@ -571,6 +571,49 @@ object Multimodal {
     assets.repartition(parts)
   }
 
+  /** Image near-duplicate pairs over [[imagePhash]] output — the
+    * multimodal rung of the dedup ladder (re-crawled / re-saved images
+    * dedup by perceptual hash, not bytes: same pixels under different
+    * URLs or encoders share a dHash). Pigeonhole blocking on the four
+    * 16-bit hash chunks (SOUND for `maxDist` ≤ 3: two hashes within
+    * Hamming distance 3 differ in at most 3 of 64 bits, so at least
+    * one of the 4 chunks is bit-identical — d4's SimHash argument),
+    * then exact Hamming verification on the candidates only.
+    *
+    * Scale shape: one (chunk, value)-keyed exchange of the 4-row-per-
+    * asset banded table; candidate fanout is bounded by bucket sizes
+    * (16-bit buckets stay small under any realistic corpus — 2¹⁶
+    * buckets per band); verification joins the narrow hash table
+    * twice by id. The corpus never all-pairs.
+    * → (a, b, dist), a < b, dist ≤ maxDist. */
+  def phashNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"pigeonhole blocking over 4 chunks is only sound for maxDist <= 3 " +
+        s"(got $maxDist)")
+    val h = graft.Caches.shared(hashes
+      .filter(col("h0").isNotNull)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        col("h0"), col("h1"), col("h2"), col("h3")))
+    val banded = h.select(col("asset_id"),
+      posexplode(array(col("h0"), col("h1"), col("h2"), col("h3")))
+        .as(Seq("band", "key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"))
+      .distinct()
+    def side(n: String) = h.select(
+      col("asset_id").as(n), col("h0").as(s"${n}0"), col("h1").as(s"${n}1"),
+      col("h2").as(s"${n}2"), col("h3").as(s"${n}3"))
+    val dist = (0 to 3)
+      .map(c => bit_count(col(s"a$c").bitwiseXOR(col(s"b$c")).cast("long")))
+      .reduce(_ + _)
+    cand.join(side("a"), "a").join(side("b"), "b")
+      .withColumn("dist", dist.cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+
   /** Build a synthetic asset table from any (id, string) source —
     * content is the utf-8 bytes; lets the multimodal path run on the
     * driver testdata without real media. */

@@ -79,6 +79,33 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
+    // M8: image NEAR-DUP pairs — the multimodal rung of the dedup
+    // ladder: re-crawled/re-saved copies of one image share a
+    // perceptual hash even when their bytes differ, and production
+    // pipelines dedup images by pHash blocking, never byte equality.
+    // Duplicates are PLANTED (t8/d19/d21 precedent): every run of 7
+    // consecutive doc_ids shares ONE image (content + dims derive
+    // from fill_id = doc_id - doc_id % 7; the copy attached per doc
+    // by a fill_id join), so each doc's copy is INDEPENDENTLY
+    // re-encoded and re-decoded — the honest per-copy codec cost —
+    // and groups surface as Hamming-0 cliques, while natural 16-bit
+    // chunk collisions across groups exercise (and fail) the exact
+    // verification. Pigeonhole blocking on the four 16-bit chunks is
+    // sound for dist <= 3 (m5's design comment); one banded
+    // exchange, candidates verified by XOR popcount — no all-pairs.
+    "m8_image_neardup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 7).as("fill_id"))
+      val base = graft.multimodal.Multimodal.syntheticPngAssets(
+        d.select(col("fill_id").as("doc_id")).distinct(), "doc_id")
+      val assets = d.join(
+          base.withColumnRenamed("asset_id", "fill_id"), "fill_id")
+        .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
+      graft.multimodal.Multimodal.phashNearDupPairs(
+          graft.multimodal.Multimodal.imagePhash(assets), maxDist = 3)
+        .orderBy("a", "b")
+    }),
+
     // M6: REAL container frame sampling — each asset is an actual zip
     // archive of PNG key-frames; the sampler streams the zip
     // directory, decodes every 2nd entry with the real codec
@@ -363,6 +390,50 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS INT) AS h3
         | FROM bits GROUP BY doc_id ORDER BY asset_id"""
         .stripMargin.replaceAll("\n", ""),
+    // m8: the full chain replayed — fill-group remap, the m5 dHash
+    // re-derived per doc from its FILL id, the 4-chunk pigeonhole
+    // candidate join, and exact Hamming verification via xor +
+    // bit_count; same (a, b, dist) contract.
+    "m8_image_neardup" ->
+      """WITH d0 AS (SELECT doc_id, doc_id - doc_id % 7 AS fid FROM documents),
+        | d AS (SELECT doc_id, fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h
+        |  FROM d0),
+        | gxs AS (SELECT unnest(range(0, 9)) gx),
+        | gys AS (SELECT unnest(range(0, 8)) gy),
+        | lum AS (SELECT doc_id, gx, gy,
+        |   ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+        |     + (v & 255) * 114) // 1000) AS l
+        |  FROM (SELECT doc_id, gx, gy,
+        |    ((fid * 2654435761 + ((gx * w) // 9) * 97
+        |      + ((gy * h) // 8) * 31) & 16777215) AS v
+        |   FROM d CROSS JOIN gxs CROSS JOIN gys)),
+        | bits AS (SELECT a.doc_id, (a.gy * 8 + a.gx) AS i,
+        |   CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        |   AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        | hh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
+        |  FROM bits GROUP BY doc_id),
+        | bands AS (SELECT doc_id, u.c AS band,
+        |   CASE u.c WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+        |    ELSE h3 END AS key
+        |  FROM hh, UNNEST(range(0, 4)) AS u(c)),
+        | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bands y
+        |   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+        | SELECT c.a, c.b,
+        |  CAST(bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+        |   + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))
+        |   AS INT) AS dist
+        | FROM cand c JOIN hh ha ON ha.doc_id = c.a
+        |  JOIN hh hb ON hb.doc_id = c.b
+        | WHERE bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+        |  + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3)) <= 3
+        | ORDER BY a, b""".stripMargin.replaceAll("\n", ""),
     // m6: every sampled frame's luminance sum recomputed from the
     // synthetic pixel function — integer-exact in both engines.
     "m6_video_frames" ->

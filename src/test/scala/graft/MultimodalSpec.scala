@@ -170,4 +170,34 @@ class MultimodalSpec extends AnyFunSuite {
       expr("substring(content, 9, 64)"))
     assert(Multimodal.decodeWavWindows(broken, 32).count() == 0L)
   }
+
+  test("m8 phashNearDupPairs: pigeonhole candidates + exact Hamming verify") {
+    // hand-built hash rows: distances 1 and 3 survive, 4 is a
+    // candidate (two chunks equal) but fails verification, the
+    // all-ones row shares no chunk and never becomes a candidate,
+    // and a null (non-image) row is filtered out
+    val hashes = spark.createDataFrame(Seq(
+      (1L, Some(0), Some(0), Some(0), Some(0)),
+      (2L, Some(1), Some(0), Some(0), Some(0)),
+      (3L, Some(3), Some(5), Some(0), Some(0)),
+      (4L, Some(0xFFFF), Some(0xFFFF), Some(0xFFFF), Some(0xFFFF)),
+      (5L, Option.empty[Int], None, None, None)))
+      .toDF("asset_id", "h0", "h1", "h2", "h3")
+    val got = Multimodal.phashNearDupPairs(hashes, maxDist = 3)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // (1,3) has xor bits 2+2 = 4 > 3: candidate killed by the verify
+    assert(got == Seq((1L, 2L, 1), (2L, 3L, 3)))
+    // maxDist = 0 keeps only exact hash duplicates
+    val exact = Multimodal.phashNearDupPairs(
+      hashes.union(hashes.filter(col("asset_id") === 1)
+        .withColumn("asset_id", lit(9L))), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(exact == Seq((1L, 9L, 0)))
+    // blocking over 4 chunks is unsound past Hamming 3: rejected
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDupPairs(hashes, maxDist = 4)
+    }
+    Caches.release(spark)
+  }
 }
