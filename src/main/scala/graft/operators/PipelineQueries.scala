@@ -10,6 +10,20 @@ import graft.rag.Rag
   * embedder is engine-native so no SQL oracle exists — covered by
   * ScalaTest goldens instead, SURVEY.md §2.8 Class B). */
 object PipelineQueries {
+
+  /** m8's planted asset table — every run of 7 consecutive doc_ids
+    * shares ONE image (content + dims derive from the fill id), each
+    * copy carried under its own asset_id. ONE definition, used by the
+    * m8 query and the streaming stream≡batch spec so the planting
+    * cannot drift between them. */
+  private[graft] def m8PlantedAssets(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 7).as("fill_id"))
+    val base = graft.multimodal.Multimodal.syntheticPngAssets(
+      d.select(col("fill_id").as("doc_id")).distinct(), "doc_id")
+    d.join(base.withColumnRenamed("asset_id", "fill_id"), "fill_id")
+      .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
+  }
   val Dim = 64
   val MaxTokens = 32
   val Query = "merge sort join the fast table scan"
@@ -94,15 +108,9 @@ object PipelineQueries {
     // sound for dist <= 3 (m5's design comment); one banded
     // exchange, candidates verified by XOR popcount — no all-pairs.
     "m8_image_neardup" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 7).as("fill_id"))
-      val base = graft.multimodal.Multimodal.syntheticPngAssets(
-        d.select(col("fill_id").as("doc_id")).distinct(), "doc_id")
-      val assets = d.join(
-          base.withColumnRenamed("asset_id", "fill_id"), "fill_id")
-        .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
       graft.multimodal.Multimodal.phashNearDupPairs(
-          graft.multimodal.Multimodal.imagePhash(assets), maxDist = 3)
+          graft.multimodal.Multimodal.imagePhash(m8PlantedAssets(s, dir)),
+          maxDist = 3)
         .orderBy("a", "b")
     }),
 

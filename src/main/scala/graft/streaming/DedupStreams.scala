@@ -216,4 +216,46 @@ object DedupStreams {
     Cdc.readRollup(spark, statePath).map(st =>
       Dedup.contaminationAgainst(train, st.select("g"),
         "doc_id", "text", k))
+
+  // -------------------------------------------------------------
+  // Image pHash near-dup state (m8)
+  // -------------------------------------------------------------
+
+  /** One asset batch's hash delta: m8's per-image dHash chunks
+    * (non-images drop out on the null filter). Each batch pays only
+    * its own decode work — the expensive half of image dedup — so
+    * hashing happens ONCE per image at ingest, not per dedup run. */
+  def phashBatch(batch: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.imagePhash(batch)
+      .filter(col("h0").isNotNull)
+      .select(col("asset_id"), col("h0"), col("h1"), col("h2"), col("h3"))
+
+  /** Keyed min-merge over the four chunk columns: asset ids are
+    * unique in an append stream, so this is an idempotent insert
+    * (a replayed batch's identical rows fold to themselves; an
+    * additive merge would corrupt the hash). */
+  private[streaming] def mergeMinChunks(
+      state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.unionByName(delta).groupBy(keyCols.map(col): _*)
+      .agg(min("h0").as("h0"), min("h1").as("h1"),
+        min("h2").as("h2"), min("h3").as("h3"))
+
+  /** Fold an append image-asset stream (asset_id, content, meta) into
+    * the per-asset pHash state m8's pair query reads. */
+  def streamingPhashes(
+      assets: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    Cdc.streamingRollup(assets, statePath, Seq("asset_id"),
+      phashBatch, checkpoint, mergeMinChunks)
+
+  /** m8's near-dup pairs from the CURRENT committed hash state (None
+    * until a first batch commits) — identical contract to the batch
+    * query when the state has folded the same assets (spec-pinned):
+    * the blocking + verify pass runs over hashes alone; no image is
+    * ever re-decoded. */
+  def phashPairsFromState(
+      spark: SparkSession, statePath: String,
+      maxDist: Int = 3): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(st =>
+      graft.multimodal.Multimodal.phashNearDupPairs(st, maxDist))
 }

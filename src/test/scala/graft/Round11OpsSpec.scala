@@ -363,6 +363,29 @@ class Round11OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("streaming pHash state: m8 pairs from folded state == batch m8") {
+    import graft.streaming.DedupStreams
+    val assets = graft.operators.PipelineQueries.m8PlantedAssets(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phstream").toString
+    assets.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    DedupStreams.streamingPhashes(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    // several micro-batches actually folded, not one big batch
+    assert(lastVersion(s"$tmp/state") >= 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = DedupStreams.phashPairsFromState(spark, s"$tmp/state")
+    assert(streamed.isDefined, "no committed pHash state")
+    val batch = SparkEntry.queries("m8_image_neardup")(spark, sfDir)
+    assert(rows(streamed.get) == rows(batch))
+    assert(streamed.get.count() > 0, "planted fill groups should pair")
+    Caches.release(spark)
+  }
+
   test("t45 c4Clean: each rule isolated on a crafted corpus") {
     import graft.operators.TextAnalysis
     def doc(id: Long, lines: String*) = (id, lines.mkString("\n"))
