@@ -100,9 +100,11 @@ object PipelineQueries {
     // Duplicates are PLANTED (t8/d19/d21 precedent): every run of 7
     // consecutive doc_ids shares ONE image (content + dims derive
     // from fill_id = doc_id - doc_id % 7; the copy attached per doc
-    // by a fill_id join), so each doc's copy is INDEPENDENTLY
-    // re-encoded and re-decoded — the honest per-copy codec cost —
-    // and groups surface as Hamming-0 cliques, while natural 16-bit
+    // by a fill_id join — ONE encode per group, so planted copies are
+    // byte-identical, the re-crawled-image case). Each copy is still
+    // independently DECODED + hashed (the per-copy cost that matters:
+    // decode dominates, and ingest never knows bytes are shared);
+    // groups surface as Hamming-0 cliques, while natural 16-bit
     // chunk collisions across groups exercise (and fail) the exact
     // verification. Pigeonhole blocking on the four 16-bit chunks is
     // sound for dist <= 3 (m5's design comment); one banded
@@ -399,33 +401,37 @@ object PipelineQueries {
         | FROM bits GROUP BY doc_id ORDER BY asset_id"""
         .stripMargin.replaceAll("\n", ""),
     // m8: the full chain replayed — fill-group remap, the m5 dHash
-    // re-derived per doc from its FILL id, the 4-chunk pigeonhole
-    // candidate join, and exact Hamming verification via xor +
-    // bit_count; same (a, b, dist) contract.
+    // re-derived ONCE per distinct fill id (the hash depends only on
+    // fid) and joined back per doc, the 4-chunk pigeonhole candidate
+    // join, and exact Hamming verification via xor + bit_count; same
+    // (a, b, dist) contract.
     "m8_image_neardup" ->
       """WITH d0 AS (SELECT doc_id, doc_id - doc_id % 7 AS fid FROM documents),
         | d AS (SELECT doc_id, fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h
         |  FROM d0),
+        | fids AS (SELECT DISTINCT fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h
+        |  FROM d),
         | gxs AS (SELECT unnest(range(0, 9)) gx),
         | gys AS (SELECT unnest(range(0, 8)) gy),
-        | lum AS (SELECT doc_id, gx, gy,
+        | lum AS (SELECT fid, gx, gy,
         |   ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
         |     + (v & 255) * 114) // 1000) AS l
-        |  FROM (SELECT doc_id, gx, gy,
+        |  FROM (SELECT fid, gx, gy,
         |    ((fid * 2654435761 + ((gx * w) // 9) * 97
         |      + ((gy * h) // 8) * 31) & 16777215) AS v
-        |   FROM d CROSS JOIN gxs CROSS JOIN gys)),
-        | bits AS (SELECT a.doc_id, (a.gy * 8 + a.gx) AS i,
+        |   FROM fids CROSS JOIN gxs CROSS JOIN gys)),
+        | bits AS (SELECT a.fid, (a.gy * 8 + a.gx) AS i,
         |   CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
-        |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.gy = b.gy
+        |  FROM lum a JOIN lum b ON a.fid = b.fid AND a.gy = b.gy
         |   AND b.gx = a.gx + 1
         |  WHERE a.gx < 8),
-        | hh AS (SELECT doc_id,
+        | hf AS (SELECT fid,
         |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
         |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
         |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
         |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
-        |  FROM bits GROUP BY doc_id),
+        |  FROM bits GROUP BY fid),
+        | hh AS (SELECT doc_id, h0, h1, h2, h3 FROM d0 JOIN hf USING (fid)),
         | bands AS (SELECT doc_id, u.c AS band,
         |   CASE u.c WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
         |    ELSE h3 END AS key

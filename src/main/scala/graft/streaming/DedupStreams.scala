@@ -230,15 +230,28 @@ object DedupStreams {
       .filter(col("h0").isNotNull)
       .select(col("asset_id"), col("h0"), col("h1"), col("h2"), col("h3"))
 
-  /** Keyed min-merge over the four chunk columns: asset ids are
-    * unique in an append stream, so this is an idempotent insert
-    * (a replayed batch's identical rows fold to themselves; an
-    * additive merge would corrupt the hash). */
-  private[streaming] def mergeMinChunks(
-      state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame =
-    state.unionByName(delta).groupBy(keyCols.map(col): _*)
-      .agg(min("h0").as("h0"), min("h1").as("h1"),
-        min("h2").as("h2"), min("h3").as("h3"))
+  /** Keyed ATOMIC min-merge: the four 16-bit chunks pack into one
+    * 64-bit value, the min is taken over the PACKED hash, and the
+    * winner unpacks — so the merged row is always ONE real hash. An
+    * idempotent insert for the append case (replayed identical rows
+    * fold to themselves), and if an upstream ever re-emits an asset
+    * id with DIFFERENT content the state keeps the smallest of the
+    * real hashes — a per-chunk independent min would instead fuse a
+    * franken-hash no image ever had. */
+  private[graft] def mergeMinChunks(
+      state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val packed = col("h0").cast("long") +
+      shiftleft(col("h1").cast("long"), 16) +
+      shiftleft(col("h2").cast("long"), 32) +
+      shiftleft(col("h3").cast("long"), 48)
+    def chunk(p: org.apache.spark.sql.Column, i: Int) =
+      shiftright(p, 16 * i).bitwiseAND(lit(0xFFFFL)).cast("int")
+    state.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(packed).as("__p"))
+      .select(keyCols.map(col) ++ (0 to 3).map(i =>
+        chunk(col("__p"), i).as(s"h$i")): _*)
+  }
 
   /** Fold an append image-asset stream (asset_id, content, meta) into
     * the per-asset pHash state m8's pair query reads. */

@@ -386,6 +386,22 @@ class Round11OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("pHash state merge is ATOMIC: a re-emitted asset keeps ONE real hash") {
+    import graft.streaming.DedupStreams
+    // same asset id, two different hashes (an upstream re-crawl):
+    // the merge must pick one of them wholesale — a chunk-wise
+    // independent min would fuse the franken-hash (9, 7, 3, 1)
+    val a = spark.createDataFrame(Seq((42L, 10, 7, 3, 1)))
+      .toDF("asset_id", "h0", "h1", "h2", "h3")
+    val b = spark.createDataFrame(Seq((42L, 9, 8, 3, 1)))
+      .toDF("asset_id", "h0", "h1", "h2", "h3")
+    val merged = DedupStreams.mergeMinChunks(a, b, Seq("asset_id"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    // packed comparison is h3-major: h3/h2 tie, a.h1=7 < b.h1=8 → a wins
+    assert(merged.toSeq == Seq((42L, 10, 7, 3, 1)))
+  }
+
   test("t45 c4Clean: each rule isolated on a crafted corpus") {
     import graft.operators.TextAnalysis
     def doc(id: Long, lines: String*) = (id, lines.mkString("\n"))
