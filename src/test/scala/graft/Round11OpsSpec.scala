@@ -475,6 +475,58 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t45/t46 idempotence: cleaning already-clean text is the identity") {
+    import graft.operators.TextAnalysis
+    // seeded pseudo-random corpus: lines mixing rule-passing and
+    // rule-violating shapes, CRLF endings, stray \r, dup lines
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "javascript", "lorem", "ipsum")
+    def line(): String = {
+      val n = 1 + rnd.nextInt(9)
+      val base = Vector.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+      rnd.nextInt(4) match {
+        case 0 => base
+        case 1 => base + "."
+        case 2 => base + "!\r" // CRLF once joined with \n
+        case _ => base + "?"
+      }
+    }
+    val docs = (0L until 60L).map { id =>
+      val ls = Vector.fill(2 + rnd.nextInt(10))(line())
+      val withDups = if (id % 3 == 0) ls ++ ls.take(2) else ls
+      (id, withDups.mkString("\n"))
+    }
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+
+    // c4Clean twice == once, on the kept documents
+    val once = TextAnalysis.c4Clean(df, "doc_id", "text")
+      .filter(col("keep_doc")).select(col("doc_id"), col("clean_text"))
+    val twice = TextAnalysis.c4Clean(
+      once.withColumnRenamed("clean_text", "text"), "doc_id", "text")
+    val t2 = twice.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4))).toMap
+    val o1 = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(o1.nonEmpty, "seeded corpus should keep some docs")
+    o1.foreach { case (id, txt) =>
+      val (nl, nk, keep, clean) = t2(id)
+      assert(keep && nl == nk && clean == txt, s"doc $id not a fixed point")
+    }
+
+    // intraDocLineDedup twice == once (0 dupes the second time)
+    val d1 = TextAnalysis.intraDocLineDedup(df, "doc_id", "text")
+      .select(col("doc_id"), col("text_clean"))
+    val d2 = TextAnalysis.intraDocLineDedup(
+      d1.withColumnRenamed("text_clean", "text"), "doc_id", "text")
+    val dd = d2.collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    d1.collect().foreach { r =>
+      val (dupes, clean) = dd(r.getLong(0))
+      assert(dupes == 0L && clean == r.getString(1),
+        s"doc ${r.getLong(0)} not a fixed point")
+    }
+  }
+
   test("t44 LM perplexity: tercile buckets are monotone in avg_nll") {
     val rows = SparkEntry.queries("t44_lm_perplexity")(spark, sfDir)
       .select("bucket", "avg_nll").collect()
