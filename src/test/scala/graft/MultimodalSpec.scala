@@ -171,6 +171,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavWindows(broken, 32).count() == 0L)
   }
 
+  test("m8 plan pin: banded candidate join is an equi-join, never a " +
+    "cartesian product") {
+    val hashes = spark.range(0, 64).select(
+      col("id").as("asset_id"),
+      (col("id") % 16).cast("int").as("h0"),
+      (col("id") % 8).cast("int").as("h1"),
+      (col("id") % 4).cast("int").as("h2"),
+      (col("id") % 2).cast("int").as("h3"))
+    val p = Multimodal.phashNearDupPairs(hashes, maxDist = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    Caches.release(spark)
+  }
+
   test("m8 phashNearDupPairs: pigeonhole candidates + exact Hamming verify") {
     // hand-built hash rows: distances 1 and 3 survive, 4 is a
     // candidate (two chunks equal) but fails verification, the
