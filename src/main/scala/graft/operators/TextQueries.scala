@@ -2587,14 +2587,21 @@ object TextQueries {
     // boilerplate tail) is replayed arithmetically; paragraph hashes
     // are md5LongSql ≡ Dedup.md5Long; chr(10) joins avoid literal
     // newlines in the SQL string.
+    // d19: paragraphs derive from RE-SPLITTING the joined planted
+    // text (spl), never from the pre-join chunk array — a source
+    // chunk may itself contain \n (the fixture's CRLF class), which
+    // the engine's paraView split sees but the raw array would hide.
     "d19_boilerplate_removal" ->
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') tk FROM documents),
         | pt AS (SELECT doc_id, list_append(
         |   list_transform(range(1, GREATEST(CAST(CEIL(len(tk)/10.0) AS BIGINT), 1) + 1),
         |     i -> array_to_string(tk[(i-1)*10+1 : (i-1)*10+10], ' ')),
         |   'subscribe now cookie policy accept terms') AS paras FROM base),
+        | spl AS (SELECT doc_id,
+        |   string_split(array_to_string(paras, chr(10)), chr(10)) AS paras
+        |  FROM pt),
         | p AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS pn, paras[CAST(u.i AS INT)] AS para
-        |   FROM pt, UNNEST(range(1, len(paras) + 1)) AS u(i)),
+        |   FROM spl, UNNEST(range(1, len(paras) + 1)) AS u(i)),
         | hh AS (SELECT doc_id, pn, para,
         |   ${md5LongSql("para")} AS h FROM p),
         | bo AS (SELECT h FROM (SELECT h, doc_id FROM hh GROUP BY h, doc_id)
@@ -2783,7 +2790,10 @@ object TextQueries {
     // min-position self-rank (explode + first-occurrence join — the
     // set-based spelling of the engine's row-local array_position);
     // kept is never empty (line 1 always survives) so the join is
-    // inner.
+    // inner. Lines derive from RE-SPLITTING the joined text (spl),
+    // never from the pre-join array: a source chunk may itself
+    // contain \n (the fixture's CRLF class), which the engine's
+    // split(text, "\n") sees but the raw array would hide.
     "t46_intradoc_dedup" ->
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') tk
         |   FROM documents),
@@ -2795,9 +2805,12 @@ object TextQueries {
         |   list_filter(range(1, len(ls) + 1),
         |     i -> (doc_id + i - 1) % 5 = 1),
         |   i -> ls[CAST(i AS INT)])) AS ls FROM ch),
+        | spl AS (SELECT doc_id,
+        |   string_split(array_to_string(ls, chr(10)), chr(10)) AS ls
+        |  FROM pt),
         | pos AS (SELECT doc_id, CAST(u.i AS INT) AS pn,
         |   ls[CAST(u.i AS INT)] AS line
-        |  FROM pt, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        |  FROM spl, UNNEST(range(1, len(ls) + 1)) AS u(i)),
         | fst AS (SELECT doc_id, line, MIN(pn) AS fp FROM pos
         |  GROUP BY doc_id, line),
         | kept AS (SELECT p.doc_id, p.pn, p.line FROM pos p JOIN fst f
@@ -2805,10 +2818,10 @@ object TextQueries {
         | agg AS (SELECT doc_id, COUNT(*) AS nk,
         |   string_agg(line, chr(10) ORDER BY pn) AS tc FROM kept
         |  GROUP BY doc_id)
-        | SELECT pt.doc_id, CAST(len(pt.ls) AS BIGINT) AS n_lines,
-        |  CAST(len(pt.ls) - agg.nk AS BIGINT) AS n_dupes,
+        | SELECT spl.doc_id, CAST(len(spl.ls) AS BIGINT) AS n_lines,
+        |  CAST(len(spl.ls) - agg.nk AS BIGINT) AS n_dupes,
         |  agg.tc AS text_clean
-        | FROM pt JOIN agg USING (doc_id) ORDER BY doc_id"""
+        | FROM spl JOIN agg USING (doc_id) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
     "d1_exact_dedup" ->
       """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS dedup_key,

@@ -66,6 +66,10 @@ NFD_WORD = "caf" + "e" + "\u0301"  # e + combining acute; NFC -> caf\u00e9
 # so the winnowing/dedup families see real cross-doc CJK structure.
 UNSPACED_A = "世界数据引擎模型训练分布式查询优化器批处理流水线"
 UNSPACED_B = "数据引擎です処理パイプラインハロー한글분산처리世界数据引擎模型训练"
+# Round 11 (late): %29 docs get LINE-ENDING pressure — a CRLF-joined
+# tail line plus a trailing stray \r (the c4Clean/\z class: Java's $
+# matches before a trailing \r, RE2's does not, and line splitting
+# must treat \r?\n identically in both engines).
 # Round 11: %17 docs get COMPATIBILITY + case pressure (the t42
 # canonical-key class: ligature ﬁ, full-width Ａｂｃ, ㎏, uppercase
 # accents) and %19 docs get run-enumerated alphabetic scripts
@@ -81,6 +85,9 @@ COPY (
               WHEN doc_id % 37 = 0 THEN '{UNSPACED_B}'
               WHEN doc_id % 41 = 0 THEN '世界 数据 引擎 模型 训练 数据 世界 引擎'
               WHEN doc_id % 43 = 0 THEN t2 || ' Москва Ελλάδα текст λόγος'
+              WHEN doc_id % 29 = 0
+                THEN t2 || chr(13) || chr(10) ||
+                     'crlf tail line ends here.' || chr(13)
               WHEN doc_id % 17 = 0 THEN t2 || ' {COMPAT}'
               WHEN doc_id % 19 = 0 THEN t2 || ' {SCRIPTS}'
               WHEN doc_id % 13 = 0 THEN t2 || ' {NFD_WORD}'
