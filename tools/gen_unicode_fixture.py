@@ -66,6 +66,12 @@ NFD_WORD = "caf" + "e" + "\u0301"  # e + combining acute; NFC -> caf\u00e9
 # so the winnowing/dedup families see real cross-doc CJK structure.
 UNSPACED_A = "世界数据引擎模型训练分布式查询优化器批处理流水线"
 UNSPACED_B = "数据引擎です処理パイプラインハロー한글분산처리世界数据引擎模型训练"
+# Round 11 (late): %31 docs get ASTRAL + FORMAT-CHAR pressure — an
+# emoji and MATHEMATICAL SCRIPT letters (both beyond the BMP: Java
+# regex must treat the surrogate PAIR as one code point, as RE2 does
+# one UTF-8 sequence) plus a ZERO WIDTH SPACE embedded inside a word
+# (a Cf format char: not a letter, not whitespace, in BOTH engines'
+# classes — crawl text is full of them).
 # Round 11 (late): %29 docs get LINE-ENDING pressure — a CRLF-joined
 # tail line plus a trailing stray \r (the c4Clean/\z class: Java's $
 # matches before a trailing \r, RE2's does not, and line splitting
@@ -75,6 +81,8 @@ UNSPACED_B = "数据引擎です処理パイプラインハロー한글분산처
 # accents) and %19 docs get run-enumerated alphabetic scripts
 # (Armenian/Bengali/Tamil — the BpePattern round-11 additions; under
 # the old catch-all these segmented one letter per piece).
+ASTRAL = ("\U0001F44D\U0001D49C\U0001D4C1\U0001D4C5"  # emoji + math script
+          " zw\u200bword")  # ZERO WIDTH SPACE inside a word (explicit escape)
 COMPAT = "ﬁle Ａｂｃ ㎏ Épsilon STRAßE"
 SCRIPTS = "Հայերեն բառ বাংলা শব্দ தமிழ் சொல்"
 con = duckdb.connect()
@@ -85,6 +93,8 @@ COPY (
               WHEN doc_id % 37 = 0 THEN '{UNSPACED_B}'
               WHEN doc_id % 41 = 0 THEN '世界 数据 引擎 模型 训练 数据 世界 引擎'
               WHEN doc_id % 43 = 0 THEN t2 || ' Москва Ελλάδα текст λόγος'
+              WHEN doc_id % 31 = 0
+                THEN t2 || ' {ASTRAL}'
               WHEN doc_id % 29 = 0
                 THEN t2 || chr(13) || chr(10) ||
                      'crlf tail line ends here.' || chr(13)
