@@ -15,6 +15,14 @@ object Verify {
   def dump(spark: SparkSession, sfDir: String, outDir: String,
       only: Set[String] = Set.empty): Unit = {
     new java.io.File(outDir).mkdirs()
+    // dump-time oracle stashes survive across dump() calls in one JVM:
+    // without this reset, a targeted dump that EXCLUDES a stashed query
+    // would emit that query's oracle from the PREVIOUS dump's corpus
+    // (advisor, round 12) — oracles must come only from queries that
+    // ran in THIS dump
+    graft.operators.TextQueries.resetOracleStashes()
+    graft.operators.VectorQueries.resetOracleStashes()
+    graft.operators.PipelineQueries.resetOracleStashes()
     // retired-recipe sidecars (superseded store prefixes) are garbage
     // the moment the recipe bumps — sweep them here so they never
     // accumulate across rounds

@@ -519,9 +519,14 @@ object Multimodal {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
             val fmt = ais.getFormat
+            // frame size is part of the SAME intentional format gate as
+            // PCM_SIGNED/16-bit (advisor, round 12): a parseable stream
+            // reporting AudioSystem.NOT_SPECIFIED (-1) would otherwise
+            // make `bytes.length / stride` negative and silently emit
+            // zero windows by arithmetic accident rather than by gate
             if (fmt.getEncoding ==
                 javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-              fmt.getSampleSizeInBits == 16) {
+              fmt.getSampleSizeInBits == 16 && fmt.getFrameSize >= 2) {
               val bytes = ais.readAllBytes()
               val stride = fmt.getFrameSize // bytes per frame (all channels)
               val n = bytes.length / stride
@@ -612,6 +617,52 @@ object Multimodal {
       .withColumn("dist", dist.cast("int"))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
+  }
+
+  /** Image near-duplicate COLLAPSE decision (round 12 — completes m8
+    * to what text dedup already has in d6 + d12): pHash near-dup
+    * pairs → connected components → one representative per cluster by
+    * keep-policy. Policy: keep the LARGEST pixel area (the master
+    * copy — thumbnails and re-encodes of it collapse into it), ties
+    * to min asset_id. Output one row per hashed image asset:
+    * (asset_id, rep_id, kept); an asset in no pair is its own
+    * representative.
+    *
+    * Scale shape: pairs come from the pigeonhole-blocked join (never
+    * all-pairs); components via [[graft.operators.Dedup.dupClustersAuto]]
+    * (driver union-find under the bounded pair cap, star contraction
+    * beyond it); the keep rank is one window partitioned by cluster
+    * label — near-dup clusters are tiny by construction, so the
+    * window never sees a skewed partition. Singletons skip the CC
+    * pass entirely (label defaults to own id on the left join). */
+  def imageDedup(assets: DataFrame, maxDist: Int = 3): DataFrame =
+    imageDedupFromHashes(imagePhash(assets), maxDist)
+
+  /** [[imageDedup]] over an ALREADY-HASHED table (asset_id, h0..h3,
+    * width, height) — the face the streaming pHash state feeds:
+    * decode happened once at ingest, the collapse decision re-runs
+    * on hashes alone. */
+  def imageDedupFromHashes(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val h = graft.Caches.shared(hashes
+      .filter(col("h0").isNotNull)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        (col("width").cast("long") * col("height").cast("long")).as("area"),
+        col("h0"), col("h1"), col("h2"), col("h3")))
+    val pairs = phashNearDupPairs(h, maxDist)
+      .select(col("a").as("a_id"), col("b").as("b_id"))
+    val labels = graft.operators.Dedup.dupClustersAuto(pairs)
+      .withColumnRenamed("id", "asset_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label")
+      .orderBy(col("area").desc, col("asset_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    h.select("asset_id", "area")
+      .join(labels, Seq("asset_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("asset_id")))
+      .withColumn("rep_id", first(col("asset_id")).over(w))
+      .select(col("asset_id"), col("rep_id"),
+        (col("asset_id") === col("rep_id")).as("kept"))
   }
 
   /** Build a synthetic asset table from any (id, string) source —

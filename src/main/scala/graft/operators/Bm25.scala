@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the corpus is never exploded wholesale. Tokens are
   * filtered to the query's terms INSIDE the scan projection (a HOF
-  * `filter` over the split array), so the explode emits only
+  * `filter` over the token array), so the explode emits only
   * query-term occurrences — O(matches), not O(tokens). Per-(doc,term)
   * term frequencies are one keyed shuffle of that filtered stream;
   * document frequencies and corpus stats are tiny aggregates that
@@ -41,7 +41,14 @@ object Bm25 {
       b: Double = DefaultB): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val termArr = array(terms.distinct.map(lit): _*)
-    val toks = split(col(textCol), " ")
+    // Term IDENTITY, so tokens come from the script-aware
+    // segmentation ([[TextAnalysis.segTokens]], round 12): on
+    // unspaced Han/Kana/Hangul a whitespace split makes each
+    // sentence ONE term and the lexical leg retrieves nothing —
+    // per-script segmentation gives CJK queries real postings. dl is
+    // measured in the same unit, so the length normalization stays
+    // coherent with the term stream.
+    val toks = TextAnalysis.segTokens(col(textCol))
     // One light projection over the scan: doc length for every doc +
     // only the matching tokens. It feeds both the corpus-stats agg and
     // the tf agg; re-evaluating it twice is a cheap map stage, cheaper

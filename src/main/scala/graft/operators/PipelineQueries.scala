@@ -28,6 +28,51 @@ object PipelineQueries {
   val MaxTokens = 32
   val Query = "merge sort join the fast table scan"
 
+  /** The m8 dHash replay as shared CTEs (m8 pairs + m9 collapse both
+    * build on them): fill-group remap, the synthetic-pixel dHash
+    * re-derived once per distinct fill id, the 4-chunk pigeonhole
+    * candidate join. Ends at `cand` (a, b); `d` carries (doc_id, w, h)
+    * for m9's area policy. */
+  private val phashReplayCtes: String =
+    """d0 AS (SELECT doc_id, doc_id - doc_id % 7 AS fid FROM documents),
+      | d AS (SELECT doc_id, fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h
+      |  FROM d0),
+      | fids AS (SELECT DISTINCT fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h
+      |  FROM d),
+      | gxs AS (SELECT unnest(range(0, 9)) gx),
+      | gys AS (SELECT unnest(range(0, 8)) gy),
+      | lum AS (SELECT fid, gx, gy,
+      |   ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+      |     + (v & 255) * 114) // 1000) AS l
+      |  FROM (SELECT fid, gx, gy,
+      |    ((fid * 2654435761 + ((gx * w) // 9) * 97
+      |      + ((gy * h) // 8) * 31) & 16777215) AS v
+      |   FROM fids CROSS JOIN gxs CROSS JOIN gys)),
+      | bits AS (SELECT a.fid, (a.gy * 8 + a.gx) AS i,
+      |   CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum b ON a.fid = b.fid AND a.gy = b.gy
+      |   AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      | hf AS (SELECT fid,
+      |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
+      |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
+      |  FROM bits GROUP BY fid),
+      | hh AS (SELECT doc_id, h0, h1, h2, h3 FROM d0 JOIN hf USING (fid)),
+      | bands AS (SELECT doc_id, u.c AS band,
+      |   CASE u.c WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+      |    ELSE h3 END AS key
+      |  FROM hh, UNNEST(range(0, 4)) AS u(c)),
+      | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y
+      |   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
+      .stripMargin
+
+  private val phashDistSql: String =
+    "bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))" +
+      " + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1–R7 + C1/C2 + E2 end-to-end: chunk + embed the documents table
     // at query time, then exact cosine top-k for a fixed query.
@@ -114,6 +159,21 @@ object PipelineQueries {
           graft.multimodal.Multimodal.imagePhash(m8PlantedAssets(s, dir)),
           maxDist = 3)
         .orderBy("a", "b")
+    }),
+
+    // M9: the image-dedup DECISION (round 12) — m8's verified pairs
+    // taken to the per-asset collapse text dedup already has (d6 CC +
+    // d12 keep-policy): connected components over the pair graph,
+    // keep the largest-area member (the master copy), ties to min
+    // asset_id. ORACLE-CHECKED end-to-end: DuckDB replays the dHash
+    // from the synthetic pixel formula, the pigeonhole + Hamming
+    // verification, a recursive-CTE transitive closure, and the same
+    // representative choice — the planted fill-groups give exact
+    // expected clusters at every SF.
+    "m9_image_dedup" -> ((s, dir) => {
+      graft.multimodal.Multimodal.imageDedup(m8PlantedAssets(s, dir),
+          maxDist = 3)
+        .orderBy("asset_id")
     }),
 
     // M6: REAL container frame sampling — each asset is an actual zip
@@ -227,6 +287,10 @@ object PipelineQueries {
     * oracles. */
   @volatile private var lastRagCtx: Option[(SparkSession, String)] = None
 
+  /** Clear the dump-time RAG-context stash (see
+    * [[TextQueries.resetOracleStashes]]). */
+  private[graft] def resetOracleStashes(): Unit = { lastRagCtx = None }
+
   /** The engine's top-`n` retrieval pool (threshold −1, so it covers
     * every leg's threshold) with embeddings, as a DuckDB VALUES body:
     * (id, source_id, chunk_number, e DOUBLE[]). Floats are widened
@@ -276,13 +340,14 @@ object PipelineQueries {
 
   private def r3OracleSql(s: SparkSession, dir: String): Option[String] =
     poolValues(s, dir, 100).map { vals =>
-      val terms = Query.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        .distinct.map(t => s"'$t'").mkString(", ")
+      // same segmentation + dedup as Rag.searchChunksHybrid → Bm25.score
+      val terms = TextAnalysis.segTokensLocal(Query.toLowerCase)
+        .filter(_.nonEmpty).distinct.map(t => s"'$t'").mkString(", ")
       s"""WITH $chunkCte,
-         | dl AS (SELECT id, len(string_split(lower(txt), ' ')) AS dl FROM ch),
+         | dl AS (SELECT id, len(${TextAnalysis.segTokSqlOf("lower(txt)")}) AS dl FROM ch),
          | st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
          | tf AS (SELECT id, tok, COUNT(*) AS tf
-         |  FROM (SELECT id, unnest(string_split(lower(txt), ' ')) AS tok FROM ch)
+         |  FROM (SELECT id, unnest(${TextAnalysis.segTokSqlOf("lower(txt)")}) AS tok FROM ch)
          |  WHERE tok IN ($terms) GROUP BY 1, 2),
          | df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
          | sc AS (SELECT tf.id, ROUND(SUM(
@@ -406,48 +471,40 @@ object PipelineQueries {
     // join, and exact Hamming verification via xor + bit_count; same
     // (a, b, dist) contract.
     "m8_image_neardup" ->
-      """WITH d0 AS (SELECT doc_id, doc_id - doc_id % 7 AS fid FROM documents),
-        | d AS (SELECT doc_id, fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h
-        |  FROM d0),
-        | fids AS (SELECT DISTINCT fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h
-        |  FROM d),
-        | gxs AS (SELECT unnest(range(0, 9)) gx),
-        | gys AS (SELECT unnest(range(0, 8)) gy),
-        | lum AS (SELECT fid, gx, gy,
-        |   ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
-        |     + (v & 255) * 114) // 1000) AS l
-        |  FROM (SELECT fid, gx, gy,
-        |    ((fid * 2654435761 + ((gx * w) // 9) * 97
-        |      + ((gy * h) // 8) * 31) & 16777215) AS v
-        |   FROM fids CROSS JOIN gxs CROSS JOIN gys)),
-        | bits AS (SELECT a.fid, (a.gy * 8 + a.gx) AS i,
-        |   CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
-        |  FROM lum a JOIN lum b ON a.fid = b.fid AND a.gy = b.gy
-        |   AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8),
-        | hf AS (SELECT fid,
-        |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
-        |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
-        |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
-        |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
-        |  FROM bits GROUP BY fid),
-        | hh AS (SELECT doc_id, h0, h1, h2, h3 FROM d0 JOIN hf USING (fid)),
-        | bands AS (SELECT doc_id, u.c AS band,
-        |   CASE u.c WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
-        |    ELSE h3 END AS key
-        |  FROM hh, UNNEST(range(0, 4)) AS u(c)),
-        | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |  FROM bands x JOIN bands y
-        |   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-        | SELECT c.a, c.b,
-        |  CAST(bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
-        |   + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))
-        |   AS INT) AS dist
+      s"""WITH $phashReplayCtes
+        | SELECT c.a, c.b, CAST($phashDistSql AS INT) AS dist
         | FROM cand c JOIN hh ha ON ha.doc_id = c.a
         |  JOIN hh hb ON hb.doc_id = c.b
-        | WHERE bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
-        |  + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3)) <= 3
+        | WHERE $phashDistSql <= 3
         | ORDER BY a, b""".stripMargin.replaceAll("\n", ""),
+    // m9: m8's replay extended to the COLLAPSE decision — verified
+    // pairs, recursive-CTE transitive closure, and the identical
+    // area-desc/min-id representative choice per component (area from
+    // the same fid dims formula the dims decode is verified against).
+    "m9_image_dedup" ->
+      s"""WITH RECURSIVE $phashReplayCtes,
+        | pr AS (SELECT c.a, c.b
+        |  FROM cand c JOIN hh ha ON ha.doc_id = c.a
+        |   JOIN hh hb ON hb.doc_id = c.b
+        |  WHERE $phashDistSql <= 3),
+        | e AS (SELECT a AS src, b AS dst FROM pr
+        |  UNION ALL SELECT b, a FROM pr),
+        | reach AS (SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        | al AS (SELECT d.doc_id AS asset_id,
+        |   CAST(d.w * d.h AS BIGINT) AS area FROM d),
+        | l2 AS (SELECT al.asset_id,
+        |   COALESCE(lab.label, al.asset_id) AS label, al.area
+        |  FROM al LEFT JOIN lab ON lab.id = al.asset_id),
+        | rep AS (SELECT label, asset_id AS rep_id FROM l2
+        |  QUALIFY row_number() OVER (PARTITION BY label
+        |   ORDER BY area DESC, asset_id) = 1)
+        | SELECT l2.asset_id, rep.rep_id,
+        |  l2.asset_id = rep.rep_id AS kept
+        | FROM l2 JOIN rep USING (label) ORDER BY asset_id"""
+        .stripMargin.replaceAll("\n", ""),
     // m6: every sampled frame's luminance sum recomputed from the
     // synthetic pixel function — integer-exact in both engines.
     "m6_video_frames" ->

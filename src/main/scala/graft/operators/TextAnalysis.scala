@@ -112,6 +112,35 @@ object TextAnalysis {
     "\\p{Han}|\\p{Hiragana}+|\\p{Katakana}+|\\p{Hangul}+" +
       "|[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul} \\t\\n\\x0B\\f\\r]+"
 
+  /** Oracle-side (DuckDB/RE2) spelling of [[segTokens]] over an
+    * arbitrary SQL expression — EVERY seg-tokenized oracle must build
+    * its token list through this one helper so the two sides of the
+    * tokenizer cannot drift independently (the round-10 regression
+    * class). */
+  def segTokSqlOf(expr: String): String =
+    s"regexp_extract_all($expr, '$SegPatternRe2')"
+
+  /** Punctuation class for decontamination normalization (d21):
+    * an EXPLICIT character class — identical string in Java and RE2,
+    * zero dependence on Unicode general-category tables (the
+    * `\s`/`\p{IsX}`/`$` engine-divergence lesson, rounds 8–11).
+    * ASCII punctuation plus the common typographic/CJK marks;
+    * fullwidth ASCII forms (！（）…) need no entries because
+    * NFKC-casefold maps them to ASCII BEFORE the strip. */
+  val DecontamPunct: String =
+    "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~" +
+      "…“”‘’—–‐·・" +
+      "、。¡¿«»《》「」" +
+      "『』【】]+"
+
+  /** Driver-side [[segTokens]] for a query string (same Java
+    * pattern, same leftmost-first alternation) — used to derive the
+    * TERM list of a retrieval query with the identical segmentation
+    * the corpus side uses, so a CJK query produces per-script terms
+    * instead of one unsplittable sentence. */
+  def segTokensLocal(text: String): Seq[String] =
+    SegPattern.r.findAllIn(text).toSeq
+
   /** Script-aware word tokens (array<string>) — the tokenizer-grade
     * segmentation every TOKEN-IDENTITY operator uses (BPE
     * training/encoding, NB language-ID features, Zipf spectra,
@@ -513,7 +542,11 @@ object TextAnalysis {
 
   /** Per-doc vocabulary coverage: the fraction of a document's tokens
     * inside the corpus top-`vocabSize` vocabulary (count-desc, token
-    * tie-break) — the tokenizer-coverage / OOV-rate diagnostic. One
+    * tie-break) — the tokenizer-coverage / OOV-rate diagnostic.
+    * Tokens are [[segTokens]] (term identity, round 12): under a
+    * whitespace split every unspaced-CJK sentence is its own
+    * singleton "word", so coverage degenerates to ~0 for exactly the
+    * scripts the diagnostic is supposed to measure. One
     * cached token explode feeds both the vocabulary build (bounded
     * top-k → TakeOrderedAndProject) and the per-doc rollup; the vocab
     * broadcasts back, so the corpus shuffles once, on the doc key.
@@ -522,7 +555,7 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       vocabSize: Int): org.apache.spark.sql.DataFrame = {
     val tok = graft.Caches.shared(docs.select(col(idCol),
-      explode(tokens(col(textCol))).as("tok")))
+      explode(segTokens(col(textCol))).as("tok")))
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("tok")).limit(vocabSize)
       .select(col("tok"), lit(1).as("in_vocab"))

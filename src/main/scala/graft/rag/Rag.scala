@@ -105,8 +105,12 @@ object Rag {
       rrfC: Int = 60): DataFrame = {
     import graft.operators.Bm25
     // terms and text are both lowercased: BM25 token match is
-    // case-sensitive by contract, the retrieval layer normalizes
-    val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    // case-sensitive by contract, the retrieval layer normalizes.
+    // The query tokenizes with the SAME script-aware segmentation the
+    // corpus side uses (round 12) — a whitespace split would leave a
+    // CJK query as one term no document token can equal.
+    val terms = graft.operators.TextAnalysis
+      .segTokensLocal(queryText.toLowerCase).filter(_.nonEmpty)
     val lexical = Bm25.ranked(
       Bm25.score(
           chunks.withColumn("_lc_text", lower(col("chunk_text"))),

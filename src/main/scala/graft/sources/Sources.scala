@@ -117,17 +117,25 @@ object Sources {
   val AllFormats: Seq[SourceFormat] = TextFormats :+ EpubFormat
 
   /** Drop the non-content subtrees, tolerating MALFORMED crawl HTML:
-    * after removing properly closed head/script/style pairs, an
-    * UNCLOSED `<head>` is dropped up to the first `<body` (the HTML
-    * spec makes `</head>` optional — head implicitly ends where body
-    * content starts), and an unclosed `<script>`/`<style>` — common
-    * in truncated crawl captures — is dropped to end-of-input, so a
-    * missing closer can't leak scripts into the token stream. */
+    * comments go first (a commented-out `<script>` must not trigger
+    * the fallbacks below — advisor, round 12; an unclosed `<!--`
+    * comments out the rest of the page per the parsing spec, exactly
+    * as a browser renders it), then properly closed head/script/style
+    * pairs; an UNCLOSED `<head>` is dropped up to the first `<body`
+    * (the HTML spec makes `</head>` optional — head implicitly ends
+    * where body content starts), and an unclosed `<script>`/`<style>`
+    * — common in truncated crawl captures — is dropped to
+    * end-of-input, so a missing closer can't leak scripts into the
+    * token stream. The unclosed-tag fallback requires a real
+    * tag-open shape (`<script` followed by whitespace or `>`): a bare
+    * "<script" in prose no longer truncates the page tail. */
   private def dropNonContent(html: String): String =
-    html.replaceAll("(?is)<head\\b.*?</head>", " ")
+    html.replaceAll("(?s)<!--.*?-->", " ")
+      .replaceAll("(?s)<!--.*$", " ")
+      .replaceAll("(?is)<head\\b.*?</head>", " ")
       .replaceAll("(?is)<head\\b.*?(?=<body\\b|$)", " ")
       .replaceAll("(?is)<(script|style)\\b.*?</\\1>", " ")
-      .replaceAll("(?is)<(?:script|style)\\b.*$", " ")
+      .replaceAll("(?is)<(?:script|style)[\\s>].*$", " ")
 
   /** Markup → plain text: drop head/script/style subtrees, strip tags,
     * decode character entities, collapse whitespace to single spaces

@@ -121,6 +121,28 @@ object ParquetStats {
     else listParquetFiles(fs, root).flatMap(f => fileBounds(conf, f, colName))
   }
 
+  /** Exact row count of a parquet table from footer block counts
+    * alone — zero Spark jobs, zero data pages read (block row counts
+    * are mandatory footer metadata, unlike column statistics). None if
+    * the table is missing or has no data files. The driver reads one
+    * footer per file: at 100 TB that is O(files) metadata RPCs — the
+    * same cost the scan planner already pays — not a cluster job. */
+  def rowCount(spark: SparkSession, tablePath: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) None
+    else {
+      val files = listParquetFiles(fs, root)
+      if (files.isEmpty) None
+      else Some(files.map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }.sum)
+    }
+  }
+
   /** Merged (min, max) of a physical INT64 column across every parquet
     * file under `tablePath`, from footer statistics only. None if the
     * table is missing, empty, or any chunk lacks stats. */

@@ -191,9 +191,12 @@ object DedupStreams {
     * eval slice folds its grams in; replayed grams merge
     * additively). */
   def benchGramBatch(k: Int)(batch: DataFrame): DataFrame =
+    // decontamTokens, NOT raw segTokens: the state must hold the same
+    // NORMALIZED (NFKC-casefold + punctuation-stripped) grams the
+    // batch screen matches against (round 12)
     Dedup.gramStarts(batch.select(
         col("doc_id").cast("long").as("id"),
-        TextAnalysis.segTokens(col("text")).as("tk")), k)
+        Dedup.decontamTokens(col("text")).as("tk")), k)
       .select("g").distinct()
       .select(col("g"), lit(1L).as("c"))
 
@@ -221,36 +224,44 @@ object DedupStreams {
   // Image pHash near-dup state (m8)
   // -------------------------------------------------------------
 
-  /** One asset batch's hash delta: m8's per-image dHash chunks
-    * (non-images drop out on the null filter). Each batch pays only
-    * its own decode work — the expensive half of image dedup — so
-    * hashing happens ONCE per image at ingest, not per dedup run. */
+  /** One asset batch's hash delta: m8's per-image dHash chunks plus
+    * the decoded dimensions (non-images drop out on the null filter).
+    * Each batch pays only its own decode work — the expensive half of
+    * image dedup — so hashing happens ONCE per image at ingest, not
+    * per dedup run. width/height ride in the state (round 12) so the
+    * m9 collapse decision can rank cluster representatives by pixel
+    * area without ever re-decoding. */
   def phashBatch(batch: DataFrame): DataFrame =
     graft.multimodal.Multimodal.imagePhash(batch)
       .filter(col("h0").isNotNull)
-      .select(col("asset_id"), col("h0"), col("h1"), col("h2"), col("h3"))
+      .select(col("asset_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+        col("width"), col("height"))
 
-  /** Keyed ATOMIC min-merge: the four 16-bit chunks pack into one
-    * 64-bit value, the min is taken over the PACKED hash, and the
-    * winner unpacks — so the merged row is always ONE real hash. An
-    * idempotent insert for the append case (replayed identical rows
-    * fold to themselves), and if an upstream ever re-emits an asset
-    * id with DIFFERENT content the state keeps the smallest of the
-    * real hashes — a per-chunk independent min would instead fuse a
-    * franken-hash no image ever had. */
+  /** Keyed ATOMIC min-merge: the winning ROW is the h3-major-minimum
+    * of the four 16-bit chunks, and every payload column (the chunks
+    * plus whatever rides along — m9's width/height) comes from that
+    * one row WHOLESALE, so the merged row is always ONE real
+    * observation. An idempotent insert for the append case (replayed
+    * identical rows fold to themselves), and if an upstream ever
+    * re-emits an asset id with DIFFERENT content the state keeps the
+    * h3-major-smallest of the real hashes — a per-column independent
+    * min would instead fuse a franken-row no image ever had. The
+    * order is a struct min over (h3, h2, h1, h0, payload…): chunks
+    * are 16-bit values in non-negative ints, so the signed struct
+    * order IS the unsigned h3-major order — no sign-wrap case exists
+    * (the round-11 packed-long form broke exactly there: h3 ≥ 0x8000
+    * packed negative and beat smaller hashes; advisor, round 12). */
   private[graft] def mergeMinChunks(
       state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val packed = col("h0").cast("long") +
-      shiftleft(col("h1").cast("long"), 16) +
-      shiftleft(col("h2").cast("long"), 32) +
-      shiftleft(col("h3").cast("long"), 48)
-    def chunk(p: org.apache.spark.sql.Column, i: Int) =
-      shiftright(p, 16 * i).bitwiseAND(lit(0xFFFFL)).cast("int")
-    state.unionByName(delta)
-      .groupBy(keyCols.map(col): _*)
-      .agg(min(packed).as("__p"))
-      .select(keyCols.map(col) ++ (0 to 3).map(i =>
-        chunk(col("__p"), i).as(s"h$i")): _*)
+    val u = state.unionByName(delta)
+    val payload = u.columns.toSeq.filterNot(keyCols.contains)
+    val hs = Seq("h3", "h2", "h1", "h0")
+    require(hs.forall(payload.contains), s"chunk columns missing: $payload")
+    val ordered = hs ++ payload.filterNot(hs.contains)
+    u.groupBy(keyCols.map(col): _*)
+      .agg(min(struct(ordered.map(col): _*)).as("__m"))
+      .select(keyCols.map(col) ++ payload.map(c =>
+        col(s"__m.$c").as(c)): _*)
   }
 
   /** Fold an append image-asset stream (asset_id, content, meta) into
@@ -271,4 +282,15 @@ object DedupStreams {
       maxDist: Int = 3): Option[DataFrame] =
     Cdc.readRollup(spark, statePath).map(st =>
       graft.multimodal.Multimodal.phashNearDupPairs(st, maxDist))
+
+  /** m9's collapse DECISION from the committed pHash state (round 12):
+    * the state carries (h0..h3, width, height) per asset — decode
+    * happened once at ingest — so the cluster + keep-policy pass runs
+    * on hashes alone and matches the batch operator exactly when the
+    * state has folded the same assets (spec-pinned). */
+  def imageDedupFromState(
+      spark: SparkSession, statePath: String,
+      maxDist: Int = 3): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(st =>
+      graft.multimodal.Multimodal.imageDedupFromHashes(st, maxDist))
 }

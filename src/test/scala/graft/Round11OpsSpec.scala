@@ -400,6 +400,18 @@ class Round11OpsSpec extends AnyFunSuite {
         (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
     // packed comparison is h3-major: h3/h2 tie, a.h1=7 < b.h1=8 → a wins
     assert(merged.toSeq == Seq((42L, 10, 7, 3, 1)))
+    // sign-safety (advisor, round 12): h3 ≥ 0x8000 packs into the sign
+    // bits of the long — an unbiased signed min would prefer the
+    // NEGATIVE-packing (unsigned-LARGER) hash over a plain small one
+    val c = spark.createDataFrame(Seq((7L, 1, 1, 1, 0xFFFF)))
+      .toDF("asset_id", "h0", "h1", "h2", "h3")
+    val d = spark.createDataFrame(Seq((7L, 2, 2, 2, 1)))
+      .toDF("asset_id", "h0", "h1", "h2", "h3")
+    val m2 = DedupStreams.mergeMinChunks(c, d, Seq("asset_id"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(m2.toSeq == Seq((7L, 2, 2, 2, 1)),
+      "unsigned h3-major order: (h3=1) beats (h3=0xFFFF)")
   }
 
   test("t45 c4Clean: each rule isolated on a crafted corpus") {

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Round-12 operator specs: d21's decontamination NORMALIZATION
+  * (casefold + punctuation strip, Brown et al. 2020 app. C), the
+  * footer-only row count behind d11's derived nCells, and the
+  * crawl-HTML fallback fixes. */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("d21 normalization: re-cased/re-punctuated plant caught; raw grams miss") {
+    val s = spark; import s.implicits._
+    val benchWords = (1 to 20).map(i => s"benchword$i")
+    val bench = Seq((0L, benchWords.mkString(" "))).toDF("doc_id", "text")
+    val run = benchWords.slice(2, 15) // exactly 13 bench tokens
+    // the escape route a raw-gram screen cannot see: every copied word
+    // UPPERCASED and wrapped in quote+comma punctuation
+    val mutated = run.map(w => "“" + w.toUpperCase + ",”").mkString(" ")
+    val fill = (1 to 6).map(i => s"filler$i")
+    val train = Seq(
+      (1L, (fill :+ mutated).mkString(" ")),
+      (2L, "clean doc of seven words entirely unrelated today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.benchmarkContamination(train, bench, "doc_id", "text", 13)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, true)),
+      "normalized screen must flag the re-cased/re-punctuated plant")
+    assert(out(2L) == ((0L, false)))
+    // the round-11 RAW-gram screen misses exactly this doc: none of the
+    // mutated text's raw 13-grams exists in the raw bench gram set
+    val rawBg = Dedup
+      .gramStarts(Dedup.tokArrays(bench, "doc_id", "text"), 13)
+      .select("g").distinct()
+    val rawHits = Dedup
+      .gramStarts(Dedup.tokArrays(train, "doc_id", "text"), 13)
+      .join(rawBg, "g").count()
+    assert(rawHits == 0, "raw 13-grams must NOT match the mutated plant")
+    Caches.release(spark)
+  }
+
+  test("d21 normalization is identity on clean lowercase ASCII") {
+    val s = spark; import s.implicits._
+    val words = ('a' to 'z').map(c => s"word$c")
+    val df = Seq((9L, words.mkString(" "))).toDF("doc_id", "text")
+    val norm = df.select(Dedup.decontamTokens(col("text"))).head.getSeq[String](0)
+    assert(norm == words, "no punct/case → normalization must be a no-op")
+  }
+
+  test("ParquetStats.rowCount: footer count == scan count, ZERO jobs") {
+    val path = s"$sfDir/documents.parquet"
+    val scanned = Tables.load(spark, sfDir, "documents").count()
+    def countJobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      org.apache.spark.sql.GraftShim.flushListenerBus(spark)
+      spark.sparkContext.addSparkListener(l)
+      try { f; org.apache.spark.sql.GraftShim.flushListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    var viaFooter: Option[Long] = None
+    val jobs = countJobs {
+      viaFooter = graft.store.ParquetStats.rowCount(spark, path)
+    }
+    assert(viaFooter.contains(scanned))
+    // the d11 contract: deriving nCells must not run a cluster job
+    assert(jobs == 0, s"footer row count ran $jobs Spark jobs")
+    assert(graft.store.ParquetStats.rowCount(spark, s"$sfDir/no_such").isEmpty)
+  }
+
+  test("m9 image dedup: planted fill-groups collapse to one kept rep") {
+    val assets = graft.operators.PipelineQueries.m8PlantedAssets(spark, sfDir)
+    val dec = graft.multimodal.Multimodal.imageDedup(assets, maxDist = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    Caches.release(spark)
+    // every asset got a decision, kept ⟺ own rep
+    assert(dec.size == assets.count())
+    assert(dec.forall { case (id, (rep, kept)) => kept == (id == rep) })
+    // each planted 7-group shares one image → one rep for the group
+    val byFill = dec.keys.groupBy(id => id - id % 7)
+    byFill.foreach { case (fid, ids) =>
+      val reps = ids.map(id => dec(id)._1).toSet
+      assert(reps.size == 1, s"fill group $fid split across reps $reps")
+    }
+    // exactly one kept member per representative
+    dec.groupBy(_._2._1).foreach { case (rep, members) =>
+      assert(members.values.count(_._2) == 1,
+        s"rep $rep cluster must keep exactly one member")
+      assert(dec(rep)._2, s"the representative $rep itself must be kept")
+    }
+  }
+
+  test("m9 streaming face: decision from folded pHash state == batch m9") {
+    import graft.streaming.DedupStreams
+    val assets = graft.operators.PipelineQueries.m8PlantedAssets(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_m9stream").toString
+    assets.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    DedupStreams.streamingPhashes(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val streamed = DedupStreams.imageDedupFromState(spark, s"$tmp/state")
+    assert(streamed.isDefined, "no committed pHash state")
+    val batch = SparkEntry.queries("m9_image_dedup")(spark, sfDir)
+    assert(rows(streamed.get) == rows(batch))
+    Caches.release(spark)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("t47 buckets are per-language terciles (each lang has all 3)") {
+    val out = SparkEntry.queries("t47_perlang_perplexity")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getInt(5)))
+    Caches.release(spark)
+    val byLang = out.groupBy(_._1)
+    assert(byLang.size >= 2, "corpus should carry several languages")
+    byLang.foreach { case (lang, rows) =>
+      val buckets = rows.map(_._2).toSet
+      assert(buckets.subsetOf(Set(1, 2, 3)), s"$lang buckets: $buckets")
+      // each language's docs are cut into terciles WITHIN the language
+      if (rows.size >= 9)
+        assert(buckets == Set(1, 2, 3),
+          s"$lang (${rows.size} docs) should span all terciles: $buckets")
+    }
+  }
+
+  test("htmlToText: prose '<script' / commented-out script don't eat the tail") {
+    import graft.sources.Sources
+    // commented-out script must not trigger the unclosed-script fallback
+    val withComment = "<html><body><p>alpha</p>" +
+      "<!-- legacy: <script>var x;</script> --><p>omega tail</p></body></html>"
+    assert(Sources.htmlToText(withComment) == "alpha omega tail")
+    // a quoted '<script' in visible text (no tag-open shape after the
+    // name) must not truncate the rest of the page
+    val prose = "<html><body><p>alpha</p>" +
+      "<p>never write \"<script\" unquoted</p><p>omega tail</p></body></html>"
+    assert(Sources.htmlToText(prose).endsWith("omega tail"))
+    // a REAL unclosed script still drops to end-of-input
+    val unclosed = "<html><body><p>alpha</p>" +
+      "<script src=\"x.js\">var leaked = 1;<p>not content</p></body></html>"
+    assert(Sources.htmlToText(unclosed) == "alpha")
+    // an unclosed comment comments out the rest (what a browser renders)
+    val unclosedComment =
+      "<html><body><p>alpha</p><!-- cut here <p>gone</p></body></html>"
+    assert(Sources.htmlToText(unclosedComment) == "alpha")
+  }
+}

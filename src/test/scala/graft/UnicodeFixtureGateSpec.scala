@@ -28,15 +28,17 @@ import scala.sys.process._
   * testdata; when either is absent (a bare sbt environment) it cancels
   * rather than fails — the driver's own per-round sweep still covers
   * the ASCII corpus there. */
-class UnicodeFixtureGateSpec extends AnyFunSuite {
+object UnicodeFixtureGateSpec {
 
   /** Every query whose token/shingle/gram identity feeds its result —
     * the round-11 seg-token family plus the whitespace word-count
     * family (t1/t3) as canaries for the opposite drift direction.
     * Bounded to keep the gate ~2 min at sf0.001; the families not
     * listed (vectors, events, graph, relational) have no tokenizer to
-    * drift. */
-  private val GateQueries: Set[String] = Set(
+    * drift. Membership is mechanically enforced: SegGateCoverageSpec
+    * plan-scans every text/dedup query for seg-token expressions and
+    * fails if one is registered here-unlisted. */
+  val GateQueries: Set[String] = Set(
     "t1_token_stats", "t3_quality", "t5_top_bigrams", "t9_repetition",
     "t11_tfidf_top_terms", "t12_unigram_surprise", "t16_bigram_surprise",
     "t22_source_divergence", "t23_dup_window_rate", "t25_freq_items",
@@ -49,7 +51,21 @@ class UnicodeFixtureGateSpec extends AnyFunSuite {
     "d19_boilerplate_removal", "d20_substring_removal",
     "d21_benchmark_decontamination",
     "d8_repeated_passages", "d16_prefix_jaccard", "d17_winnowing",
-    "d18_shared_passages")
+    "d18_shared_passages",
+    // round 12: the last term-IDENTITY operators migrated off the
+    // whitespace split — BM25 retrieval (b1, b2's lexical leg), the
+    // hybrid RAG leg that composes it, and vocab coverage (t32)
+    "b1_bm25_topk", "b2_rrf_fusion", "r3_hybrid_retrieval",
+    "t32_vocab_coverage",
+    // flagged by SegGateCoverageSpec's first run: seg-tokenized since
+    // round 11 but never gated — the exact gap the plan scan closes
+    "d4_simhash_neardup", "t10_contamination", "t27_decontaminate",
+    // round-12 additions
+    "t47_perlang_perplexity")
+}
+
+class UnicodeFixtureGateSpec extends AnyFunSuite {
+  import UnicodeFixtureGateSpec.GateQueries
 
   private val srcSf = "/root/testdata/sf0.001"
 
