@@ -91,13 +91,18 @@ object Bench {
     "t44_lm_perplexity", // bigram-LM CCNet scoring: model join + tercile
     "d20_substring_removal", // ExactSubstr dedup: gram dup table + rebuild
     "d21_benchmark_decontamination", // broadcast bench-gram screen (round 11)
-    "t45_c4_cleaning") // C4 line rules: planted lines + HOF filter, 0-shuffle
+    "t45_c4_cleaning", // C4 line rules: planted lines + HOF filter, 0-shuffle
+    "t47_perlang_perplexity") // per-lang LM: lang-keyed model join + window
   // t46 stays out of the headline: it is t45's scan shape (split-once
   // line array + HOF filter, zero shuffles) with an array_position
   // body — no new plan family; oracle-checked at 3 SFs + the fixture.
   // m8 stays out too: its costs are m5's decode+hash pass (already
   // headlined) plus d3/d4's banded candidate join (already headlined
   // twice) — no new plan family; oracle-checked at 3 SFs.
+  // m9 stays out for m8's reason plus d11's: its pair stage IS m8
+  // (excluded above) and its collapse is the d11-family CC + one
+  // label-partitioned window — both plan families already headlined;
+  // oracle-checked at 3 SFs (recursive-closure replay).
   // t39/t41 stay out of the headline: t39 is five regex passes over
   // the same scan shape t40 times (map-only, zero shuffles), t41 is
   // t31's count-agg shape plus a 1000-row bounded fit — neither adds
