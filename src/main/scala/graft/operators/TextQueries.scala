@@ -204,10 +204,16 @@ object TextQueries {
           coalesce(col("b6"), lit(0L)))
       .groupBy("doc_id")
       .agg(sum("c").as("n_big"), sum(col("c") * col("g6")).as("nll6"))
-      .withColumn("avg_nll",
-        round(col("nll6") / lit(1e6) / col("n_big"), 6)))
-    val hist = scored.groupBy("avg_nll").agg(count(lit(1)).as("hc"))
-    val wCum = org.apache.spark.sql.expressions.Window.orderBy("avg_nll")
+      // INTEGER micro-nat average, half-up integer division (g6 ≥ 0
+      // always since a6 ≥ b6): t47 proved the float
+      // `round(nll6/1e6/n_big, 6)` form hits genuine half-way rounding
+      // ties where the engines disagree at the 6th decimal (round 12);
+      // t44 migrated to the same exact-integer discipline before the
+      // latent tie fires here too
+      .withColumn("avg_nll6",
+        expr("(2 * nll6 + n_big) div (2 * n_big)")))
+    val hist = scored.groupBy("avg_nll6").agg(count(lit(1)).as("hc"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("avg_nll6")
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -215,11 +221,11 @@ object TextQueries {
     val buckets = broadcast(hist
       .withColumn("before", sum("hc").over(wCum) - col("hc"))
       .crossJoin(n)
-      .select(col("avg_nll"),
+      .select(col("avg_nll6"),
         (floor(col("before") * 3 / col("n")) + 1).cast("int")
           .as("bucket")))
-    scored.join(buckets, Seq("avg_nll"))
-      .select("doc_id", "n_big", "nll6", "avg_nll", "bucket")
+    scored.join(buckets, Seq("avg_nll6"))
+      .select("doc_id", "n_big", "nll6", "avg_nll6", "bucket")
       .orderBy("doc_id")
   }
 
@@ -2889,15 +2895,15 @@ object TextQueries {
         |  FROM g LEFT JOIN a USING (w1) LEFT JOIN b USING (w1, w2), voc
         |  GROUP BY doc_id),
         | sa AS (SELECT doc_id, n_big, nll6,
-        |   ROUND(nll6 / 1000000.0 / n_big, 6) AS avg_nll FROM sc),
-        | hist AS (SELECT avg_nll, COUNT(*) AS hc FROM sa GROUP BY avg_nll),
+        |   (2 * nll6 + n_big) // (2 * n_big) AS avg_nll6 FROM sc),
+        | hist AS (SELECT avg_nll6, COUNT(*) AS hc FROM sa GROUP BY avg_nll6),
         | nn AS (SELECT COUNT(*) AS n FROM sa),
-        | bk AS (SELECT avg_nll, CAST(FLOOR((SUM(hc) OVER (ORDER BY avg_nll
+        | bk AS (SELECT avg_nll6, CAST(FLOOR((SUM(hc) OVER (ORDER BY avg_nll6
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - hc)
         |     * 3 / nn.n) + 1 AS INT) AS bucket
         |  FROM hist, nn)
-        | SELECT sa.doc_id, sa.n_big, sa.nll6, sa.avg_nll, bk.bucket
-        | FROM sa JOIN bk USING (avg_nll) ORDER BY doc_id"""
+        | SELECT sa.doc_id, sa.n_big, sa.nll6, sa.avg_nll6, bk.bucket
+        | FROM sa JOIN bk USING (avg_nll6) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
     // t47: t44's replay with every model cell, the smoothing fallback
     // and the tercile cut keyed by lang.

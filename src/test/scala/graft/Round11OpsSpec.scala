@@ -357,7 +357,7 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(streamed.isDefined, "no committed LM state")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getInt(4))).toSet
+        r.getLong(3), r.getInt(4))).toSet
     assert(rows(streamed.get) ==
       rows(SparkEntry.queries("t44_lm_perplexity")(spark, sfDir)))
     Caches.release(spark)
@@ -541,8 +541,8 @@ class Round11OpsSpec extends AnyFunSuite {
 
   test("t44 LM perplexity: tercile buckets are monotone in avg_nll") {
     val rows = SparkEntry.queries("t44_lm_perplexity")(spark, sfDir)
-      .select("bucket", "avg_nll").collect()
-      .map(r => (r.getInt(0), r.getDouble(1)))
+      .select("bucket", "avg_nll6").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
     assert(rows.map(_._1).distinct.sorted.sameElements(Seq(1, 2, 3)))
     val maxByBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2).max)
     val minByBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2).min)
