@@ -641,25 +641,42 @@ object Multimodal {
   /** [[imageDedup]] over an ALREADY-HASHED table (asset_id, h0..h3,
     * width, height) — the face the streaming pHash state feeds:
     * decode happened once at ingest, the collapse decision re-runs
-    * on hashes alone. */
+    * on hashes alone.
+    *
+    * EXACT-HASH classes collapse FIRST (one hash-keyed shuffle,
+    * min-id class representative), and the pigeonhole pair join runs
+    * over class representatives only. This is not an approximation —
+    * same-hash assets are Hamming-0 near-dups of each other and of
+    * everything their representative pairs with, so the components
+    * (and the final decision table) are identical — it is the move
+    * that keeps the decision LINEAR in corpus size when a giant
+    * duplicate class exists: a class of n identical hashes is
+    * C(n, 2) pairs in m8's pair REPORT (quadratic by definition of
+    * "report every pair"; measured 15 s at sf1 where the synthetic
+    * corpus has a ~3k-member all-zero-hash class from 1-pixel-wide
+    * images) but only ONE representative here. */
   def imageDedupFromHashes(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val hc = Seq("h0", "h1", "h2", "h3")
     val h = graft.Caches.shared(hashes
       .filter(col("h0").isNotNull)
-      .select(col("asset_id").cast("long").as("asset_id"),
-        (col("width").cast("long") * col("height").cast("long")).as("area"),
-        col("h0"), col("h1"), col("h2"), col("h3")))
-    val pairs = phashNearDupPairs(h, maxDist)
+      .select(Seq(col("asset_id").cast("long").as("asset_id"),
+        (col("width").cast("long") * col("height").cast("long")).as("area")) ++
+        hc.map(col): _*))
+    val classes = graft.Caches.shared(h.groupBy(hc.map(col): _*)
+      .agg(min(col("asset_id")).as("rep")))
+    val reps = classes.select(col("rep").as("asset_id") +: hc.map(col): _*)
+    val pairs = phashNearDupPairs(reps, maxDist)
       .select(col("a").as("a_id"), col("b").as("b_id"))
     val labels = graft.operators.Dedup.dupClustersAuto(pairs)
-      .withColumnRenamed("id", "asset_id")
+      .withColumnRenamed("id", "rep")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("label")
       .orderBy(col("area").desc, col("asset_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    h.select("asset_id", "area")
-      .join(labels, Seq("asset_id"), "left")
-      .withColumn("label", coalesce(col("label"), col("asset_id")))
+    h.join(classes, hc)
+      .join(labels, Seq("rep"), "left")
+      .withColumn("label", coalesce(col("label"), col("rep")))
       .withColumn("rep_id", first(col("asset_id")).over(w))
       .select(col("asset_id"), col("rep_id"),
         (col("asset_id") === col("rep_id")).as("kept"))
