@@ -120,18 +120,30 @@ object TextAnalysis {
   def segTokSqlOf(expr: String): String =
     s"regexp_extract_all($expr, '$SegPatternRe2')"
 
-  /** Punctuation class for decontamination normalization (d21):
-    * an EXPLICIT character class — identical string in Java and RE2,
-    * zero dependence on Unicode general-category tables (the
-    * `\s`/`\p{IsX}`/`$` engine-divergence lesson, rounds 8–11).
-    * ASCII punctuation plus the common typographic/CJK marks;
-    * fullwidth ASCII forms (！（）…) need no entries because
-    * NFKC-casefold maps them to ASCII BEFORE the strip. */
-  val DecontamPunct: String =
-    "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~" +
+  /** Punctuation characters for decontamination normalization (d21):
+    * an EXPLICIT list — identical in Java and DuckDB, zero dependence
+    * on Unicode general-category tables (the `\s`/`\p{IsX}`/`$`
+    * engine-divergence lesson, rounds 8–11). ASCII punctuation plus
+    * the common typographic/CJK marks; fullwidth ASCII forms
+    * (！（）…) need no entries because NFKC-casefold maps them to
+    * ASCII BEFORE the strip. Applied via `translate` (each char → one
+    * space; a 1:1 codegen'd char map, no regex machinery — measured
+    * vs a `[class]+`→" " regexp_replace, which cost ~2.5 s extra at
+    * sf1), so every entry must be a single BMP char and the
+    * replacement is [[DecontamPunctSpaces]], the SAME length — a
+    * shorter `to` would DELETE chars and fuse adjacent tokens
+    * ("can't" → "cant"), which is not the published convention's
+    * strip-to-whitespace. Tokenization-equivalent to the regex form:
+    * [[segTokens]] treats any space run as a separator, so char→space
+    * and run→space yield the same token stream. */
+  val DecontamPunctChars: String =
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~" +
       "…“”‘’—–‐·・" +
       "、。¡¿«»《》「」" +
-      "『』【】]+"
+      "『』【】"
+
+  /** Same-length all-space `to` string for the d21 translate. */
+  val DecontamPunctSpaces: String = " " * DecontamPunctChars.length
 
   /** Driver-side [[segTokens]] for a query string (same Java
     * pattern, same leftmost-first alternation) — used to derive the

@@ -2311,10 +2311,11 @@ object TextQueries {
     * spellings, so no side can drift independently. */
   private def d21OracleSql(s: SparkSession, dir: String): Option[String] = {
     val extra = ('A'.toInt to 'Z'.toInt) :+ ','.toInt
-    val punct = "'" + TextAnalysis.DecontamPunct.replace("'", "''") + "'"
+    val punct = "'" + TextAnalysis.DecontamPunctChars.replace("'", "''") + "'"
+    val spaces = "'" + TextAnalysis.DecontamPunctSpaces + "'"
     def normToks(expr: String): String =
       TextAnalysis.segTokSqlOf(
-        s"regexp_replace(${canonChainSql(s, dir, expr, extra)}, $punct, ' ', 'g')")
+        s"translate(${canonChainSql(s, dir, expr, extra)}, $punct, $spaces)")
     val gram = md5LongSql(
       "array_to_string(tk[CAST(u.i AS INT) : CAST(u.i AS INT) + 12], ' ')")
     Some(
