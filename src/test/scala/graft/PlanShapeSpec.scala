@@ -665,4 +665,34 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("t41_zipf_fit").split("== Initial Plan ==")(0)
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("t47 per-lang LM: unigram/voc models broadcast, bigram model joined — never nested-loop") {
+    val p = planOf("t47_perlang_perplexity")
+    // the per-language unigram table (a6) and per-language vocab sizes
+    // broadcast back onto the gram stream; the bigram model is a keyed
+    // join by design (bigram vocab outgrows the driver at web scale) —
+    // what must NEVER appear is a cartesian/nested-loop over the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    Caches.release(spark)
+  }
+
+  test("m9 image dedup: no cartesian anywhere; the decision never all-pairs") {
+    // the pair stage is the pigeonhole-banded equi-join over exact-hash
+    // class REPRESENTATIVES (quadratic identical-hash classes collapse
+    // before pairing); the collapse itself is hash-keyed groupBys and
+    // label-partitioned windows — a cartesian/nested-loop node in any
+    // stage means the blocking regressed
+    val df = SparkEntry.queries("m9_image_dedup")(spark, sfDir)
+    val p = finalPlan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    // the keep-rank window partitions by cluster label — never a
+    // single-partition window over all assets
+    val ws = windowsOf(df)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"m9 keep-rank window must partition by label:\n${ws.mkString("\n")}")
+    Caches.release(spark)
+  }
 }
