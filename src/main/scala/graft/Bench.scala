@@ -103,6 +103,10 @@ object Bench {
   // (excluded above) and its collapse is the d11-family CC + one
   // label-partitioned window — both plan families already headlined;
   // oracle-checked at 3 SFs (recursive-closure replay).
+  // m10 stays out for the same two reasons one rung over: its decode
+  // pass is m7's (headlined — the same 50k real WAV parses at sf1)
+  // and its collapse is m9's generic fingerprintDedup; oracle-checked
+  // at 3 SFs with golden-bits + planted-collapse specs.
   // t39/t41 stay out of the headline: t39 is five regex passes over
   // the same scan shape t40 times (map-only, zero shuffles), t41 is
   // t31's count-agg shape plus a 1000-row bounded fit — neither adds

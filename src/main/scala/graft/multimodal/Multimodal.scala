@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -619,6 +619,44 @@ object Multimodal {
       .select("a", "b", "dist")
   }
 
+  /** Audio fingerprint (m10, round 12): the audio analogue of m5's
+    * image dHash — one bit per consecutive window-energy delta over
+    * the DECODED sample stream (bit i set iff windowSum(i+1) >
+    * windowSum(i)), the shape acoustic fingerprints reduce to once
+    * spectral features are binarized (Chromaprint/Haitsma-Kalker
+    * family, public; energy deltas stand in for the per-band spectral
+    * deltas the way m5's luminance grid stands in for full image
+    * features). 64 bits from the first 65 windows, emitted as the
+    * SAME four 16-bit chunks (h0..h3) the image path uses — so
+    * [[phashNearDupPairs]]'s pigeonhole blocking + XOR-popcount
+    * verification and [[imageDedupFromHashes]]'s collapse apply to
+    * audio unchanged. Audio shorter than 65 windows zero-fills the
+    * missing high bits (deterministic — the `size > i+1` guard);
+    * undecodable assets emit no row (the h-null analogue). Decode is
+    * the batched narrow mapPartitions of [[decodeWavWindows]]; the
+    * fingerprint itself is one asset-keyed aggregation of the window
+    * stream — no other shuffle. */
+  def audioFingerprint(assets: DataFrame, windowSamples: Int = 1): DataFrame = {
+    val bitOf = (ss: Column, i: Column) =>
+      when(size(ss) > i + 1 &&
+        element_at(ss, i + 2) > element_at(ss, i + 1), 1).otherwise(0)
+    def chunk(ss: Column, c: Int): Column =
+      // MSB-first fold: acc·2 + bit walks i = 16c+15 … 16c, leaving
+      // bit i at weight 2^(i−16c) — the dHash chunk layout, in exact
+      // integer arithmetic (no column-shift builtin needed)
+      aggregate(sequence(lit(16 * c + 15), lit(16 * c), lit(-1)),
+        lit(0), (acc, i) => acc * 2 + bitOf(ss, i))
+    decodeWavWindows(assets, windowSamples)
+      .groupBy("asset_id")
+      .agg(collect_list(struct(col("window_number"), col("sample_sum")))
+        .as("wl"))
+      .select(col("asset_id"),
+        transform(array_sort(col("wl")), x => x.getField("sample_sum"))
+          .as("ss"))
+      .select(Seq(col("asset_id")) ++
+        (0 to 3).map(c => chunk(col("ss"), c).as(s"h$c")): _*)
+  }
+
   /** Image near-duplicate COLLAPSE decision (round 12 — completes m8
     * to what text dedup already has in d6 + d12): pHash near-dup
     * pairs → connected components → one representative per cluster by
@@ -655,13 +693,29 @@ object Multimodal {
     * "report every pair"; measured 15 s at sf1 where the synthetic
     * corpus has a ~3k-member all-zero-hash class from 1-pixel-wide
     * images) but only ONE representative here. */
-  def imageDedupFromHashes(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
-    val hc = Seq("h0", "h1", "h2", "h3")
-    val h = graft.Caches.shared(hashes
+  def imageDedupFromHashes(hashes: DataFrame, maxDist: Int = 3): DataFrame =
+    fingerprintDedup(hashes
       .filter(col("h0").isNotNull)
+      .select(Seq(col("asset_id"),
+        (col("width").cast("long") * col("height").cast("long"))
+          .as("score")) ++
+        Seq("h0", "h1", "h2", "h3").map(col): _*), maxDist)
+
+  /** The generic near-dup COLLAPSE over ANY (asset_id, score,
+    * h0..h3) fingerprint table — images rank by pixel area, audio by
+    * duration, and any future 64-bit 4-chunk fingerprint slots in
+    * unchanged: exact-hash classes collapse first (min-id class
+    * representative — the linearity move, see [[imageDedupFromHashes]]),
+    * the pigeonhole pair join runs over representatives only,
+    * components come from [[graft.operators.Dedup.dupClustersAuto]],
+    * and each cluster keeps its highest-score member (ties to min
+    * asset_id). → (asset_id, rep_id, kept), one row per hashed
+    * asset. */
+  def fingerprintDedup(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    val hc = Seq("h0", "h1", "h2", "h3")
+    val h = graft.Caches.shared(hashed
       .select(Seq(col("asset_id").cast("long").as("asset_id"),
-        (col("width").cast("long") * col("height").cast("long")).as("area")) ++
-        hc.map(col): _*))
+        col("score").cast("long").as("score")) ++ hc.map(col): _*))
     val classes = graft.Caches.shared(h.groupBy(hc.map(col): _*)
       .agg(min(col("asset_id")).as("rep")))
     val reps = classes.select(col("rep").as("asset_id") +: hc.map(col): _*)
@@ -671,7 +725,7 @@ object Multimodal {
       .withColumnRenamed("id", "rep")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("label")
-      .orderBy(col("area").desc, col("asset_id").asc)
+      .orderBy(col("score").desc, col("asset_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     h.join(classes, hc)

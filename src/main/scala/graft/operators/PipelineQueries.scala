@@ -24,6 +24,31 @@ object PipelineQueries {
     d.join(base.withColumnRenamed("asset_id", "fill_id"), "fill_id")
       .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
   }
+  /** m10's planted audio corpus: every run of 5 consecutive doc_ids
+    * shares ONE WAV (content derives from fid = doc_id − doc_id % 5;
+    * one encode per group, byte-identical copies — the re-uploaded-
+    * audio case, m8's fill-group precedent). Each copy is still
+    * independently decoded + fingerprinted. The WAV ENCODE is fixture
+    * build work (a real corpus already has its media bytes), so the
+    * asset table materializes once per corpus fingerprint (the m7
+    * `wav1_` convention) and steady-state runs measure the
+    * decode + fingerprint + collapse — the operator under test. */
+  private[graft] def m10PlantedAssets(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${graft.store.AnnIndexes.root}/wav5_" +
+      s"${graft.store.AnnIndexes.keyOf(dir)}_" +
+      graft.store.AnnIndexes.fingerprint(s, s"$dir/documents.parquet")
+    graft.store.AnnIndexes.materializeAtomic(s, path) { tmp =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 5).as("fid"))
+      val base = graft.multimodal.Multimodal.syntheticWavAssets(
+        d.select(col("fid").as("doc_id")).distinct(), "doc_id")
+      d.join(base.withColumnRenamed("asset_id", "fid"), "fid")
+        .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
+        .write.parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   val Dim = 64
   val MaxTokens = 32
   val Query = "merge sort join the fast table scan"
@@ -159,6 +184,34 @@ object PipelineQueries {
           graft.multimodal.Multimodal.imagePhash(m8PlantedAssets(s, dir)),
           maxDist = 3)
         .orderBy("a", "b")
+    }),
+
+    // M10: audio near-dup DEDUP decision (round 12) — the modality
+    // ladder's audio rung (text d1-d21, image m8/m9): re-uploaded
+    // copies of a recording share a delta-sign fingerprint over the
+    // DECODED sample stream even when container bytes differ. The
+    // fingerprint reuses the image path's 4×16-bit chunk contract, so
+    // blocking, verification and the collapse are the SAME generic
+    // fingerprintDedup — keep policy ranks by duration (the longest
+    // capture is the master copy), ties min id. Declared as the
+    // DECISION, not the pair report, by measurement: the synthetic
+    // sample formula only has 20001 phases, so distinct fingerprints
+    // saturate (~78 at sf1) and a pair report grows QUADRATICALLY in
+    // identical-fingerprint class sizes (the m9 lesson) while the
+    // decision stays linear. ORACLE-CHECKED end-to-end: every window
+    // sum is an integer function of the fill id (the m7 formula), so
+    // DuckDB re-derives the sample stream, the 64 delta bits, the
+    // chunks, the rep-level pigeonhole pairs, the transitive closure
+    // and the duration/min-id representative choice.
+    "m10_audio_dedup" -> ((s, dir) => {
+      val assets = m10PlantedAssets(s, dir)
+      val fp = graft.multimodal.Multimodal.audioFingerprint(
+        assets, windowSamples = 1)
+      graft.multimodal.Multimodal.fingerprintDedup(
+          fp.join(assets.select(col("asset_id"),
+            col("meta.duration_ms").as("score")), "asset_id"),
+          maxDist = 3)
+        .orderBy("asset_id")
     }),
 
     // M9: the image-dedup DECISION (round 12) — m8's verified pairs
@@ -477,6 +530,63 @@ object PipelineQueries {
         |  JOIN hh hb ON hb.doc_id = c.b
         | WHERE $phashDistSql <= 3
         | ORDER BY a, b""".stripMargin.replaceAll("\n", ""),
+    // m10: full replay — fill remap, the m7 integer sample formula
+    // (window sums at windowSamples=1 ARE the samples), the 64
+    // delta-sign bits (bit 63 absent when a 64-sample asset has no
+    // 65th window — the engine's zero-fill), the same chunk packing,
+    // then the DECISION: exact-fingerprint classes, rep-level
+    // pigeonhole pairs + Hamming verify, recursive-CTE closure and
+    // the duration-desc/min-id representative per component.
+    "m10_audio_dedup" ->
+      s"""WITH RECURSIVE d0 AS (SELECT doc_id, doc_id - doc_id % 5 AS fid
+        |   FROM documents),
+        | fids AS (SELECT DISTINCT fid FROM d0),
+        | sm AS (SELECT fid, CAST(u.k AS BIGINT) AS k,
+        |   ((fid * 2654435761 + u.k * 1013904223) % 20001) - 10000 AS s
+        |  FROM fids, UNNEST(range(0, 64 + fid % 64)) AS u(k)),
+        | bits AS (SELECT a.fid, a.k AS i,
+        |   CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+        |  FROM sm a JOIN sm b ON a.fid = b.fid AND b.k = a.k + 1
+        |  WHERE a.k < 64),
+        | hf AS (SELECT fid,
+        |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
+        |  FROM bits GROUP BY fid),
+        | hh AS (SELECT doc_id, h0, h1, h2, h3,
+        |   CAST((1000 * (64 + fid % 64)) // 8000 AS BIGINT) AS score
+        |  FROM d0 JOIN hf USING (fid)),
+        | cls AS (SELECT h0, h1, h2, h3, MIN(doc_id) AS rep FROM hh
+        |  GROUP BY 1, 2, 3, 4),
+        | bands AS (SELECT rep, u.c AS band,
+        |   CASE u.c WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+        |    ELSE h3 END AS key
+        |  FROM cls, UNNEST(range(0, 4)) AS u(c)),
+        | cand AS (SELECT DISTINCT x.rep AS a, y.rep AS b
+        |  FROM bands x JOIN bands y
+        |   ON x.band = y.band AND x.key = y.key AND x.rep < y.rep),
+        | pr AS (SELECT c.a, c.b
+        |  FROM cand c JOIN cls ha ON ha.rep = c.a
+        |   JOIN cls hb ON hb.rep = c.b
+        |  WHERE $phashDistSql <= 3),
+        | e AS (SELECT a AS src, b AS dst FROM pr
+        |  UNION ALL SELECT b, a FROM pr),
+        | reach AS (SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        | mem AS (SELECT hh.doc_id AS asset_id, hh.score,
+        |   COALESCE(lab.label, cls.rep) AS label
+        |  FROM hh JOIN cls USING (h0, h1, h2, h3)
+        |   LEFT JOIN lab ON lab.id = cls.rep),
+        | repx AS (SELECT label, asset_id AS rep_id FROM mem
+        |  QUALIFY row_number() OVER (PARTITION BY label
+        |   ORDER BY score DESC, asset_id) = 1)
+        | SELECT mem.asset_id, repx.rep_id,
+        |  mem.asset_id = repx.rep_id AS kept
+        | FROM mem JOIN repx USING (label) ORDER BY asset_id"""
+        .stripMargin.replaceAll("\n", ""),
     // m9: m8's replay extended to the COLLAPSE decision — verified
     // pairs, recursive-CTE transitive closure, and the identical
     // area-desc/min-id representative choice per component (area from

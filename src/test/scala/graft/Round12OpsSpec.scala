@@ -140,6 +140,44 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m10 audio fingerprint: golden delta-sign bits from the sample formula") {
+    val s = spark; import s.implicits._
+    // one real WAV through the real encoder+decoder, bits recomputed
+    // in plain Scala from the m7 sample formula
+    val id = 7L
+    val assets = graft.multimodal.Multimodal.syntheticWavAssets(
+      Seq(id).toDF("doc_id"), "doc_id")
+    val got = graft.multimodal.Multimodal
+      .audioFingerprint(assets, windowSamples = 1)
+      .collect().map(r => (r.getLong(0),
+        r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSeq
+    val n = 64 + (id % 64).toInt
+    val v = (0 until n).map(k =>
+      ((id * 2654435761L + k * 1013904223L) % 20001L - 10000L).toInt)
+    val chunks = new Array[Int](4)
+    for (i <- 0 until 64 if i + 1 < n && v(i + 1) > v(i))
+      chunks(i / 16) |= 1 << (i % 16)
+    assert(got == Seq((id, chunks(0), chunks(1), chunks(2), chunks(3))))
+  }
+
+  test("m10 audio dedup: planted fill-groups collapse; longest duration kept") {
+    val dec = SparkEntry.queries("m10_audio_dedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    Caches.release(spark)
+    assert(dec.size == 500)
+    assert(dec.forall { case (id, (rep, kept)) => kept == (id == rep) })
+    // byte-identical copies in a fill group always share one rep
+    dec.keys.groupBy(id => id - id % 5).foreach { case (fid, ids) =>
+      assert(ids.map(id => dec(id)._1).toSet.size == 1,
+        s"fill group $fid split across reps")
+    }
+    dec.groupBy(_._2._1).foreach { case (rep, members) =>
+      assert(members.values.count(_._2) == 1)
+      assert(dec(rep)._2, s"representative $rep must be kept")
+    }
+  }
+
   test("htmlToText: prose '<script' / commented-out script don't eat the tail") {
     import graft.sources.Sources
     // commented-out script must not trigger the unclosed-script fallback
