@@ -293,4 +293,38 @@ object DedupStreams {
       maxDist: Int = 3): Option[DataFrame] =
     Cdc.readRollup(spark, statePath).map(st =>
       graft.multimodal.Multimodal.imageDedupFromHashes(st, maxDist))
+
+  // -------------------------------------------------------------
+  // Audio fingerprint state (m10)
+  // -------------------------------------------------------------
+
+  /** One asset batch's audio-fingerprint delta (m10): per-asset
+    * delta-sign chunks plus the duration score the keep policy ranks
+    * by. Each batch pays its own decode + fingerprint work once at
+    * ingest — the audio analogue of [[phashBatch]], folding under the
+    * same atomic [[mergeMinChunks]] (score rides with the winning
+    * row). */
+  def audioFpBatch(batch: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.audioFingerprint(batch, windowSamples = 1)
+      .join(batch.select(col("asset_id").cast("long").as("asset_id"),
+        col("meta.duration_ms").cast("long").as("score")), "asset_id")
+      .select("asset_id", "h0", "h1", "h2", "h3", "score")
+
+  /** Fold an append audio-asset stream into the per-asset fingerprint
+    * state m10's collapse reads. */
+  def streamingAudioFps(
+      assets: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    Cdc.streamingRollup(assets, statePath, Seq("asset_id"),
+      audioFpBatch, checkpoint, mergeMinChunks)
+
+  /** m10's dedup DECISION from the committed fingerprint state —
+    * identical to the batch operator when the state has folded the
+    * same assets (spec-pinned): the state already carries
+    * (h0..h3, score), so no audio is re-decoded. */
+  def audioDedupFromState(
+      spark: SparkSession, statePath: String,
+      maxDist: Int = 3): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(st =>
+      graft.multimodal.Multimodal.fingerprintDedup(st, maxDist))
 }

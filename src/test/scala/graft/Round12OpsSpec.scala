@@ -178,6 +178,27 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m10 streaming face: decision from folded fingerprint state == batch m10") {
+    import graft.streaming.DedupStreams
+    val assets = graft.operators.PipelineQueries.m10PlantedAssets(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_m10stream").toString
+    assets.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    DedupStreams.streamingAudioFps(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val streamed = DedupStreams.audioDedupFromState(spark, s"$tmp/state")
+    assert(streamed.isDefined, "no committed audio fingerprint state")
+    val batch = SparkEntry.queries("m10_audio_dedup")(spark, sfDir)
+    assert(rows(streamed.get) == rows(batch))
+    Caches.release(spark)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("htmlToText: prose '<script' / commented-out script don't eat the tail") {
     import graft.sources.Sources
     // commented-out script must not trigger the unclosed-script fallback
