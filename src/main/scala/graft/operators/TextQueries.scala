@@ -229,6 +229,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The t43 Gopher rule table (Rae et al. 2021 table A1) over a
+    * (doc_id, text) frame — ONE shared definition, because t48's
+    * quality classifier trains on exactly these labels and a drifted
+    * reimplementation would silently re-label its training set. Rules
+    * compare in EXACT INTEGER arithmetic; words are whitespace tokens
+    * (the rules are defined over delimiter-separated words by the
+    * paper). Pure map work in the scan projection; zero shuffles. */
+  private[graft] def gopherRules(d: DataFrame): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    d.select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("wc"),
+        length(col("text")).as("len"),
+        regexp_count(col("text"), lit("#")).as("hash_cnt"),
+        regexp_count(col("text"), lit("\\.\\.\\.")).as("ell_cnt"),
+        size(filter(col("tk"), w => w.rlike("\\p{L}"))).as("alpha_w"),
+        size(array_intersect(array_distinct(col("tk")),
+          typedLit(stops))).as("stop_hits"))
+      .select(
+        col("doc_id"), col("wc"),
+        col("wc").between(50, 100000).as("r_wordcount"),
+        // mean word length in [3, 10]: (len − (wc−1)) is the total
+        // word chars under single-space joining — integer bounds
+        ((col("len") - (col("wc") - 1)) >= col("wc") * 3 &&
+          (col("len") - (col("wc") - 1)) <= col("wc") * 10).as("r_meanwordlen"),
+        (col("hash_cnt") * 10 <= col("wc")).as("r_hash"),
+        (col("ell_cnt") * 10 <= col("wc")).as("r_ellipsis"),
+        (col("alpha_w") * 5 >= col("wc") * 4).as("r_alpha"),
+        (col("stop_hits") >= 2).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanwordlen") && col("r_hash") &&
+          col("r_ellipsis") && col("r_alpha") && col("r_stopwords"))
+  }
+
   /** t47: t44's bigram LM fitted PER LANGUAGE — CCNet's actual
     * architecture (Wenzek et al. 2019, public: one KenLM per
     * language, perplexity terciles cut WITHIN each language). On a
@@ -1460,35 +1496,8 @@ object TextQueries {
     // can diverge between engines. Words are whitespace tokens — the
     // rules are defined over delimiter-separated words by the paper.
     // Pure map work in the scan projection; zero shuffles.
-    "t43_gopher_rules" -> ((s, dir) => {
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      val d0 = docs(s, dir).select(col("doc_id"), col("text"),
-        TextAnalysis.tokens(col("text")).as("tk"))
-      d0.select(
-          col("doc_id"),
-          size(col("tk")).cast("long").as("wc"),
-          length(col("text")).as("len"),
-          regexp_count(col("text"), lit("#")).as("hash_cnt"),
-          regexp_count(col("text"), lit("\\.\\.\\.")).as("ell_cnt"),
-          size(filter(col("tk"), w => w.rlike("\\p{L}"))).as("alpha_w"),
-          size(array_intersect(array_distinct(col("tk")),
-            typedLit(stops))).as("stop_hits"))
-        .select(
-          col("doc_id"), col("wc"),
-          col("wc").between(50, 100000).as("r_wordcount"),
-          // mean word length in [3, 10]: (len − (wc−1)) is the total
-          // word chars under single-space joining — integer bounds
-          ((col("len") - (col("wc") - 1)) >= col("wc") * 3 &&
-            (col("len") - (col("wc") - 1)) <= col("wc") * 10).as("r_meanwordlen"),
-          (col("hash_cnt") * 10 <= col("wc")).as("r_hash"),
-          (col("ell_cnt") * 10 <= col("wc")).as("r_ellipsis"),
-          (col("alpha_w") * 5 >= col("wc") * 4).as("r_alpha"),
-          (col("stop_hits") >= 2).as("r_stopwords"))
-        .withColumn("keep",
-          col("r_wordcount") && col("r_meanwordlen") && col("r_hash") &&
-            col("r_ellipsis") && col("r_alpha") && col("r_stopwords"))
-        .orderBy("doc_id")
-    }),
+    "t43_gopher_rules" -> ((s, dir) => gopherRules(docs(s, dir))
+      .orderBy("doc_id")),
 
     // T44: n-gram LM perplexity scoring — the CCNet quality-filtering
     // step (Wenzek et al. 2020): fit a bigram LM with Laplace
@@ -1527,6 +1536,71 @@ object TextQueries {
     "t47_perlang_perplexity" -> ((s, dir) => {
       lmPerplexityByLang(docs(s, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.segTokens(col("text")).as("tk")))
+    }),
+
+    // T48: MODEL-BASED quality filtering — the fastText/LR-classifier
+    // stage every production pipeline runs after the rule gates
+    // (GPT-3's WebText-vs-CommonCrawl classifier, Brown et al. 2020
+    // app. A; fastText quality filters since): distill t43's Gopher
+    // rule DECISION (the shared gopherRules table — weak supervision,
+    // labels are free) into a Naive Bayes over seg tokens, then score
+    // EVERY doc with an integer micro-nat log-odds. The classifier
+    // generalizes past the rules: a doc failing no rule but written
+    // in drop-class vocabulary scores negative, and vice versa. Every
+    // model cell is quantized to micro-nats exactly like t36/t44
+    // (b6 = q6(ln(c+1)) per (class, token); class normalizers and
+    // +1-smoothed priors as q6 constants), so doc scores are exact
+    // integer sums in both engines. Scale shape: the per-class token
+    // model is JOINED on tok (full-corpus vocab outgrows the driver
+    // at web scale — t44's bigram-model argument), per-doc token
+    // counts pre-aggregate map-side, and the five class constants
+    // broadcast as one row; docs shuffle once, on doc_id.
+    "t48_quality_classifier" -> ((s, dir) => {
+      def q6(x: org.apache.spark.sql.Column) = round(x * 1e6).cast("long")
+      def q6ln(x: org.apache.spark.sql.Column) = q6(log(x.cast("double")))
+      val d = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
+        TextAnalysis.segTokens(col("text")).as("tk")))
+      // the LANGUAGE-AGNOSTIC rule subset labels the training set: the
+      // stop-word rule is English-specific by construction (Gopher's
+      // own caveat) — on non-English (or this synthetic) text it is
+      // identically false, which would collapse the keep class to
+      // empty and teach the classifier nothing
+      val label = (col("r_wordcount") && col("r_meanwordlen") &&
+        col("r_hash") && col("r_ellipsis") && col("r_alpha")).as("keep")
+      val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .join(gopherRules(docs(s, dir)).select(col("doc_id"), label),
+          "doc_id")
+      val tokc = graft.Caches.shared(train
+        .select(col("keep"), explode(col("tk")).as("tok"))
+        .groupBy("keep", "tok").agg(count(lit(1)).as("c")))
+      val consts = broadcast(tokc.agg(
+          sum(when(col("keep"), col("c")).otherwise(0L)).as("nk"),
+          sum(when(!col("keep"), col("c")).otherwise(0L)).as("ndt"),
+          countDistinct(col("tok")).as("v"))
+        .crossJoin(train.agg(
+          sum(when(col("keep"), 1L).otherwise(0L)).as("dk"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("dd"))))
+      val model = tokc.groupBy("tok").agg(
+        coalesce(max(when(col("keep"), q6ln(col("c") + 1))), lit(0L))
+          .as("bk6"),
+        coalesce(max(when(!col("keep"), q6ln(col("c") + 1))), lit(0L))
+          .as("bd6"))
+      d.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+        .join(model, Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(sum("m").as("n_tokens"),
+          sum(col("m") * (coalesce(col("bk6"), lit(0L)) -
+            coalesce(col("bd6"), lit(0L)))).as("bdiff"))
+        .crossJoin(consts)
+        .withColumn("logodds6",
+          col("bdiff") -
+            col("n_tokens") * (q6ln(col("nk") + col("v")) -
+              q6ln(col("ndt") + col("v"))) +
+            q6ln(col("dk") + 1) - q6ln(col("dd") + 1))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("logodds6"), (col("logodds6") > 0).as("pred_keep"))
+        .orderBy("doc_id")
     }),
 
     // T45: C4 line-level cleaning (Raffel et al. 2020 §2.2) — the
@@ -2906,6 +2980,55 @@ object TextQueries {
         | SELECT sa.doc_id, sa.n_big, sa.nll6, sa.avg_nll6, bk.bucket
         | FROM sa JOIN bk USING (avg_nll6) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", ""),
+    // t48: full replay — the language-agnostic t43 rule labels
+    // (whitespace words, the paper's unit; the English-specific
+    // stop-word rule excluded, see the query comment), the %3 train
+    // slice, per-(class, token) micro-nat cells with the SAME q6
+    // decomposition the engine quantizes at, and the exact integer
+    // log-odds sum.
+    "t48_quality_classifier" -> {
+      def q6ln(x: String) =
+        s"CAST(ROUND(ln(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+      s"""WITH m AS (SELECT doc_id, text, string_split(text, ' ') AS wtk
+        |   FROM documents),
+        | lab AS (SELECT doc_id,
+        |   (CAST(len(wtk) AS BIGINT) BETWEEN 50 AND 100000)
+        |   AND ((length(text) - (len(wtk) - 1)) >= len(wtk) * 3
+        |     AND (length(text) - (len(wtk) - 1)) <= len(wtk) * 10)
+        |   AND len(regexp_extract_all(text, '#')) * 10 <= len(wtk)
+        |   AND len(regexp_extract_all(text, '\\.\\.\\.')) * 10 <= len(wtk)
+        |   AND len(list_filter(wtk, w -> regexp_matches(w, '\\p{L}'))) * 5
+        |     >= len(wtk) * 4 AS keep
+        |  FROM m),
+        | d AS (SELECT doc_id, $segTokSql tk FROM documents),
+        | tr AS (SELECT d.doc_id, tk, keep FROM d JOIN lab USING (doc_id)
+        |  WHERE doc_id % 3 = 0),
+        | tc AS (SELECT keep, tok, COUNT(*) AS c FROM
+        |   (SELECT keep, unnest(tk) AS tok FROM tr) GROUP BY 1, 2),
+        | cn AS (SELECT
+        |   SUM(CASE WHEN keep THEN c ELSE 0 END) AS nk,
+        |   SUM(CASE WHEN NOT keep THEN c ELSE 0 END) AS ndt,
+        |   COUNT(DISTINCT tok) AS v FROM tc),
+        | dc AS (SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS dk,
+        |   SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS dd FROM tr),
+        | mdl AS (SELECT tok,
+        |   COALESCE(MAX(CASE WHEN keep THEN ${q6ln("c + 1")} END), 0) AS bk6,
+        |   COALESCE(MAX(CASE WHEN NOT keep THEN ${q6ln("c + 1")} END), 0)
+        |    AS bd6
+        |  FROM tc GROUP BY tok),
+        | g AS (SELECT doc_id, tok, COUNT(*) AS m FROM
+        |   (SELECT doc_id, unnest(tk) AS tok FROM d) GROUP BY 1, 2),
+        | sc AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+        |   CAST(SUM(m * (COALESCE(bk6, 0) - COALESCE(bd6, 0))) AS BIGINT)
+        |    AS bdiff
+        |  FROM g LEFT JOIN mdl USING (tok) GROUP BY doc_id)
+        | SELECT doc_id, n_tokens,
+        |  bdiff - n_tokens * (${q6ln("nk + v")} - ${q6ln("ndt + v")})
+        |   + ${q6ln("dk + 1")} - ${q6ln("dd + 1")} AS logodds6,
+        |  (bdiff - n_tokens * (${q6ln("nk + v")} - ${q6ln("ndt + v")})
+        |   + ${q6ln("dk + 1")} - ${q6ln("dd + 1")}) > 0 AS pred_keep
+        | FROM sc, cn, dc ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+    },
     // t47: t44's replay with every model cell, the smoothing fallback
     // and the tercile cut keyed by lang.
     "t47_perlang_perplexity" ->

@@ -199,6 +199,36 @@ class Round12OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("t48 classifier generalizes past the rules it distilled") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t48").toString
+    val good = (1 to 10).map(i => s"goodword$i")
+    val bad = (1 to 10).map(i => s"badword$i")
+    def txt(ws: Seq[String], reps: Int) =
+      Seq.fill(reps)(ws).flatten.mkString(" ")
+    // train slice (%3==0): two 60-word keep docs of GOOD vocabulary,
+    // two 10-word drop docs of BAD vocabulary (fail the 50-word rule)
+    val rows = Seq(
+      (0L, txt(good, 6)), (3L, txt(good, 6)),
+      (6L, txt(bad, 1)), (9L, txt(bad, 1)),
+      // held-out: a SHORT good-vocab doc (the rules would drop it) and
+      // a LONG bad-vocab doc (the rules would keep it) — the model's
+      // vocabulary signal must override the length signal both ways
+      (1L, txt(good, 1)), (2L, txt(bad, 6)))
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("t48_quality_classifier")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    Caches.release(spark)
+    assert(got(1L), "short good-vocab doc: classifier must keep " +
+      "(the rule gate alone would drop it)")
+    assert(!got(2L), "long bad-vocab doc: classifier must drop " +
+      "(the rule gate alone would keep it)")
+    assert(got(0L) && got(3L) && !got(6L) && !got(9L),
+      s"train docs must score with their own class: $got")
+  }
+
   test("htmlToText: prose '<script' / commented-out script don't eat the tail") {
     import graft.sources.Sources
     // commented-out script must not trigger the unclosed-script fallback

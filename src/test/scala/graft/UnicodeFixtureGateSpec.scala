@@ -61,7 +61,7 @@ object UnicodeFixtureGateSpec {
     // round 11 but never gated — the exact gap the plan scan closes
     "d4_simhash_neardup", "t10_contamination", "t27_decontaminate",
     // round-12 additions
-    "t47_perlang_perplexity")
+    "t47_perlang_perplexity", "t48_quality_classifier")
 }
 
 class UnicodeFixtureGateSpec extends AnyFunSuite {
