@@ -265,6 +265,76 @@ object TextQueries {
           col("r_ellipsis") && col("r_alpha") && col("r_stopwords"))
   }
 
+  /** t48's training labels: the LANGUAGE-AGNOSTIC subset of the
+    * Gopher rules over a (doc_id, text) frame — the stop-word rule is
+    * English-specific by construction (Gopher's own caveat): on
+    * non-English (or this synthetic) text it is identically false,
+    * which would collapse the keep class to empty and teach the
+    * classifier nothing. → (doc_id, keep). */
+  private[graft] def qualityLabels(d: DataFrame): DataFrame =
+    gopherRules(d).select(col("doc_id"),
+      (col("r_wordcount") && col("r_meanwordlen") && col("r_hash") &&
+        col("r_ellipsis") && col("r_alpha")).as("keep"))
+
+  /** t48 training state, token half: (keep, tok, c) seg-token counts
+    * over a LABELED (doc_id, tk, keep) slice. Additive — per-batch
+    * partials merge exactly (the t36/t44 streaming-state unit). */
+  private[graft] def qualityTokCounts(train: DataFrame): DataFrame =
+    train.select(col("keep"), explode(col("tk")).as("tok"))
+      .groupBy("keep", "tok").agg(count(lit(1)).as("c"))
+
+  /** t48 training state, document half: (keep, nd) class doc counts.
+    * Additive like [[qualityTokCounts]]. */
+  private[graft] def qualityDocCounts(train: DataFrame): DataFrame =
+    train.groupBy("keep").agg(count(lit(1)).as("nd"))
+
+  /** The t48 scoring pipeline from its two TRAINING-STATE tables:
+    * derive the micro-nat model (b6 = q6(ln(c+1)) per (class, token);
+    * class normalizers q6(ln(n_c+V)); +1-smoothed priors — every
+    * constant comes FROM the state, so the state IS the whole model),
+    * then score every doc of `d` (a (doc_id, tk) table) with the
+    * exact integer log-odds sum. Batch t48 passes counts computed
+    * from the %3 labeled slice; the streaming face passes counts
+    * folded incrementally — identical state in, identical scores out
+    * (spec-pinned). Scale shape: the token model is JOINED on tok
+    * (corpus vocab outgrows the driver — t44's bigram argument),
+    * per-doc token counts pre-aggregate map-side, the five class
+    * constants broadcast as one row. */
+  private[graft] def qualityLogOdds(
+      d: DataFrame, tokcIn: DataFrame, doccIn: DataFrame): DataFrame = {
+    def q6(x: org.apache.spark.sql.Column) = round(x * 1e6).cast("long")
+    def q6ln(x: org.apache.spark.sql.Column) = q6(log(x.cast("double")))
+    val tokc = graft.Caches.shared(tokcIn)
+    val consts = broadcast(tokc.agg(
+        sum(when(col("keep"), col("c")).otherwise(0L)).as("nk"),
+        sum(when(!col("keep"), col("c")).otherwise(0L)).as("ndt"),
+        countDistinct(col("tok")).as("v"))
+      .crossJoin(doccIn.agg(
+        sum(when(col("keep"), col("nd")).otherwise(0L)).as("dk"),
+        sum(when(!col("keep"), col("nd")).otherwise(0L)).as("dd"))))
+    val model = tokc.groupBy("tok").agg(
+      coalesce(max(when(col("keep"), q6ln(col("c") + 1))), lit(0L))
+        .as("bk6"),
+      coalesce(max(when(!col("keep"), q6ln(col("c") + 1))), lit(0L))
+        .as("bd6"))
+    d.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      .join(model, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_tokens"),
+        sum(col("m") * (coalesce(col("bk6"), lit(0L)) -
+          coalesce(col("bd6"), lit(0L)))).as("bdiff"))
+      .crossJoin(consts)
+      .withColumn("logodds6",
+        col("bdiff") -
+          col("n_tokens") * (q6ln(col("nk") + col("v")) -
+            q6ln(col("ndt") + col("v"))) +
+          q6ln(col("dk") + 1) - q6ln(col("dd") + 1))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("logodds6"), (col("logodds6") > 0).as("pred_keep"))
+      .orderBy("doc_id")
+  }
+
   /** t47: t44's bigram LM fitted PER LANGUAGE — CCNet's actual
     * architecture (Wenzek et al. 2019, public: one KenLM per
     * language, perplexity terciles cut WITHIN each language). On a
@@ -1556,51 +1626,11 @@ object TextQueries {
     // counts pre-aggregate map-side, and the five class constants
     // broadcast as one row; docs shuffle once, on doc_id.
     "t48_quality_classifier" -> ((s, dir) => {
-      def q6(x: org.apache.spark.sql.Column) = round(x * 1e6).cast("long")
-      def q6ln(x: org.apache.spark.sql.Column) = q6(log(x.cast("double")))
       val d = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
         TextAnalysis.segTokens(col("text")).as("tk")))
-      // the LANGUAGE-AGNOSTIC rule subset labels the training set: the
-      // stop-word rule is English-specific by construction (Gopher's
-      // own caveat) — on non-English (or this synthetic) text it is
-      // identically false, which would collapse the keep class to
-      // empty and teach the classifier nothing
-      val label = (col("r_wordcount") && col("r_meanwordlen") &&
-        col("r_hash") && col("r_ellipsis") && col("r_alpha")).as("keep")
       val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .join(gopherRules(docs(s, dir)).select(col("doc_id"), label),
-          "doc_id")
-      val tokc = graft.Caches.shared(train
-        .select(col("keep"), explode(col("tk")).as("tok"))
-        .groupBy("keep", "tok").agg(count(lit(1)).as("c")))
-      val consts = broadcast(tokc.agg(
-          sum(when(col("keep"), col("c")).otherwise(0L)).as("nk"),
-          sum(when(!col("keep"), col("c")).otherwise(0L)).as("ndt"),
-          countDistinct(col("tok")).as("v"))
-        .crossJoin(train.agg(
-          sum(when(col("keep"), 1L).otherwise(0L)).as("dk"),
-          sum(when(!col("keep"), 1L).otherwise(0L)).as("dd"))))
-      val model = tokc.groupBy("tok").agg(
-        coalesce(max(when(col("keep"), q6ln(col("c") + 1))), lit(0L))
-          .as("bk6"),
-        coalesce(max(when(!col("keep"), q6ln(col("c") + 1))), lit(0L))
-          .as("bd6"))
-      d.select(col("doc_id"), explode(col("tk")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
-        .join(model, Seq("tok"), "left")
-        .groupBy("doc_id")
-        .agg(sum("m").as("n_tokens"),
-          sum(col("m") * (coalesce(col("bk6"), lit(0L)) -
-            coalesce(col("bd6"), lit(0L)))).as("bdiff"))
-        .crossJoin(consts)
-        .withColumn("logodds6",
-          col("bdiff") -
-            col("n_tokens") * (q6ln(col("nk") + col("v")) -
-              q6ln(col("ndt") + col("v"))) +
-            q6ln(col("dk") + 1) - q6ln(col("dd") + 1))
-        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-          col("logodds6"), (col("logodds6") > 0).as("pred_keep"))
-        .orderBy("doc_id")
+        .join(qualityLabels(docs(s, dir)), "doc_id")
+      qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
     }),
 
     // T45: C4 line-level cleaning (Raffel et al. 2020 §2.2) — the

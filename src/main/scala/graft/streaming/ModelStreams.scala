@@ -131,4 +131,48 @@ object ModelStreams {
         st.filter(col("kind") === "big")
           .select(col("w1"), col("w2"), col("c").as("c2")))
     }
+
+  // -------------------------------------------------------------
+  // Quality-classifier counts (t48's training state)
+  // -------------------------------------------------------------
+
+  /** One batch's t48 training-state delta: each batch LABELS its own
+    * docs with the shared language-agnostic Gopher rule subset
+    * (labels are a pure function of the row — no cross-batch state
+    * needed) and emits per-(class, token) counts plus class doc
+    * counts, stacked in one keyed table (kind ∈ tok|doc; doc rows
+    * carry a null token). */
+  def qualityCountBatch(batch: DataFrame): DataFrame = {
+    val labeled = batch.select(col("doc_id"),
+        graft.operators.TextAnalysis.segTokens(col("text")).as("tk"))
+      .join(TextQueries.qualityLabels(
+        batch.select(col("doc_id"), col("text"))), "doc_id")
+    TextQueries.qualityTokCounts(labeled)
+      .select(lit("tok").as("kind"), col("keep"), col("tok"), col("c"))
+      .unionByName(TextQueries.qualityDocCounts(labeled)
+        .select(lit("doc").as("kind"), col("keep"),
+          lit(null).cast("string").as("tok"), col("nd").as("c")))
+  }
+
+  /** Fold an append stream of TRAINING documents (doc_id, text) into
+    * the quality-classifier count state. The caller picks the
+    * training slice (t48 trains on doc_id % 3 == 0) by filtering the
+    * stream — the fold itself is slice-agnostic. */
+  def streamingQualityCounts(
+      docs: DataFrame, statePath: String, checkpoint: String): StreamingQuery =
+    Cdc.streamingRollup(docs, statePath, Seq("kind", "keep", "tok"),
+      qualityCountBatch, checkpoint)
+
+  /** t48's log-odds + decision scored from the CURRENT streamed count
+    * state — identical pipeline to the batch query (state-in = model).
+    * `d` is the (doc_id, tk) table to score. None until a first batch
+    * commits. */
+  def qualityFromState(
+      spark: SparkSession, statePath: String, d: DataFrame): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map { st =>
+      TextQueries.qualityLogOdds(d,
+        st.filter(col("kind") === "tok").select("keep", "tok", "c"),
+        st.filter(col("kind") === "doc")
+          .select(col("keep"), col("c").as("nd")))
+    }
 }

@@ -229,6 +229,32 @@ class Round12OpsSpec extends AnyFunSuite {
       s"train docs must score with their own class: $got")
   }
 
+  test("streaming quality counts: scores from folded state == batch t48") {
+    import graft.streaming.ModelStreams
+    import graft.operators.TextAnalysis
+    val train = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").filter(col("doc_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t48stream").toString
+    train.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    ModelStreams.streamingQualityCounts(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), TextAnalysis.segTokens(col("text")).as("tk"))
+    val streamed = ModelStreams.qualityFromState(spark, s"$tmp/state", d)
+    assert(streamed.isDefined, "no committed quality-count state")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(rows(streamed.get) ==
+      rows(SparkEntry.queries("t48_quality_classifier")(spark, sfDir)))
+    Caches.release(spark)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("htmlToText: prose '<script' / commented-out script don't eat the tail") {
     import graft.sources.Sources
     // commented-out script must not trigger the unclosed-script fallback
