@@ -25,8 +25,12 @@ object Verify {
     graft.operators.PipelineQueries.resetOracleStashes()
     // retired-recipe sidecars (superseded store prefixes) are garbage
     // the moment the recipe bumps — sweep them here so they never
-    // accumulate across rounds
+    // accumulate across rounds; temp-dir-keyed sidecars from PREVIOUS
+    // processes are equally unreachable (random temp names), except
+    // the ones keyed to the corpus THIS dump runs against
     graft.store.AnnIndexes.gcRetired(spark)
+    graft.store.AnnIndexes.gcTempKeyed(spark,
+      keepKey = graft.store.AnnIndexes.keyOf(sfDir))
     // sequential by design: concurrent submission of the heavy queries
     // (pairwise joins + embedding pipelines) thrashes a single local
     // JVM (measured >4× slower than sequential at sf0.01)

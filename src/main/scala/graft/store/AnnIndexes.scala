@@ -134,4 +134,29 @@ object AnnIndexes {
       dead
     }
   }
+
+  /** Delete build-once sidecars keyed to TEMP-DIR corpora (key
+    * segment `__tmp_`), except those carrying `keepKey` (the corpus a
+    * dump is currently running against — the fixture gate dumps FROM
+    * a temp dir and must keep its own sidecars alive for the run).
+    * Temp-dir keys are random per `createTempDirectory`, so a
+    * sidecar from a previous process can never be looked up again —
+    * it is garbage by construction; without this sweep every spec or
+    * fixture sweep that touches a sidecar-building query leaks one
+    * orphan per run FOREVER (193 had accumulated by round 12: BPE
+    * models from crafted-corpus specs, wav fixtures from manual
+    * Unicode sweeps). Invoked beside [[gcRetired]] at the top of every
+    * Verify dump and at test-session start. Returns entries removed. */
+  def gcTempKeyed(spark: SparkSession, keepKey: String = ""): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) 0
+    else fs.listStatus(rootPath).count { st =>
+      val name = st.getPath.getName
+      val dead = name.contains("__tmp_") &&
+        (keepKey.isEmpty || !name.contains(keepKey))
+      if (dead) fs.delete(st.getPath, true)
+      dead
+    }
+  }
 }

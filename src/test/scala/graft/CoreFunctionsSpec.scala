@@ -12,7 +12,14 @@ object SparkTestSession {
   // local[4, 2]: 4 threads, task maxFailures = 2 — inert unless a task
   // actually fails, and required by the retry-determinism spec
   // (Round8OpsSpec injects attempt-0 task failures into ingest)
-  lazy val spark: SparkSession = Tables.session("local[4, 2]", shufflePartitions = 4)
+  lazy val spark: SparkSession = {
+    val s = Tables.session("local[4, 2]", shufflePartitions = 4)
+    // temp-dir-keyed build-once sidecars from previous test runs are
+    // unreachable garbage (random temp names) — sweep at session
+    // start, BEFORE this run builds any of its own
+    graft.store.AnnIndexes.gcTempKeyed(s)
+    s
+  }
 
   /** Minimal property-check loop over ScalaCheck generators (the
     * scalatest-scalacheck bridge artifact is not on the offline

@@ -255,6 +255,23 @@ class Round12OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("gcTempKeyed: temp-keyed sidecars swept, keep-key and real-corpus keys survive") {
+    import graft.store.AnnIndexes
+    val root = new java.io.File(AnnIndexes.root)
+    root.mkdirs()
+    val doomed = new java.io.File(root, "bpe2__tmp_gcspec_dead_cafe01")
+    val kept = new java.io.File(root, "bpe2__tmp_gcspec_live_cafe02")
+    val real = new java.io.File(root, "bpe2__root_testdata_sf0.001_cafe03")
+    Seq(doomed, kept, real).foreach(_.mkdirs())
+    try {
+      AnnIndexes.gcTempKeyed(spark, keepKey = "_tmp_gcspec_live")
+      assert(!doomed.exists, "unkeyed temp sidecar must be swept")
+      assert(kept.exists, "the active corpus's sidecars must survive")
+      assert(real.exists, "real-corpus sidecars must never be touched")
+    } finally Seq(doomed, kept, real).filter(_.exists)
+      .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
+  }
+
   test("htmlToText: prose '<script' / commented-out script don't eat the tail") {
     import graft.sources.Sources
     // commented-out script must not trigger the unclosed-script fallback
