@@ -678,6 +678,17 @@ class PlanShapeSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("t48 quality classifier: constants broadcast as one row, never a cartesian") {
+    val p = planOf("t48_quality_classifier")
+    // the five class constants (nk/ndt/v/dk/dd) ride a broadcast (the
+    // 1-row crossJoin legitimately plans as a broadcast nested loop —
+    // the repo's 1-row-constant convention); what must NEVER appear is
+    // an unbroadcast CartesianProduct over the corpus
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    Caches.release(spark)
+  }
+
   test("m9 image dedup: no cartesian anywhere; the decision never all-pairs") {
     // the pair stage is the pigeonhole-banded equi-join over exact-hash
     // class REPRESENTATIVES (quadratic identical-hash classes collapse
