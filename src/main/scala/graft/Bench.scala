@@ -107,6 +107,10 @@ object Bench {
   // pass is m7's (headlined — the same 50k real WAV parses at sf1)
   // and its collapse is m9's generic fingerprintDedup; oracle-checked
   // at 3 SFs with golden-bits + planted-collapse specs.
+  // m11 likewise: its decode pass is m6's zip walk (m6 is headlined
+  // via m1's family and oracle-checked) composed with m5's dHash
+  // (headlined), and its collapse is the m9 class-first shape;
+  // oracle-checked at sf0.001/sf0.01/sf1.
   // t39/t41 stay out of the headline: t39 is five regex passes over
   // the same scan shape t40 times (map-only, zero shuffles), t41 is
   // t31's count-agg shape plus a 1000-row bounded fit — neither adds

@@ -619,6 +619,97 @@ object Multimodal {
       .select("a", "b", "dist")
   }
 
+  private val FrameHashSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_number", IntegerType, nullable = false),
+    StructField("h0", IntegerType, nullable = false),
+    StructField("h1", IntegerType, nullable = false),
+    StructField("h2", IntegerType, nullable = false),
+    StructField("h3", IntegerType, nullable = false)))
+
+  /** Per-sampled-frame dHash over zip-container video assets (m11's
+    * fingerprint pass): stream the zip directory, decode every
+    * `everyNth` entry with the real codec (skipped entries never
+    * decode — the m6 selective-decode shape), and emit m5's 4×16-bit
+    * dHash chunks per kept frame. Undecodable frames drop out. */
+  def zipFrameHashes(assets: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1)
+    val spark = assets.sparkSession
+    val rows = assets
+      .filter(col("meta.media_type") === "video")
+      .select(col("asset_id"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val zis = new java.util.zip.ZipInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var j = 0
+          var e = zis.getNextEntry
+          while (e != null) {
+            if (j % everyNth == 0)
+              dHashKernel(zis.readAllBytes()).foreach { case (_, _, c) =>
+                out += Row(id, j, c(0), c(1), c(2), c(3))
+              }
+            zis.closeEntry()
+            j += 1
+            e = zis.getNextEntry
+          }
+          out
+        }
+      }
+    spark.createDataFrame(rows, FrameHashSchema)
+  }
+
+  /** Video near-duplicate COLLAPSE decision (m11, round 12 — the
+    * modality ladder's last rung: text d1–d21, image m8/m9, audio
+    * m10): re-uploads and re-cuts of a video share sampled KEYFRAME
+    * fingerprints, so the standard shape is frame-level dHash →
+    * videos sharing enough distinct frame hashes are near-dups.
+    * Pipeline: [[zipFrameHashes]] per sampled frame → exact FRAMESET
+    * classes collapse first (videos with identical sorted hash sets —
+    * byte-identical re-uploads AND the fingerprint's blind spot,
+    * 1-pixel frames hashing to zero, both land here; the m9
+    * linearity move) → class representatives pair on shared distinct
+    * frame hashes (≥ `minShared`, an fh-keyed equi-join — never
+    * all-pairs) → connected components → keep the member with the
+    * MOST sampled frames (the longest cut), ties to min asset_id.
+    * → (asset_id, rep_id, kept), one row per decodable video. */
+  def videoDedup(
+      assets: DataFrame, everyNth: Int = 2, minShared: Int = 2): DataFrame = {
+    val fh = graft.Caches.shared(zipFrameHashes(assets, everyNth)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        concat_ws("_", col("h0"), col("h1"), col("h2"), col("h3"))
+          .as("fh")))
+    val sets = graft.Caches.shared(fh.groupBy("asset_id").agg(
+      count(lit(1)).as("n_frames"),
+      array_join(array_sort(collect_set(col("fh"))), "|").as("sig")))
+    val classes = graft.Caches.shared(
+      sets.groupBy("sig").agg(min(col("asset_id")).as("rep")))
+    val repFh = fh
+      .join(classes.select(col("rep").as("asset_id"), col("rep")), "asset_id")
+      .select(col("rep"), col("fh")).distinct()
+    val pairs = repFh.as("x").join(repFh.as("y"),
+        col("x.fh") === col("y.fh") && col("x.rep") < col("y.rep"))
+      .groupBy(col("x.rep").as("a_id"), col("y.rep").as("b_id"))
+      .agg(countDistinct(col("x.fh")).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("a_id", "b_id")
+    val labels = graft.operators.Dedup.dupClustersAuto(pairs)
+      .withColumnRenamed("id", "rep")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label")
+      .orderBy(col("n_frames").desc, col("asset_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    sets.join(classes, "sig")
+      .join(labels, Seq("rep"), "left")
+      .withColumn("label", coalesce(col("label"), col("rep")))
+      .withColumn("rep_id", first(col("asset_id")).over(w))
+      .select(col("asset_id"), col("rep_id"),
+        (col("asset_id") === col("rep_id")).as("kept"))
+  }
+
   /** Audio fingerprint (m10, round 12): the audio analogue of m5's
     * image dHash — one bit per consecutive window-energy delta over
     * the DECODED sample stream (bit i set iff windowSum(i+1) >

@@ -214,6 +214,32 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
+    // M11: video near-dup DEDUP decision (round 12) — the modality
+    // ladder's last rung (text, image m8/m9, audio m10): re-uploads
+    // of a video share sampled keyframe dHashes, so exact FRAMESET
+    // classes collapse first (the m9 linearity move — byte-identical
+    // re-uploads and the 1-pixel blind-spot class both land there),
+    // class reps pair on >= 2 shared distinct frame hashes, and each
+    // component keeps its longest cut (most sampled frames, ties min
+    // id). Duplicates PLANTED as fill-groups of 3 consecutive ids
+    // sharing one zip (one encode per group; every copy still pays
+    // its own zip walk + selective decode). ORACLE-CHECKED end-to-end:
+    // frames and pixels are integer functions of the fill id (the m6
+    // formula), so DuckDB re-derives every sampled frame's dHash, the
+    // frameset signatures, the rep pair graph, the closure and the
+    // keep choice.
+    "m11_video_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 3).as("fid"))
+      val base = graft.multimodal.Multimodal.syntheticVideoAssets(
+        d.select(col("fid").as("doc_id")).distinct(), "doc_id")
+      val assets = d.join(base.withColumnRenamed("asset_id", "fid"), "fid")
+        .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
+      graft.multimodal.Multimodal.videoDedup(assets,
+          everyNth = 2, minShared = 2)
+        .orderBy("asset_id")
+    }),
+
     // M9: the image-dedup DECISION (round 12) — m8's verified pairs
     // taken to the per-asset collapse text dedup already has (d6 CC +
     // d12 keep-policy): connected components over the pair graph,
@@ -583,6 +609,69 @@ object PipelineQueries {
         | repx AS (SELECT label, asset_id AS rep_id FROM mem
         |  QUALIFY row_number() OVER (PARTITION BY label
         |   ORDER BY score DESC, asset_id) = 1)
+        | SELECT mem.asset_id, repx.rep_id,
+        |  mem.asset_id = repx.rep_id AS kept
+        | FROM mem JOIN repx USING (label) ORDER BY asset_id"""
+        .stripMargin.replaceAll("\n", ""),
+    // m11: full replay — fill remap, the m6 pixel formula per sampled
+    // frame (j % 2 = 0), the m5 dHash derivation per (fid, frame),
+    // string-packed frame hashes, sorted-frameset signatures, the
+    // rep-level shared-hash pair graph (HAVING >= 2 distinct), a
+    // recursive closure, and the frames-desc/min-id keep choice.
+    "m11_video_dedup" ->
+      s"""WITH RECURSIVE d0 AS (SELECT doc_id, doc_id - doc_id % 3 AS fid
+        |   FROM documents),
+        | fids AS (SELECT DISTINCT fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h,
+        |   2 + fid % 7 AS nf FROM d0),
+        | sf AS (SELECT fid, w, h, u.j FROM fids,
+        |   UNNEST(range(0, nf)) AS u(j) WHERE u.j % 2 = 0),
+        | gxs AS (SELECT unnest(range(0, 9)) gx),
+        | gys AS (SELECT unnest(range(0, 8)) gy),
+        | lum AS (SELECT fid, j, gx, gy,
+        |   ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+        |     + (v & 255) * 114) // 1000) AS l
+        |  FROM (SELECT fid, j, gx, gy,
+        |    ((fid * 2654435761 + j * 1013904223 + ((gx * w) // 9) * 97
+        |      + ((gy * h) // 8) * 31) & 16777215) AS v
+        |   FROM sf CROSS JOIN gxs CROSS JOIN gys)),
+        | bits AS (SELECT a.fid, a.j, (a.gy * 8 + a.gx) AS i,
+        |   CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON a.fid = b.fid AND a.j = b.j
+        |   AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        | hf AS (SELECT fid, j,
+        |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
+        |  FROM bits GROUP BY fid, j),
+        | fhs AS (SELECT fid,
+        |   h0 || '_' || h1 || '_' || h2 || '_' || h3 AS fh FROM hf),
+        | fsets AS (SELECT fid, COUNT(*) AS n_frames,
+        |   array_to_string(list_sort(list_distinct(list(fh))), '|') AS sig
+        |  FROM fhs GROUP BY fid),
+        | asets AS (SELECT d0.doc_id AS asset_id, f.sig, f.n_frames, d0.fid
+        |  FROM d0 JOIN fsets f USING (fid)),
+        | cls AS (SELECT sig, MIN(asset_id) AS rep FROM asets GROUP BY sig),
+        | rfh AS (SELECT DISTINCT c.rep, fhs.fh
+        |  FROM cls c JOIN asets a ON a.asset_id = c.rep
+        |   JOIN fhs ON fhs.fid = a.fid),
+        | pr AS (SELECT x.rep AS a, y.rep AS b
+        |  FROM rfh x JOIN rfh y ON x.fh = y.fh AND x.rep < y.rep
+        |  GROUP BY x.rep, y.rep HAVING COUNT(DISTINCT x.fh) >= 2),
+        | e AS (SELECT a AS src, b AS dst FROM pr
+        |  UNION ALL SELECT b, a FROM pr),
+        | reach AS (SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        | mem AS (SELECT a.asset_id, a.n_frames,
+        |   COALESCE(lab.label, c.rep) AS label
+        |  FROM asets a JOIN cls c USING (sig)
+        |   LEFT JOIN lab ON lab.id = c.rep),
+        | repx AS (SELECT label, asset_id AS rep_id FROM mem
+        |  QUALIFY row_number() OVER (PARTITION BY label
+        |   ORDER BY n_frames DESC, asset_id) = 1)
         | SELECT mem.asset_id, repx.rep_id,
         |  mem.asset_id = repx.rep_id AS kept
         | FROM mem JOIN repx USING (label) ORDER BY asset_id"""

@@ -255,6 +255,30 @@ class Round12OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("m11 video dedup: planted fill-groups collapse; one kept rep per cluster") {
+    val dec = SparkEntry.queries("m11_video_dedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    Caches.release(spark)
+    assert(dec.size == 500)
+    assert(dec.forall { case (id, (rep, kept)) => kept == (id == rep) })
+    // byte-identical copies in a fill group of 3 always share one rep
+    dec.keys.groupBy(id => id - id % 3).foreach { case (fid, ids) =>
+      assert(ids.map(id => dec(id)._1).toSet.size == 1,
+        s"fill group $fid split across reps")
+    }
+    dec.groupBy(_._2._1).foreach { case (rep, members) =>
+      assert(members.values.count(_._2) == 1)
+      assert(dec(rep)._2, s"representative $rep must be kept")
+    }
+    // the fingerprint's documented blind spot: 1-pixel frames hash to
+    // zero, so ALL fid%48==0 videos (w=1 forces h=1) share one exact
+    // frameset signature and must land in one cluster
+    val blind = dec.keys.filter(id => (id - id % 3) % 48 == 0)
+      .map(id => dec(id)._1).toSet
+    assert(blind.size == 1, s"blind-spot class split across reps: $blind")
+  }
+
   test("gcTempKeyed: temp-keyed sidecars swept, keep-key and real-corpus keys survive") {
     import graft.store.AnnIndexes
     val root = new java.io.File(AnnIndexes.root)
