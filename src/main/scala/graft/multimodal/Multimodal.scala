@@ -676,8 +676,16 @@ object Multimodal {
     * MOST sampled frames (the longest cut), ties to min asset_id.
     * → (asset_id, rep_id, kept), one row per decodable video. */
   def videoDedup(
-      assets: DataFrame, everyNth: Int = 2, minShared: Int = 2): DataFrame = {
-    val fh = graft.Caches.shared(zipFrameHashes(assets, everyNth)
+      assets: DataFrame, everyNth: Int = 2, minShared: Int = 2): DataFrame =
+    videoDedupFromFrameHashes(zipFrameHashes(assets, everyNth), minShared)
+
+  /** [[videoDedup]] over an ALREADY-HASHED per-frame table
+    * (asset_id, frame_number, h0..h3) — the face the streaming
+    * frame-hash state feeds: decode happened once at ingest, the
+    * collapse decision re-runs on hashes alone. */
+  def videoDedupFromFrameHashes(
+      frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
+    val fh = graft.Caches.shared(frameHashes
       .select(col("asset_id").cast("long").as("asset_id"),
         concat_ws("_", col("h0"), col("h1"), col("h2"), col("h3"))
           .as("fh")))

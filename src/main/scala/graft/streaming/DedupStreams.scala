@@ -295,6 +295,38 @@ object DedupStreams {
       graft.multimodal.Multimodal.imageDedupFromHashes(st, maxDist))
 
   // -------------------------------------------------------------
+  // Video frame-hash state (m11)
+  // -------------------------------------------------------------
+
+  /** One asset batch's m11 delta: per-SAMPLED-FRAME dHash chunks —
+    * the zip walk + selective decode happens once at ingest, so the
+    * collapse never re-opens a container. Keyed by
+    * (asset_id, frame_number); a re-emitted frame folds under the
+    * same atomic h3-major struct-min as the image/audio states. */
+  def videoFrameHashBatch(everyNth: Int)(batch: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.zipFrameHashes(batch, everyNth)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        col("frame_number"), col("h0"), col("h1"), col("h2"), col("h3"))
+
+  /** Fold an append video-asset stream into the per-frame hash state
+    * m11's collapse reads. */
+  def streamingVideoFrameHashes(
+      assets: DataFrame, statePath: String, checkpoint: String,
+      everyNth: Int = 2): StreamingQuery =
+    Cdc.streamingRollup(assets, statePath, Seq("asset_id", "frame_number"),
+      videoFrameHashBatch(everyNth), checkpoint, mergeMinChunks)
+
+  /** m11's dedup DECISION from the committed frame-hash state —
+    * identical to the batch operator when the state has folded the
+    * same assets (spec-pinned): the frameset signatures, rep pair
+    * graph and keep policy all derive from hashes alone. */
+  def videoDedupFromState(
+      spark: SparkSession, statePath: String,
+      minShared: Int = 2): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(st =>
+      graft.multimodal.Multimodal.videoDedupFromFrameHashes(st, minShared))
+
+  // -------------------------------------------------------------
   // Audio fingerprint state (m10)
   // -------------------------------------------------------------
 

@@ -279,6 +279,33 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(blind.size == 1, s"blind-spot class split across reps: $blind")
   }
 
+  test("m11 streaming face: decision from folded frame-hash state == batch m11") {
+    import graft.streaming.DedupStreams
+    val s = spark
+    val d = Tables.load(s, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 3).as("fid"))
+    val base = graft.multimodal.Multimodal.syntheticVideoAssets(
+      d.select(col("fid").as("doc_id")).distinct(), "doc_id")
+    val assets = d.join(base.withColumnRenamed("asset_id", "fid"), "fid")
+      .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_m11stream").toString
+    assets.repartition(3).write.parquet(s"$tmp/src")
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    DedupStreams.streamingVideoFrameHashes(raw, s"$tmp/state", s"$tmp/ckpt")
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val streamed = DedupStreams.videoDedupFromState(s, s"$tmp/state")
+    assert(streamed.isDefined, "no committed frame-hash state")
+    val batch = SparkEntry.queries("m11_video_dedup")(s, sfDir)
+    assert(rows(streamed.get) == rows(batch))
+    Caches.release(s)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("gcTempKeyed: temp-keyed sidecars swept, keep-key and real-corpus keys survive") {
     import graft.store.AnnIndexes
     val root = new java.io.File(AnnIndexes.root)
