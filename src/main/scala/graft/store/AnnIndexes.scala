@@ -146,14 +146,29 @@ object AnnIndexes {
     * orphan per run FOREVER (193 had accumulated by round 12: BPE
     * models from crafted-corpus specs, wav fixtures from manual
     * Unicode sweeps). Invoked beside [[gcRetired]] at the top of every
-    * Verify dump and at test-session start. Returns entries removed. */
-  def gcTempKeyed(spark: SparkSession, keepKey: String = ""): Int = {
+    * Verify dump and at test-session start. Returns entries removed.
+    *
+    * Only entries OLDER than `maxAgeMs` (default 3 h) are swept
+    * (advisor, round 13): the sweep runs unconditionally at every
+    * dump/test-session start, so without the age gate it would delete
+    * the LIVE temp-keyed sidecars of a concurrently running sbt/dump
+    * process — escalating the documented concurrent-sbt hazard from
+    * contention to active mid-run deletion (materializeAtomic
+    * rebuilds, but an in-flight parquet read of a swept sidecar fails
+    * that query). A genuinely orphaned sidecar is by construction
+    * never looked up again, so sweeping it hours later is equivalent;
+    * per-run fixture cleanup (the gate spec's finally block) is
+    * unaffected — it deletes by its own key, not through here. */
+  def gcTempKeyed(spark: SparkSession, keepKey: String = "",
+      maxAgeMs: Long = 3L * 3600 * 1000): Int = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
     if (!fs.exists(rootPath)) 0
     else fs.listStatus(rootPath).count { st =>
       val name = st.getPath.getName
       val dead = name.contains("__tmp_") &&
+        st.getModificationTime < cutoff &&
         (keepKey.isEmpty || !name.contains(keepKey))
       if (dead) fs.delete(st.getPath, true)
       dead

@@ -250,10 +250,32 @@ object DedupStreams {
     * are 16-bit values in non-negative ints, so the signed struct
     * order IS the unsigned h3-major order — no sign-wrap case exists
     * (the round-11 packed-long form broke exactly there: h3 ≥ 0x8000
-    * packed negative and beat smaller hashes; advisor, round 12). */
+    * packed negative and beat smaller hashes; advisor, round 12).
+    *
+    * PAYLOAD-SCHEMA MIGRATION (advisor, round 13): a committed state
+    * written by an older batch function can lack payload columns a
+    * newer one emits (round 11 pHash states carried h0..h3 only;
+    * round 12 added width/height) — a plain unionByName would fail
+    * analysis and silently brick every pre-upgrade stream state. Both
+    * sides are therefore aligned to the UNION of their schemas first,
+    * missing columns null-filled (delta's types win for new columns).
+    * A null payload field sorts FIRST in the struct min, so an asset
+    * whose only observation predates the new column keeps a null
+    * there — honest "never observed", re-derivable by re-emitting the
+    * asset — while assets observed post-upgrade are unaffected (their
+    * chunk prefix decides the min before payload is compared, and
+    * equal-chunk re-emissions of one real image carry equal payload). */
   private[graft] def mergeMinChunks(
       state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val u = state.unionByName(delta)
+    val target = delta.schema.fields ++
+      state.schema.fields.filterNot(f => delta.columns.contains(f.name))
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(target.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    }
+    val u = aligned(state).unionByName(aligned(delta))
     val payload = u.columns.toSeq.filterNot(keyCols.contains)
     val hs = Seq("h3", "h2", "h1", "h0")
     require(hs.forall(payload.contains), s"chunk columns missing: $payload")

@@ -306,20 +306,32 @@ class Round12OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
-  test("gcTempKeyed: temp-keyed sidecars swept, keep-key and real-corpus keys survive") {
+  test("gcTempKeyed: OLD temp-keyed sidecars swept; keep-key, real-corpus and FRESH temp keys survive") {
     import graft.store.AnnIndexes
+    // force session init FIRST — it runs its own keepKey-less sweep,
+    // which must not race the fixture dirs created below
+    val s = spark
     val root = new java.io.File(AnnIndexes.root)
     root.mkdirs()
     val doomed = new java.io.File(root, "bpe2__tmp_gcspec_dead_cafe01")
     val kept = new java.io.File(root, "bpe2__tmp_gcspec_live_cafe02")
     val real = new java.io.File(root, "bpe2__root_testdata_sf0.001_cafe03")
-    Seq(doomed, kept, real).foreach(_.mkdirs())
+    val fresh = new java.io.File(root, "bpe2__tmp_gcspec_fresh_cafe04")
+    Seq(doomed, kept, real, fresh).foreach(_.mkdirs())
+    // age the sweepable candidates past the 3 h threshold; `fresh`
+    // keeps its just-created mtime — the concurrent-sbt live sidecar
+    // the round-13 age gate exists to protect
+    val old = System.currentTimeMillis() - 4L * 3600 * 1000
+    Seq(doomed, kept, real).foreach(f => assert(f.setLastModified(old)))
     try {
-      AnnIndexes.gcTempKeyed(spark, keepKey = "_tmp_gcspec_live")
-      assert(!doomed.exists, "unkeyed temp sidecar must be swept")
+      AnnIndexes.gcTempKeyed(s, keepKey = "_tmp_gcspec_live")
+      assert(!doomed.exists, "old unkeyed temp sidecar must be swept")
       assert(kept.exists, "the active corpus's sidecars must survive")
       assert(real.exists, "real-corpus sidecars must never be touched")
-    } finally Seq(doomed, kept, real).filter(_.exists)
+      assert(fresh.exists,
+        "a freshly-written temp sidecar (possibly a concurrent run's) " +
+          "must survive the sweep")
+    } finally Seq(doomed, kept, real, fresh).filter(_.exists)
       .foreach(f => org.apache.commons.io.FileUtils.deleteDirectory(f))
   }
 
