@@ -699,37 +699,80 @@ object Multimodal {
     * byte-identical re-uploads AND the fingerprint's blind spot,
     * 1-pixel frames hashing to zero, both land here; the m9
     * linearity move) → class representatives pair on shared distinct
-    * frame hashes (≥ `minShared`, an fh-keyed equi-join — never
-    * all-pairs) → connected components → keep the member with the
-    * MOST sampled frames (the longest cut), ties to min asset_id.
-    * → (asset_id, rep_id, kept), one row per decodable video. */
+    * frame hashes (≥ `minShared` AND ≥ τ of the SMALLER frameset —
+    * an fh-keyed equi-join, never all-pairs) → connected components
+    * → keep the member with the MOST sampled frames (the longest
+    * cut), ties to min asset_id. → (asset_id, rep_id, kept), one row
+    * per decodable video. See [[videoDedupFromFrameHashes]] for the
+    * round-13 pair-stage hardening (containment, hashed class key,
+    * frequent-hash prune). */
   def videoDedup(
-      assets: DataFrame, everyNth: Int = 2, minShared: Int = 2): DataFrame =
-    videoDedupFromFrameHashes(zipFrameHashes(assets, everyNth), minShared)
+      assets: DataFrame, everyNth: Int = 2, minShared: Int = 2,
+      tau100: Int = 50, maxDf: Int = 64): DataFrame =
+    videoDedupFromFrameHashes(zipFrameHashes(assets, everyNth),
+      minShared, tau100, maxDf)
 
   /** [[videoDedup]] over an ALREADY-HASHED per-frame table
     * (asset_id, frame_number, h0..h3) — the face the streaming
     * frame-hash state feeds: decode happened once at ingest, the
-    * collapse decision re-runs on hashes alone. */
+    * collapse decision re-runs on hashes alone.
+    *
+    * Round-13 pair-stage hardening (the round-12 verdict's two skew
+    * hazards plus its false-merge class):
+    *  - the frameset CLASS key is `(xxhash64(sig), octet_length(sig))`
+    *    — a fixed-width (long, int) shuffle key — never the sorted
+    *    hash-set string itself, which grows ~20 bytes per sampled
+    *    frame (a 2 h film at 1 frame/2 s is a ~70 KB shuffle key per
+    *    video). The string exists only transiently inside the
+    *    per-asset projection; the width rides along so a (vanishingly
+    *    unlikely) 64-bit collision must ALSO collide in byte width.
+    *  - pairing is by CONTAINMENT, the published frame-fingerprint
+    *    convention: shared distinct hashes ≥ `tau100`% of the SMALLER
+    *    frameset (integer cross-multiply, engine-portable), AND
+    *    ≥ `minShared` as the absolute floor. A fixed floor alone
+    *    merges two 3-hour compilations that share two stock frames;
+    *    containment scales the bar with the videos being compared.
+    *  - a frame hash carried by more than `maxDf` class reps (black
+    *    frames, title cards — the d18 boilerplate-fingerprint move)
+    *    is dropped from the PAIR JOIN only: one ubiquitous hash
+    *    across n reps would otherwise fan out C(n,2) candidate rows.
+    *    Containment denominators still count the full frameset
+    *    (pruning weakens candidate RECALL only — and only for pairs
+    *    whose every shared frame is corpus-ubiquitous, which the
+    *    containment criterion would almost always reject anyway). */
   def videoDedupFromFrameHashes(
-      frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
+      frameHashes: DataFrame, minShared: Int = 2,
+      tau100: Int = 50, maxDf: Int = 64): DataFrame = {
+    require(minShared >= 1 && tau100 >= 0 && tau100 <= 100 && maxDf >= 1)
     val fh = graft.Caches.shared(frameHashes
       .select(col("asset_id").cast("long").as("asset_id"),
         concat_ws("_", col("h0"), col("h1"), col("h2"), col("h3"))
           .as("fh")))
     val sets = graft.Caches.shared(fh.groupBy("asset_id").agg(
-      count(lit(1)).as("n_frames"),
-      array_join(array_sort(collect_set(col("fh"))), "|").as("sig")))
-    val classes = graft.Caches.shared(
-      sets.groupBy("sig").agg(min(col("asset_id")).as("rep")))
+        count(lit(1)).as("n_frames"),
+        array_sort(collect_set(col("fh"))).as("fhl"))
+      .select(col("asset_id"), col("n_frames"), size(col("fhl")).as("nfh"),
+        array_join(col("fhl"), "|").as("sig"))
+      .select(col("asset_id"), col("n_frames"), col("nfh"),
+        xxhash64(col("sig")).as("sigh"), octet_length(col("sig")).as("sigw")))
+    val sigCols = Seq("sigh", "sigw")
+    val classes = graft.Caches.shared(sets
+      .groupBy(sigCols.map(col): _*).agg(min(col("asset_id")).as("rep")))
     val repFh = fh
       .join(classes.select(col("rep").as("asset_id"), col("rep")), "asset_id")
       .select(col("rep"), col("fh")).distinct()
-    val pairs = repFh.as("x").join(repFh.as("y"),
+    val repSize = repFh.groupBy("rep").agg(count(lit(1)).as("nfh"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("fh")
+    val pruned = repFh.withColumn("df", count(lit(1)).over(wDf))
+      .filter(col("df") <= maxDf).drop("df")
+    val pairs = pruned.as("x").join(pruned.as("y"),
         col("x.fh") === col("y.fh") && col("x.rep") < col("y.rep"))
       .groupBy(col("x.rep").as("a_id"), col("y.rep").as("b_id"))
-      .agg(countDistinct(col("x.fh")).as("shared"))
-      .filter(col("shared") >= minShared)
+      .agg(count(lit(1)).as("shared")) // rep frame sets are distinct rows
+      .join(repSize.select(col("rep").as("a_id"), col("nfh").as("na")), "a_id")
+      .join(repSize.select(col("rep").as("b_id"), col("nfh").as("nb")), "b_id")
+      .filter(col("shared") >= minShared &&
+        col("shared") * 100 >= lit(tau100) * least(col("na"), col("nb")))
       .select("a_id", "b_id")
     val labels = graft.operators.Dedup.dupClustersAuto(pairs)
       .withColumnRenamed("id", "rep")
@@ -738,7 +781,7 @@ object Multimodal {
       .orderBy(col("n_frames").desc, col("asset_id").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    sets.join(classes, "sig")
+    sets.join(classes, sigCols)
       .join(labels, Seq("rep"), "left")
       .withColumn("label", coalesce(col("label"), col("rep")))
       .withColumn("rep_id", first(col("asset_id")).over(w))

@@ -219,9 +219,12 @@ object PipelineQueries {
     // of a video share sampled keyframe dHashes, so exact FRAMESET
     // classes collapse first (the m9 linearity move — byte-identical
     // re-uploads and the 1-pixel blind-spot class both land there),
-    // class reps pair on >= 2 shared distinct frame hashes, and each
-    // component keeps its longest cut (most sampled frames, ties min
-    // id). Duplicates PLANTED as fill-groups of 3 consecutive ids
+    // class reps pair on shared distinct frame hashes under the
+    // round-13 criterion (>= 2 absolute floor AND >= 50% containment
+    // of the smaller frameset, ubiquitous hashes df > 64 pruned from
+    // the join), and each component keeps its longest cut (most
+    // sampled frames, ties min id). Duplicates PLANTED as fill-groups
+    // of 3 consecutive ids
     // sharing one zip (one encode per group; every copy still pays
     // its own zip walk + selective decode). ORACLE-CHECKED end-to-end:
     // frames and pixels are integer functions of the fill id (the m6
@@ -615,8 +618,13 @@ object PipelineQueries {
         .stripMargin.replaceAll("\n", ""),
     // m11: full replay — fill remap, the m6 pixel formula per sampled
     // frame (j % 2 = 0), the m5 dHash derivation per (fid, frame),
-    // string-packed frame hashes, sorted-frameset signatures, the
-    // rep-level shared-hash pair graph (HAVING >= 2 distinct), a
+    // string-packed frame hashes, sorted-frameset signatures (the
+    // oracle groups by the full sig string — exactness-equivalent to
+    // the engine's fixed-width (xxhash64, width) shuffle key, and a
+    // 64-bit+width collision would surface as a hash mismatch here),
+    // the rep-level pair graph under the round-13 criterion (df <= 64
+    // frequent-hash prune on the join input, shared >= 2 AND
+    // containment shared*100 >= 50 * the SMALLER full frameset), a
     // recursive closure, and the frames-desc/min-id keep choice.
     "m11_video_dedup" ->
       s"""WITH RECURSIVE d0 AS (SELECT doc_id, doc_id - doc_id % 3 AS fid
@@ -656,9 +664,15 @@ object PipelineQueries {
         | rfh AS (SELECT DISTINCT c.rep, fhs.fh
         |  FROM cls c JOIN asets a ON a.asset_id = c.rep
         |   JOIN fhs ON fhs.fid = a.fid),
-        | pr AS (SELECT x.rep AS a, y.rep AS b
-        |  FROM rfh x JOIN rfh y ON x.fh = y.fh AND x.rep < y.rep
-        |  GROUP BY x.rep, y.rep HAVING COUNT(DISTINCT x.fh) >= 2),
+        | rs AS (SELECT rep, COUNT(*) AS nfh FROM rfh GROUP BY rep),
+        | rfp AS (SELECT rep, fh FROM rfh
+        |  QUALIFY COUNT(*) OVER (PARTITION BY fh) <= 64),
+        | sh AS (SELECT x.rep AS a, y.rep AS b, COUNT(*) AS s
+        |  FROM rfp x JOIN rfp y ON x.fh = y.fh AND x.rep < y.rep
+        |  GROUP BY x.rep, y.rep),
+        | pr AS (SELECT a, b FROM sh
+        |  JOIN rs ra ON ra.rep = sh.a JOIN rs rb ON rb.rep = sh.b
+        |  WHERE s >= 2 AND s * 100 >= 50 * LEAST(ra.nfh, rb.nfh)),
         | e AS (SELECT a AS src, b AS dst FROM pr
         |  UNION ALL SELECT b, a FROM pr),
         | reach AS (SELECT src AS id, src AS r FROM e

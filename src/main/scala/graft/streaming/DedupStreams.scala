@@ -343,10 +343,11 @@ object DedupStreams {
     * same assets (spec-pinned): the frameset signatures, rep pair
     * graph and keep policy all derive from hashes alone. */
   def videoDedupFromState(
-      spark: SparkSession, statePath: String,
-      minShared: Int = 2): Option[DataFrame] =
+      spark: SparkSession, statePath: String, minShared: Int = 2,
+      tau100: Int = 50, maxDf: Int = 64): Option[DataFrame] =
     Cdc.readRollup(spark, statePath).map(st =>
-      graft.multimodal.Multimodal.videoDedupFromFrameHashes(st, minShared))
+      graft.multimodal.Multimodal.videoDedupFromFrameHashes(
+        st, minShared, tau100, maxDf))
 
   // -------------------------------------------------------------
   // Audio fingerprint state (m10)

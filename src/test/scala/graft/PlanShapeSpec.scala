@@ -706,4 +706,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"m9 keep-rank window must partition by label:\n${ws.mkString("\n")}")
     Caches.release(spark)
   }
+
+  test("m11 video dedup: frameset classes shuffle on the FIXED-WIDTH hashed key, never the sig string") {
+    // the exact-frameset signature is an unbounded sorted hash-set
+    // string (~20 bytes × sampled frames — a 70 KB shuffle key for a
+    // 2 h film); round 13 keys the class exchange on
+    // (xxhash64(sig), octet_length(sig)) instead, and no cartesian /
+    // nested-loop may appear anywhere in the decision
+    val df = SparkEntry.queries("m11_video_dedup")(spark, sfDir)
+    val p = finalPlan(df)
+    assert(p.contains("hashpartitioning(sigh#"),
+      s"class exchange must key on the hashed signature:\n${p.take(2000)}")
+    assert(!p.contains("hashpartitioning(sig#"),
+      "the unbounded sig string must never be a shuffle key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    Caches.release(spark)
+  }
 }

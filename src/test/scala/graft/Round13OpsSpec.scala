@@ -126,4 +126,108 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(!fs.contains(8L),
       "sampleZipFrames shares the corrupt-container contract")
   }
+
+  /** Crafted per-frame hash table: one row per (asset, frameIdx),
+    * hash identity carried in h0 (h1..h3 zero). */
+  private def frameTable(rows: Seq[(Long, Int, Int)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("asset_id", "frame_number", "h0")
+      .select(col("asset_id"), col("frame_number"), col("h0"),
+        lit(0).as("h1"), lit(0).as("h2"), lit(0).as("h3"))
+  }
+
+  private def decisions(df: DataFrame): Map[Long, (Long, Boolean)] =
+    df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+
+  test("m11 prune: a corpus-ubiquitous frame hash cannot fan the pair join out") {
+    import graft.multimodal.Multimodal
+    // 120 assets, each: two UBIQUITOUS hashes (1, 2 — black frame /
+    // title card) + one unique hash. Unpruned, every rep pair shares
+    // {1, 2} (shared=2, containment 2/3 ≥ 50%) → one giant merge fed
+    // by a C(120,2) candidate fanout on each shared hash.
+    val rows = (0L until 120L).flatMap(i =>
+      Seq((i, 0, 1), (i, 1, 2), (i, 2, 1000 + i.toInt)))
+    val pruned = decisions(
+      Multimodal.videoDedupFromFrameHashes(frameTable(rows)))
+    assert(pruned.size == 120 && pruned.forall(_._2._2),
+      "df>64 hashes must be dropped from the pair join: all singletons")
+    // the documented recall trade, made visible: with the prune lifted
+    // the same corpus merges into one cluster through the shared pair
+    val unpruned = decisions(Multimodal.videoDedupFromFrameHashes(
+      frameTable(rows), maxDf = 1000000))
+    assert(unpruned.values.map(_._1).toSet.size == 1 &&
+      unpruned.values.count(_._2) == 1,
+      "sanity: without the prune the ubiquitous hashes merge everything")
+    Caches.release(spark)
+  }
+
+  test("m11 containment: two long compilations sharing 2 stock frames do NOT merge; short clips do") {
+    import graft.multimodal.Multimodal
+    // A and B: 100-hash framesets sharing exactly 2 (the round-12
+    // verdict's false-merge class — the old fixed minShared=2 merged
+    // them); C and D: 3-hash framesets sharing 2 (containment 2/3).
+    val a = (0 until 100).map(k => (1L, k, 10000 + k))
+    val b = (0 until 100).map(k => (2L, k, if (k < 2) 10000 + k else 20000 + k))
+    val c = Seq((3L, 0, 1), (3L, 1, 2), (3L, 2, 31))
+    val d = Seq((4L, 0, 1), (4L, 1, 2), (4L, 2, 41))
+    val dec = decisions(Multimodal.videoDedupFromFrameHashes(
+      frameTable(a ++ b ++ c ++ d)))
+    assert(dec(1L)._2 && dec(2L)._2 && dec(1L)._1 != dec(2L)._1,
+      "2/100 shared frames is noise, not a duplicate")
+    assert(dec(3L)._1 == dec(4L)._1 && dec.values.count(_._2) == 3,
+      "2/3 shared frames clears the containment bar")
+    Caches.release(spark)
+  }
+
+  test("m11 τ sweep: engine decision == straight-line reference at τ ∈ {30, 50, 80}") {
+    import graft.multimodal.Multimodal
+    import org.scalacheck.Gen
+    val hashPool = Gen.chooseNum(0, 5)
+    val assetGen = Gen.chooseNum(1, 6).flatMap(nf =>
+      Gen.listOfN(nf, hashPool))
+    val caseGen = for {
+      n <- Gen.chooseNum(2, 9)
+      assets <- Gen.listOfN(n, assetGen)
+      tau <- Gen.oneOf(30, 50, 80)
+    } yield (assets, tau)
+    SparkTestSession.forAll(caseGen, n = 10) { case (assets, tau) =>
+      val rows = assets.zipWithIndex.flatMap { case (hs, i) =>
+        hs.zipWithIndex.map { case (h, j) => (i.toLong, j, h) }
+      }
+      // straight-line reference: identical-frameset classes, all rep
+      // pairs brute-forced under (shared >= 2 && shared·100 >= τ·min),
+      // union-find, keep = most frame ROWS then min id — no blocking,
+      // no prune (maxDf lifted on the engine side to isolate τ)
+      val sets = assets.zipWithIndex
+        .map { case (hs, i) => i.toLong -> hs.toSet }.toMap
+      val nRows = assets.zipWithIndex
+        .map { case (hs, i) => i.toLong -> hs.size }.toMap
+      val classRep = sets.groupBy(_._2).map { case (_, m) =>
+        val ids = m.keys.toSeq
+        ids.min -> ids
+      }
+      val reps = classRep.keys.toSeq.sorted
+      val parent = scala.collection.mutable.Map(reps.map(r => r -> r): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      for {
+        ai <- reps.indices; bi <- (ai + 1) until reps.size
+        aR = reps(ai); bR = reps(bi)
+        shared = (sets(aR) & sets(bR)).size
+        if shared >= 2 && shared * 100 >= tau * math.min(sets(aR).size, sets(bR).size)
+      } parent(find(aR)) = find(bR)
+      val members = reps.groupBy(find).values.flatMap { clusterReps =>
+        val ids = clusterReps.flatMap(classRep)
+        val keep = ids.minBy(id => (-nRows(id), id))
+        ids.map(id => (id, keep, id == keep))
+      }.toSeq.sortBy(_._1)
+      val engine = Multimodal.videoDedupFromFrameHashes(
+          frameTable(rows), minShared = 2, tau100 = tau, maxDf = 1000000)
+        .orderBy("asset_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(engine == members, s"τ=$tau assets=$assets")
+      Caches.release(spark)
+    }
+  }
 }
