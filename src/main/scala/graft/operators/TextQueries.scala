@@ -1633,6 +1633,56 @@ object TextQueries {
       qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
     }),
 
+    // T49: classifier EVALUATION rollup (round 13) — the third rung
+    // of the classifier-gate family t24 established for language-ID:
+    // train (t48's %3==0 slice) → score (t48) → EVALUATE. The t48
+    // predictions are compared against the rule labels on a HELD-OUT
+    // slice (doc_id%3==2 — disjoint from the train slice by
+    // construction), and the whole confusion matrix plus the derived
+    // operating metrics land in ONE row: tp/fp/fn/tn, precision,
+    // recall, accuracy, F1. Every ratio is a count/count division
+    // (F1 via its harmonic identity 2tp/(2tp+fp+fn)), so round(·, 6)
+    // cannot hit a cross-engine half-way tie (the round-12 tie-class
+    // analysis: k·1e6 carries 2^7·5^6 factors). Scale shape: the
+    // scoring pipeline is t48's (model joined on tok, docs shuffle
+    // once); the evaluation itself is one keyed filter + one global
+    // aggregate — partial map-side, four longs per partition. This is
+    // the number a pipeline operator reads before trusting the
+    // classifier to gate a 100 TB corpus.
+    "t49_quality_eval" -> ((s, dir) => {
+      val d = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
+        TextAnalysis.segTokens(col("text")).as("tk")))
+      val labels = graft.Caches.shared(qualityLabels(docs(s, dir)))
+      val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .join(labels, "doc_id")
+      val scored =
+        qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
+      def cnt(p: org.apache.spark.sql.Column) =
+        sum(when(p, 1L).otherwise(0L))
+      scored.join(labels, "doc_id")
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .agg(
+          count(lit(1)).as("n_holdout"),
+          cnt(col("keep") && col("pred_keep")).as("tp"),
+          cnt(!col("keep") && col("pred_keep")).as("fp"),
+          cnt(col("keep") && !col("pred_keep")).as("fn"),
+          cnt(!col("keep") && !col("pred_keep")).as("tn"))
+        .select(col("n_holdout"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+            .as("precision"),
+          when(col("tp") + col("fn") > 0,
+            round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+            .as("recall"),
+          when(col("n_holdout") > 0,
+            round((col("tp") + col("tn")).cast("double") / col("n_holdout"), 6))
+            .as("accuracy"),
+          when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+            round((lit(2) * col("tp")).cast("double") /
+              (lit(2) * col("tp") + col("fp") + col("fn")), 6))
+            .as("f1"))
+    }),
+
     // T45: C4 line-level cleaning (Raffel et al. 2020 §2.2) — the
     // third rung of the cleaning ladder's RULE family: t43 decides
     // per DOCUMENT (Gopher), this decides per LINE (C4), d19 decides
@@ -2154,6 +2204,57 @@ object TextQueries {
     * shared constant — the two sides of the tokenizer cannot drift
     * independently (the round-10 regression class). */
   private def segTokSql: String = TextAnalysis.segTokSqlOf("text")
+
+  private def q6lnSql(x: String): String =
+    s"CAST(ROUND(ln(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+
+  /** The t48 replay chain, shared verbatim by the t48 oracle and the
+    * t49 evaluation oracle (one definition — the evaluation can never
+    * drift from the classifier it evaluates): the language-agnostic
+    * t43 rule labels (whitespace words, the paper's unit; the
+    * English-specific stop-word rule excluded), the %3 train slice,
+    * per-(class, token) micro-nat cells with the SAME q6
+    * decomposition the engine quantizes at. Ends at `sc` (per-doc
+    * n_tokens + bdiff) with `lab`/`cn`/`dc` in scope. */
+  private lazy val t48ReplayCtes: String =
+    s"""m AS (SELECT doc_id, text, string_split(text, ' ') AS wtk
+      |   FROM documents),
+      | lab AS (SELECT doc_id,
+      |   (CAST(len(wtk) AS BIGINT) BETWEEN 50 AND 100000)
+      |   AND ((length(text) - (len(wtk) - 1)) >= len(wtk) * 3
+      |     AND (length(text) - (len(wtk) - 1)) <= len(wtk) * 10)
+      |   AND len(regexp_extract_all(text, '#')) * 10 <= len(wtk)
+      |   AND len(regexp_extract_all(text, '\\.\\.\\.')) * 10 <= len(wtk)
+      |   AND len(list_filter(wtk, w -> regexp_matches(w, '\\p{L}'))) * 5
+      |     >= len(wtk) * 4 AS keep
+      |  FROM m),
+      | d AS (SELECT doc_id, $segTokSql tk FROM documents),
+      | tr AS (SELECT d.doc_id, tk, keep FROM d JOIN lab USING (doc_id)
+      |  WHERE doc_id % 3 = 0),
+      | tc AS (SELECT keep, tok, COUNT(*) AS c FROM
+      |   (SELECT keep, unnest(tk) AS tok FROM tr) GROUP BY 1, 2),
+      | cn AS (SELECT
+      |   SUM(CASE WHEN keep THEN c ELSE 0 END) AS nk,
+      |   SUM(CASE WHEN NOT keep THEN c ELSE 0 END) AS ndt,
+      |   COUNT(DISTINCT tok) AS v FROM tc),
+      | dc AS (SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS dk,
+      |   SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS dd FROM tr),
+      | mdl AS (SELECT tok,
+      |   COALESCE(MAX(CASE WHEN keep THEN ${q6lnSql("c + 1")} END), 0) AS bk6,
+      |   COALESCE(MAX(CASE WHEN NOT keep THEN ${q6lnSql("c + 1")} END), 0)
+      |    AS bd6
+      |  FROM tc GROUP BY tok),
+      | g AS (SELECT doc_id, tok, COUNT(*) AS m FROM
+      |   (SELECT doc_id, unnest(tk) AS tok FROM d) GROUP BY 1, 2),
+      | sc AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |   CAST(SUM(m * (COALESCE(bk6, 0) - COALESCE(bd6, 0))) AS BIGINT)
+      |    AS bdiff
+      |  FROM g LEFT JOIN mdl USING (tok) GROUP BY doc_id)""".stripMargin
+
+  /** t48's exact integer log-odds over `sc`/`cn`/`dc` columns. */
+  private lazy val t48LogOddsSql: String =
+    s"bdiff - n_tokens * (${q6lnSql("nk + v")} - ${q6lnSql("ndt + v")})" +
+      s" + ${q6lnSql("dk + 1")} - ${q6lnSql("dd + 1")}"
 
   /** Oracle-side spelling of [[Dedup.md5Long]]: parse the first 15 hex
     * digits of md5(expr) back to a BIGINT with a strpos fold — 60 bits,
@@ -3016,49 +3117,40 @@ object TextQueries {
     // slice, per-(class, token) micro-nat cells with the SAME q6
     // decomposition the engine quantizes at, and the exact integer
     // log-odds sum.
-    "t48_quality_classifier" -> {
-      def q6ln(x: String) =
-        s"CAST(ROUND(ln(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
-      s"""WITH m AS (SELECT doc_id, text, string_split(text, ' ') AS wtk
-        |   FROM documents),
-        | lab AS (SELECT doc_id,
-        |   (CAST(len(wtk) AS BIGINT) BETWEEN 50 AND 100000)
-        |   AND ((length(text) - (len(wtk) - 1)) >= len(wtk) * 3
-        |     AND (length(text) - (len(wtk) - 1)) <= len(wtk) * 10)
-        |   AND len(regexp_extract_all(text, '#')) * 10 <= len(wtk)
-        |   AND len(regexp_extract_all(text, '\\.\\.\\.')) * 10 <= len(wtk)
-        |   AND len(list_filter(wtk, w -> regexp_matches(w, '\\p{L}'))) * 5
-        |     >= len(wtk) * 4 AS keep
-        |  FROM m),
-        | d AS (SELECT doc_id, $segTokSql tk FROM documents),
-        | tr AS (SELECT d.doc_id, tk, keep FROM d JOIN lab USING (doc_id)
-        |  WHERE doc_id % 3 = 0),
-        | tc AS (SELECT keep, tok, COUNT(*) AS c FROM
-        |   (SELECT keep, unnest(tk) AS tok FROM tr) GROUP BY 1, 2),
-        | cn AS (SELECT
-        |   SUM(CASE WHEN keep THEN c ELSE 0 END) AS nk,
-        |   SUM(CASE WHEN NOT keep THEN c ELSE 0 END) AS ndt,
-        |   COUNT(DISTINCT tok) AS v FROM tc),
-        | dc AS (SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS dk,
-        |   SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS dd FROM tr),
-        | mdl AS (SELECT tok,
-        |   COALESCE(MAX(CASE WHEN keep THEN ${q6ln("c + 1")} END), 0) AS bk6,
-        |   COALESCE(MAX(CASE WHEN NOT keep THEN ${q6ln("c + 1")} END), 0)
-        |    AS bd6
-        |  FROM tc GROUP BY tok),
-        | g AS (SELECT doc_id, tok, COUNT(*) AS m FROM
-        |   (SELECT doc_id, unnest(tk) AS tok FROM d) GROUP BY 1, 2),
-        | sc AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
-        |   CAST(SUM(m * (COALESCE(bk6, 0) - COALESCE(bd6, 0))) AS BIGINT)
-        |    AS bdiff
-        |  FROM g LEFT JOIN mdl USING (tok) GROUP BY doc_id)
+    "t48_quality_classifier" ->
+      s"""WITH $t48ReplayCtes
         | SELECT doc_id, n_tokens,
-        |  bdiff - n_tokens * (${q6ln("nk + v")} - ${q6ln("ndt + v")})
-        |   + ${q6ln("dk + 1")} - ${q6ln("dd + 1")} AS logodds6,
-        |  (bdiff - n_tokens * (${q6ln("nk + v")} - ${q6ln("ndt + v")})
-        |   + ${q6ln("dk + 1")} - ${q6ln("dd + 1")}) > 0 AS pred_keep
-        | FROM sc, cn, dc ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
-    },
+        |  $t48LogOddsSql AS logodds6,
+        |  ($t48LogOddsSql) > 0 AS pred_keep
+        | FROM sc, cn, dc ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // t49: the SAME replay chain as t48 (labels + model + scores —
+    // one definition, so the evaluation can never drift from the
+    // classifier it evaluates), restricted to the held-out %3==2
+    // slice and folded into the confusion counts + count/count
+    // metrics (F1 via the harmonic identity — still count/count).
+    "t49_quality_eval" ->
+      s"""WITH $t48ReplayCtes,
+        | fin AS (SELECT doc_id, ($t48LogOddsSql) > 0 AS pred_keep
+        |  FROM sc, cn, dc),
+        | ev AS (SELECT lab.keep AS rk, fin.pred_keep AS pk
+        |  FROM fin JOIN lab USING (doc_id) WHERE doc_id % 3 = 2),
+        | cm AS (SELECT COUNT(*) AS n_holdout,
+        |   CAST(SUM(CASE WHEN rk AND pk THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |   CAST(SUM(CASE WHEN NOT rk AND pk THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |   CAST(SUM(CASE WHEN rk AND NOT pk THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |   CAST(SUM(CASE WHEN NOT rk AND NOT pk THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM ev)
+        | SELECT n_holdout, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |   THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |   THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+        |  CASE WHEN n_holdout > 0
+        |   THEN ROUND(CAST(tp + tn AS DOUBLE) / n_holdout, 6) END AS accuracy,
+        |  CASE WHEN 2 * tp + fp + fn > 0
+        |   THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+        |   END AS f1
+        | FROM cm""".stripMargin.replaceAll("\n", ""),
     // t47: t44's replay with every model cell, the smoothing fallback
     // and the tercile cut keyed by lang.
     "t47_perlang_perplexity" ->

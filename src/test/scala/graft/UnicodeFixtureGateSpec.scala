@@ -61,7 +61,9 @@ object UnicodeFixtureGateSpec {
     // round 11 but never gated — the exact gap the plan scan closes
     "d4_simhash_neardup", "t10_contamination", "t27_decontaminate",
     // round-12 additions
-    "t47_perlang_perplexity", "t48_quality_classifier")
+    "t47_perlang_perplexity", "t48_quality_classifier",
+    // round 13: t49 reads seg tokens through t48's model
+    "t49_quality_eval")
 }
 
 class UnicodeFixtureGateSpec extends AnyFunSuite {
