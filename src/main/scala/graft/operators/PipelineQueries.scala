@@ -98,6 +98,195 @@ object PipelineQueries {
     "bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))" +
       " + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3))"
 
+  /** m10's replay as a CTE block ending in `dec` (asset_id, rep_id,
+    * kept) — shared verbatim by the m10 oracle and d22's audit oracle
+    * (prefixed there). */
+  private lazy val m10DedupCtes: String =
+    s"""d0 AS (SELECT doc_id, doc_id - doc_id % 5 AS fid
+      |   FROM documents),
+      | fids AS (SELECT DISTINCT fid FROM d0),
+      | sm AS (SELECT fid, CAST(u.k AS BIGINT) AS k,
+      |   ((fid * 2654435761 + u.k * 1013904223) % 20001) - 10000 AS s
+      |  FROM fids, UNNEST(range(0, 64 + fid % 64)) AS u(k)),
+      | bits AS (SELECT a.fid, a.k AS i,
+      |   CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+      |  FROM sm a JOIN sm b ON a.fid = b.fid AND b.k = a.k + 1
+      |  WHERE a.k < 64),
+      | hf AS (SELECT fid,
+      |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
+      |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
+      |  FROM bits GROUP BY fid),
+      | hh AS (SELECT doc_id, h0, h1, h2, h3,
+      |   CAST((1000 * (64 + fid % 64)) // 8000 AS BIGINT) AS score
+      |  FROM d0 JOIN hf USING (fid)),
+      | cls AS (SELECT h0, h1, h2, h3, MIN(doc_id) AS rep FROM hh
+      |  GROUP BY 1, 2, 3, 4),
+      | bands AS (SELECT rep, u.c AS band,
+      |   CASE u.c WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+      |    ELSE h3 END AS key
+      |  FROM cls, UNNEST(range(0, 4)) AS u(c)),
+      | cand AS (SELECT DISTINCT x.rep AS a, y.rep AS b
+      |  FROM bands x JOIN bands y
+      |   ON x.band = y.band AND x.key = y.key AND x.rep < y.rep),
+      | pr AS (SELECT c.a, c.b
+      |  FROM cand c JOIN cls ha ON ha.rep = c.a
+      |   JOIN cls hb ON hb.rep = c.b
+      |  WHERE $phashDistSql <= 3),
+      | e AS (SELECT a AS src, b AS dst FROM pr
+      |  UNION ALL SELECT b, a FROM pr),
+      | reach AS (SELECT src AS id, src AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+      | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+      | mem AS (SELECT hh.doc_id AS asset_id, hh.score,
+      |   COALESCE(lab.label, cls.rep) AS label
+      |  FROM hh JOIN cls USING (h0, h1, h2, h3)
+      |   LEFT JOIN lab ON lab.id = cls.rep),
+      | repx AS (SELECT label, asset_id AS rep_id FROM mem
+      |  QUALIFY row_number() OVER (PARTITION BY label
+      |   ORDER BY score DESC, asset_id) = 1),
+      | dec AS (SELECT mem.asset_id, repx.rep_id,
+      |   mem.asset_id = repx.rep_id AS kept
+      |  FROM mem JOIN repx USING (label))""".stripMargin
+
+  /** m11's replay as a CTE block ending in `dec` — shared by the m11
+    * oracle and d22's audit oracle (prefixed there). */
+  private lazy val m11DedupCtes: String =
+    s"""d0 AS (SELECT doc_id, doc_id - doc_id % 3 AS fid
+      |   FROM documents),
+      | fids AS (SELECT DISTINCT fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h,
+      |   2 + fid % 7 AS nf FROM d0),
+      | sf AS (SELECT fid, w, h, u.j FROM fids,
+      |   UNNEST(range(0, nf)) AS u(j) WHERE u.j % 2 = 0),
+      | gxs AS (SELECT unnest(range(0, 9)) gx),
+      | gys AS (SELECT unnest(range(0, 8)) gy),
+      | lum AS (SELECT fid, j, gx, gy,
+      |   ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+      |     + (v & 255) * 114) // 1000) AS l
+      |  FROM (SELECT fid, j, gx, gy,
+      |    ((fid * 2654435761 + j * 1013904223 + ((gx * w) // 9) * 97
+      |      + ((gy * h) // 8) * 31) & 16777215) AS v
+      |   FROM sf CROSS JOIN gxs CROSS JOIN gys)),
+      | bits AS (SELECT a.fid, a.j, (a.gy * 8 + a.gx) AS i,
+      |   CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum b ON a.fid = b.fid AND a.j = b.j
+      |   AND a.gy = b.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      | hf AS (SELECT fid, j,
+      |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
+      |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
+      |  FROM bits GROUP BY fid, j),
+      | fhs AS (SELECT fid,
+      |   h0 || '_' || h1 || '_' || h2 || '_' || h3 AS fh FROM hf),
+      | fsets AS (SELECT fid, COUNT(*) AS n_frames,
+      |   array_to_string(list_sort(list_distinct(list(fh))), '|') AS sig
+      |  FROM fhs GROUP BY fid),
+      | asets AS (SELECT d0.doc_id AS asset_id, f.sig, f.n_frames, d0.fid
+      |  FROM d0 JOIN fsets f USING (fid)),
+      | cls AS (SELECT sig, MIN(asset_id) AS rep FROM asets GROUP BY sig),
+      | rfh AS (SELECT DISTINCT c.rep, fhs.fh
+      |  FROM cls c JOIN asets a ON a.asset_id = c.rep
+      |   JOIN fhs ON fhs.fid = a.fid),
+      | rs AS (SELECT rep, COUNT(*) AS nfh FROM rfh GROUP BY rep),
+      | rfp AS (SELECT rep, fh FROM rfh
+      |  QUALIFY COUNT(*) OVER (PARTITION BY fh) <= 64),
+      | sh AS (SELECT x.rep AS a, y.rep AS b, COUNT(*) AS s
+      |  FROM rfp x JOIN rfp y ON x.fh = y.fh AND x.rep < y.rep
+      |  GROUP BY x.rep, y.rep),
+      | pr AS (SELECT a, b FROM sh
+      |  JOIN rs ra ON ra.rep = sh.a JOIN rs rb ON rb.rep = sh.b
+      |  WHERE s >= 2 AND s * 100 >= 50 * LEAST(ra.nfh, rb.nfh)),
+      | e AS (SELECT a AS src, b AS dst FROM pr
+      |  UNION ALL SELECT b, a FROM pr),
+      | reach AS (SELECT src AS id, src AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+      | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+      | mem AS (SELECT a.asset_id, a.n_frames,
+      |   COALESCE(lab.label, c.rep) AS label
+      |  FROM asets a JOIN cls c USING (sig)
+      |   LEFT JOIN lab ON lab.id = c.rep),
+      | repx AS (SELECT label, asset_id AS rep_id FROM mem
+      |  QUALIFY row_number() OVER (PARTITION BY label
+      |   ORDER BY n_frames DESC, asset_id) = 1),
+      | dec AS (SELECT mem.asset_id, repx.rep_id,
+      |   mem.asset_id = repx.rep_id AS kept
+      |  FROM mem JOIN repx USING (label))""".stripMargin
+
+  /** m9's replay (pHash CTEs + collapse) as a CTE block ending in
+    * `dec` — shared by the m9 oracle and d22's audit oracle. */
+  private lazy val m9DedupCtes: String =
+    s"""$phashReplayCtes,
+      | pr AS (SELECT c.a, c.b
+      |  FROM cand c JOIN hh ha ON ha.doc_id = c.a
+      |   JOIN hh hb ON hb.doc_id = c.b
+      |  WHERE $phashDistSql <= 3),
+      | e AS (SELECT a AS src, b AS dst FROM pr
+      |  UNION ALL SELECT b, a FROM pr),
+      | reach AS (SELECT src AS id, src AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+      | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+      | al AS (SELECT d.doc_id AS asset_id,
+      |   CAST(d.w * d.h AS BIGINT) AS area FROM d),
+      | l2 AS (SELECT al.asset_id,
+      |   COALESCE(lab.label, al.asset_id) AS label, al.area
+      |  FROM al LEFT JOIN lab ON lab.id = al.asset_id),
+      | rep AS (SELECT label, asset_id AS rep_id FROM l2
+      |  QUALIFY row_number() OVER (PARTITION BY label
+      |   ORDER BY area DESC, asset_id) = 1),
+      | dec AS (SELECT l2.asset_id, rep.rep_id,
+      |   l2.asset_id = rep.rep_id AS kept
+      |  FROM l2 JOIN rep USING (label))""".stripMargin
+
+  /** Rename a CTE block's names with a prefix so independently-written
+    * replay blocks (each with its own d0/bits/lab/...) can share one
+    * combined WITH RECURSIVE clause in d22's audit oracle. Only the
+    * block's OWN CTE names are renamed (word-boundary regex); base
+    * tables, columns and table aliases pass through untouched. */
+  private def prefixCtes(block: String, names: Seq[String], p: String): String =
+    names.foldLeft(block)((s, n) => s.replaceAll(s"\\b$n\\b", p + n))
+
+  private val m9CteNames = Seq("d0", "d", "fids", "gxs", "gys", "lum",
+    "bits", "hf", "hh", "bands", "cand", "pr", "e", "reach", "lab",
+    "al", "l2", "rep", "dec")
+  private val m10CteNames = Seq("d0", "fids", "sm", "bits", "hf", "hh",
+    "cls", "bands", "cand", "pr", "e", "reach", "lab", "mem", "repx", "dec")
+  private val m11CteNames = Seq("d0", "fids", "sf", "gxs", "gys", "lum",
+    "bits", "hf", "fhs", "fsets", "asets", "cls", "rfh", "rs", "rfp",
+    "sh", "pr", "e", "reach", "lab", "mem", "repx", "dec")
+
+  /** m10's dedup decision chain — ONE definition for the m10 query
+    * and d22's audit (planted assets → delta-sign fingerprint →
+    * generic collapse ranked by duration). */
+  private def m10Decision(s: SparkSession, dir: String): DataFrame = {
+    val assets = m10PlantedAssets(s, dir)
+    val fp = graft.multimodal.Multimodal.audioFingerprint(
+      assets, windowSamples = 1)
+    graft.multimodal.Multimodal.fingerprintDedup(
+      fp.join(assets.select(col("asset_id"),
+        col("meta.duration_ms").as("score")), "asset_id"),
+      maxDist = 3)
+  }
+
+  /** m11's dedup decision chain — ONE definition for the m11 query
+    * and d22's audit (planted fill-group zips → frame hashes →
+    * frameset classes → containment pairs → longest-cut keep). */
+  private def m11Decision(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") - col("doc_id") % 3).as("fid"))
+    val base = graft.multimodal.Multimodal.syntheticVideoAssets(
+      d.select(col("fid").as("doc_id")).distinct(), "doc_id")
+    val assets = d.join(base.withColumnRenamed("asset_id", "fid"), "fid")
+      .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
+    graft.multimodal.Multimodal.videoDedup(assets,
+      everyNth = 2, minShared = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1–R7 + C1/C2 + E2 end-to-end: chunk + embed the documents table
     // at query time, then exact cosine top-k for a fixed query.
@@ -203,16 +392,8 @@ object PipelineQueries {
     // DuckDB re-derives the sample stream, the 64 delta bits, the
     // chunks, the rep-level pigeonhole pairs, the transitive closure
     // and the duration/min-id representative choice.
-    "m10_audio_dedup" -> ((s, dir) => {
-      val assets = m10PlantedAssets(s, dir)
-      val fp = graft.multimodal.Multimodal.audioFingerprint(
-        assets, windowSamples = 1)
-      graft.multimodal.Multimodal.fingerprintDedup(
-          fp.join(assets.select(col("asset_id"),
-            col("meta.duration_ms").as("score")), "asset_id"),
-          maxDist = 3)
-        .orderBy("asset_id")
-    }),
+    "m10_audio_dedup" -> ((s, dir) =>
+      m10Decision(s, dir).orderBy("asset_id")),
 
     // M11: video near-dup DEDUP decision (round 12) — the modality
     // ladder's last rung (text, image m8/m9, audio m10): re-uploads
@@ -231,17 +412,8 @@ object PipelineQueries {
     // formula), so DuckDB re-derives every sampled frame's dHash, the
     // frameset signatures, the rep pair graph, the closure and the
     // keep choice.
-    "m11_video_dedup" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 3).as("fid"))
-      val base = graft.multimodal.Multimodal.syntheticVideoAssets(
-        d.select(col("fid").as("doc_id")).distinct(), "doc_id")
-      val assets = d.join(base.withColumnRenamed("asset_id", "fid"), "fid")
-        .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
-      graft.multimodal.Multimodal.videoDedup(assets,
-          everyNth = 2, minShared = 2)
-        .orderBy("asset_id")
-    }),
+    "m11_video_dedup" -> ((s, dir) =>
+      m11Decision(s, dir).orderBy("asset_id")),
 
     // M9: the image-dedup DECISION (round 12) — m8's verified pairs
     // taken to the per-asset collapse text dedup already has (d6 CC +
@@ -256,6 +428,46 @@ object PipelineQueries {
       graft.multimodal.Multimodal.imageDedup(m8PlantedAssets(s, dir),
           maxDist = 3)
         .orderBy("asset_id")
+    }),
+
+    // D22: corpus dedup AUDIT rollup (round 13) — the report a
+    // pipeline operator reads BEFORE committing a dedup pass: the
+    // modality ladder (text d12, image m9, audio m10, video m11)
+    // produces per-item keep decisions, and this rolls every decision
+    // table up to one row per modality — item/kept/removed counts,
+    // removal rate, cluster count, how many clusters actually have
+    // duplicates, and the largest cluster (the skew early-warning:
+    // a 3k-member cluster is the thing that turns a pair report
+    // quadratic). Every input is an already-oracle-checked decision
+    // table and the rollup is two keyed aggregations (cluster sizes,
+    // then per-modality fold — both partial map-side), so the audit
+    // costs one pass over decisions that ingest already paid for.
+    // ORACLE-CHECKED end-to-end: the audit oracle re-runs all four
+    // replay chains (prefixed into one WITH RECURSIVE) and folds the
+    // same rollup — nothing is inlined from the engine.
+    "d22_dedup_audit" -> ((s, dir) => {
+      val all = Seq(
+          "text" -> TextQueries.d12Decision(s, dir),
+          "image" -> graft.multimodal.Multimodal.imageDedup(
+            m8PlantedAssets(s, dir), maxDist = 3),
+          "audio" -> m10Decision(s, dir),
+          "video" -> m11Decision(s, dir))
+        .map { case (m, df) => df.select(lit(m).as("modality"),
+          col("asset_id"), col("rep_id"), col("kept")) }
+        .reduce(_ unionByName _)
+      val cs = all.groupBy("modality", "rep_id").agg(
+        count(lit(1)).as("sz"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
+      cs.groupBy("modality").agg(
+          sum("sz").as("n_items"),
+          sum("k").as("n_kept"),
+          (sum("sz") - sum("k")).as("n_removed"),
+          round((sum("sz") - sum("k")).cast("double") / sum("sz"), 6)
+            .as("removal_rate"),
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
+          max("sz").as("max_cluster"))
+        .orderBy("modality")
     }),
 
     // M6: REAL container frame sampling — each asset is an actual zip
@@ -567,54 +779,8 @@ object PipelineQueries {
     // pigeonhole pairs + Hamming verify, recursive-CTE closure and
     // the duration-desc/min-id representative per component.
     "m10_audio_dedup" ->
-      s"""WITH RECURSIVE d0 AS (SELECT doc_id, doc_id - doc_id % 5 AS fid
-        |   FROM documents),
-        | fids AS (SELECT DISTINCT fid FROM d0),
-        | sm AS (SELECT fid, CAST(u.k AS BIGINT) AS k,
-        |   ((fid * 2654435761 + u.k * 1013904223) % 20001) - 10000 AS s
-        |  FROM fids, UNNEST(range(0, 64 + fid % 64)) AS u(k)),
-        | bits AS (SELECT a.fid, a.k AS i,
-        |   CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
-        |  FROM sm a JOIN sm b ON a.fid = b.fid AND b.k = a.k + 1
-        |  WHERE a.k < 64),
-        | hf AS (SELECT fid,
-        |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
-        |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
-        |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
-        |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
-        |  FROM bits GROUP BY fid),
-        | hh AS (SELECT doc_id, h0, h1, h2, h3,
-        |   CAST((1000 * (64 + fid % 64)) // 8000 AS BIGINT) AS score
-        |  FROM d0 JOIN hf USING (fid)),
-        | cls AS (SELECT h0, h1, h2, h3, MIN(doc_id) AS rep FROM hh
-        |  GROUP BY 1, 2, 3, 4),
-        | bands AS (SELECT rep, u.c AS band,
-        |   CASE u.c WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
-        |    ELSE h3 END AS key
-        |  FROM cls, UNNEST(range(0, 4)) AS u(c)),
-        | cand AS (SELECT DISTINCT x.rep AS a, y.rep AS b
-        |  FROM bands x JOIN bands y
-        |   ON x.band = y.band AND x.key = y.key AND x.rep < y.rep),
-        | pr AS (SELECT c.a, c.b
-        |  FROM cand c JOIN cls ha ON ha.rep = c.a
-        |   JOIN cls hb ON hb.rep = c.b
-        |  WHERE $phashDistSql <= 3),
-        | e AS (SELECT a AS src, b AS dst FROM pr
-        |  UNION ALL SELECT b, a FROM pr),
-        | reach AS (SELECT src AS id, src AS r FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-        | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
-        | mem AS (SELECT hh.doc_id AS asset_id, hh.score,
-        |   COALESCE(lab.label, cls.rep) AS label
-        |  FROM hh JOIN cls USING (h0, h1, h2, h3)
-        |   LEFT JOIN lab ON lab.id = cls.rep),
-        | repx AS (SELECT label, asset_id AS rep_id FROM mem
-        |  QUALIFY row_number() OVER (PARTITION BY label
-        |   ORDER BY score DESC, asset_id) = 1)
-        | SELECT mem.asset_id, repx.rep_id,
-        |  mem.asset_id = repx.rep_id AS kept
-        | FROM mem JOIN repx USING (label) ORDER BY asset_id"""
+      s"""WITH RECURSIVE $m10DedupCtes
+        | SELECT asset_id, rep_id, kept FROM dec ORDER BY asset_id"""
         .stripMargin.replaceAll("\n", ""),
     // m11: full replay — fill remap, the m6 pixel formula per sampled
     // frame (j % 2 = 0), the m5 dHash derivation per (fid, frame),
@@ -627,96 +793,50 @@ object PipelineQueries {
     // containment shared*100 >= 50 * the SMALLER full frameset), a
     // recursive closure, and the frames-desc/min-id keep choice.
     "m11_video_dedup" ->
-      s"""WITH RECURSIVE d0 AS (SELECT doc_id, doc_id - doc_id % 3 AS fid
-        |   FROM documents),
-        | fids AS (SELECT DISTINCT fid, 1 + fid % 16 AS w, 1 + fid % 8 AS h,
-        |   2 + fid % 7 AS nf FROM d0),
-        | sf AS (SELECT fid, w, h, u.j FROM fids,
-        |   UNNEST(range(0, nf)) AS u(j) WHERE u.j % 2 = 0),
-        | gxs AS (SELECT unnest(range(0, 9)) gx),
-        | gys AS (SELECT unnest(range(0, 8)) gy),
-        | lum AS (SELECT fid, j, gx, gy,
-        |   ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
-        |     + (v & 255) * 114) // 1000) AS l
-        |  FROM (SELECT fid, j, gx, gy,
-        |    ((fid * 2654435761 + j * 1013904223 + ((gx * w) // 9) * 97
-        |      + ((gy * h) // 8) * 31) & 16777215) AS v
-        |   FROM sf CROSS JOIN gxs CROSS JOIN gys)),
-        | bits AS (SELECT a.fid, a.j, (a.gy * 8 + a.gx) AS i,
-        |   CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
-        |  FROM lum a JOIN lum b ON a.fid = b.fid AND a.j = b.j
-        |   AND a.gy = b.gy AND b.gx = a.gx + 1
-        |  WHERE a.gx < 8),
-        | hf AS (SELECT fid, j,
-        |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
-        |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
-        |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
-        |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
-        |  FROM bits GROUP BY fid, j),
-        | fhs AS (SELECT fid,
-        |   h0 || '_' || h1 || '_' || h2 || '_' || h3 AS fh FROM hf),
-        | fsets AS (SELECT fid, COUNT(*) AS n_frames,
-        |   array_to_string(list_sort(list_distinct(list(fh))), '|') AS sig
-        |  FROM fhs GROUP BY fid),
-        | asets AS (SELECT d0.doc_id AS asset_id, f.sig, f.n_frames, d0.fid
-        |  FROM d0 JOIN fsets f USING (fid)),
-        | cls AS (SELECT sig, MIN(asset_id) AS rep FROM asets GROUP BY sig),
-        | rfh AS (SELECT DISTINCT c.rep, fhs.fh
-        |  FROM cls c JOIN asets a ON a.asset_id = c.rep
-        |   JOIN fhs ON fhs.fid = a.fid),
-        | rs AS (SELECT rep, COUNT(*) AS nfh FROM rfh GROUP BY rep),
-        | rfp AS (SELECT rep, fh FROM rfh
-        |  QUALIFY COUNT(*) OVER (PARTITION BY fh) <= 64),
-        | sh AS (SELECT x.rep AS a, y.rep AS b, COUNT(*) AS s
-        |  FROM rfp x JOIN rfp y ON x.fh = y.fh AND x.rep < y.rep
-        |  GROUP BY x.rep, y.rep),
-        | pr AS (SELECT a, b FROM sh
-        |  JOIN rs ra ON ra.rep = sh.a JOIN rs rb ON rb.rep = sh.b
-        |  WHERE s >= 2 AND s * 100 >= 50 * LEAST(ra.nfh, rb.nfh)),
-        | e AS (SELECT a AS src, b AS dst FROM pr
-        |  UNION ALL SELECT b, a FROM pr),
-        | reach AS (SELECT src AS id, src AS r FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-        | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
-        | mem AS (SELECT a.asset_id, a.n_frames,
-        |   COALESCE(lab.label, c.rep) AS label
-        |  FROM asets a JOIN cls c USING (sig)
-        |   LEFT JOIN lab ON lab.id = c.rep),
-        | repx AS (SELECT label, asset_id AS rep_id FROM mem
-        |  QUALIFY row_number() OVER (PARTITION BY label
-        |   ORDER BY n_frames DESC, asset_id) = 1)
-        | SELECT mem.asset_id, repx.rep_id,
-        |  mem.asset_id = repx.rep_id AS kept
-        | FROM mem JOIN repx USING (label) ORDER BY asset_id"""
+      s"""WITH RECURSIVE $m11DedupCtes
+        | SELECT asset_id, rep_id, kept FROM dec ORDER BY asset_id"""
         .stripMargin.replaceAll("\n", ""),
     // m9: m8's replay extended to the COLLAPSE decision — verified
     // pairs, recursive-CTE transitive closure, and the identical
     // area-desc/min-id representative choice per component (area from
     // the same fid dims formula the dims decode is verified against).
     "m9_image_dedup" ->
-      s"""WITH RECURSIVE $phashReplayCtes,
-        | pr AS (SELECT c.a, c.b
-        |  FROM cand c JOIN hh ha ON ha.doc_id = c.a
-        |   JOIN hh hb ON hb.doc_id = c.b
-        |  WHERE $phashDistSql <= 3),
-        | e AS (SELECT a AS src, b AS dst FROM pr
-        |  UNION ALL SELECT b, a FROM pr),
-        | reach AS (SELECT src AS id, src AS r FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-        | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
-        | al AS (SELECT d.doc_id AS asset_id,
-        |   CAST(d.w * d.h AS BIGINT) AS area FROM d),
-        | l2 AS (SELECT al.asset_id,
-        |   COALESCE(lab.label, al.asset_id) AS label, al.area
-        |  FROM al LEFT JOIN lab ON lab.id = al.asset_id),
-        | rep AS (SELECT label, asset_id AS rep_id FROM l2
-        |  QUALIFY row_number() OVER (PARTITION BY label
-        |   ORDER BY area DESC, asset_id) = 1)
-        | SELECT l2.asset_id, rep.rep_id,
-        |  l2.asset_id = rep.rep_id AS kept
-        | FROM l2 JOIN rep USING (label) ORDER BY asset_id"""
+      s"""WITH RECURSIVE $m9DedupCtes
+        | SELECT asset_id, rep_id, kept FROM dec ORDER BY asset_id"""
+        .stripMargin.replaceAll("\n", ""),
+    // d22: all four replay chains (text d12, image m9, audio m10,
+    // video m11) verbatim — each block's CTE names prefixed so they
+    // coexist in ONE WITH RECURSIVE — then the identical two-stage
+    // rollup: cluster sizes per (modality, rep_id), per-modality fold.
+    "d22_dedup_audit" ->
+      s"""WITH RECURSIVE ${prefixCtes(graft.operators.TextQueries
+            .d12DedupCtes, graft.operators.TextQueries.d12DedupCteNames,
+            "t_")},
+        | ${prefixCtes(m9DedupCtes, m9CteNames, "i_")},
+        | ${prefixCtes(m10DedupCtes, m10CteNames, "a_")},
+        | ${prefixCtes(m11DedupCtes, m11CteNames, "v_")},
+        | alldec AS (
+        |  SELECT 'text' AS modality, asset_id, rep_id, kept FROM t_dec
+        |  UNION ALL
+        |  SELECT 'image', asset_id, rep_id, kept FROM i_dec
+        |  UNION ALL
+        |  SELECT 'audio', asset_id, rep_id, kept FROM a_dec
+        |  UNION ALL
+        |  SELECT 'video', asset_id, rep_id, kept FROM v_dec),
+        | cs AS (SELECT modality, rep_id, COUNT(*) AS sz,
+        |   SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS k
+        |  FROM alldec GROUP BY 1, 2)
+        | SELECT modality,
+        |  CAST(SUM(sz) AS BIGINT) AS n_items,
+        |  CAST(SUM(k) AS BIGINT) AS n_kept,
+        |  CAST(SUM(sz) - SUM(k) AS BIGINT) AS n_removed,
+        |  ROUND(CAST(SUM(sz) - SUM(k) AS DOUBLE) / SUM(sz), 6)
+        |   AS removal_rate,
+        |  COUNT(*) AS n_clusters,
+        |  CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_clusters,
+        |  CAST(MAX(sz) AS BIGINT) AS max_cluster
+        | FROM cs GROUP BY modality ORDER BY modality"""
         .stripMargin.replaceAll("\n", ""),
     // m6: every sampled frame's luminance sum recomputed from the
     // synthetic pixel function — integer-exact in both engines.

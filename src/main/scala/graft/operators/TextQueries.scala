@@ -2096,22 +2096,10 @@ object TextQueries {
     // and cluster discovery are orthogonal: labels come from the CC
     // pass, the keep decision is one windowed rank per cluster
     // (clusters are small, the window partitions by label).
-    "d12_quality_keep" -> ((s, dir) => {
-      val bounded = docs(s, dir).filter(col("doc_id") < 1000)
-      val pairs = Dedup.ngramJaccardPairs(bounded, "doc_id", "text",
-        n = 2, threshold = 0.4)
-      val labels = Dedup.dupClusters(pairs)
-        .withColumnRenamed("id", "doc_id")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("label").orderBy(desc("n_chars"), asc("doc_id"))
-      bounded.select("doc_id", "n_chars")
-        .join(labels, Seq("doc_id"), "left")
-        .withColumn("label", coalesce(col("label"), col("doc_id")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("doc_id")
-        .orderBy("doc_id")
-    }),
+    "d12_quality_keep" -> ((s, dir) =>
+      d12Decision(s, dir).filter(col("kept"))
+        .select(col("asset_id").as("doc_id"))
+        .orderBy("doc_id")),
 
     // T21: winsorized feature — clamp a heavy-tailed per-doc feature
     // at its corpus p05/p95 (the outlier-robust normalization step
@@ -2207,6 +2195,62 @@ object TextQueries {
 
   private def q6lnSql(x: String): String =
     s"CAST(ROUND(ln(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+
+  /** d12's near-dup keep DECISION as a full (asset_id, rep_id, kept)
+    * table — one row per bounded doc. The d12 query keeps only the
+    * kept ids (its historical shape); d22's cross-modality audit
+    * reads the whole decision. ONE definition for both. */
+  private[operators] def d12Decision(
+      s: SparkSession, dir: String): DataFrame = {
+    val bounded = docs(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.ngramJaccardPairs(bounded, "doc_id", "text",
+      n = 2, threshold = 0.4)
+    val labels = Dedup.dupClusters(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(desc("n_chars"), asc("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    bounded.select("doc_id", "n_chars")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .withColumn("rep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id").as("asset_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("kept"))
+  }
+
+  /** d12's replay as a CTE block ending in `dec` (asset_id, rep_id,
+    * kept) — shared verbatim by the d12 oracle and d22's audit oracle
+    * (prefixed there). */
+  private[operators] lazy val d12DedupCtes: String =
+    s"""sh AS (SELECT doc_id, ${shingleListSql(2)} s
+      |  FROM (SELECT doc_id, $segTokSql tk FROM documents
+      |        WHERE doc_id < 1000)),
+      | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.4),
+      | e AS (SELECT a_id AS src, b_id AS dst FROM pr
+      |  UNION ALL SELECT b_id, a_id FROM pr),
+      | reach AS (SELECT src AS id, src AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+      | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+      | f AS (SELECT d.doc_id, d.n_chars,
+      |   COALESCE(lab.label, d.doc_id) AS label
+      |  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 1000) d
+      |  LEFT JOIN lab ON d.doc_id = lab.id),
+      | rep AS (SELECT label, doc_id AS rep_id FROM f
+      |  QUALIFY row_number() OVER (PARTITION BY label
+      |   ORDER BY n_chars DESC, doc_id) = 1),
+      | dec AS (SELECT f.doc_id AS asset_id, rep.rep_id,
+      |   f.doc_id = rep.rep_id AS kept
+      |  FROM f JOIN rep USING (label))""".stripMargin
+
+  /** The CTE names [[d12DedupCtes]] defines — the prefix map d22's
+    * audit oracle renames with. */
+  private[operators] val d12DedupCteNames: Seq[String] =
+    Seq("sh", "pr", "e", "reach", "lab", "f", "rep", "dec")
 
   /** The t48 replay chain, shared verbatim by the t48 oracle and the
     * t49 evaluation oracle (one definition — the evaluation can never
@@ -2655,26 +2699,8 @@ object TextQueries {
         | FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n
         | GROUP BY st.source ORDER BY st.source""".stripMargin.replaceAll("\n", ""),
     "d12_quality_keep" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shingleListSql(2)} s
-        |  FROM (SELECT doc_id, $segTokSql tk FROM documents
-        |        WHERE doc_id < 1000)),
-        | pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.4),
-        | e AS (SELECT a_id AS src, b_id AS dst FROM pr
-        |  UNION ALL SELECT b_id, a_id FROM pr),
-        | reach AS (SELECT src AS id, src AS r FROM e
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-        | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
-        | f AS (SELECT d.doc_id, d.n_chars,
-        |   COALESCE(lab.label, d.doc_id) AS label
-        |  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 1000) d
-        |  LEFT JOIN lab ON d.doc_id = lab.id)
-        | SELECT doc_id FROM f
-        | QUALIFY row_number() OVER (PARTITION BY label
-        |   ORDER BY n_chars DESC, doc_id) = 1
+      s"""WITH RECURSIVE $d12DedupCtes
+        | SELECT asset_id AS doc_id FROM dec WHERE kept
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     "t21_winsorize" ->
       """WITH p AS (SELECT ROUND(quantile_cont(n_chars, 0.05), 6) AS lo,

@@ -230,4 +230,26 @@ class Round13OpsSpec extends AnyFunSuite {
       Caches.release(spark)
     }
   }
+
+  test("d22 audit: internally consistent with the decision-table contract, no cartesian") {
+    val df = SparkEntry.queries("d22_dedup_audit")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val rows = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+        r.getLong(6), r.getLong(7)))).toMap
+    assert(rows.keySet == Set("text", "image", "audio", "video"))
+    rows.foreach { case (m, (items, kept, removed, clusters, dup, mx)) =>
+      // every decision table keeps EXACTLY one member per cluster
+      assert(kept == clusters, s"$m: kept != clusters")
+      assert(items == kept + removed, s"$m: counts don't add up")
+      assert(mx >= 1 && dup <= clusters, s"$m: degenerate histogram")
+    }
+    // text audits the d12-bounded slice; the media rungs audit every
+    // planted asset (one per doc at this SF)
+    assert(rows("image")._1 == 500 && rows("video")._1 == 500 &&
+      rows("audio")._1 == 500)
+    Caches.release(spark)
+  }
 }

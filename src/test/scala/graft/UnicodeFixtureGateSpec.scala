@@ -62,8 +62,9 @@ object UnicodeFixtureGateSpec {
     "d4_simhash_neardup", "t10_contamination", "t27_decontaminate",
     // round-12 additions
     "t47_perlang_perplexity", "t48_quality_classifier",
-    // round 13: t49 reads seg tokens through t48's model
-    "t49_quality_eval")
+    // round 13: t49 reads seg tokens through t48's model; d22's text
+    // rung replays d12's seg-shingle chain
+    "t49_quality_eval", "d22_dedup_audit")
 }
 
 class UnicodeFixtureGateSpec extends AnyFunSuite {
