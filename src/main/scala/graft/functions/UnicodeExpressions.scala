@@ -236,7 +236,36 @@ object SegTokensKernel {
   }
 }
 
+/** Seg-usage recorder for sidecar builds (round 13): the fixture-gate
+  * coverage scan reads ANALYZED plans, so a query whose seg
+  * tokenization happened at sidecar-BUILD time (the plan just scans
+  * parquet) is invisible to it — the one documented evasion. This
+  * closes it at the source: [[SegTokens]] construction (the kernel
+  * every seg path funnels through, including optimizer copies made
+  * while a build executes) and the driver-side tokenizer mark a
+  * global flag while a `materializeAtomic` build window is open, and
+  * the store stamps a `_SEG_USED` marker into any sidecar whose build
+  * tripped it. The coverage spec then treats "plan reads a marked
+  * sidecar" exactly like "plan contains the kernel". A concurrent
+  * non-build query could over-mark (global, not thread-local, because
+  * AQE re-plans on other threads) — over-marking only widens the
+  * gate, never narrows it. */
+object SegUsage {
+  @volatile private var recording = false
+  private val hit = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def touch(): Unit = if (recording) hit.set(true)
+
+  /** Run `body` with recording on; returns (result, seg was used). */
+  def record[T](body: => T): (T, Boolean) = synchronized {
+    hit.set(false)
+    recording = true
+    try { val r = body; (r, hit.get) }
+    finally recording = false
+  }
+}
+
 case class SegTokens(child: Expression) extends UnaryExpression {
+  SegUsage.touch()
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "seg_tokens"

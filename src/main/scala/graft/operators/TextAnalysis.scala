@@ -150,8 +150,10 @@ object TextAnalysis {
     * TERM list of a retrieval query with the identical segmentation
     * the corpus side uses, so a CJK query produces per-script terms
     * instead of one unsplittable sentence. */
-  def segTokensLocal(text: String): Seq[String] =
+  def segTokensLocal(text: String): Seq[String] = {
+    graft.functions.SegUsage.touch()
     SegPattern.r.findAllIn(text).toSeq
+  }
 
   /** Script-aware word tokens (array<string>) — the tokenizer-grade
     * segmentation every TOKEN-IDENTITY operator uses (BPE
@@ -180,8 +182,10 @@ object TextAnalysis {
 
   /** The regex reference form of [[segTokens]] — same pieces by
     * construction; kept for the equivalence property spec. */
-  def segTokensRegex(text: Column): Column =
+  def segTokensRegex(text: Column): Column = {
+    graft.functions.SegUsage.touch()
     regexp_extract_all(text, lit(SegPattern), lit(0))
+  }
 
   /** The BPE-ish pre-token pieces of `text` (array<string>). A tokenizer
     * proxy for token-budget accounting when the real BPE merges table

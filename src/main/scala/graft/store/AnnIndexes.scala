@@ -70,7 +70,15 @@ object AnnIndexes {
         val suffix = java.util.UUID.randomUUID().toString.take(8)
         val tmp = new org.apache.hadoop.fs.Path(path + "._build_" + suffix)
         try {
-          build(tmp.toString)
+          // record seg-tokenizer usage DURING the build (round 13):
+          // a sidecar whose recipe tokenized with segTokens carries a
+          // _SEG_USED stamp, so the fixture-gate coverage scan can see
+          // seg semantics that hide behind a plain parquet scan
+          val (_, segUsed) =
+            graft.functions.SegUsage.record(build(tmp.toString))
+          if (segUsed)
+            fs.create(new org.apache.hadoop.fs.Path(tmp, SegMarkerName))
+              .close()
           fs.create(new org.apache.hadoop.fs.Path(tmp, MarkerName)).close()
           // Clear a crashed build's corpse by renaming it aside first:
           // rename is the only destructive step, so if a racing winner
@@ -102,6 +110,17 @@ object AnnIndexes {
   /** Completion-marker filename — the single definition of the marker
     * protocol (see materializeAtomic). */
   val MarkerName = "_IDX_READY"
+
+  /** Seg-usage stamp: present in a sidecar whose BUILD tokenized with
+    * the seg kernel (see [[graft.functions.SegUsage]]). Underscore-
+    * prefixed → invisible to Spark's partition discovery. */
+  val SegMarkerName = "_SEG_USED"
+
+  /** True when the sidecar at `dir` was built with seg tokenization. */
+  def usesSeg(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, SegMarkerName)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** True when `dir` holds a completed index (marker present). */
   def isComplete(spark: SparkSession, dir: org.apache.hadoop.fs.Path): Boolean = {

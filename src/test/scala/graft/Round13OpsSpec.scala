@@ -252,4 +252,55 @@ class Round13OpsSpec extends AnyFunSuite {
       rows("audio")._1 == 500)
     Caches.release(spark)
   }
+
+  test("t44/t47 unigram model: scores unchanged when the broadcast bound forces the joined path") {
+    // the round-13 size-derived decision (d16's fallback discipline):
+    // under a tiny autoBroadcastJoinThreshold the unigram model must
+    // take the keyed join the bigram always uses — and produce
+    // byte-identical scores (join strategy, never semantics)
+    def run(name: String): Seq[org.apache.spark.sql.Row] = {
+      val r = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      Caches.release(spark)
+      r
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    for (q <- Seq("t44_lm_perplexity", "t47_perlang_perplexity")) {
+      val viaBcast = run(q)
+      val viaJoin = try { spark.conf.set(key, "64"); run(q) }
+        finally spark.conf.set(key, prev)
+      assert(viaBcast.nonEmpty && viaBcast == viaJoin, q)
+    }
+  }
+
+  test("sidecar seg stamp: seg-tokenizing builds are stamped and plan-detected; plain builds are not") {
+    import graft.store.AnnIndexes
+    import graft.operators.TextAnalysis
+    val s = spark
+    val docs = Tables.load(s, sfDir, "documents").select("doc_id", "text")
+    val segPath = s"${AnnIndexes.root}/r13stamp__tmp_seg_cafe11"
+    val plainPath = s"${AnnIndexes.root}/r13stamp__tmp_plain_cafe12"
+    try {
+      AnnIndexes.materializeAtomic(s, segPath) { tmp =>
+        docs.select(col("doc_id"),
+          TextAnalysis.segTokens(col("text")).as("tk")).write.parquet(tmp)
+      }
+      AnnIndexes.materializeAtomic(s, plainPath) { tmp =>
+        docs.select("doc_id").write.parquet(tmp)
+      }
+      assert(AnnIndexes.usesSeg(s, segPath),
+        "a build that constructed the seg kernel must carry _SEG_USED")
+      assert(!AnnIndexes.usesSeg(s, plainPath),
+        "a seg-free build must NOT be stamped")
+      // the coverage scan's sidecar leg: a query that is NOTHING but a
+      // parquet scan of the stamped sidecar — the exact evasion shape
+      // the round-12 verdict documented — is detected; the plain one
+      // is not
+      assert(SegGateCoverageSpec.readsSegSidecar(s,
+        s.read.parquet(segPath).queryExecution.analyzed))
+      assert(!SegGateCoverageSpec.readsSegSidecar(s,
+        s.read.parquet(plainPath).queryExecution.analyzed))
+    } finally Seq(segPath, plainPath).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
 }

@@ -20,11 +20,17 @@ import graft.operators.TextAnalysis
   * not in the gate list.
   *
   * One-directional by design: a gated query NOT using segTokens is
-  * fine (t1/t3 sit in the gate as whitespace canaries). Queries whose
-  * seg usage hides behind a materialized sidecar scan (the plan reads
-  * parquet, not the expression) can evade the scan — every current
-  * one is gated; the scan exists to catch the common case of a new
-  * inline seg query.
+  * fine (t1/t3 sit in the gate as whitespace canaries). Round 13
+  * closed the documented sidecar evasion: a query whose seg usage
+  * hides behind a materialized sidecar scan (the plan reads parquet,
+  * not the expression) is now caught through the sidecar's
+  * `_SEG_USED` stamp — `materializeAtomic` records seg-kernel
+  * construction during every build window
+  * ([[graft.functions.SegUsage]]) and the scan treats "plan reads a
+  * stamped sidecar" exactly like "plan contains the kernel".
+  * Sidecars built before round 13 carry no stamp (build-once caches
+  * are never rewritten in place) — they re-stamp on their next
+  * natural rebuild (recipe bump, regenerated corpus, GC).
   *
   * Families scanned: t/d/b/c/u/j and the r-RAG trio — every family
   * that touches document text. Skipped: a (relational), v (vectors),
@@ -32,6 +38,7 @@ import graft.operators.TextAnalysis
   * eager stream execution at construction time; their gram helpers
   * are shared with the gated batch d-queries). */
 class SegGateCoverageSpec extends AnyFunSuite {
+  import SegGateCoverageSpec.readsSegSidecar
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -58,7 +65,8 @@ class SegGateCoverageSpec extends AnyFunSuite {
     assert(candidates.size > 60, s"family filter broke: $candidates")
     val seg = candidates.filter { name =>
       val df = SparkEntry.queries(name)(s, sf)
-      val hit = usesSegTokens(df.queryExecution.analyzed)
+      val plan = df.queryExecution.analyzed
+      val hit = usesSegTokens(plan) || readsSegSidecar(s, plan)
       // constructing some queries registers shared caches / builds
       // sidecars — release so the scan doesn't accumulate state
       Caches.release(s)
@@ -74,5 +82,32 @@ class SegGateCoverageSpec extends AnyFunSuite {
       s"seg-tokenized queries missing from UnicodeFixtureGateSpec." +
         s"GateQueries (add them so the fixture gate covers them): " +
         unGated.mkString(", "))
+  }
+}
+
+object SegGateCoverageSpec {
+  /** True when `plan` scans a parquet sidecar under the index store
+    * whose BUILD tokenized with the seg kernel (the `_SEG_USED` stamp
+    * — see [[graft.functions.SegUsage]]). The stamp lives in the
+    * TOP-LEVEL sidecar dir under the store root, so nested model/
+    * partition paths resolve up to it. */
+  def readsSegSidecar(
+      s: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rootAbs =
+      new java.io.File(graft.store.AnnIndexes.root).getAbsolutePath
+    plan.collectWithSubqueries {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toUri.getPath)
+        case _ => Seq.empty[String]
+      }
+    }.flatten.exists { p =>
+      val abs = new java.io.File(p).getAbsolutePath
+      abs.startsWith(rootAbs + "/") && {
+        val top = abs.stripPrefix(rootAbs + "/").split("/")(0)
+        graft.store.AnnIndexes.usesSeg(s, s"$rootAbs/$top")
+      }
+    }
   }
 }
