@@ -189,28 +189,25 @@ object TextQueries {
     def q6(x: org.apache.spark.sql.Column) = round(x * 1e6).cast("long")
     val uni = graft.Caches.shared(uniIn)
     val voc = broadcast(uni.agg(count(lit(1)).as("v")))
-    // Size-DERIVED unigram-model join strategy (round 13, the d16
-    // df-table move): the seg-token unigram vocab is bounded on
-    // natural text (Han segments to single chars, ~10^4 distinct;
-    // alphabetic words Zipf-cap around 10^5-10^6 under any one LM's
-    // training slice), so broadcasting it back onto the gram stream
-    // is the right default — but a pathological corpus (hash-like
-    // tokens, base64 blobs) grows the vocab without bound, and a
-    // HINTED broadcast would then OOM the driver. The model is cached
-    // anyway, so one vocabulary count is free, and the decision reads
-    // the SAME threshold Catalyst plans with (~64 bytes per
-    // (token string, long) hash-relation row); past it the unigram
-    // model falls back to the keyed join the bigram model always
-    // uses. Scores are identical either way (join strategy, not
-    // semantics — spec-pinned like d16's fallback).
-    val a0 = uni.crossJoin(voc)
+    // Size-DERIVED unigram-model join strategy (round 13): the
+    // seg-token unigram vocab is bounded on natural text (Han
+    // segments to single chars, ~10^4 distinct; alphabetic words
+    // Zipf-cap around 10^5-10^6 under any one LM's training slice),
+    // so broadcasting it back onto the gram stream is the right
+    // common case — but a pathological corpus (hash-like tokens,
+    // base64 blobs) grows the vocab without bound, and the round-12
+    // HINTED broadcast would then OOM the driver. The bound is
+    // enforced by AQE, not a hint: with no broadcast hint, the
+    // runtime measures the model-side exchange's ACTUAL size and
+    // converts to a broadcast join only under
+    // spark.sql.autoBroadcastJoinThreshold (a driver-side count-job
+    // variant of this decision measured +0.6 s per invocation at
+    // sf0.1 — the AQE form is free). Scores are identical either way
+    // (join strategy, not semantics — spec-pinned under a forced-tiny
+    // threshold, the d16 fallback discipline).
+    val a = uni.crossJoin(voc)
       .select(col("w").as("w1"),
         q6(log((col("c1") + col("v")).cast("double"))).as("a6"))
-    val bcastBytes =
-      org.apache.spark.sql.GraftShim.autoBroadcastBytes(d.sparkSession)
-    val a =
-      if (bcastBytes >= 0 && uni.count() * 64L <= bcastBytes) broadcast(a0)
-      else a0
     val b = bigIn.select(col("w1"), col("w2"),
       q6(log((col("c2") + lit(1)).cast("double"))).as("b6"))
     val scored = graft.Caches.shared(lmGrams(d)
@@ -383,18 +380,14 @@ object TextQueries {
       .groupBy("lang", "w").agg(count(lit(1)).as("c1")))
     val voc = broadcast(uni.groupBy("lang").agg(count(lit(1)).as("v")))
     // size-derived broadcast-vs-join for the per-language unigram
-    // model — same rationale and threshold as [[lmPerplexity]]
-    // (round 13); the per-language vocab bound (~10^4·langs for
-    // char-level Han segs) makes broadcast the common case, the
-    // fallback keeps a pathological vocab off the driver
-    val a0 = uni.join(voc, "lang")
+    // model — same AQE mechanism and rationale as [[lmPerplexity]]
+    // (round 13): no hint, the runtime converts to broadcast from the
+    // exchange's measured size; the per-language vocab bound
+    // (~10^4·langs for char-level Han segs) makes that the common
+    // case, and a pathological vocab stays off the driver
+    val a = uni.join(voc, "lang")
       .select(col("lang"), col("w").as("w1"),
         q6(log((col("c1") + col("v")).cast("double"))).as("a6"))
-    val bcastBytes = org.apache.spark.sql.GraftShim
-      .autoBroadcastBytes(dIn.sparkSession)
-    val a =
-      if (bcastBytes >= 0 && uni.count() * 64L <= bcastBytes) broadcast(a0)
-      else a0
     def grams(df: DataFrame) = df
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.piecePairs(col("tk"))).as("p"))
