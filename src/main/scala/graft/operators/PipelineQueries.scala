@@ -287,6 +287,32 @@ object PipelineQueries {
       everyNth = 2, minShared = 2)
   }
 
+  /** d22's rollup fold — ONE definition for the batch query and the
+    * streaming from-states face: union the labeled decision tables
+    * (asset_id, rep_id, kept), fold cluster sizes per
+    * (modality, rep_id), then the per-modality audit row. Two keyed
+    * aggregations, both partial map-side. */
+  private[graft] def dedupAuditRollup(
+      decisions: Seq[(String, DataFrame)]): DataFrame = {
+    val all = decisions
+      .map { case (m, df) => df.select(lit(m).as("modality"),
+        col("asset_id"), col("rep_id"), col("kept")) }
+      .reduce(_ unionByName _)
+    val cs = all.groupBy("modality", "rep_id").agg(
+      count(lit(1)).as("sz"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
+    cs.groupBy("modality").agg(
+        sum("sz").as("n_items"),
+        sum("k").as("n_kept"),
+        (sum("sz") - sum("k")).as("n_removed"),
+        round((sum("sz") - sum("k")).cast("double") / sum("sz"), 6)
+          .as("removal_rate"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
+        max("sz").as("max_cluster"))
+      .orderBy("modality")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R1–R7 + C1/C2 + E2 end-to-end: chunk + embed the documents table
     // at query time, then exact cosine top-k for a fixed query.
@@ -445,30 +471,13 @@ object PipelineQueries {
     // ORACLE-CHECKED end-to-end: the audit oracle re-runs all four
     // replay chains (prefixed into one WITH RECURSIVE) and folds the
     // same rollup — nothing is inlined from the engine.
-    "d22_dedup_audit" -> ((s, dir) => {
-      val all = Seq(
-          "text" -> TextQueries.d12Decision(s, dir),
-          "image" -> graft.multimodal.Multimodal.imageDedup(
-            m8PlantedAssets(s, dir), maxDist = 3),
-          "audio" -> m10Decision(s, dir),
-          "video" -> m11Decision(s, dir))
-        .map { case (m, df) => df.select(lit(m).as("modality"),
-          col("asset_id"), col("rep_id"), col("kept")) }
-        .reduce(_ unionByName _)
-      val cs = all.groupBy("modality", "rep_id").agg(
-        count(lit(1)).as("sz"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
-      cs.groupBy("modality").agg(
-          sum("sz").as("n_items"),
-          sum("k").as("n_kept"),
-          (sum("sz") - sum("k")).as("n_removed"),
-          round((sum("sz") - sum("k")).cast("double") / sum("sz"), 6)
-            .as("removal_rate"),
-          count(lit(1)).as("n_clusters"),
-          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
-          max("sz").as("max_cluster"))
-        .orderBy("modality")
-    }),
+    "d22_dedup_audit" -> ((s, dir) =>
+      dedupAuditRollup(Seq(
+        "text" -> TextQueries.d12Decision(s, dir),
+        "image" -> graft.multimodal.Multimodal.imageDedup(
+          m8PlantedAssets(s, dir), maxDist = 3),
+        "audio" -> m10Decision(s, dir),
+        "video" -> m11Decision(s, dir)))),
 
     // M6: REAL container frame sampling — each asset is an actual zip
     // archive of PNG key-frames; the sampler streams the zip

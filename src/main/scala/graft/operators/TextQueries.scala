@@ -1679,30 +1679,7 @@ object TextQueries {
         .join(labels, "doc_id")
       val scored =
         qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
-      def cnt(p: org.apache.spark.sql.Column) =
-        sum(when(p, 1L).otherwise(0L))
-      scored.join(labels, "doc_id")
-        .filter(pmod(col("doc_id"), lit(3)) === 2)
-        .agg(
-          count(lit(1)).as("n_holdout"),
-          cnt(col("keep") && col("pred_keep")).as("tp"),
-          cnt(!col("keep") && col("pred_keep")).as("fp"),
-          cnt(col("keep") && !col("pred_keep")).as("fn"),
-          cnt(!col("keep") && !col("pred_keep")).as("tn"))
-        .select(col("n_holdout"), col("tp"), col("fp"), col("fn"), col("tn"),
-          when(col("tp") + col("fp") > 0,
-            round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
-            .as("precision"),
-          when(col("tp") + col("fn") > 0,
-            round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
-            .as("recall"),
-          when(col("n_holdout") > 0,
-            round((col("tp") + col("tn")).cast("double") / col("n_holdout"), 6))
-            .as("accuracy"),
-          when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
-            round((lit(2) * col("tp")).cast("double") /
-              (lit(2) * col("tp") + col("fp") + col("fn")), 6))
-            .as("f1"))
+      qualityConfusion(scored, labels)
     }),
 
     // T45: C4 line-level cleaning (Raffel et al. 2020 §2.2) — the
@@ -2222,7 +2199,7 @@ object TextQueries {
     * table — one row per bounded doc. The d12 query keeps only the
     * kept ids (its historical shape); d22's cross-modality audit
     * reads the whole decision. ONE definition for both. */
-  private[operators] def d12Decision(
+  private[graft] def d12Decision(
       s: SparkSession, dir: String): DataFrame = {
     val bounded = docs(s, dir).filter(col("doc_id") < 1000)
     val pairs = Dedup.ngramJaccardPairs(bounded, "doc_id", "text",
@@ -2316,6 +2293,42 @@ object TextQueries {
       |   CAST(SUM(m * (COALESCE(bk6, 0) - COALESCE(bd6, 0))) AS BIGINT)
       |    AS bdiff
       |  FROM g LEFT JOIN mdl USING (tok) GROUP BY doc_id)""".stripMargin
+
+  /** t49's evaluation fold — ONE definition for the batch query and
+    * the streaming from-state face: join `scored` (t48's output
+    * shape, pred_keep per doc) to the rule `labels` (doc_id, keep),
+    * restrict to the HELD-OUT doc_id%3==2 slice, and fold the
+    * confusion matrix plus count/count operating metrics into one
+    * row. F1 via its harmonic identity 2tp/(2tp+fp+fn) stays
+    * count/count, so no ratio can hit the cross-engine rounding-tie
+    * class. */
+  private[graft] def qualityConfusion(
+      scored: DataFrame, labels: DataFrame): DataFrame = {
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    scored.join(labels, "doc_id")
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .agg(
+        count(lit(1)).as("n_holdout"),
+        cnt(col("keep") && col("pred_keep")).as("tp"),
+        cnt(!col("keep") && col("pred_keep")).as("fp"),
+        cnt(col("keep") && !col("pred_keep")).as("fn"),
+        cnt(!col("keep") && !col("pred_keep")).as("tn"))
+      .select(col("n_holdout"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"),
+        when(col("n_holdout") > 0,
+          round((col("tp") + col("tn")).cast("double") / col("n_holdout"), 6))
+          .as("accuracy"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round((lit(2) * col("tp")).cast("double") /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 6))
+          .as("f1"))
+  }
 
   /** t48's exact integer log-odds over `sc`/`cn`/`dc` columns. */
   private lazy val t48LogOddsSql: String =

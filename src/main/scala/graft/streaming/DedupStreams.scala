@@ -382,4 +382,26 @@ object DedupStreams {
       maxDist: Int = 3): Option[DataFrame] =
     Cdc.readRollup(spark, statePath).map(st =>
       graft.multimodal.Multimodal.fingerprintDedup(st, maxDist))
+
+  /** d22's cross-modality dedup AUDIT from the committed media states
+    * (round 13 — the audit rung's streaming face): image pHash, audio
+    * fingerprint and video frame-hash states each yield their collapse
+    * decision with ZERO re-decode (ingest paid the codec work once),
+    * an optional text decision table rides along, and the rollup is
+    * the SAME `dedupAuditRollup` the batch d22 folds — the report a
+    * pipeline operator reads continuously as the corpus streams in.
+    * None until at least one media state has committed a batch. */
+  def dedupAuditFromStates(
+      spark: SparkSession, phashState: String, audioState: String,
+      videoState: String,
+      textDecision: Option[DataFrame] = None): Option[DataFrame] = {
+    val media = Seq(
+      "image" -> imageDedupFromState(spark, phashState),
+      "audio" -> audioDedupFromState(spark, audioState),
+      "video" -> videoDedupFromState(spark, videoState))
+      .collect { case (m, Some(df)) => m -> df }
+    val all = media ++ textDecision.map("text" -> _).toSeq
+    if (all.isEmpty) None
+    else Some(graft.operators.PipelineQueries.dedupAuditRollup(all))
+  }
 }

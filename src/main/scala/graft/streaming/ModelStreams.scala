@@ -175,4 +175,16 @@ object ModelStreams {
         st.filter(col("kind") === "doc")
           .select(col("keep"), col("c").as("nd")))
     }
+
+  /** t49's evaluation rollup from the streamed count state (round 13
+    * — the classifier-gate family's last streaming face): score `d`
+    * through [[qualityFromState]] and fold the held-out confusion
+    * matrix + metrics through the SAME `qualityConfusion` the batch
+    * query uses. `labels` is the rule-label table (doc_id, keep);
+    * None until a first training batch commits. */
+  def qualityEvalFromState(
+      spark: SparkSession, statePath: String, d: DataFrame,
+      labels: DataFrame): Option[DataFrame] =
+    qualityFromState(spark, statePath, d)
+      .map(scored => TextQueries.qualityConfusion(scored, labels))
 }

@@ -303,4 +303,71 @@ class Round13OpsSpec extends AnyFunSuite {
     } finally Seq(segPath, plainPath).foreach(p =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
+
+  private def foldStream(
+      src: DataFrame, tmp: String,
+      start: (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    src.repartition(3).write.parquet(s"$tmp/src")
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/src")
+    start(raw, s"$tmp/state", s"$tmp/ckpt").awaitTermination()
+  }
+
+  test("t49 streaming face: evaluation from folded count state == batch t49") {
+    import graft.streaming.ModelStreams
+    import graft.operators.{TextAnalysis, TextQueries}
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t49stream").toString
+    try {
+      foldStream(Tables.load(s, sfDir, "documents")
+          .select("doc_id", "text").filter(col("doc_id") % 3 === 0),
+        tmp, ModelStreams.streamingQualityCounts)
+      val docs = Tables.load(s, sfDir, "documents")
+      val d = docs.select(col("doc_id"),
+        TextAnalysis.segTokens(col("text")).as("tk"))
+      val streamed = ModelStreams.qualityEvalFromState(s, s"$tmp/state", d,
+        TextQueries.qualityLabels(docs.select("doc_id", "text")))
+      assert(streamed.isDefined, "no committed quality-count state")
+      def row(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+      assert(row(streamed.get) ==
+        row(SparkEntry.queries("t49_quality_eval")(s, sfDir)))
+      Caches.release(s)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("d22 streaming face: audit from the three folded media states == batch d22") {
+    import graft.streaming.DedupStreams
+    import graft.operators.{PipelineQueries, TextQueries}
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d22stream").toString
+    try {
+      // fold each modality's ingest stream into its committed state —
+      // the same plumbing the per-modality stream specs pin
+      foldStream(PipelineQueries.m8PlantedAssets(s, sfDir),
+        s"$tmp/img", DedupStreams.streamingPhashes)
+      foldStream(PipelineQueries.m10PlantedAssets(s, sfDir),
+        s"$tmp/aud", DedupStreams.streamingAudioFps)
+      val d = Tables.load(s, sfDir, "documents")
+        .select(col("doc_id"), (col("doc_id") - col("doc_id") % 3).as("fid"))
+      val base = graft.multimodal.Multimodal.syntheticVideoAssets(
+        d.select(col("fid").as("doc_id")).distinct(), "doc_id")
+      foldStream(d.join(base.withColumnRenamed("asset_id", "fid"), "fid")
+          .select(col("doc_id").as("asset_id"), col("content"), col("meta")),
+        s"$tmp/vid", (df, st, ck) =>
+          DedupStreams.streamingVideoFrameHashes(df, st, ck))
+      val streamed = DedupStreams.dedupAuditFromStates(s,
+        s"$tmp/img/state", s"$tmp/aud/state", s"$tmp/vid/state",
+        textDecision = Some(TextQueries.d12Decision(s, sfDir)))
+      assert(streamed.isDefined, "no committed media states")
+      def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+      assert(rows(streamed.get) ==
+        rows(SparkEntry.queries("d22_dedup_audit")(s, sfDir)))
+      Caches.release(s)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
 }
