@@ -94,6 +94,10 @@ object Bench {
     "t45_c4_cleaning", // C4 line rules: planted lines + HOF filter, 0-shuffle
     "t47_perlang_perplexity", // per-lang LM: lang-keyed model join + window
     "t48_quality_classifier") // NB distillation: tok-joined model scoring
+  // m12 stays out of the headline: its cost is m4/m5's real PNG
+  // decode (headlined twice) plus a ≤36-pixel resample loop — no new
+  // plan family; oracle-checked (full pixel-chain replay) + the dims
+  // spec.
   // t49 stays out of the headline: it is t48's full scoring pass
   // (headlined) plus one keyed filter + one global 4-long aggregate —
   // no new plan family; oracle-checked + fixture-gated.

@@ -258,6 +258,70 @@ object Multimodal {
     * 1 + id % 16, height = 1 + id % 8 — with a deterministic pixel
     * fill. Dims being pure functions of the id is what lets a SQL
     * oracle verify the DECODER recovered them (m4). */
+  private val ResizeSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("luma_sum", LongType, nullable = false)))
+
+  /** REAL image resize (m12 — completes the multimodal PREPROCESS
+    * ladder: m4 decode → m5 fingerprint → m12 resize → m2/m6 frame
+    * sample): decode each image asset with the actual codec
+    * (javax.imageio), downscale to fit a `maxDim` box preserving
+    * aspect ratio (never upscale; dims floor at 1), and emit the
+    * resized geometry plus an exact integer luminance sum over the
+    * resized pixels — the thumbnail/normalization pass every vision
+    * training pipeline runs before feature extraction. The resample
+    * is an EXPLICIT nearest-neighbor map (source pixel
+    * (x'·w / out_w, y'·h / out_h), integer floor division — the same
+    * published convention m5's dHash grid uses), so a second engine
+    * can recompute every resized pixel arithmetically for the
+    * synthetic corpus: the oracle pins the whole
+    * encode→PNG→decode→dim-math→resample→luma chain, not just the
+    * output shape. Scale shape: batched narrow mapPartitions like
+    * every decode rung — the byte column never shuffles, per-asset
+    * work is bounded by out_w·out_h ≤ maxDim², undecodable assets
+    * contribute no rows. */
+  def resizeImages(assets: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1)
+    val spark = assets.sparkSession
+    val rows = assets
+      .filter(col("meta.media_type") === "image")
+      .select(col("asset_id"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val img = try {
+            javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          } catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val mx = math.max(w, h)
+            val ow = if (mx <= maxDim) w else math.max(1, w * maxDim / mx)
+            val oh = if (mx <= maxDim) h else math.max(1, h * maxDim / mx)
+            var luma = 0L
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                val rgb = img.getRGB(x * w / ow, y * h / oh)
+                luma += (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            Some(Row(r.getLong(0), w, h, ow, oh, luma))
+          }
+        }
+      }
+    spark.createDataFrame(rows, ResizeSchema)
+  }
+
   def syntheticPngAssets(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     // spread the codec work: the id projection is tiny, but a

@@ -378,6 +378,23 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
+    // M12: REAL image resize (round 13) — the preprocessing rung the
+    // multimodal ladder was missing (decode m4 → fingerprint m5 →
+    // RESIZE → frame-sample m2/m6): downscale every image to fit a
+    // 6-px box, aspect preserved, never upscaled, dims floored at 1,
+    // with an explicit nearest-neighbor resample over the REAL
+    // decoded pixels. The oracle recomputes the integer dim math AND
+    // every resampled pixel's luminance from the synthetic fill
+    // formula — any loss anywhere in the
+    // encode→PNG→decode→resize→resample chain breaks the hash (the
+    // m5 discipline applied to the thumbnail pass).
+    "m12_image_resize" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticPngAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.resizeImages(assets, maxDim = 6)
+        .orderBy("asset_id")
+    }),
+
     // M8: image NEAR-DUP pairs — the multimodal rung of the dedup
     // ladder: re-crawled/re-saved copies of one image share a
     // perceptual hash even when their bytes differ, and production
@@ -738,6 +755,32 @@ object PipelineQueries {
         | CAST(1 + doc_id % 8 AS INT) AS height,
         | TRUE AS decoded
         | FROM documents ORDER BY asset_id""".stripMargin.replaceAll("\n", ""),
+    // m12: the resize re-derived in SQL — the aspect-fit integer dim
+    // math (never upscale, floor at 1), the nearest-neighbor source
+    // map (x'·w // out_w), the synthetic pixel fill at each SAMPLED
+    // coordinate, and the integer luminance sum.
+    "m12_image_resize" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h
+        |  FROM documents),
+        | dims AS (SELECT doc_id, w, h,
+        |   CASE WHEN GREATEST(w, h) <= 6 THEN w
+        |    ELSE GREATEST(1, (w * 6) // GREATEST(w, h)) END AS ow,
+        |   CASE WHEN GREATEST(w, h) <= 6 THEN h
+        |    ELSE GREATEST(1, (h * 6) // GREATEST(w, h)) END AS oh
+        |  FROM d),
+        | px AS (SELECT doc_id, w, h, ow, oh,
+        |   ((doc_id * 2654435761
+        |     + ((ux.x * w) // ow) * 97 + ((uy.y * h) // oh) * 31)
+        |    & 16777215) AS v
+        |  FROM dims, UNNEST(range(0, ow)) AS ux(x),
+        |   UNNEST(range(0, oh)) AS uy(y))
+        | SELECT doc_id AS asset_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(SUM((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+        |    + (v & 255) * 114) // 1000) AS BIGINT) AS luma_sum
+        | FROM px GROUP BY 1, 2, 3, 4, 5
+        | ORDER BY asset_id""".stripMargin.replaceAll("\n", ""),
     // m5: the full dHash re-derived in SQL — the synthetic pixel fill
     // (id·2654435761 + 97·px + 31·py) & 0xffffff, the 9×8 nearest-
     // neighbor grid, the integer luminance, and all 64 comparison bits

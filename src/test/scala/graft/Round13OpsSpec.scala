@@ -316,6 +316,29 @@ class Round13OpsSpec extends AnyFunSuite {
     start(raw, s"$tmp/state", s"$tmp/ckpt").awaitTermination()
   }
 
+  test("m12 resize: aspect-fit dims (never upscale, floor 1); corrupt image contributes no row") {
+    val s = spark; import s.implicits._
+    // ids pick known source dims: 15 → 16×8 (downscale), 0 → 1×1
+    // (unchanged), 5 → 6×6 (exactly at the box), 9 → 10×2 (floor case)
+    val assets = Multimodal.syntheticPngAssets(
+      Seq(15L, 0L, 5L, 9L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.resizeImages(assets, maxDim = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(15L) == ((16, 8, 6, 3)), "16x8 fits 6 as 6x3")
+    assert(out(0L) == ((1, 1, 1, 1)), "small images never upscale")
+    assert(out(5L) == ((6, 6, 6, 6)), "at-the-box images pass through")
+    assert(out(9L) == ((10, 2, 6, 1)), "thin images floor at 1, not 0")
+    // corrupt bytes → no row (the decode-ladder contract)
+    val corrupt = assets.select(col("asset_id"),
+        when(col("asset_id") === 15L,
+          lit("not a png".getBytes)).otherwise(col("content")).as("content"),
+        col("meta"))
+    val survived = Multimodal.resizeImages(corrupt, maxDim = 6)
+      .select("asset_id").collect().map(_.getLong(0)).toSet
+    assert(survived == Set(0L, 5L, 9L))
+  }
+
   test("t49 streaming face: evaluation from folded count state == batch t49") {
     import graft.streaming.ModelStreams
     import graft.operators.{TextAnalysis, TextQueries}
