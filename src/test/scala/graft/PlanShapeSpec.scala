@@ -707,6 +707,31 @@ class PlanShapeSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("t49 quality eval: one global fold, no cartesian, constants broadcast") {
+    // the evaluation is t48's scoring pass + one keyed filter + one
+    // global aggregate — the class constants still ride the 1-row
+    // broadcast convention, and nothing may plan a corpus cartesian
+    val p = planOf("t49_quality_eval")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    Caches.release(spark)
+  }
+
+  test("m12 image resize: pure map stage — no exchange except the output sort") {
+    // decode + resample happen inside the narrow mapPartitions; the
+    // only exchange allowed is the deterministic output ordering's
+    // range partitioning (and AQE's read coalescing around it)
+    val df = SparkEntry.queries("m12_image_resize")(spark, sfDir)
+    df.collect()
+    val shuffles = deepCollect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"resize must not shuffle before the output sort:\n$shuffles")
+    Caches.release(spark)
+  }
+
   test("m11 video dedup: frameset classes shuffle on the FIXED-WIDTH hashed key, never the sig string") {
     // the exact-frameset signature is an unbounded sorted hash-set
     // string (~20 bytes × sampled frames — a 70 KB shuffle key for a

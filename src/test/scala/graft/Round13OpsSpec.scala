@@ -339,6 +339,56 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(survived == Set(0L, 5L, 9L))
   }
 
+  test("m12 resize ≡ straight-line reference on random real images") {
+    import org.scalacheck.Gen
+    val s = spark; import s.implicits._
+    val dimGen = for {
+      w <- Gen.chooseNum(1, 32); h <- Gen.chooseNum(1, 32)
+      seed <- Gen.chooseNum(0, 1 << 20)
+    } yield (w, h, seed)
+    SparkTestSession.forAll(Gen.listOfN(6, dimGen), n = 5) { cases =>
+      // build REAL PNGs with arbitrary (not corpus-formula) pixels and
+      // compare the distributed kernel against a direct computation
+      val imgs = cases.zipWithIndex.map { case ((w, h, seed), i) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rnd = new scala.util.Random(seed)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+        (i.toLong, img)
+      }
+      def ref(id: Long, img: java.awt.image.BufferedImage, maxDim: Int) = {
+        val w = img.getWidth; val h = img.getHeight
+        val mx = math.max(w, h)
+        val ow = if (mx <= maxDim) w else math.max(1, w * maxDim / mx)
+        val oh = if (mx <= maxDim) h else math.max(1, h * maxDim / mx)
+        val luma = (for (y <- 0 until oh; x <- 0 until ow) yield {
+          val rgb = img.getRGB(x * w / ow, y * h / oh)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000L
+        }).sum
+        (id, w, h, ow, oh, luma)
+      }
+      val assets = imgs.map { case (id, img) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }.toDF("asset_id", "content")
+        .select(col("asset_id"), col("content"),
+          struct(lit("image").as("media_type"),
+            lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(null).cast("int").as("sample_rate"),
+            lit(null).cast("long").as("duration_ms")).as("meta"))
+      val got = Multimodal.resizeImages(assets, maxDim = 6)
+        .orderBy("asset_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getLong(5))).toSeq
+      val want = imgs.map { case (id, img) => ref(id, img, 6) }
+      assert(got == want, s"cases=$cases")
+    }
+  }
+
   test("t49 streaming face: evaluation from folded count state == batch t49") {
     import graft.streaming.ModelStreams
     import graft.operators.{TextAnalysis, TextQueries}
