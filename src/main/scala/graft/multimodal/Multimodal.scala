@@ -606,8 +606,14 @@ object Multimodal {
             if (fmt.getEncoding ==
                 javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
               fmt.getSampleSizeInBits == 16 && fmt.getFrameSize >= 2) {
-              val bytes = ais.readAllBytes()
               val stride = fmt.getFrameSize // bytes per frame (all channels)
+              // a bounded caller (m10 reads 66 windows) decodes only
+              // the PREFIX it needs — on a multi-hour recording the
+              // fingerprint then reads ~132 frames, not the stream
+              val bytes =
+                if (maxWindows <= Int.MaxValue / windowSamples / stride)
+                  ais.readNBytes(maxWindows * windowSamples * stride)
+                else ais.readAllBytes()
               val n = bytes.length / stride
               var w = 0
               while (w * windowSamples < n && w < maxWindows) {
