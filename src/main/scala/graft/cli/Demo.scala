@@ -216,8 +216,24 @@ object Demo {
         val existed = fs.delete(p, true)
         println(s"[purge] ${flags("store")} deleted=$existed")
 
+      case "audit" =>
+        // d22: the cross-modality dedup audit — the report an operator
+        // reads BEFORE committing a dedup pass, as a CLI surface
+        val hdr = Seq("modality", "items", "kept", "removed", "rate",
+          "clusters", "dup_cl", "max")
+        println("[audit] " + hdr.map(h => f"$h%9s").mkString(" "))
+        graft.SparkEntry.queries("d22_dedup_audit")(spark, flags("dir"))
+          .collect().foreach { r =>
+            val cells = Seq(r.getString(0), r.getLong(1).toString,
+              r.getLong(2).toString, r.getLong(3).toString,
+              f"${r.getDouble(4)}%.4f", r.getLong(5).toString,
+              r.getLong(6).toString, r.getLong(7).toString)
+            println("[audit] " + cells.map(c => f"$c%9s").mkString(" "))
+          }
+
       case other => sys.error(
-        s"unknown mode '$other' (expected import|import-dir|search|generate|scan|compact|purge|demo)")
+        s"unknown mode '$other' (expected import|import-dir|search|" +
+          "generate|scan|compact|purge|audit|demo)")
     }
   }
 

@@ -389,6 +389,19 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CLI audit mode prints the four-modality report") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      graft.cli.Demo.run(spark, "audit", Map("dir" -> sfDir))
+    }
+    val lines = buf.toString("UTF-8").linesIterator
+      .filter(_.startsWith("[audit]")).toSeq
+    assert(lines.size == 5, s"header + 4 modality rows: $lines")
+    for (m <- Seq("text", "image", "audio", "video"))
+      assert(lines.exists(_.contains(m)), s"missing $m row in:\n$lines")
+    Caches.release(spark)
+  }
+
   test("t49 streaming face: evaluation from folded count state == batch t49") {
     import graft.streaming.ModelStreams
     import graft.operators.{TextAnalysis, TextQueries}
