@@ -64,21 +64,81 @@ object Sources {
     def toText(content: Array[Byte]): String
   }
 
-  /** Default formats: utf-8 passthrough for plain text and Markdown;
+  /** Default formats: utf-8 passthrough for plain text; Markdown goes
+    * through [[markdownToText]] (round 13 — the reference's pipeline
+    * converts EPUB→pandoc MARKDOWN before chunking, so .md is the
+    * intermediate format its users already hold; ingesting it raw
+    * would push header/emphasis/link markup straight into the token
+    * stream);
     * standalone HTML goes through the SAME markup stripper the EPUB
-    * converter uses — a crawl-shaped .html ingested raw would carry
-    * its tags, scripts and styles straight into the token stream. */
-  val TextFormats: Seq[SourceFormat] = Seq("text/plain", "text/markdown")
-    .map { m =>
-      new SourceFormat {
-        val mime: String = m
-        def toText(content: Array[Byte]): String = new String(content, "UTF-8")
-      }
-    } :+ new SourceFormat {
+    * converter uses. */
+  val TextFormats: Seq[SourceFormat] = Seq(
+    new SourceFormat {
+      val mime: String = "text/plain"
+      def toText(content: Array[Byte]): String = new String(content, "UTF-8")
+    },
+    new SourceFormat {
+      val mime: String = "text/markdown"
+      def toText(content: Array[Byte]): String =
+        markdownToText(new String(content, "UTF-8"))
+    },
+    new SourceFormat {
       val mime: String = "text/html"
       def toText(content: Array[Byte]): String =
         htmlToLines(new String(content, "UTF-8"))
+    })
+
+  /** Markdown → prose text (line-structured, like [[htmlToLines]]):
+    * strips the markup a pandoc-produced document carries while
+    * keeping every word of prose. Deliberately CONSERVATIVE — an
+    * over-eager stripper that eats `snake_case` or math is worse than
+    * a leftover asterisk:
+    *  - fenced code blocks (``` / ~~~): fence lines drop, contents
+    *    pass through VERBATIM (no marker stripping inside — code is
+    *    content, pandoc's plain writer keeps it too);
+    *  - ATX headers: leading `#`s + trailing closing `#`s strip;
+    *  - setext underlines / thematic breaks (`===`, `---`, `***`
+    *    lines) drop — the header text line above already carries the
+    *    words;
+    *  - blockquote `>` markers and list bullets/numbers strip at line
+    *    start;
+    *  - images `![alt](url)` keep the alt, links `[text](url)` /
+    *    `[text][ref]` keep the text, autolinks `<http://x>` keep the
+    *    url;
+    *  - inline code backticks strip (content kept);
+    *  - `*`/`**` emphasis markers strip; `_` strips ONLY when it
+    *    wraps a word (`\b_x_\b`) so identifiers like `snake_case`
+    *    survive. */
+  def markdownToText(md: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inFence = false
+    var fenceChar = ' '
+    for (line <- md.replace("\r\n", "\n").split("\n", -1)) {
+      val t = line.trim
+      val fenceOpen = t.startsWith("```") || t.startsWith("~~~")
+      if (fenceOpen && !inFence) { inFence = true; fenceChar = t.head }
+      else if (inFence && t.nonEmpty && t.forall(_ == fenceChar) ||
+          (inFence && fenceOpen && t.head == fenceChar)) inFence = false
+      else if (inFence) out += line
+      else if (t.matches("(=+|-{3,}|\\*{3,}|_{3,})\\s*")) () // rule/underline
+      else {
+        var s = line
+        s = s.replaceAll("^\\s{0,3}#{1,6}\\s+", "")   // ATX header open
+          .replaceAll("\\s+#+\\s*$", "")              // ATX closing #s
+          .replaceAll("^\\s{0,3}(>\\s?)+", "")        // blockquotes
+          .replaceAll("^\\s*([-*+]|\\d{1,3}\\.)\\s+", "") // list markers
+        s = s.replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1") // images
+          .replaceAll("\\[([^\\]]+)\\]\\([^)]*\\)", "$1")     // inline links
+          .replaceAll("\\[([^\\]]+)\\]\\[[^\\]]*\\]", "$1")   // ref links
+          .replaceAll("<(https?://[^>\\s]+)>", "$1")          // autolinks
+          .replace("`", "")                                    // inline code
+          .replace("*", "")                                    // emphasis
+          .replaceAll("\\b_([^_\\s][^_]*)_\\b", "$1")          // _word_
+        out += s
+      }
     }
+    out.mkString("\n").replaceAll("\n{3,}", "\n\n").trim
+  }
 
   /** S3 in-engine: pure-JVM EPUB→text. An EPUB is a zip of XHTML
     * content documents (plus css/images/opf bookkeeping); extraction =

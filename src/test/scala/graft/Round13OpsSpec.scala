@@ -389,6 +389,44 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("markdownToText: markup strips, prose and code content survive verbatim") {
+    import graft.sources.Sources
+    val md =
+      """# Title #
+        |
+        |Some *bold* and **bolder** prose with `inline_code` kept.
+        |
+        |Setext Header
+        |=============
+        |
+        |> quoted _emphasis_ line
+        |
+        |- item one with [a link](http://x/y)
+        |2. item two with ![alt text](img.png)
+        |
+        |```scala
+        |val snake_case = "# not a header *here*"
+        |```
+        |
+        |---
+        |
+        |ref [style][1] and auto <http://auto.example/z> done.""".stripMargin
+    val txt = Sources.markdownToText(md)
+    assert(txt.startsWith("Title\n"), txt.take(40))
+    assert(txt.contains("Some bold and bolder prose with inline_code kept."))
+    assert(txt.contains("Setext Header") && !txt.contains("====="))
+    assert(txt.contains("quoted emphasis line") && !txt.contains("> quoted"))
+    assert(txt.contains("item one with a link") && !txt.contains("http://x/y"))
+    assert(txt.contains("item two with alt text"))
+    // fenced content passes VERBATIM — no header/emphasis stripping inside
+    assert(txt.contains("val snake_case = \"# not a header *here*\""))
+    assert(!txt.contains("```") && !txt.contains("\n---"))
+    assert(txt.contains("ref style and auto http://auto.example/z done."))
+    // the scan route: .md files now arrive converted
+    assert(Sources.TextFormats.find(_.mime == "text/markdown").get
+      .toText("# h\nbody _x_".getBytes("UTF-8")) == "h\nbody x")
+  }
+
   test("CLI audit mode prints the four-modality report") {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
