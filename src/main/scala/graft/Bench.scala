@@ -230,15 +230,18 @@ object Bench {
       catch { case _: Throwable => -1 }
 
     val loadStart = loadAvg1m()
-    // per-QUERY loadavg provenance (round 13): round 12's bench showed
-    // a contended stretch (t31/d20/v24 2-3× their quiet minima) inside
-    // an otherwise-clean run, and the judge had to re-time by hand to
-    // rule out regressions — the per-query pre-trial loadavg localizes
-    // ambient load to the entries it actually touched
+    // per-TRIAL loadavg provenance (round 14; per-query in round 13):
+    // round 13's bench had a contended stretch whose spikes (one
+    // 11.6 s trial of a 0.7 s query) a single pre-query sample lags —
+    // sampling before EVERY trial lets a reader attribute any single
+    // outlier trial to ambient load without hand re-timing
     val results = Headline.filter(SparkEntry.queries.contains).map { name =>
-      val loadQ = loadAvg1m()
-      val trials = Seq.fill(3)(timeOnce(name))
-      (name, if (trials.exists(_ < 0)) -1.0 else trials.min, trials, loadQ)
+      val trials = Seq.fill(3) {
+        val l = loadAvg1m(); (l, timeOnce(name))
+      }
+      val times = trials.map(_._2)
+      (name, if (times.exists(_ < 0)) -1.0 else times.min, times,
+        trials.map(_._1))
     }
     val loadEnd = loadAvg1m()
 
@@ -250,7 +253,11 @@ object Bench {
         "\"" + k + "\":" + t.map(x => f"$x%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val loads = results
-      .map { case (k, _, _, l) => "\"" + k + "\":" + f"$l%.2f" }
+      .map { case (k, _, _, ls) => "\"" + k + "\":" + f"${ls.head}%.2f" }
+      .mkString("{", ",", "}")
+    val trialLoads = results
+      .map { case (k, _, _, ls) =>
+        "\"" + k + "\":" + ls.map(x => f"$x%.2f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // explicit provenance for every bench-only shape override: a reader
@@ -259,7 +266,7 @@ object Bench {
     // plan is spec-pinned — Round9OpsSpec "s21 bench override")
     val ov = Headline.filter(BenchOverrides.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","overrides":$ov,"loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"java_procs":${javaProcs()},"loadavg_per_query":$loads,"trials":$ts}""")
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","overrides":$ov,"loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"java_procs":${javaProcs()},"loadavg_per_query":$loads,"loadavg_per_trial":$trialLoads,"trials":$ts}""")
     spark.stop()
   }
 }

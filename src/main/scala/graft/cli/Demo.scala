@@ -220,14 +220,17 @@ object Demo {
         // d22: the cross-modality dedup audit — the report an operator
         // reads BEFORE committing a dedup pass, as a CLI surface
         val hdr = Seq("modality", "items", "kept", "removed", "rate",
-          "clusters", "dup_cl", "max")
+          "clusters", "dup_cl", "max", "vol_unit", "vol_total",
+          "vol_rm", "vol_rate")
         println("[audit] " + hdr.map(h => f"$h%9s").mkString(" "))
         graft.SparkEntry.queries("d22_dedup_audit")(spark, flags("dir"))
           .collect().foreach { r =>
-            val cells = Seq(r.getString(0), r.getLong(1).toString,
-              r.getLong(2).toString, r.getLong(3).toString,
-              f"${r.getDouble(4)}%.4f", r.getLong(5).toString,
-              r.getLong(6).toString, r.getLong(7).toString)
+            val cells = Seq(r.getString(0), r.getLong(2).toString,
+              r.getLong(3).toString, r.getLong(4).toString,
+              f"${r.getDouble(5)}%.4f", r.getLong(6).toString,
+              r.getLong(7).toString, r.getLong(8).toString,
+              r.getString(1), r.getLong(9).toString,
+              r.getLong(10).toString, f"${r.getDouble(11)}%.4f")
             println("[audit] " + cells.map(c => f"$c%9s").mkString(" "))
           }
 

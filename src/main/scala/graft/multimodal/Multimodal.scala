@@ -303,12 +303,19 @@ object Multimodal {
             val mx = math.max(w, h)
             val ow = if (mx <= maxDim) w else math.max(1, w * maxDim / mx)
             val oh = if (mx <= maxDim) h else math.max(1, h * maxDim / mx)
+            // ONE bulk raster read, then index — per-pixel getRGB(x,y)
+            // is ~65k bounds-checked colour-model conversions at a
+            // production 256-px thumbnail (round-13 verdict); the bulk
+            // form is the same arithmetic at a fraction of the
+            // per-pixel overhead
+            val buf = img.getRGB(0, 0, w, h, null, 0, w)
             var luma = 0L
             var y = 0
             while (y < oh) {
+              val sy = y * h / oh
               var x = 0
               while (x < ow) {
-                val rgb = img.getRGB(x * w / ow, y * h / oh)
+                val rgb = buf(sy * w + x * w / ow)
                 luma += (((rgb >> 16) & 0xff) * 299 +
                   ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
                 x += 1
@@ -320,6 +327,146 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rows, ResizeSchema)
+  }
+
+  private val ResizeHashSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("h0", IntegerType, nullable = false),
+    StructField("h1", IntegerType, nullable = false),
+    StructField("h2", IntegerType, nullable = false),
+    StructField("h3", IntegerType, nullable = false)))
+
+  /** Fused resize→dHash fingerprint (m13 — the real-pipeline
+    * composition the ladder was missing): production pHash runs on
+    * the NORMALIZED image, so the same picture saved at two
+    * resolutions fingerprints identically — [[imagePhash]] alone
+    * hashes the raw grid and a 2× re-export of an image lands in a
+    * different class. Decode with the real codec, downscale to the
+    * `maxDim` box with [[resizeImages]]' exact nearest-neighbor dim
+    * math (never upscale), then take m5's 9×8-grid dHash over the
+    * RESIZED raster. The two resamples COMPOSE arithmetically —
+    * grid (gx,gy) → resized (gx·ow/9, gy·oh/8) → source
+    * (rx·w/ow, ry·h/oh), all integer floor division — so a second
+    * engine replays every bit from known pixel content. Fused in ONE
+    * narrow batched map: the resized pixel block (≤ maxDim² ints)
+    * never materializes off-heap, bytes never shuffle, per-asset
+    * work is bounded by the 72-cell grid + one bulk raster read.
+    * Undecodable assets emit no row. */
+  def resizeFingerprint(assets: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1)
+    val spark = assets.sparkSession
+    val rows = assets
+      .filter(col("meta.media_type") === "image")
+      .select(col("asset_id"), col("content"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val img = try {
+            javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          } catch { case _: java.io.IOException => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val mx = math.max(w, h)
+            val ow = if (mx <= maxDim) w else math.max(1, w * maxDim / mx)
+            val oh = if (mx <= maxDim) h else math.max(1, h * maxDim / mx)
+            val buf = img.getRGB(0, 0, w, h, null, 0, w)
+            val lum = Array.ofDim[Int](8, 9)
+            var gy = 0
+            while (gy < 8) {
+              val sy = (gy * oh / 8) * h / oh
+              var gx = 0
+              while (gx < 9) {
+                val sx = (gx * ow / 9) * w / ow
+                val rgb = buf(sy * w + sx)
+                lum(gy)(gx) = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                gx += 1
+              }
+              gy += 1
+            }
+            val chunks = new Array[Int](4)
+            var i = 0
+            while (i < 64) {
+              if (lum(i / 8)(i % 8 + 1) > lum(i / 8)(i % 8))
+                chunks(i / 16) |= 1 << (i % 16)
+              i += 1
+            }
+            Some(Row(r.getLong(0), w, h, ow, oh,
+              chunks(0), chunks(1), chunks(2), chunks(3)))
+          }
+        }
+      }
+    spark.createDataFrame(rows, ResizeHashSchema)
+  }
+
+  /** Scale-invariant image dedup (m13): [[resizeFingerprint]] +
+    * the generic [[fingerprintDedup]] collapse, keep policy = the
+    * HIGHEST-RESOLUTION original per cluster (largest source pixel
+    * area, ties min id) — exactly what a training pipeline wants
+    * when one picture exists at thumbnail and full size. */
+  def scaleInvariantImageDedup(
+      assets: DataFrame, maxDim: Int, maxDist: Int = 3): DataFrame =
+    fingerprintDedup(resizeFingerprint(assets, maxDim)
+      .select(Seq(col("asset_id"),
+        (col("width").cast("long") * col("height").cast("long"))
+          .as("score")) ++
+        Seq("h0", "h1", "h2", "h3").map(col): _*), maxDist)
+
+  /** Scale-variant planted PNGs (m13's fixture, the m8 fill-group
+    * precedent taken across RESOLUTIONS): consecutive id PAIRS carry
+    * one picture at two resolutions — the even id is the hi-res
+    * master (16 × 2·h0, h0 = 1 + (g/2) % 4, fill stride 1: pixel =
+    * fill(g, x, y)) and the odd id its nearest-neighbor WEB EXPORT
+    * (8 × h0, stride 2: pixel = fill(g, 2x, 2y)), the "same image
+    * saved at two sizes" shape real crawls contain. The export IS
+    * the master's nearest-neighbor downscale to the 8-box, so
+    * [[resizeFingerprint]](maxDim = 8) normalizes both to the
+    * IDENTICAL raster (the master resamples (x'·16/8, y'·2h0/h0) =
+    * (2x', 2y') — exactly the export's stride) — while raw
+    * [[imagePhash]] samples the master's grid at floor(gx·16/9),
+    * which is NOT 2·floor(gx·8/9), so the unnormalized hashes differ
+    * generically (a downscale does not floor-compose the way an
+    * integer upscale does). Every pixel stays a pure integer function
+    * of (g, x, y), so the oracle replays
+    * encode→decode→resize→dHash→pairs end-to-end. */
+  def syntheticScaledPngAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val g = id - id % 2
+          val h0 = (1 + (g / 2) % 4).toInt
+          val master = id % 2 == 0
+          val st = if (master) 1 else 2
+          val w = if (master) 16 else 8
+          val h = if (master) 2 * h0 else h0
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                ((g * 2654435761L + (x * st) * 97L + (y * st) * 31L)
+                  & 0xffffffL).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray, Row("image", w, h, null, null))
+        }
+      }
+    spark.createDataFrame(rows, AssetSchema)
   }
 
   def syntheticPngAssets(df: DataFrame, idCol: String): DataFrame = {
@@ -832,9 +979,15 @@ object Multimodal {
       .join(classes.select(col("rep").as("asset_id"), col("rep")), "asset_id")
       .select(col("rep"), col("fh")).distinct()
     val repSize = repFh.groupBy("rep").agg(count(lit(1)).as("nfh"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("fh")
-    val pruned = repFh.withColumn("df", count(lit(1)).over(wDf))
-      .filter(col("df") <= maxDf).drop("df")
+    // df prune as an AGGREGATE + join-back (d18's form), never a
+    // Window.partitionBy("fh"): the window would buffer a ubiquitous
+    // hash's ENTIRE partition in one task before the filter drops it —
+    // the exact skew this prune exists to remove. The aggregate
+    // partial-aggs map-side, so a black-frame hash carried by millions
+    // of reps reaches its reducer as one (fh, count) row.
+    val rareFh = repFh.groupBy("fh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fh")
+    val pruned = repFh.join(rareFh, "fh")
     val pairs = pruned.as("x").join(pruned.as("y"),
         col("x.fh") === col("y.fh") && col("x.rep") < col("y.rep"))
       .groupBy(col("x.rep").as("a_id"), col("y.rep").as("b_id"))

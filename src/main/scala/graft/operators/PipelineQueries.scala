@@ -217,6 +217,105 @@ object PipelineQueries {
       |   mem.asset_id = repx.rep_id AS kept
       |  FROM mem JOIN repx USING (label))""".stripMargin
 
+  /** m14's planted image references — ONE column-expression
+    * definition whose byte-exact SQL twin lives in the m14 oracle:
+    * %4==1 docs append TWO markdown images, %8==2 / %8==6 the two
+    * HTML `<img>` attribute orders, %4==3 a figcaption block. */
+  private def m14PlantExpr(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val s = id.cast("string")
+    when(id % 4 === 1, concat(
+        lit(" ![figure "), s, lit(" overview](http://img.example/"), s,
+        lit("/a.png) and ![figure "), s,
+        lit(" detail](http://img.example/"), s, lit("/d.png)")))
+      .when(id % 8 === 2, concat(
+        lit(" <img src=\"http://img.example/"), s,
+        lit("/b.jpg\" alt=\"photo "), s, lit(" closeup\">")))
+      .when(id % 8 === 6, concat(
+        lit(" <img alt=\"photo "), s,
+        lit(" wide\" src=\"http://img.example/"), s, lit("/w.jpg\">")))
+      .when(id % 4 === 3, concat(
+        lit(" <figure><img src=\"http://img.example/"), s,
+        lit("/c.png\"><figcaption>diagram "), s,
+        lit(" caption</figcaption></figure>")))
+      .otherwise(lit(""))
+  }
+
+  /** m13's replay as a CTE block ending in `dec` (asset_id, rep_id,
+    * kept): the scale-pair plant's dims, the resize dim math, the
+    * COMPOSED nearest-neighbor resample (grid → resized → source →
+    * base fill, all integer floor division), the 64 dHash bits,
+    * exact-hash classes, rep-level pigeonhole pairs + Hamming
+    * verify, transitive closure, and the largest-source-area keep. */
+  private lazy val m13DedupCtes: String =
+    s"""dd AS (SELECT doc_id,
+      |   CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS w,
+      |   CASE WHEN doc_id % 2 = 0
+      |    THEN 2 * (1 + ((doc_id - doc_id % 2) // 2) % 4)
+      |    ELSE 1 + ((doc_id - doc_id % 2) // 2) % 4 END AS h,
+      |   doc_id - doc_id % 2 AS g,
+      |   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS sc
+      |  FROM documents),
+      | dim AS (SELECT doc_id, g, sc, w, h,
+      |   CASE WHEN greatest(w, h) <= 8 THEN w
+      |    ELSE greatest(1, (w * 8) // greatest(w, h)) END AS ow,
+      |   CASE WHEN greatest(w, h) <= 8 THEN h
+      |    ELSE greatest(1, (h * 8) // greatest(w, h)) END AS oh
+      |  FROM dd),
+      | gxs AS (SELECT unnest(range(0, 9)) gx),
+      | gys AS (SELECT unnest(range(0, 8)) gy),
+      | lum AS (SELECT doc_id, gx, gy,
+      |   ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+      |     + (v & 255) * 114) // 1000) AS l
+      |  FROM (SELECT doc_id, gx, gy,
+      |    ((g * 2654435761
+      |      + ((((gx * ow) // 9) * w) // ow) * sc * 97
+      |      + ((((gy * oh) // 8) * h) // oh) * sc * 31)
+      |     & 16777215) AS v
+      |   FROM dim CROSS JOIN gxs CROSS JOIN gys)),
+      | bits AS (SELECT a.doc_id, (a.gy * 8 + a.gx) AS i,
+      |   CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.gy = b.gy
+      |   AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      | hf AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h0,
+      |  CAST(SUM(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h1,
+      |  CAST(SUM(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h2,
+      |  CAST(SUM(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END) AS BIGINT) AS h3
+      |  FROM bits GROUP BY doc_id),
+      | cls AS (SELECT h0, h1, h2, h3, MIN(doc_id) AS rep FROM hf
+      |  GROUP BY 1, 2, 3, 4),
+      | bands AS (SELECT rep, u.c AS band,
+      |   CASE u.c WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+      |    ELSE h3 END AS key
+      |  FROM cls, UNNEST(range(0, 4)) AS u(c)),
+      | cand AS (SELECT DISTINCT x.rep AS a, y.rep AS b
+      |  FROM bands x JOIN bands y
+      |   ON x.band = y.band AND x.key = y.key AND x.rep < y.rep),
+      | pr AS (SELECT c.a, c.b
+      |  FROM cand c JOIN cls ha ON ha.rep = c.a
+      |   JOIN cls hb ON hb.rep = c.b
+      |  WHERE $phashDistSql <= 3),
+      | e AS (SELECT a AS src, b AS dst FROM pr
+      |  UNION ALL SELECT b, a FROM pr),
+      | reach AS (SELECT src AS id, src AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+      | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+      | mem AS (SELECT hf.doc_id AS asset_id,
+      |   CAST(dim.w * dim.h AS BIGINT) AS score,
+      |   COALESCE(lab.label, cls.rep) AS label
+      |  FROM hf JOIN cls USING (h0, h1, h2, h3)
+      |   JOIN dim ON dim.doc_id = hf.doc_id
+      |   LEFT JOIN lab ON lab.id = cls.rep),
+      | repx AS (SELECT label, asset_id AS rep_id FROM mem
+      |  QUALIFY row_number() OVER (PARTITION BY label
+      |   ORDER BY score DESC, asset_id) = 1),
+      | dec AS (SELECT mem.asset_id, repx.rep_id,
+      |   mem.asset_id = repx.rep_id AS kept
+      |  FROM mem JOIN repx USING (label))""".stripMargin
+
   /** m9's replay (pHash CTEs + collapse) as a CTE block ending in
     * `dec` — shared by the m9 oracle and d22's audit oracle. */
   private lazy val m9DedupCtes: String =
@@ -247,9 +346,23 @@ object PipelineQueries {
     * replay blocks (each with its own d0/bits/lab/...) can share one
     * combined WITH RECURSIVE clause in d22's audit oracle. Only the
     * block's OWN CTE names are renamed (word-boundary regex); base
-    * tables, columns and table aliases pass through untouched. */
-  private def prefixCtes(block: String, names: Seq[String], p: String): String =
-    names.foldLeft(block)((s, n) => s.replaceAll(s"\\b$n\\b", p + n))
+    * tables, columns and table aliases pass through untouched.
+    *
+    * The rename NEVER touches single-quoted SQL literals (round 14,
+    * advisor): a block that embeds a regex literal — the seg
+    * tokenizer's `\f`, say — must survive verbatim, because `\b`
+    * matches between `\` and `f` and a one-letter CTE name like `f`
+    * would otherwise rewrite the escape into a corrupted character
+    * class ('\f\r]+' → '\t_f\r]+'). Splitting on `'` and renaming
+    * even-indexed segments only is exact even under SQL's `''`
+    * escape: the empty between-quotes segment keeps the parity
+    * aligned with inside/outside. */
+  private[graft] def prefixCtes(
+      block: String, names: Seq[String], p: String): String =
+    block.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg
+      else names.foldLeft(seg)((s, n) => s.replaceAll(s"\\b$n\\b", p + n))
+    }.mkString("'")
 
   private val m9CteNames = Seq("d0", "d", "fids", "gxs", "gys", "lum",
     "bits", "hf", "hh", "bands", "cand", "pr", "e", "reach", "lab",
@@ -273,35 +386,81 @@ object PipelineQueries {
       maxDist = 3)
   }
 
-  /** m11's dedup decision chain — ONE definition for the m11 query
-    * and d22's audit (planted fill-group zips → frame hashes →
-    * frameset classes → containment pairs → longest-cut keep). */
-  private def m11Decision(s: SparkSession, dir: String): DataFrame = {
+  /** m11's planted video corpus: fill-groups of 3 consecutive ids
+    * share one zip (one encode per group; every copy still pays its
+    * own zip walk + selective decode). */
+  private[graft] def m11PlantedAssets(
+      s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), (col("doc_id") - col("doc_id") % 3).as("fid"))
     val base = graft.multimodal.Multimodal.syntheticVideoAssets(
       d.select(col("fid").as("doc_id")).distinct(), "doc_id")
-    val assets = d.join(base.withColumnRenamed("asset_id", "fid"), "fid")
+    d.join(base.withColumnRenamed("asset_id", "fid"), "fid")
       .select(col("doc_id").as("asset_id"), col("content"), col("meta"))
-    graft.multimodal.Multimodal.videoDedup(assets,
-      everyNth = 2, minShared = 2)
   }
+
+  /** m11's dedup decision chain — ONE definition for the m11 query
+    * and d22's audit (planted fill-group zips → frame hashes →
+    * frameset classes → containment pairs → longest-cut keep). */
+  private def m11Decision(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.videoDedup(m11PlantedAssets(s, dir),
+      everyNth = 2, minShared = 2)
+
+  /** Attach a per-asset volume weight + unit tag to a decision table
+    * — the d22 enrichment step. Weights come from ingest-time
+    * metadata projections ([[modalityWeights]]), never from a
+    * re-decode. */
+  private[graft] def weightedDecision(
+      decision: DataFrame, weights: DataFrame, unit: String): DataFrame =
+    decision.select("asset_id", "rep_id", "kept")
+      .join(weights, "asset_id")
+      .withColumn("vol_unit", lit(unit))
+
+  /** Per-modality (asset_id, weight) volume projections + unit tags
+    * for d22's volume-weighted removal columns — the number a
+    * pipeline operator actually decides on (one 500-page dup ≠ one
+    * tweet). Text weighs in seg tokens (the training-data currency);
+    * media weigh in their natural extents — pixel area (image) and
+    * duration ms (audio/video) — all pure metadata/scan projections
+    * (container byte length is a codec artifact AND not
+    * independently replayable by a second engine, so it is the wrong
+    * audit unit twice over). ONE definition for the batch d22 and
+    * the streaming stream≡batch spec. */
+  private[graft] def modalityWeights(
+      s: SparkSession, dir: String): Map[String, (DataFrame, String)] = Map(
+    "text" -> ((Tables.load(s, dir, "documents").select(
+      col("doc_id").as("asset_id"),
+      size(graft.operators.TextAnalysis.segTokens(col("text")))
+        .cast("long").as("weight")), "tokens")),
+    "image" -> ((m8PlantedAssets(s, dir).select(col("asset_id"),
+      (col("meta.width").cast("long") * col("meta.height").cast("long"))
+        .as("weight")), "px")),
+    "audio" -> ((m10PlantedAssets(s, dir).select(col("asset_id"),
+      col("meta.duration_ms").cast("long").as("weight")), "ms")),
+    "video" -> ((m11PlantedAssets(s, dir).select(col("asset_id"),
+      col("meta.duration_ms").cast("long").as("weight")), "ms")))
 
   /** d22's rollup fold — ONE definition for the batch query and the
     * streaming from-states face: union the labeled decision tables
-    * (asset_id, rep_id, kept), fold cluster sizes per
-    * (modality, rep_id), then the per-modality audit row. Two keyed
-    * aggregations, both partial map-side. */
+    * (asset_id, rep_id, kept, weight, vol_unit), fold cluster sizes
+    * per (modality, rep_id), then the per-modality audit row with
+    * both ITEM counts and VOLUME-weighted removal (round 14 — the
+    * decision a pipeline operator makes is about tokens/ms/pixels
+    * removed, not row counts). Two keyed aggregations, both partial
+    * map-side; the weight sums ride the same exchanges for free. */
   private[graft] def dedupAuditRollup(
       decisions: Seq[(String, DataFrame)]): DataFrame = {
     val all = decisions
       .map { case (m, df) => df.select(lit(m).as("modality"),
-        col("asset_id"), col("rep_id"), col("kept")) }
+        col("asset_id"), col("rep_id"), col("kept"),
+        col("weight").cast("long").as("weight"), col("vol_unit")) }
       .reduce(_ unionByName _)
-    val cs = all.groupBy("modality", "rep_id").agg(
+    val cs = all.groupBy("modality", "vol_unit", "rep_id").agg(
       count(lit(1)).as("sz"),
-      sum(when(col("kept"), 1L).otherwise(0L)).as("k"))
-    cs.groupBy("modality").agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("k"),
+      sum("weight").as("wsz"),
+      sum(when(!col("kept"), col("weight")).otherwise(0L)).as("wrm"))
+    cs.groupBy("modality", "vol_unit").agg(
         sum("sz").as("n_items"),
         sum("k").as("n_kept"),
         (sum("sz") - sum("k")).as("n_removed"),
@@ -309,7 +468,11 @@ object PipelineQueries {
           .as("removal_rate"),
         count(lit(1)).as("n_clusters"),
         sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
-        max("sz").as("max_cluster"))
+        max("sz").as("max_cluster"),
+        sum("wsz").as("vol_total"),
+        sum("wrm").as("vol_removed"),
+        round(sum("wrm").cast("double") / sum("wsz"), 6)
+          .as("vol_removal_rate"))
       .orderBy("modality")
   }
 
@@ -395,6 +558,55 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
+    // M13: SCALE-INVARIANT image dedup (round 14) — resize → dHash →
+    // collapse, the composition a production image pipeline actually
+    // runs: pHash on the NORMALIZED image, so the same picture saved
+    // at two resolutions fingerprints identically. Planted pairs
+    // (the m8 fill-group precedent across RESOLUTIONS): even ids
+    // carry a 16-wide hi-res master, odd ids its nearest-neighbor
+    // 8-wide web export — a shape raw m5 does NOT collapse (the
+    // master's 9×8 grid samples floor(gx·16/9), the export's
+    // 2·floor(gx·8/9) — a downscale doesn't floor-compose the way an
+    // integer upscale would, so the unnormalized hashes differ
+    // generically) while the normalized rasters are bit-identical.
+    // Keep policy = highest-resolution original (largest source
+    // area, ties min id) — the master-copy choice for vision
+    // training data. ORACLE-CHECKED end-to-end: every pixel is a
+    // pure integer function of (group, x, y), so DuckDB replays
+    // encode→PNG→decode→resize dim math→composed nearest-neighbor
+    // resample→all 64 dHash bits→exact classes→pigeonhole pairs +
+    // Hamming verify→closure→keep choice. Fused decode+resize+hash
+    // in one narrow batched map — the resized raster never leaves
+    // the task, bytes never shuffle.
+    "m13_scale_dedup" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticScaledPngAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      graft.multimodal.Multimodal.scaleInvariantImageDedup(
+          assets, maxDim = 8, maxDist = 3)
+        .orderBy("asset_id")
+    }),
+
+    // M14: image–caption PAIR extraction (round 14) — the multimodal
+    // PAIRING rung the ladder was missing: dedup treats each modality
+    // alone, but an (image, caption) training pipeline must first
+    // ASSOCIATE text with the images it describes. Extracts every
+    // markdown `![alt](url)`, HTML `<img src alt>` (both attribute
+    // orders) and `<figure>…<figcaption>` block from document text —
+    // the three shapes web-crawl captions actually take. References
+    // are PLANTED per (doc_id, position) (the t8/d19/d21 precedent):
+    // %4==1 docs carry TWO markdown images (ordinal order
+    // exercised), %8==2 / %8==6 docs carry the two HTML attribute
+    // orders, %4==3 docs a figcaption block — so the oracle replays
+    // extraction non-vacuously at every SF. Pure scan projection,
+    // zero shuffles before the output sort.
+    "m14_image_captions" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), m14PlantExpr(col("doc_id"))).as("text"))
+      graft.sources.Sources.imageCaptionPairs(planted, "doc_id", "text")
+        .orderBy("doc_id", "kind", "pos")
+    }),
+
     // M8: image NEAR-DUP pairs — the multimodal rung of the dedup
     // ladder: re-crawled/re-saved copies of one image share a
     // perceptual hash even when their bytes differ, and production
@@ -473,28 +685,44 @@ object PipelineQueries {
         .orderBy("asset_id")
     }),
 
-    // D22: corpus dedup AUDIT rollup (round 13) — the report a
-    // pipeline operator reads BEFORE committing a dedup pass: the
-    // modality ladder (text d12, image m9, audio m10, video m11)
-    // produces per-item keep decisions, and this rolls every decision
-    // table up to one row per modality — item/kept/removed counts,
-    // removal rate, cluster count, how many clusters actually have
-    // duplicates, and the largest cluster (the skew early-warning:
+    // D22: corpus dedup AUDIT rollup (round 13; upgraded round 14) —
+    // the report a pipeline operator reads BEFORE committing a dedup
+    // pass: the modality ladder (text, image m9, audio m10, video
+    // m11) produces per-item keep decisions, and this rolls every
+    // decision table up to one row per modality — item/kept/removed
+    // counts, removal rate, cluster count, how many clusters actually
+    // have duplicates, the largest cluster (the skew early-warning:
     // a 3k-member cluster is the thing that turns a pair report
-    // quadratic). Every input is an already-oracle-checked decision
-    // table and the rollup is two keyed aggregations (cluster sizes,
-    // then per-modality fold — both partial map-side), so the audit
-    // costs one pass over decisions that ingest already paid for.
-    // ORACLE-CHECKED end-to-end: the audit oracle re-runs all four
-    // replay chains (prefixed into one WITH RECURSIVE) and folds the
-    // same rollup — nothing is inlined from the engine.
-    "d22_dedup_audit" -> ((s, dir) =>
+    // quadratic), AND volume-weighted removal (round 14): tokens
+    // (text) / pixels (image) / milliseconds (audio, video) removed
+    // — the number the commit decision is actually about, since one
+    // 500-page dup ≠ one tweet. The text rung is FULL-CORPUS
+    // (round 14): the winnowing shared-passage decision
+    // (TextQueries.textDupDecision — d17 fingerprints, d18 pruned
+    // pair join, CC, longest-doc keep) replaces round 13's d12
+    // slice, whose 1000-doc bound existed only because d12's O(N²)
+    // brute oracle was the binding constraint. Every input is an
+    // already-oracle-checked decision chain, weights are pure
+    // metadata projections, and the rollup is two keyed aggregations
+    // (both partial map-side), so the audit costs one pass over
+    // decisions ingest already paid for. ORACLE-CHECKED end-to-end:
+    // the audit oracle re-runs all four replay chains (prefixed into
+    // one WITH RECURSIVE — quoted literals, e.g. the seg regex,
+    // survive the rename verbatim) and folds the same rollup —
+    // nothing is inlined from the engine.
+    "d22_dedup_audit" -> ((s, dir) => {
+      val w = modalityWeights(s, dir)
       dedupAuditRollup(Seq(
-        "text" -> TextQueries.d12Decision(s, dir),
+        "text" -> TextQueries.textDupDecision(s, dir),
         "image" -> graft.multimodal.Multimodal.imageDedup(
           m8PlantedAssets(s, dir), maxDist = 3),
         "audio" -> m10Decision(s, dir),
-        "video" -> m11Decision(s, dir)))),
+        "video" -> m11Decision(s, dir)
+      ).map { case (m, dec) =>
+        val (wdf, unit) = w(m)
+        m -> weightedDecision(dec, wdf, unit)
+      })
+    }),
 
     // M6: REAL container frame sampling — each asset is an actual zip
     // archive of PNG key-frames; the sampler streams the zip
@@ -856,29 +1084,43 @@ object PipelineQueries {
       s"""WITH RECURSIVE $m9DedupCtes
         | SELECT asset_id, rep_id, kept FROM dec ORDER BY asset_id"""
         .stripMargin.replaceAll("\n", ""),
-    // d22: all four replay chains (text d12, image m9, audio m10,
-    // video m11) verbatim — each block's CTE names prefixed so they
-    // coexist in ONE WITH RECURSIVE — then the identical two-stage
-    // rollup: cluster sizes per (modality, rep_id), per-modality fold.
+    // d22: all four replay chains (text = the FULL-CORPUS winnowing
+    // decision, image m9, audio m10, video m11) verbatim — each
+    // block's CTE names prefixed so they coexist in ONE WITH
+    // RECURSIVE (quoted literals, e.g. the seg tokenizer regex,
+    // survive the rename byte-for-byte — round-14 advisor fix) —
+    // then the identical two-stage rollup with volume weights:
+    // text weight = seg-token count (carried out of t_dec), image =
+    // fill-dim pixel area, audio = the m10 duration formula, video =
+    // 40 ms × the fill frame count.
     "d22_dedup_audit" ->
       s"""WITH RECURSIVE ${prefixCtes(graft.operators.TextQueries
-            .d12DedupCtes, graft.operators.TextQueries.d12DedupCteNames,
+            .textDedupCtes, graft.operators.TextQueries.textDedupCteNames,
             "t_")},
         | ${prefixCtes(m9DedupCtes, m9CteNames, "i_")},
         | ${prefixCtes(m10DedupCtes, m10CteNames, "a_")},
         | ${prefixCtes(m11DedupCtes, m11CteNames, "v_")},
         | alldec AS (
-        |  SELECT 'text' AS modality, asset_id, rep_id, kept FROM t_dec
+        |  SELECT 'text' AS modality, 'tokens' AS vol_unit, asset_id,
+        |    rep_id, kept, CAST(ntok AS BIGINT) AS weight FROM t_dec
         |  UNION ALL
-        |  SELECT 'image', asset_id, rep_id, kept FROM i_dec
+        |  SELECT 'image', 'px', dc.asset_id, dc.rep_id, dc.kept,
+        |    CAST(dd.w * dd.h AS BIGINT)
+        |  FROM i_dec dc JOIN i_d dd ON dd.doc_id = dc.asset_id
         |  UNION ALL
-        |  SELECT 'audio', asset_id, rep_id, kept FROM a_dec
+        |  SELECT 'audio', 'ms', dc.asset_id, dc.rep_id, dc.kept,
+        |    CAST(hh.score AS BIGINT)
+        |  FROM a_dec dc JOIN a_hh hh ON hh.doc_id = dc.asset_id
         |  UNION ALL
-        |  SELECT 'video', asset_id, rep_id, kept FROM v_dec),
-        | cs AS (SELECT modality, rep_id, COUNT(*) AS sz,
-        |   SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS k
-        |  FROM alldec GROUP BY 1, 2)
-        | SELECT modality,
+        |  SELECT 'video', 'ms', dc.asset_id, dc.rep_id, dc.kept,
+        |    CAST(40 * (2 + dd.fid % 7) AS BIGINT)
+        |  FROM v_dec dc JOIN v_d0 dd ON dd.doc_id = dc.asset_id),
+        | cs AS (SELECT modality, vol_unit, rep_id, COUNT(*) AS sz,
+        |   SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS k,
+        |   SUM(weight) AS wsz,
+        |   SUM(CASE WHEN kept THEN 0 ELSE weight END) AS wrm
+        |  FROM alldec GROUP BY 1, 2, 3)
+        | SELECT modality, vol_unit,
         |  CAST(SUM(sz) AS BIGINT) AS n_items,
         |  CAST(SUM(k) AS BIGINT) AS n_kept,
         |  CAST(SUM(sz) - SUM(k) AS BIGINT) AS n_removed,
@@ -887,9 +1129,59 @@ object PipelineQueries {
         |  COUNT(*) AS n_clusters,
         |  CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_dup_clusters,
-        |  CAST(MAX(sz) AS BIGINT) AS max_cluster
-        | FROM cs GROUP BY modality ORDER BY modality"""
+        |  CAST(MAX(sz) AS BIGINT) AS max_cluster,
+        |  CAST(SUM(wsz) AS BIGINT) AS vol_total,
+        |  CAST(SUM(wrm) AS BIGINT) AS vol_removed,
+        |  ROUND(CAST(SUM(wrm) AS DOUBLE) / SUM(wsz), 6)
+        |   AS vol_removal_rate
+        | FROM cs GROUP BY modality, vol_unit ORDER BY modality"""
         .stripMargin.replaceAll("\n", ""),
+    // m13: full replay — scale-pair dims, resize dim math, the
+    // composed nearest-neighbor resample down to the base fill, all
+    // 64 dHash bits, exact classes, rep pigeonhole pairs + Hamming
+    // verify, closure, largest-source-area keep.
+    "m13_scale_dedup" ->
+      s"""WITH RECURSIVE $m13DedupCtes
+        | SELECT asset_id, rep_id, kept FROM dec ORDER BY asset_id"""
+        .stripMargin.replaceAll("\n", ""),
+    // m14: the plant is rebuilt byte-for-byte in SQL, then extraction
+    // replays with the ENGINE'S OWN pattern constants (interpolated —
+    // one definition) via regexp_extract_all in DuckDB's RE2, so a
+    // Java-regex-only construct sneaking into a pattern fails the
+    // oracle instead of passing silently.
+    "m14_image_captions" -> {
+      def kindSql(name: String, kind: String, pat: String,
+          urlG: Int, capG: Int): String =
+        s"""${name}x AS (SELECT doc_id,
+          |   regexp_extract_all(text, '$pat', $urlG) us,
+          |   regexp_extract_all(text, '$pat', $capG) cs FROM base),
+          | $name AS (SELECT doc_id, '$kind' AS kind,
+          |   CAST(u.i - 1 AS INT) AS pos,
+          |   us[CAST(u.i AS INT)] AS image_url,
+          |   cs[CAST(u.i AS INT)] AS caption
+          |  FROM ${name}x, UNNEST(range(1, len(us) + 1)) AS u(i))"""
+          .stripMargin
+      s"""WITH base AS (SELECT doc_id, text || CASE
+        |   WHEN doc_id % 4 = 1 THEN ' ![figure ' || doc_id ||
+        |    ' overview](http://img.example/' || doc_id ||
+        |    '/a.png) and ![figure ' || doc_id ||
+        |    ' detail](http://img.example/' || doc_id || '/d.png)'
+        |   WHEN doc_id % 8 = 2 THEN ' <img src="http://img.example/'
+        |    || doc_id || '/b.jpg" alt="photo ' || doc_id || ' closeup">'
+        |   WHEN doc_id % 8 = 6 THEN ' <img alt="photo ' || doc_id ||
+        |    ' wide" src="http://img.example/' || doc_id || '/w.jpg">'
+        |   WHEN doc_id % 4 = 3 THEN ' <figure><img src="http://img.example/'
+        |    || doc_id || '/c.png"><figcaption>diagram ' || doc_id ||
+        |    ' caption</figcaption></figure>'
+        |   ELSE '' END AS text FROM documents),
+        | ${kindSql("mdk", "md", graft.sources.Sources.MdImagePat, 2, 1)},
+        | ${kindSql("im1", "img", graft.sources.Sources.ImgSrcAltPat, 1, 2)},
+        | ${kindSql("im2", "img_rev", graft.sources.Sources.ImgAltSrcPat, 2, 1)},
+        | ${kindSql("fig", "figure", graft.sources.Sources.FigurePat, 1, 2)}
+        | SELECT * FROM (SELECT * FROM mdk UNION ALL SELECT * FROM im1
+        |  UNION ALL SELECT * FROM im2 UNION ALL SELECT * FROM fig)
+        | ORDER BY doc_id, kind, pos""".stripMargin.replaceAll("\n", "")
+    },
     // m6: every sampled frame's luminance sum recomputed from the
     // synthetic pixel function — integer-exact in both engines.
     "m6_video_frames" ->

@@ -2251,6 +2251,82 @@ object TextQueries {
   private[operators] val d12DedupCteNames: Seq[String] =
     Seq("sh", "pr", "e", "reach", "lab", "f", "rep", "dec")
 
+  /** FULL-CORPUS text dedup decision (round 14 — d22's text rung):
+    * d12's n-gram-Jaccard chain is bounded to 1000 docs by its O(N²)
+    * brute ORACLE, so an audit built on it reported a slice, not the
+    * corpus. This decision rides the corpus-scale winnowing chain
+    * instead (d17 fingerprints → d18 shared-passage pairs, singleton/
+    * boilerplate fps pruned before the self-join) and collapses the
+    * pair graph exactly like d12 does: connected components, keep the
+    * longest doc (n_chars desc, ties min id), singletons keep
+    * themselves. Every stage is linear-ish (fp-keyed join bounded by
+    * maxDocsPerFp) and the replay SQL exists for every piece — so the
+    * decision covers EVERY document at every SF. */
+  private[graft] def textDupDecision(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.sharedPassagePairs(d, "doc_id", "text",
+        k = 8, w = 4, minShared = 2L, maxDocsPerFp = 64L)
+      .select(col("a_id"), col("b_id"))
+    val labels = Dedup.dupClustersAuto(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(desc("n_chars"), asc("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    d.select("doc_id", "n_chars")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .withColumn("rep_id", first(col("doc_id")).over(w))
+      .select(col("doc_id").as("asset_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("kept"))
+  }
+
+  /** [[textDupDecision]]'s replay as a CTE block ending in `dec`
+    * (asset_id, rep_id, kept) — d17's winnowing fingerprints, d18's
+    * pruned pair join, transitive closure, longest-doc keep. `toks`
+    * also carries the seg-token count (d22's text volume weight).
+    * Every CTE name is ≥ 3 chars: single-letter names collide with
+    * regex escapes (`\f`) and SQL lambda params (`a`, `b`, `i`, `j`)
+    * under d22's word-boundary prefix rename — the round-13 advisor
+    * finding. */
+  private[graft] lazy val textDedupCtes: String =
+    s"""toks AS (SELECT doc_id, n_chars, $segTokSql tk,
+      |   len($segTokSql) AS ntok FROM documents),
+      | grs AS (SELECT doc_id, list_transform(
+      |   range(1, greatest(len(tk) - 7, 1) + 1),
+      |   i -> ${md5LongSql("array_to_string(tk[i : i + 7], ' ')")}) AS g
+      |   FROM toks),
+      | fpt AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(g) - 3, 1) + 1),
+      |   j -> list_min(g[j : j + 3])))) AS fp FROM grs),
+      | keepf AS (SELECT fp FROM fpt GROUP BY fp
+      |   HAVING COUNT(*) BETWEEN 2 AND 64),
+      | pfp AS (SELECT fpt.doc_id, fpt.fp FROM fpt JOIN keepf USING (fp)),
+      | prs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM pfp x JOIN pfp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      | edg AS (SELECT a_id AS src, b_id AS dst FROM prs
+      |  UNION ALL SELECT b_id, a_id FROM prs),
+      | rch AS (SELECT src AS id, src AS r FROM edg
+      |  UNION
+      |  SELECT rch.id, edg.dst FROM rch JOIN edg ON rch.r = edg.src),
+      | labx AS (SELECT id, MIN(r) AS label FROM rch GROUP BY id),
+      | mem AS (SELECT toks.doc_id, toks.n_chars, toks.ntok,
+      |   COALESCE(labx.label, toks.doc_id) AS label
+      |  FROM toks LEFT JOIN labx ON toks.doc_id = labx.id),
+      | repx AS (SELECT label, doc_id AS rep_id FROM mem
+      |  QUALIFY row_number() OVER (PARTITION BY label
+      |   ORDER BY n_chars DESC, doc_id) = 1),
+      | dec AS (SELECT mem.doc_id AS asset_id, repx.rep_id,
+      |   mem.doc_id = repx.rep_id AS kept, mem.ntok
+      |  FROM mem JOIN repx USING (label))""".stripMargin
+
+  /** The CTE names [[textDedupCtes]] defines. */
+  private[graft] val textDedupCteNames: Seq[String] =
+    Seq("toks", "grs", "fpt", "keepf", "pfp", "prs", "edg", "rch",
+      "labx", "mem", "repx", "dec")
+
   /** The t48 replay chain, shared verbatim by the t48 oracle and the
     * t49 evaluation oracle (one definition — the evaluation can never
     * drift from the classifier it evaluates): the language-agnostic

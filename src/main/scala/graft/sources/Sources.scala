@@ -113,12 +113,22 @@ object Sources {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var inFence = false
     var fenceChar = ' '
+    var fenceLen = 0
     for (line <- md.replace("\r\n", "\n").split("\n", -1)) {
       val t = line.trim
-      val fenceOpen = t.startsWith("```") || t.startsWith("~~~")
-      if (fenceOpen && !inFence) { inFence = true; fenceChar = t.head }
-      else if (inFence && t.nonEmpty && t.forall(_ == fenceChar) ||
-          (inFence && fenceOpen && t.head == fenceChar)) inFence = false
+      // CommonMark fences: open on a run of >= 3 backticks/tildes
+      // (info string allowed); close ONLY on a bare run of the same
+      // char, length >= 3 AND >= the opening run (round-14 advisor: a
+      // lone '`' line inside a block — docs about markdown — must not
+      // end the fence early)
+      val runChar = if (t.nonEmpty) t.head else ' '
+      val run = if (runChar == '`' || runChar == '~')
+        t.takeWhile(_ == runChar).length else 0
+      if (!inFence && run >= 3) {
+        inFence = true; fenceChar = runChar; fenceLen = run
+      }
+      else if (inFence && runChar == fenceChar && run >= 3 &&
+          run >= fenceLen && t.forall(_ == fenceChar)) inFence = false
       else if (inFence) out += line
       else if (t.matches("(=+|-{3,}|\\*{3,}|_{3,})\\s*")) () // rule/underline
       else {
@@ -132,7 +142,12 @@ object Sources {
           .replaceAll("\\[([^\\]]+)\\]\\[[^\\]]*\\]", "$1")   // ref links
           .replaceAll("<(https?://[^>\\s]+)>", "$1")          // autolinks
           .replace("`", "")                                    // inline code
-          .replace("*", "")                                    // emphasis
+          // emphasis: strip only emphasis-SHAPED *runs* (opening run
+          // hugging non-space content up to a closing run) — a bare
+          // multiplication '2 * 3' or glob 'SELECT *' has no closing
+          // run and survives (round-14 advisor: the conservative
+          // contract the _word_ rule already follows)
+          .replaceAll("\\*{1,3}(\\S[^*]*?)\\*{1,3}", "$1")     // *em*/**b**
           .replaceAll("\\b_([^_\\s][^_]*)_\\b", "$1")          // _word_
         out += s
       }
@@ -351,5 +366,45 @@ object Sources {
       .withColumn("base_path", col("path"))
       .join(broadcast(sidecars), Seq("base_path"), "left")
       .drop("base_path")
+  }
+
+  /** Image–caption extraction patterns (m14) — ONE definition for the
+    * engine and the replay oracle (interpolated into its SQL), so the
+    * two sides cannot drift. Group numbers: (url, caption). Plain
+    * character-class regexes, no anchors/backrefs — identical
+    * semantics under Java regex (engine) and RE2 (oracle); the
+    * round-11 `$`-vs-`\z` divergence class cannot arise. */
+  val MdImagePat = "!\\[([^\\]]*)\\]\\(([^)\\s]+)\\)"
+  val ImgSrcAltPat = "<img[^>]*src=\"([^\"]*)\"[^>]*alt=\"([^\"]*)\""
+  val ImgAltSrcPat = "<img[^>]*alt=\"([^\"]*)\"[^>]*src=\"([^\"]*)\""
+  val FigurePat = "<figure>\\s*<img[^>]*src=\"([^\"]*)\"[^>]*>" +
+    "\\s*<figcaption>([^<]*)</figcaption>"
+
+  /** Image–caption PAIR extraction (m14 — the multimodal PAIRING rung:
+    * the modality ladder dedups each modality but an (image, caption)
+    * training pipeline needs them ASSOCIATED first). From a document
+    * text column, emit one row per image reference carrying its
+    * caption: markdown `![alt](url)` alt text, HTML `<img src alt>`
+    * (both attribute orders), and `<figure><img><figcaption>` blocks.
+    * Pure scan projection — regexp_extract_all per pattern, one
+    * posexplode per kind, zero shuffles until the caller's output
+    * sort; `pos` is the 0-based ordinal of the reference within its
+    * (doc, kind). Scale shape: per-row work is linear in text length,
+    * nothing leaves the map stage. */
+  def imageCaptionPairs(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def ofKind(kind: String, pat: String, urlG: Int, capG: Int) =
+      df.select(col(idCol).cast("long").as("doc_id"),
+          regexp_extract_all(col(textCol), lit(pat), lit(urlG)).as("us"),
+          regexp_extract_all(col(textCol), lit(pat), lit(capG)).as("cs"))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("us"), col("cs"))).as(Seq("pos", "uc")))
+        .select(col("doc_id"), lit(kind).as("kind"),
+          col("pos").cast("int").as("pos"),
+          col("uc.us").as("image_url"), col("uc.cs").as("caption"))
+    ofKind("md", MdImagePat, 2, 1)
+      .unionByName(ofKind("img", ImgSrcAltPat, 1, 2))
+      .unionByName(ofKind("img_rev", ImgAltSrcPat, 2, 1))
+      .unionByName(ofKind("figure", FigurePat, 1, 2))
   }
 }

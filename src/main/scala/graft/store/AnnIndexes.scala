@@ -116,8 +116,43 @@ object AnnIndexes {
     * prefixed → invisible to Spark's partition discovery. */
   val SegMarkerName = "_SEG_USED"
 
-  /** True when the sidecar at `dir` was built with seg tokenization. */
+  /** Sidecar FAMILIES whose build recipes are KNOWN to seg-tokenize
+    * (BPE vocab, minhash-over-seg-shingles) — the one-time stamp
+    * transition sweep's allow-list. New builds stamp themselves; this
+    * list exists only for dirs materialized BEFORE the stamp did. */
+  val KnownSegPrefixes: Seq[String] = Seq("bpe2_", "mh2_")
+
+  @volatile private var segSweepDone = false
+
+  /** One-time transition sweep (round 14): write [[SegMarkerName]]
+    * into every COMPLETE sidecar under the store root carrying a
+    * known seg-built prefix. Builds since round 13 stamp themselves
+    * during materialization; a sidecar materialized before the stamp
+    * existed kept its unstamped dir until its next natural rebuild —
+    * a window in which the coverage scan's guarantee depended on
+    * hand-gating (and which would silently reopen if testdata were
+    * regenerated without a store sweep). Idempotent, one listStatus,
+    * runs once per JVM on first stamp query. */
+  def stampKnownSegSidecars(spark: SparkSession): Int = synchronized {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    if (!fs.exists(rootP)) 0
+    else fs.listStatus(rootP).toSeq.count { st =>
+      st.isDirectory &&
+        KnownSegPrefixes.exists(st.getPath.getName.startsWith) &&
+        isComplete(spark, st.getPath) && {
+          val m = new org.apache.hadoop.fs.Path(st.getPath, SegMarkerName)
+          !fs.exists(m) && { fs.create(m).close(); true }
+        }
+    }
+  }
+
+  /** True when the sidecar at `dir` was built with seg tokenization.
+    * Triggers the one-time transition sweep first, so a pre-round-13
+    * sidecar of a known seg family answers truthfully too. */
   def usesSeg(spark: SparkSession, dir: String): Boolean = {
+    if (!segSweepDone) { stampKnownSegSidecars(spark); segSweepDone = true }
     val p = new org.apache.hadoop.fs.Path(dir, SegMarkerName)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

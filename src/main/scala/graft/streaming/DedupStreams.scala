@@ -259,12 +259,17 @@ object DedupStreams {
     * analysis and silently brick every pre-upgrade stream state. Both
     * sides are therefore aligned to the UNION of their schemas first,
     * missing columns null-filled (delta's types win for new columns).
-    * A null payload field sorts FIRST in the struct min, so an asset
-    * whose only observation predates the new column keeps a null
-    * there — honest "never observed", re-derivable by re-emitting the
-    * asset — while assets observed post-upgrade are unaffected (their
-    * chunk prefix decides the min before payload is compared, and
-    * equal-chunk re-emissions of one real image carry equal payload). */
+    * On an EQUAL chunk prefix, a row with fewer null payload fields
+    * wins (a null-count discriminator sits between the chunks and the
+    * payload in the struct order — round-14 advisor fix): a
+    * pre-upgrade state row's null-filled payload is REPLACED the
+    * first time the asset is re-emitted post-upgrade — the null
+    * really is re-derivable by re-emitting the asset — while a bare
+    * null sorting first would have pinned it forever (and made
+    * imageDedupFromState's area-ranked rep choice diverge from the
+    * batch contract for migrated assets). Assets observed only
+    * post-upgrade are unaffected: their equal-chunk re-emissions
+    * carry equal payload, so the discriminator ties at 0. */
   private[graft] def mergeMinChunks(
       state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame = {
     val target = delta.schema.fields ++
@@ -279,9 +284,12 @@ object DedupStreams {
     val payload = u.columns.toSeq.filterNot(keyCols.contains)
     val hs = Seq("h3", "h2", "h1", "h0")
     require(hs.forall(payload.contains), s"chunk columns missing: $payload")
-    val ordered = hs ++ payload.filterNot(hs.contains)
+    val rest = payload.filterNot(hs.contains)
+    val nullDisc = rest.map(c => col(c).isNull.cast("int"))
+      .reduceOption(_ + _).getOrElse(lit(0)).as("__nulls")
+    val ordered = hs.map(col) ++ (nullDisc +: rest.map(col))
     u.groupBy(keyCols.map(col): _*)
-      .agg(min(struct(ordered.map(col): _*)).as("__m"))
+      .agg(min(struct(ordered: _*)).as("__m"))
       .select(keyCols.map(col) ++ payload.map(c =>
         col(s"__m.$c").as(c)): _*)
   }
@@ -394,7 +402,9 @@ object DedupStreams {
   def dedupAuditFromStates(
       spark: SparkSession, phashState: String, audioState: String,
       videoState: String,
-      textDecision: Option[DataFrame] = None): Option[DataFrame] = {
+      textDecision: Option[DataFrame] = None,
+      weights: Map[String, (DataFrame, String)] = Map.empty)
+      : Option[DataFrame] = {
     val media = Seq(
       "image" -> imageDedupFromState(spark, phashState),
       "audio" -> audioDedupFromState(spark, audioState),
@@ -402,6 +412,18 @@ object DedupStreams {
       .collect { case (m, Some(df)) => m -> df }
     val all = media ++ textDecision.map("text" -> _).toSeq
     if (all.isEmpty) None
-    else Some(graft.operators.PipelineQueries.dedupAuditRollup(all))
+    else Some(graft.operators.PipelineQueries.dedupAuditRollup(
+      all.map { case (m, dec) =>
+        weights.get(m) match {
+          case Some((wdf, unit)) =>
+            m -> graft.operators.PipelineQueries
+              .weightedDecision(dec, wdf, unit)
+          // no ingest-time weight projection supplied → item-count
+          // weighting (volume columns degrade to the item counts,
+          // explicitly unit-tagged so a reader can tell)
+          case None => m -> dec.withColumn("weight", lit(1L))
+            .withColumn("vol_unit", lit("items"))
+        }
+      }))
   }
 }

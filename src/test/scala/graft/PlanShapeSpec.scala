@@ -746,6 +746,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "the unbounded sig string must never be a shuffle key")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(2000))
+    // round 14: the maxDf prune must be the aggregate + join-back
+    // form, never a Window over fh — a window buffers the ubiquitous
+    // hash's whole partition in ONE task before pruning it. The only
+    // window allowed anywhere in the decision is the keep-rank one,
+    // which partitions by the cluster label.
+    val ws = windowsOf(SparkEntry.queries("m11_video_dedup")(spark, sfDir))
+    assert(ws.forall(w => !w.partitionSpec.exists(
+        _.toString.contains("fh#"))),
+      s"the df prune must never be a Window over fh:\n${ws.mkString("\n")}")
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.exists(
+        _.toString.contains("label#"))),
+      s"only the label-partitioned keep-rank window is expected:\n${ws.mkString("\n")}")
     Caches.release(spark)
   }
 }

@@ -237,19 +237,29 @@ class Round13OpsSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(2000))
     val rows = df.collect().map(r => r.getString(0) ->
-      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
-        r.getLong(6), r.getLong(7)))).toMap
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getString(1), r.getLong(9),
+        r.getLong(10)))).toMap
     assert(rows.keySet == Set("text", "image", "audio", "video"))
-    rows.foreach { case (m, (items, kept, removed, clusters, dup, mx)) =>
+    rows.foreach { case (m,
+        (items, kept, removed, clusters, dup, mx, unit, vt, vr)) =>
       // every decision table keeps EXACTLY one member per cluster
       assert(kept == clusters, s"$m: kept != clusters")
       assert(items == kept + removed, s"$m: counts don't add up")
       assert(mx >= 1 && dup <= clusters, s"$m: degenerate histogram")
+      // volume columns: positive totals, removed never exceeds total,
+      // and a modality with no removed items removes no volume
+      assert(vt > 0 && vr >= 0 && vr <= vt, s"$m: bad volume fold")
+      assert(removed > 0 == (vr > 0) || removed > 0,
+        s"$m: volume removed without items removed")
     }
-    // text audits the d12-bounded slice; the media rungs audit every
-    // planted asset (one per doc at this SF)
-    assert(rows("image")._1 == 500 && rows("video")._1 == 500 &&
-      rows("audio")._1 == 500)
+    assert(rows("text")._7 == "tokens" && rows("image")._7 == "px" &&
+      rows("audio")._7 == "ms" && rows("video")._7 == "ms")
+    // round 14: EVERY rung is full-corpus — text included (the
+    // winnowing decision replaced the d12 1000-doc slice)
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows("text")._1 == nDocs && rows("image")._1 == nDocs &&
+      rows("video")._1 == nDocs && rows("audio")._1 == nDocs)
     Caches.release(spark)
   }
 
@@ -485,7 +495,8 @@ class Round13OpsSpec extends AnyFunSuite {
           DedupStreams.streamingVideoFrameHashes(df, st, ck))
       val streamed = DedupStreams.dedupAuditFromStates(s,
         s"$tmp/img/state", s"$tmp/aud/state", s"$tmp/vid/state",
-        textDecision = Some(TextQueries.d12Decision(s, sfDir)))
+        textDecision = Some(TextQueries.textDupDecision(s, sfDir)),
+        weights = PipelineQueries.modalityWeights(s, sfDir))
       assert(streamed.isDefined, "no committed media states")
       def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
       assert(rows(streamed.get) ==

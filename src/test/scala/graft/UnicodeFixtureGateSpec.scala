@@ -64,7 +64,12 @@ object UnicodeFixtureGateSpec {
     "t47_perlang_perplexity", "t48_quality_classifier",
     // round 13: t49 reads seg tokens through t48's model; d22's text
     // rung replays d12's seg-shingle chain
-    "t49_quality_eval", "d22_dedup_audit")
+    "t49_quality_eval", "d22_dedup_audit",
+    // round 14: the sidecar stamp TRANSITION SWEEP (pre-round-13
+    // mh2_ dirs now carry _SEG_USED) surfaced d3's seg-shingled
+    // minhash sidecar to the plan scan — the exact hand-gating gap
+    // the sweep exists to close
+    "d3_minhash_neardup")
 }
 
 class UnicodeFixtureGateSpec extends AnyFunSuite {
