@@ -93,7 +93,13 @@ object Bench {
     "d21_benchmark_decontamination", // broadcast bench-gram screen (round 11)
     "t45_c4_cleaning", // C4 line rules: planted lines + HOF filter, 0-shuffle
     "t47_perlang_perplexity", // per-lang LM: lang-keyed model join + window
-    "t48_quality_classifier") // NB distillation: tok-joined model scoring
+    "t48_quality_classifier", // NB distillation: tok-joined model scoring
+    "m14_image_captions") // image-caption pairs: 4-pattern regexp scan
+  // m13 stays out of the headline: its fused resize→dHash pass is
+  // m5's real-decode+hash cost on a second asset table (m4/m5
+  // headline the codec floor) and its collapse is m9's family
+  // (excluded below) — no new plan family; oracle-checked at 3 SFs
+  // (full encode→resize→hash→pairs replay) + the master/export specs.
   // m12 stays out of the headline: its cost is m4/m5's real PNG
   // decode (headlined twice) plus a ≤36-pixel resample loop — no new
   // plan family; oracle-checked (full pixel-chain replay) + the dims
@@ -101,11 +107,13 @@ object Bench {
   // t49 stays out of the headline: it is t48's full scoring pass
   // (headlined) plus one keyed filter + one global 4-long aggregate —
   // no new plan family; oracle-checked + fixture-gated.
-  // d22 stays out too: it is the m9+m10+m11+d12 decision chains run
-  // back-to-back (each family headlined or excluded with rationale
-  // above) plus two partial aggregations — benching it would re-time
-  // three decode passes the headline already measures; oracle-checked
-  // end-to-end (all four chains replayed in one WITH RECURSIVE).
+  // d22 stays out too: it is the m9+m10+m11 decision chains plus the
+  // full-corpus winnowing text decision (d17/d18's pass — d18 is
+  // headlined) run back-to-back, plus metadata-projection weights and
+  // two partial aggregations — benching it would re-time three decode
+  // passes and a winnowing pass the headline already measures;
+  // oracle-checked end-to-end (all four chains replayed in one WITH
+  // RECURSIVE, volume weights included).
   // t46 stays out of the headline: it is t45's scan shape (split-once
   // line array + HOF filter, zero shuffles) with an array_position
   // body — no new plan family; oracle-checked at 3 SFs + the fixture.
