@@ -325,6 +325,42 @@ object DedupStreams {
       graft.multimodal.Multimodal.imageDedupFromHashes(st, maxDist))
 
   // -------------------------------------------------------------
+  // Resize-normalized fingerprint state (m13)
+  // -------------------------------------------------------------
+
+  /** One asset batch's m13 delta: the fused resize→dHash fingerprint
+    * over the NORMALIZED raster plus the SOURCE dims (the keep
+    * policy's area) — decode + resize + hash happen once at ingest.
+    * Same (h0..h3, payload) shape as the pHash state, so the atomic
+    * h3-major struct-min merge applies unchanged. */
+  def resizeFpBatch(maxDim: Int)(batch: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.resizeFingerprint(batch, maxDim)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        col("h0"), col("h1"), col("h2"), col("h3"),
+        col("width"), col("height"))
+
+  /** Fold an append image-asset stream into the per-asset NORMALIZED
+    * fingerprint state m13's collapse reads. */
+  def streamingResizeFps(
+      assets: DataFrame, statePath: String, checkpoint: String,
+      maxDim: Int = 8): StreamingQuery =
+    Cdc.streamingRollup(assets, statePath, Seq("asset_id"),
+      resizeFpBatch(maxDim), checkpoint, mergeMinChunks)
+
+  /** m13's scale-invariant dedup DECISION from the committed
+    * normalized-fingerprint state — identical to the batch operator
+    * when the state has folded the same assets (spec-pinned): the
+    * state carries the normalized chunks + source dims, so the
+    * collapse (and its keep-the-highest-resolution policy) runs with
+    * zero re-decode. Reuses the pHash-state collapse verbatim — the
+    * score IS source pixel area there too. */
+  def scaleDedupFromState(
+      spark: SparkSession, statePath: String,
+      maxDist: Int = 3): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(st =>
+      graft.multimodal.Multimodal.imageDedupFromHashes(st, maxDist))
+
+  // -------------------------------------------------------------
   // Video frame-hash state (m11)
   // -------------------------------------------------------------
 

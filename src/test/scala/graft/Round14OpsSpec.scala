@@ -219,6 +219,29 @@ class Round14OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("m13 streaming face: scale dedup from the folded normalized-fingerprint state == batch m13") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_m13stream").toString
+    try {
+      val assets = Multimodal.syntheticScaledPngAssets(
+        Tables.load(spark, sfDir, "documents"), "doc_id")
+      assets.repartition(3).write.parquet(s"$tmp/src")
+      val raw = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/src")
+      DedupStreams.streamingResizeFps(raw, s"$tmp/state", s"$tmp/ckpt",
+        maxDim = 8).awaitTermination()
+      val streamed = DedupStreams.scaleDedupFromState(spark, s"$tmp/state")
+      assert(streamed.isDefined, "no committed state")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(streamed.get) ==
+        rows(SparkEntry.queries("m13_scale_dedup")(spark, sfDir)))
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   // -------------------------------------------------------------
   // markdown: CommonMark fences + conservative emphasis
   // -------------------------------------------------------------
