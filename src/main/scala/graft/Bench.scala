@@ -95,6 +95,12 @@ object Bench {
     "t47_perlang_perplexity", // per-lang LM: lang-keyed model join + window
     "t48_quality_classifier", // NB distillation: tok-joined model scoring
     "m14_image_captions") // image-caption pairs: 4-pattern regexp scan
+  // m15 stays out of the headline: its extraction scan is m14's
+  // (headlined) and its decision input is m9's chain (excluded below)
+  // — the consolidation itself is one keyed join + one keyed fold, no
+  // new plan family; oracle-checked at 3 SFs (composed extraction +
+  // m9 replay in one WITH RECURSIVE; at sf1 the m9 doc-pair replay is
+  // DuckDB-temp-bound, the round-13 d22 class — engine runs fine).
   // m13 stays out of the headline: its fused resize→dHash pass is
   // m5's real-decode+hash cost on a second asset table (m4/m5
   // headline the codec floor) and its collapse is m9's family

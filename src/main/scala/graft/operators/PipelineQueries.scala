@@ -241,6 +241,53 @@ object PipelineQueries {
       .otherwise(lit(""))
   }
 
+  /** m15's url→asset resolve pattern — ONE definition for the engine
+    * (`regexp_extract`) and the oracle (same function name and group
+    * semantics in DuckDB); plain character class, engine-portable. */
+  private val M15RefPat = "img\\.example/([0-9]+)/"
+
+  /** m14's extraction replay as a CTE block ending in `allp`
+    * (doc_id, kind, pos, image_url, caption) — shared verbatim by the
+    * m14 oracle and m15's consolidation oracle. The plant is rebuilt
+    * byte-for-byte in SQL; the patterns are the engine's own
+    * constants, interpolated. */
+  private lazy val m14ExtractCtes: String = {
+    def kindSql(name: String, kind: String, pat: String,
+        urlG: Int, capG: Int): String =
+      s"""${name}x AS (SELECT doc_id,
+        |   regexp_extract_all(text, '$pat', $urlG) us,
+        |   regexp_extract_all(text, '$pat', $capG) cs FROM base),
+        | $name AS (SELECT doc_id, '$kind' AS kind,
+        |   CAST(u.i - 1 AS INT) AS pos,
+        |   us[CAST(u.i AS INT)] AS image_url,
+        |   cs[CAST(u.i AS INT)] AS caption
+        |  FROM ${name}x, UNNEST(range(1, len(us) + 1)) AS u(i))"""
+        .stripMargin
+    // NOTE: this block is interpolated into oracle templates that run
+    // .stripMargin themselves — no content line may BEGIN with '|'
+    // (a leading '||' would lose a pipe to the second margin strip)
+    s"""base AS (SELECT doc_id, text || CASE
+      |   WHEN doc_id % 4 = 1 THEN ' ![figure ' || doc_id ||
+      |    ' overview](http://img.example/' || doc_id ||
+      |    '/a.png) and ![figure ' || doc_id ||
+      |    ' detail](http://img.example/' || doc_id || '/d.png)'
+      |   WHEN doc_id % 8 = 2 THEN ' <img src="http://img.example/' ||
+      |    doc_id || '/b.jpg" alt="photo ' || doc_id || ' closeup">'
+      |   WHEN doc_id % 8 = 6 THEN ' <img alt="photo ' || doc_id ||
+      |    ' wide" src="http://img.example/' || doc_id || '/w.jpg">'
+      |   WHEN doc_id % 4 = 3 THEN ' <figure><img src="http://img.example/' ||
+      |    doc_id || '/c.png"><figcaption>diagram ' || doc_id ||
+      |    ' caption</figcaption></figure>'
+      |   ELSE '' END AS text FROM documents),
+      | ${kindSql("mdk", "md", graft.sources.Sources.MdImagePat, 2, 1)},
+      | ${kindSql("im1", "img", graft.sources.Sources.ImgSrcAltPat, 1, 2)},
+      | ${kindSql("im2", "img_rev", graft.sources.Sources.ImgAltSrcPat, 2, 1)},
+      | ${kindSql("fig", "figure", graft.sources.Sources.FigurePat, 1, 2)},
+      | allp AS (SELECT * FROM mdk UNION ALL SELECT * FROM im1
+      |  UNION ALL SELECT * FROM im2 UNION ALL SELECT * FROM fig)"""
+      .stripMargin
+  }
+
   /** m13's replay as a CTE block ending in `dec` (asset_id, rep_id,
     * kept): the scale-pair plant's dims, the resize dim math, the
     * COMPOSED nearest-neighbor resample (grid → resized → source →
@@ -605,6 +652,43 @@ object PipelineQueries {
           concat(col("text"), m14PlantExpr(col("doc_id"))).as("text"))
       graft.sources.Sources.imageCaptionPairs(planted, "doc_id", "text")
         .orderBy("doc_id", "kind", "pos")
+    }),
+
+    // M15: caption CONSOLIDATION (round 14) — the composition that
+    // makes m14 and m9 a training-set builder: when image dedup
+    // collapses re-crawled copies, their captions must follow the
+    // KEPT representative, or dedup silently throws away text that
+    // described the surviving image. m14's extracted (doc, url,
+    // caption) pairs resolve to asset ids (the url path carries the
+    // id — the plant's stand-in for a crawl-table url→asset lookup),
+    // join the m9 decision on asset_id, and re-point at rep_id:
+    // one row per (kept image, caption) with the reference count.
+    // The m8 fill-groups make this non-vacuous: 7 docs' assets
+    // collapse to one rep, so a rep consolidates captions from
+    // SEVERAL documents. Scale shape: narrow extraction scan, one
+    // keyed join against the decision table, one keyed aggregation —
+    // no decode, no self-join. ORACLE-CHECKED end-to-end: the m14
+    // extraction block and the m9 replay chain (prefixed) compose in
+    // one WITH RECURSIVE with the same resolve+join+fold.
+    "m15_caption_consolidation" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), m14PlantExpr(col("doc_id"))).as("text"))
+      // resolve only urls the plant's scheme can map to an asset id
+      // (an unresolvable ref is a crawl artifact, not an asset — and
+      // under ANSI semantics an unguarded cast of a non-match would
+      // fail the task instead of dropping the row)
+      val refs = graft.sources.Sources
+        .imageCaptionPairs(planted, "doc_id", "text")
+        .filter(col("image_url").rlike(M15RefPat))
+        .select(col("caption"),
+          regexp_extract(col("image_url"), M15RefPat, 1)
+            .cast("long").as("asset_id"))
+      val dec = graft.multimodal.Multimodal.imageDedup(
+        m8PlantedAssets(s, dir), maxDist = 3)
+      refs.join(dec.select("asset_id", "rep_id"), "asset_id")
+        .groupBy("rep_id", "caption").agg(count(lit(1)).as("n_refs"))
+        .orderBy("rep_id", "caption")
     }),
 
     // M8: image NEAR-DUP pairs — the multimodal rung of the dedup
@@ -1149,39 +1233,26 @@ object PipelineQueries {
     // one definition) via regexp_extract_all in DuckDB's RE2, so a
     // Java-regex-only construct sneaking into a pattern fails the
     // oracle instead of passing silently.
-    "m14_image_captions" -> {
-      def kindSql(name: String, kind: String, pat: String,
-          urlG: Int, capG: Int): String =
-        s"""${name}x AS (SELECT doc_id,
-          |   regexp_extract_all(text, '$pat', $urlG) us,
-          |   regexp_extract_all(text, '$pat', $capG) cs FROM base),
-          | $name AS (SELECT doc_id, '$kind' AS kind,
-          |   CAST(u.i - 1 AS INT) AS pos,
-          |   us[CAST(u.i AS INT)] AS image_url,
-          |   cs[CAST(u.i AS INT)] AS caption
-          |  FROM ${name}x, UNNEST(range(1, len(us) + 1)) AS u(i))"""
-          .stripMargin
-      s"""WITH base AS (SELECT doc_id, text || CASE
-        |   WHEN doc_id % 4 = 1 THEN ' ![figure ' || doc_id ||
-        |    ' overview](http://img.example/' || doc_id ||
-        |    '/a.png) and ![figure ' || doc_id ||
-        |    ' detail](http://img.example/' || doc_id || '/d.png)'
-        |   WHEN doc_id % 8 = 2 THEN ' <img src="http://img.example/'
-        |    || doc_id || '/b.jpg" alt="photo ' || doc_id || ' closeup">'
-        |   WHEN doc_id % 8 = 6 THEN ' <img alt="photo ' || doc_id ||
-        |    ' wide" src="http://img.example/' || doc_id || '/w.jpg">'
-        |   WHEN doc_id % 4 = 3 THEN ' <figure><img src="http://img.example/'
-        |    || doc_id || '/c.png"><figcaption>diagram ' || doc_id ||
-        |    ' caption</figcaption></figure>'
-        |   ELSE '' END AS text FROM documents),
-        | ${kindSql("mdk", "md", graft.sources.Sources.MdImagePat, 2, 1)},
-        | ${kindSql("im1", "img", graft.sources.Sources.ImgSrcAltPat, 1, 2)},
-        | ${kindSql("im2", "img_rev", graft.sources.Sources.ImgAltSrcPat, 2, 1)},
-        | ${kindSql("fig", "figure", graft.sources.Sources.FigurePat, 1, 2)}
-        | SELECT * FROM (SELECT * FROM mdk UNION ALL SELECT * FROM im1
-        |  UNION ALL SELECT * FROM im2 UNION ALL SELECT * FROM fig)
-        | ORDER BY doc_id, kind, pos""".stripMargin.replaceAll("\n", "")
-    },
+    "m14_image_captions" ->
+      s"""WITH $m14ExtractCtes
+        | SELECT * FROM allp ORDER BY doc_id, kind, pos"""
+        .stripMargin.replaceAll("\n", ""),
+    // m15: the m14 extraction block + the m9 replay chain (prefixed)
+    // composed in ONE WITH RECURSIVE, then the same url→asset
+    // resolve (the engine's own pattern constant), decision join and
+    // (rep, caption) fold.
+    "m15_caption_consolidation" ->
+      s"""WITH RECURSIVE ${prefixCtes(m9DedupCtes, m9CteNames, "i_")},
+        | $m14ExtractCtes,
+        | refs AS (SELECT caption,
+        |   CAST(regexp_extract(image_url, '$M15RefPat', 1) AS BIGINT)
+        |    AS asset_id FROM allp
+        |  WHERE regexp_matches(image_url, '$M15RefPat'))
+        | SELECT dd.rep_id, refs.caption,
+        |  CAST(COUNT(*) AS BIGINT) AS n_refs
+        | FROM refs JOIN i_dec dd ON dd.asset_id = refs.asset_id
+        | GROUP BY 1, 2 ORDER BY rep_id, caption"""
+        .stripMargin.replaceAll("\n", ""),
     // m6: every sampled frame's luminance sum recomputed from the
     // synthetic pixel function — integer-exact in both engines.
     "m6_video_frames" ->

@@ -242,6 +242,36 @@ class Round14OpsSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("m15: every caption lands on a KEPT representative; fill-group captions consolidate; none lost") {
+    val out = SparkEntry.queries("m15_caption_consolidation")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dec = Multimodal.imageDedup(
+        graft.operators.PipelineQueries.m8PlantedAssets(spark, sfDir),
+        maxDist = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    // every consolidation row points at a kept asset
+    out.foreach { case (rep, cap, _) =>
+      assert(dec(rep)._2, s"caption '$cap' pinned to a REMOVED asset $rep")
+    }
+    // no caption lost: every planted ref resolves (its asset exists),
+    // so the n_refs total equals the planted reference count
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = ids.map(id =>
+      if (id % 4 == 1) 2L
+      else if (id % 8 == 2 || id % 8 == 6 || id % 4 == 3) 1L else 0L).sum
+    assert(out.map(_._3).sum == planted,
+      "consolidation must keep every planted reference exactly once")
+    // the composition's point: two DIFFERENT docs of one fill group
+    // caption byte-identical image copies, and both captions land on
+    // the ONE kept rep (9 and 10 share fill group 7..13)
+    val byCap = out.map(r => r._2 -> r._1).toMap
+    assert(byCap("figure 9 overview") == byCap("photo 10 closeup"),
+      "same fill group must consolidate under one representative")
+    Caches.release(spark)
+  }
+
   // -------------------------------------------------------------
   // markdown: CommonMark fences + conservative emphasis
   // -------------------------------------------------------------
