@@ -94,7 +94,12 @@ object Bench {
     "t45_c4_cleaning", // C4 line rules: planted lines + HOF filter, 0-shuffle
     "t47_perlang_perplexity", // per-lang LM: lang-keyed model join + window
     "t48_quality_classifier", // NB distillation: tok-joined model scoring
-    "m14_image_captions") // image-caption pairs: 4-pattern regexp scan
+    "m14_image_captions", // image-caption pairs: 4-pattern regexp scan
+    "t50_toxicity_filter", // blocklist screen: letter-run HOF scan, 0-shuffle
+    "t51_readability", // Flesch–Kincaid: two regex passes, 0-shuffle
+    "p9_curriculum", // FK decibin histogram quartiles + broadcast join
+    "m16_caption_quality", // caption df agg + AQE-broadcast join back
+    "s23_cusum_changepoint") // integer CUSUM fold over time-bounded series
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

@@ -478,6 +478,79 @@ object EventQueries {
         .select("src", "dst", "cnt", "p")
         .orderBy("src", "dst")
     }),
+
+    // S23: CUSUM changepoint detection (round 14) — the classic
+    // sequential rate-shift detector (Page 1954) next to s10's
+    // pointwise z-score: a z-score flags one wild hour, CUSUM
+    // accumulates SUSTAINED drift above the baseline and alarms even
+    // when no single hour is extreme. Per event type over gap-filled
+    // hourly counts: S_t = max(0, S_{t-1} + x_t − (μ + k)) with the
+    // standard slack k = μ (alarm only on sustained >2× drift — on a
+    // sparse integer series a tighter slack alarms on every nonzero
+    // hour) and alarm bar h = 6μ, ALL IN INTEGERS — the recursion is
+    // scaled by D (D = hours, Σc = total count): S'_t = max(0,
+    // S'_{t-1} + D·x_t − 2·Σc), alarm at S' ≥ 6·Σc — so both
+    // engines fold exact integers and no float ever enters the
+    // recursion. The baseline (D, Σc) comes from the RAW counts; a
+    // 12-hour burst of +3·(Σc div D + 1) on one type is then PLANTED
+    // (t8 precedent) so the alarm fires non-vacuously at EVERY SF by
+    // construction: D·g ≥ 3·D·μ − 3·D + 3·D = 3·Σc, so each burst
+    // hour accumulates ≥ Σc even if its raw count is 0, and 12 hours
+    // clear the 6·Σc bar with 2× margin however the corpus scales
+    // (a 2·floor(μ) plant missed the bar at sf0.01 — the floor ate
+    // the slack margin; this one is floor-proof).
+    // Scale shape: the per-key fold runs over a series bounded by the
+    // TIME WINDOW (hours), never by event volume — one keyed
+    // collect+fold per type after two keyed aggs; types parallelize,
+    // a year is 8,760 fold steps per key.
+    "s23_cusum_changepoint" -> ((s, dir) => {
+      val e = graft.Caches.shared(
+        Tables.events(s, dir)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("hr")))
+      val cnt = e.groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+      val spine = e.groupBy("event_type")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+            .as("hr"))
+      val filled = spine.join(cnt, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      // baseline BEFORE the plant: the reference is history, the
+      // burst is the anomaly under test
+      val stats = filled.groupBy("event_type")
+        .agg(count(lit(1)).as("d"), sum("c").as("sumc"))
+      val planted = filled.join(broadcast(stats), "event_type")
+        .withColumn("cnt",
+          when(col("event_type") === "click" &&
+              col("hr") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+              col("hr") < lit("2024-01-15 12:00:00").cast("timestamp"),
+            col("c") + lit(3L) * (expr("sumc div d") + lit(1L)))
+            .otherwise(col("c")))
+      planted
+        .groupBy(col("event_type"), col("d"), col("sumc"))
+        .agg(sort_array(collect_list(struct(col("hr"), col("cnt"))))
+          .as("ser"))
+        .withColumn("steps", expr(
+          """aggregate(ser,
+            |  named_struct(
+            |    'acc', cast(array() as
+            |      array<struct<hr:timestamp,cnt:bigint,s:bigint>>),
+            |    'run', cast(0 as bigint)),
+            |  (a, x) -> named_struct(
+            |    'acc', array_append(a.acc, named_struct(
+            |      'hr', x.hr, 'cnt', x.cnt,
+            |      's', greatest(cast(0 as bigint),
+            |             a.run + d * x.cnt - 2 * sumc))),
+            |    'run', greatest(cast(0 as bigint),
+            |             a.run + d * x.cnt - 2 * sumc)),
+            |  a -> a.acc)""".stripMargin))
+        .select(col("event_type"), col("sumc"), explode(col("steps")).as("e"))
+        .select(col("event_type"), col("e.hr").cast("string").as("hr"),
+          col("e.cnt").as("cnt"), col("e.s").as("cusum"),
+          (col("e.s") >= lit(6L) * col("sumc")).as("alarm"))
+        .orderBy("event_type", "hr")
+    }),
   )
 
   /** Per-key sweep-line union of [st, st+durUs) intervals →
@@ -767,5 +840,44 @@ object EventQueries {
         | FROM p ASOF LEFT JOIN c
         |   ON p.user_id = c.user_id AND p.us >= c.c_us
         | ORDER BY p.event_id""".stripMargin.replaceAll("\n", ""),
+    // s23: the CUSUM recursion replayed step-by-step as a recursive
+    // CTE on the same integer scaling — GREATEST(0, S + D·x − 2·Σc)
+    // per (type, hour-index) — over the identical gap-filled spine,
+    // raw-count baseline and planted burst.
+    "s23_cusum_changepoint" ->
+      """WITH RECURSIVE ev AS (SELECT event_type,
+        |   date_trunc('hour', ts) AS hr FROM events),
+        | cc AS (SELECT event_type, hr, COUNT(*) AS c FROM ev
+        |  GROUP BY event_type, hr),
+        | sp AS (SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM ev
+        |  GROUP BY event_type),
+        | hh AS (SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM sp),
+        | f AS (SELECT hh.event_type, hh.hr,
+        |   CAST(COALESCE(cc.c, 0) AS BIGINT) AS c
+        |  FROM hh LEFT JOIN cc
+        |   ON hh.event_type = cc.event_type AND hh.hr = cc.hr),
+        | st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+        |   CAST(SUM(c) AS BIGINT) AS sumc FROM f GROUP BY event_type),
+        | pl AS (SELECT f.event_type, f.hr,
+        |   CASE WHEN f.event_type = 'click'
+        |     AND f.hr >= TIMESTAMP '2024-01-15 00:00:00'
+        |     AND f.hr < TIMESTAMP '2024-01-15 12:00:00'
+        |    THEN f.c + 3 * (st.sumc // st.d + 1) ELSE f.c END AS cnt,
+        |   st.d, st.sumc,
+        |   ROW_NUMBER() OVER (PARTITION BY f.event_type ORDER BY f.hr) AS i
+        |  FROM f JOIN st ON f.event_type = st.event_type),
+        | r AS (
+        |  SELECT event_type, i, hr, cnt, d, sumc,
+        |    CAST(GREATEST(0, d * cnt - 2 * sumc) AS BIGINT) AS s
+        |   FROM pl WHERE i = 1
+        |  UNION ALL
+        |  SELECT p.event_type, p.i, p.hr, p.cnt, p.d, p.sumc,
+        |    CAST(GREATEST(0, r.s + p.d * p.cnt - 2 * p.sumc) AS BIGINT)
+        |   FROM r JOIN pl p
+        |    ON p.event_type = r.event_type AND p.i = r.i + 1)
+        | SELECT event_type, CAST(hr AS VARCHAR) AS hr, cnt, s AS cusum,
+        |  s >= 6 * sumc AS alarm
+        | FROM r ORDER BY event_type, hr""".stripMargin.replaceAll("\n", ""),
   )
 }

@@ -246,12 +246,54 @@ object PipelineQueries {
     * semantics in DuckDB); plain character class, engine-portable. */
   private val M15RefPat = "img\\.example/([0-9]+)/"
 
+  /** m16's extra plant layered ON TOP of the m14 plant: the three
+    * boilerplate shapes caption curation exists to catch. %5==0 docs
+    * carry a REPEATED caption across distinct images ("stock banner" —
+    * the cross-image-df reject, not in any word list), %10==4 a
+    * single-word placeholder ("image" — the list AND length reject),
+    * and exactly two FIXED ids (7, 131 — present at every SF, so the
+    * df stays 2 however large the corpus) a rare in-list caption
+    * ("untitled image" — rejected by the list ALONE, isolating that
+    * rule from the df rule). */
+  private def m16ExtraPlantExpr(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val s = id.cast("string")
+    concat(
+      when(id % 5 === 0, concat(
+          lit(" ![stock banner](http://img.example/"), s, lit("/sb.png)")))
+        .otherwise(lit("")),
+      when(id % 10 === 4, concat(
+          lit(" ![image](http://img.example/"), s, lit("/pl.png)")))
+        .otherwise(lit("")),
+      when(id.isin(7, 131), concat(
+          lit(" ![untitled image](http://img.example/"), s, lit("/ui.png)")))
+        .otherwise(lit("")))
+  }
+
+  /** SQL twin of [[m16ExtraPlantExpr]] — single-line by design (the
+    * m14ExtractCtes margin-strip caveat). */
+  private val m16ExtraPlantSql: String =
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ![stock banner](http://img.example/'" +
+      " || doc_id || '/sb.png)' ELSE '' END" +
+      " || CASE WHEN doc_id % 10 = 4 THEN ' ![image](http://img.example/'" +
+      " || doc_id || '/pl.png)' ELSE '' END" +
+      " || CASE WHEN doc_id IN (7, 131) THEN" +
+      " ' ![untitled image](http://img.example/'" +
+      " || doc_id || '/ui.png)' ELSE '' END"
+
+  /** m16's caption placeholder list — ONE definition for the engine
+    * filter and the oracle's NOT IN. */
+  private val M16Placeholders =
+    Seq("image", "photo", "logo", "icon", "picture", "untitled image")
+
   /** m14's extraction replay as a CTE block ending in `allp`
     * (doc_id, kind, pos, image_url, caption) — shared verbatim by the
-    * m14 oracle and m15's consolidation oracle. The plant is rebuilt
-    * byte-for-byte in SQL; the patterns are the engine's own
-    * constants, interpolated. */
-  private lazy val m14ExtractCtes: String = {
+    * m14 oracle, m15's consolidation oracle and m16's caption-quality
+    * oracle (which appends its boilerplate plant via `extraPlantSql` —
+    * single-line SQL, appended after the base CASE so the margin-strip
+    * caveat below cannot bite). The plant is rebuilt byte-for-byte in
+    * SQL; the patterns are the engine's own constants, interpolated. */
+  private def m14ExtractCtes(extraPlantSql: String = ""): String = {
     def kindSql(name: String, kind: String, pat: String,
         urlG: Int, capG: Int): String =
       s"""${name}x AS (SELECT doc_id,
@@ -278,7 +320,7 @@ object PipelineQueries {
       |   WHEN doc_id % 4 = 3 THEN ' <figure><img src="http://img.example/' ||
       |    doc_id || '/c.png"><figcaption>diagram ' || doc_id ||
       |    ' caption</figcaption></figure>'
-      |   ELSE '' END AS text FROM documents),
+      |   ELSE '' END$extraPlantSql AS text FROM documents),
       | ${kindSql("mdk", "md", graft.sources.Sources.MdImagePat, 2, 1)},
       | ${kindSql("im1", "img", graft.sources.Sources.ImgSrcAltPat, 1, 2)},
       | ${kindSql("im2", "img_rev", graft.sources.Sources.ImgAltSrcPat, 2, 1)},
@@ -689,6 +731,54 @@ object PipelineQueries {
       refs.join(dec.select("asset_id", "rep_id"), "asset_id")
         .groupBy("rep_id", "caption").agg(count(lit(1)).as("n_refs"))
         .orderBy("rep_id", "caption")
+    }),
+
+    // M16: caption QUALITY filter (round 14) — the curation pass a
+    // CLIP/multimodal training pipeline runs on extracted alt-text
+    // before pairing (the DataComp/LAION recipe): web captions are
+    // dominated by placeholder alt text ("image", "logo") and
+    // boilerplate repeated across thousands of distinct images
+    // ("stock banner") that teach an image–text model nothing. Three
+    // replayable rules over the m14 extraction: word-count bounds
+    // (2–32 over lowercase alnum runs — digits KEPT, a caption's
+    // "figure 42" carries signal), an exact placeholder list, and a
+    // cross-image document frequency bound (a caption seen on > 3
+    // DISTINCT image urls is boilerplate however fluent it reads).
+    // Each rule is emitted as its own boolean next to the composite
+    // keep, so the audit shows WHY a caption dropped. The plants
+    // (m16ExtraPlantExpr) make each rule fire in isolation at every
+    // SF. Scale shape: narrow extraction scan, one caption-keyed
+    // aggregate (partial map-side), one join back (AQE-broadcast at
+    // the df table's measured size) — no decode, no self-join.
+    "m16_caption_quality" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), m14PlantExpr(col("doc_id")),
+            m16ExtraPlantExpr(col("doc_id"))).as("text"))
+      // normalization = extract ASCII alnum runs, lowercase each, join
+      // — digits KEPT ("figure 42" carries signal), and lower() only
+      // ever sees ASCII runs so the two engines stay byte-identical on
+      // any corpus (the t50/t51 discipline)
+      val pairs = graft.sources.Sources
+        .imageCaptionPairs(planted, "doc_id", "text")
+        .withColumn("caption_words",
+          expr("transform(regexp_extract_all(caption, '[A-Za-z0-9]+', 0)," +
+            " w -> lower(w))"))
+        .withColumn("caption_norm", array_join(col("caption_words"), " "))
+        .withColumn("n_words", size(col("caption_words")).cast("long"))
+      val dfx = pairs.groupBy("caption_norm")
+        .agg(countDistinct("image_url").as("img_df"))
+      pairs.join(dfx, "caption_norm")
+        .withColumn("len_ok", col("n_words").between(2, 32))
+        .withColumn("not_placeholder",
+          !col("caption_norm").isin(M16Placeholders: _*))
+        .withColumn("df_ok", col("img_df") <= 3)
+        .select(col("doc_id"), col("kind"), col("pos"), col("image_url"),
+          col("caption_norm"), col("n_words"), col("img_df"),
+          col("len_ok"), col("not_placeholder"), col("df_ok"),
+          (col("len_ok") && col("not_placeholder") && col("df_ok"))
+            .as("keep"))
+        .orderBy("doc_id", "kind", "pos")
     }),
 
     // M8: image NEAR-DUP pairs — the multimodal rung of the dedup
@@ -1234,7 +1324,7 @@ object PipelineQueries {
     // Java-regex-only construct sneaking into a pattern fails the
     // oracle instead of passing silently.
     "m14_image_captions" ->
-      s"""WITH $m14ExtractCtes
+      s"""WITH ${m14ExtractCtes()}
         | SELECT * FROM allp ORDER BY doc_id, kind, pos"""
         .stripMargin.replaceAll("\n", ""),
     // m15: the m14 extraction block + the m9 replay chain (prefixed)
@@ -1243,7 +1333,7 @@ object PipelineQueries {
     // (rep, caption) fold.
     "m15_caption_consolidation" ->
       s"""WITH RECURSIVE ${prefixCtes(m9DedupCtes, m9CteNames, "i_")},
-        | $m14ExtractCtes,
+        | ${m14ExtractCtes()},
         | refs AS (SELECT caption,
         |   CAST(regexp_extract(image_url, '$M15RefPat', 1) AS BIGINT)
         |    AS asset_id FROM allp
@@ -1253,6 +1343,32 @@ object PipelineQueries {
         | FROM refs JOIN i_dec dd ON dd.asset_id = refs.asset_id
         | GROUP BY 1, 2 ORDER BY rep_id, caption"""
         .stripMargin.replaceAll("\n", ""),
+    // m16: the shared m14 extraction block over the m16-extended plant,
+    // then normalization + the three rules replayed verbatim (the
+    // placeholder list is the engine's own constant, interpolated).
+    "m16_caption_quality" ->
+      s"""WITH ${m14ExtractCtes(m16ExtraPlantSql)},
+        | nrm AS (SELECT doc_id, kind, pos, image_url,
+        |   list_transform(regexp_extract_all(caption, '[A-Za-z0-9]+', 0),
+        |    w -> lower(w)) AS cw FROM allp),
+        | wcs AS (SELECT doc_id, kind, pos, image_url,
+        |   array_to_string(cw, ' ') AS caption_norm,
+        |   CAST(len(cw) AS BIGINT) AS n_words FROM nrm),
+        | dfx AS (SELECT caption_norm,
+        |   CAST(COUNT(DISTINCT image_url) AS BIGINT) AS img_df
+        |  FROM wcs GROUP BY caption_norm)
+        | SELECT doc_id, kind, pos, image_url, w.caption_norm, n_words,
+        |  img_df,
+        |  n_words BETWEEN 2 AND 32 AS len_ok,
+        |  w.caption_norm NOT IN (${
+            M16Placeholders.map(p => s"'$p'").mkString(", ")}) AS
+        |   not_placeholder,
+        |  img_df <= 3 AS df_ok,
+        |  (n_words BETWEEN 2 AND 32) AND w.caption_norm NOT IN (${
+            M16Placeholders.map(p => s"'$p'").mkString(", ")})
+        |   AND img_df <= 3 AS keep
+        | FROM wcs w JOIN dfx ON w.caption_norm = dfx.caption_norm
+        | ORDER BY doc_id, kind, pos""".stripMargin.replaceAll("\n", ""),
     // m6: every sampled frame's luminance sum recomputed from the
     // synthetic pixel function — integer-exact in both engines.
     "m6_video_frames" ->

@@ -16,6 +16,69 @@ import graft.ingest.Chunker
 object TextQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Word unit for t50/t51/p9: ASCII letter runs, lowercased AFTER
+    * extraction. A blocklist match and the Flesch–Kincaid
+    * word/syllable counts are defined over plain English words, so
+    * these rungs deliberately use the letter-run extraction, not the
+    * script-aware seg tokenizer (the t1/t3 whitespace-canary
+    * precedent). Lowercasing only the extracted ASCII runs (never the
+    * raw text) keeps the two engines byte-identical on ANY corpus —
+    * full-text lower() would expose Java-vs-utf8proc case-mapping
+    * differences (e.g. U+0130) that the Unicode fixture sweep runs
+    * all queries against. ONE constant, interpolated into both
+    * engines' regexes (plain character class — identical under Java
+    * regex and RE2). */
+  private val WordRunPat = "[A-Za-z]+"
+
+  /** Flesch–Kincaid grade columns (t51 + p9's difficulty bins — ONE
+    * definition): words/sentences/syllables per the t51 scaladoc, fk =
+    * 0.39·(words/sent) + 11.8·(syll/words) − 15.59 with the divisions
+    * cast to double in the same shape as the oracle ([[fkCtesSql]]) so
+    * the IEEE results are bit-identical. The vowel-group count runs
+    * case-insensitively over the RAW text (a group cannot cross a
+    * non-letter, so the whole-text count equals the per-word sum —
+    * one regex pass per document, not per word). */
+  private[graft] def withReadability(df: DataFrame): DataFrame =
+    df.withColumn("words",
+        expr(s"transform(regexp_extract_all(text, '$WordRunPat', 0), " +
+          "w -> lower(w))"))
+      .withColumn("n_words",
+        greatest(lit(1L), size(col("words")).cast("long")))
+      .withColumn("n_sent",
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long")))
+      .withColumn("n_syll",
+        size(expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+          .cast("long") +
+          expr("CAST(size(filter(words, " +
+            "w -> NOT w RLIKE '[aeiouy]')) AS BIGINT)"))
+      .withColumn("fk",
+        lit(0.39) * (col("n_words").cast("double") / col("n_sent")) +
+          lit(11.8) * (col("n_syll").cast("double") / col("n_words")) -
+          lit(15.59))
+
+  /** Oracle twin of [[withReadability]] — a CTE block ending in
+    * `fkx(doc_id, n_words, n_sent, n_syll, fk)`, shared verbatim by
+    * the t51 and p9 oracles. Decimal literals are cast to DOUBLE
+    * (DuckDB parses bare 0.39 as DECIMAL — different arithmetic). */
+  private lazy val fkCtesSql: String =
+    s"""fkw AS (SELECT doc_id,
+      |   GREATEST(1, CAST(len(regexp_extract_all(text,
+      |     '$WordRunPat', 0)) AS BIGINT)) AS n_words,
+      |   GREATEST(1, CAST(len(regexp_extract_all(text,
+      |     '[.!?]+', 0)) AS BIGINT)) AS n_sent,
+      |   CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0))
+      |     AS BIGINT) +
+      |    CAST(len(list_filter(list_transform(regexp_extract_all(text,
+      |     '$WordRunPat', 0), w -> lower(w)),
+      |     w -> NOT regexp_matches(w, '[aeiouy]'))) AS BIGINT) AS n_syll
+      |  FROM documents),
+      | fkx AS (SELECT doc_id, n_words, n_sent, n_syll,
+      |   0.39::DOUBLE * (n_words::DOUBLE / n_sent) +
+      |    11.8::DOUBLE * (n_syll::DOUBLE / n_words)
+      |    - 15.59::DOUBLE AS fk
+      |  FROM fkw)""".stripMargin
+
   /** Set by the d3/d5/d11 query closures; consumed at oracle-dump time
     * (Verify dumps oracleSql AFTER the queries ran — the v21–v23
     * stash pattern) to re-derive the emitted pair/mapping sets for the
@@ -2167,6 +2230,105 @@ object TextQueries {
         d.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", n = 50)
       Bm25.rrfFuse(lexical, byLength, "doc_id", c = 60, k = 20)
     }),
+
+    // T50: document-level blocklist screen (round 14) — the LIST rule
+    // of the cleaning ladder: t43 decides on shape statistics
+    // (Gopher), t45 on line structure (C4 lines), t48 learns a
+    // classifier; this is C4 §2.2's remaining page-level rule (drop
+    // any page containing a blocklisted word) next to the rate form
+    // production stacks layer on it (tolerate a below-threshold
+    // fraction). The rate verdict is an integer cross-multiplication
+    // (30·n_bad ≤ n_tok — the m11 containment precedent; no float
+    // boundary), the match unit is lowercase ASCII letter runs (the
+    // t1/t3 whitespace-family precedent — a blocklist matches plain
+    // words, so this rung deliberately does NOT seg-tokenize).
+    // The corpus is clean, so hits are PLANTED per doc_id (t8
+    // precedent) with case + punctuation variation so the
+    // normalization is load-bearing. Pure scan projection — zero
+    // shuffles before the output sort; at 100 TB this is a map-only
+    // pass with the (tiny) blocklist inlined in the plan.
+    "t50_toxicity_filter" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 2, lit(" badword gorefest"))
+            .when(pmod(col("doc_id"), lit(7)) === 5, lit(" badword"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 8, lit(" Slurword."))
+            .otherwise(lit(""))).as("text"))
+      planted
+        .withColumn("words",
+          expr(s"transform(regexp_extract_all(text, '$WordRunPat', 0), " +
+            "w -> lower(w))"))
+        .withColumn("n_tok", size(col("words")).cast("long"))
+        .withColumn("n_bad", expr("CAST(size(filter(words, " +
+          "w -> array_contains(array('badword', 'gorefest', 'slurword')," +
+          " w))) AS BIGINT)"))
+        .select(col("doc_id"), col("n_tok"), col("n_bad"),
+          // greatest(1, ·): a doc with NO ASCII letter runs (possible
+          // on a non-Latin corpus — fixture-swept) has n_bad = 0 too,
+          // so its rate is a true 0, never a divide-by-zero
+          round(col("n_bad").cast("double") /
+              greatest(lit(1L), col("n_tok")), 6)
+            .as("tox_rate"),
+          (col("n_bad") === 0).as("c4_keep"),
+          (col("n_bad") * 30 <= col("n_tok")).as("rate_keep"))
+        .orderBy("doc_id")
+    }),
+
+    // T51: readability scoring (round 14) — the Flesch–Kincaid grade
+    // (Kincaid et al. 1975), the classic difficulty signal curation
+    // and curriculum stacks compute next to the quality score:
+    // words = lowercase ASCII letter runs, sentences = [.!?]+ runs
+    // (floored at 1), syllables = vowel-group count with a 1-syllable
+    // floor for vowelless words (the standard heuristic — no
+    // dictionary). The whole-text vowel-group count equals the
+    // per-word sum because groups cannot cross a non-letter, so the
+    // heavy regex runs ONCE per document, not once per word. Pure
+    // scan projection, zero shuffles; the FK arithmetic is three IEEE
+    // flops on integer-derived doubles, written in the same shape in
+    // both engines.
+    "t51_readability" -> ((s, dir) => {
+      withReadability(docs(s, dir))
+        .select(col("doc_id"), col("n_words"), col("n_sent"),
+          col("n_syll"), round(col("fk"), 4).as("fk_grade"))
+        .orderBy("doc_id")
+    }),
+
+    // P9: curriculum phase assignment (round 14) — the easy→hard
+    // schedule (Bengio et al. 2009) a data-ordering pipeline runs
+    // after cleaning: each document gets a difficulty bin (FK grade
+    // decibinned to a BOUNDED integer domain) and a phase = quartile
+    // of the bin distribution, via t18's bounded-histogram pattern —
+    // the global sort a naive ntile() would do is replaced by a
+    // histogram over ~hundreds of distinct bins (the window runs on
+    // the HISTOGRAM, never the corpus) joined back broadcast. The
+    // within-phase order key is the p4 md5 discipline (reproducible,
+    // engine-portable), emitted for the shard writer to sort by —
+    // assignment here, ordering there. Two aggregates + one broadcast
+    // join at any corpus size.
+    "p9_curriculum" -> ((s, dir) => {
+      val binned = withReadability(docs(s, dir))
+        .withColumn("bin", round(col("fk") * 10).cast("long"))
+        .select(col("doc_id"), col("fk"), col("bin"))
+      val hist = binned.groupBy("bin").agg(count(lit(1)).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val n = broadcast(binned.agg(count(lit(1)).as("n")))
+      val phases = hist
+        .withColumn("before", sum("c").over(wCum) - col("c"))
+        .crossJoin(n)
+        .select(col("bin"),
+          (floor(col("before") * 4 / col("n")) + 1).cast("long")
+            .as("phase"))
+      binned.join(broadcast(phases), "bin")
+        .select(col("doc_id"), round(col("fk"), 4).as("fk_grade"),
+          col("bin"), col("phase"),
+          md5(concat(col("doc_id").cast("string"), lit("-p9")))
+            .as("curriculum_key"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Oracle-side distinct word-n-gram shingle list over a `tk` token
@@ -3926,5 +4088,48 @@ object TextQueries {
         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
         | ORDER BY a_id, b_id""".stripMargin.replaceAll("\n", ""),
+    // t50: plant + letter-run normalization + blocklist count replayed
+    // verbatim; both verdicts are integer comparisons.
+    "t50_toxicity_filter" ->
+      s"""WITH p AS (SELECT doc_id, text ||
+        |   CASE WHEN doc_id % 7 = 2 THEN ' badword gorefest'
+        |        WHEN doc_id % 7 = 5 THEN ' badword' ELSE '' END ||
+        |   CASE WHEN doc_id % 13 = 8 THEN ' Slurword.' ELSE '' END AS text
+        |  FROM documents),
+        | w AS (SELECT doc_id,
+        |   list_transform(regexp_extract_all(text, '$WordRunPat', 0),
+        |    w -> lower(w)) AS words
+        |  FROM p),
+        | b AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok,
+        |   CAST(len(list_filter(words, w -> list_contains(
+        |     ['badword', 'gorefest', 'slurword'], w))) AS BIGINT) AS n_bad
+        |  FROM w)
+        | SELECT doc_id, n_tok, n_bad,
+        |  ROUND(n_bad::DOUBLE / GREATEST(1, n_tok), 6) AS tox_rate,
+        |  n_bad = 0 AS c4_keep,
+        |  n_bad * 30 <= n_tok AS rate_keep
+        | FROM b ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // t51/p9: the FK readability block (fkCtesSql) is ONE definition
+    // shared by both oracles — the engine twin is withReadability.
+    "t51_readability" ->
+      s"""WITH $fkCtesSql
+        | SELECT doc_id, n_words, n_sent, n_syll,
+        |  ROUND(fk, 4) AS fk_grade
+        | FROM fkx ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    "p9_curriculum" ->
+      s"""WITH $fkCtesSql,
+        | b AS (SELECT doc_id, fk,
+        |   CAST(ROUND(fk * 10) AS BIGINT) AS bin FROM fkx),
+        | h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+        | n AS (SELECT COUNT(*) AS n FROM b),
+        | ph AS (SELECT bin,
+        |   SUM(c) OVER (ORDER BY bin
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |    AS before FROM h)
+        | SELECT doc_id, ROUND(fk, 4) AS fk_grade, b.bin,
+        |  CAST(FLOOR(before * 4 / n) AS BIGINT) + 1 AS phase,
+        |  md5(CAST(doc_id AS VARCHAR) || '-p9') AS curriculum_key
+        | FROM b JOIN ph ON b.bin = ph.bin CROSS JOIN n
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
   )
 }

@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextQueries
+
+/** Round-14 wave-C curation rungs: t50 blocklist screen, t51
+  * Flesch–Kincaid readability, p9 curriculum phases, m16 caption
+  * quality. The DuckDB oracle pins cross-engine equality at 3 SFs;
+  * these specs pin the SEMANTICS (hand goldens, rule isolation,
+  * closed-form phase recompute) and the plan shapes (map-only scans,
+  * histogram-not-corpus window). */
+class Round14CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, sfDir).collect()
+
+  // -------------------------------------------------------------
+  // t51: hand-golden readability arithmetic
+  // -------------------------------------------------------------
+
+  test("t51: FK counts and grade match hand-computed goldens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. It ran! Why?"), // 6 words, 3 sents, 6 syll
+      (2L, "tv hmm."),                   // vowelless words floor at 1
+      (3L, "Pneumonia outbreak?"),       // multi-group words
+      (4L, "")                           // empty: floors keep FK finite
+    ).toDF("doc_id", "text")
+    val out = TextQueries.withReadability(df)
+      .select("doc_id", "n_words", "n_sent", "n_syll", "fk")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+    def fkOf(w: Long, s: Long, y: Long): Double =
+      0.39 * (w.toDouble / s) + 11.8 * (y.toDouble / w) - 15.59
+
+    assert(out(1L)._1 == 6 && out(1L)._2 == 3 && out(1L)._3 == 6)
+    assert(out(1L)._4 == fkOf(6, 3, 6))
+    // "tv" and "hmm" have no vowel groups -> 1 syllable each
+    assert(out(2L) == ((2L, 1L, 2L, fkOf(2, 1, 2))))
+    // pneumonia = eu+o+ia -> 3 groups; outbreak = ou+ea -> 2
+    assert(out(3L) == ((2L, 1L, 5L, fkOf(2, 1, 5))))
+    // empty text: both floors engage, syllables 0
+    assert(out(4L) == ((1L, 1L, 0L, fkOf(1, 1, 0))))
+  }
+
+  test("t51: per-doc invariants + grade recomputable from emitted counts") {
+    val rows = run("t51_readability")
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val (w, s, y, g) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+      assert(w >= 1 && s >= 1 && y >= 0)
+      // every word contributes >= 1 syllable
+      assert(y >= w || y == 0, s"doc ${r.getLong(0)}: $y syll < $w words")
+      val expect = BigDecimal(
+        0.39 * (w.toDouble / s) + 11.8 * (y.toDouble / w) - 15.59)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(g - expect) < 1e-9,
+        s"doc ${r.getLong(0)}: emitted $g != recomputed $expect")
+    }
+  }
+
+  // -------------------------------------------------------------
+  // t50: blocklist verdicts
+  // -------------------------------------------------------------
+
+  test("t50: plants fire, both policies disagree where designed") {
+    val rows = run("t50_toxicity_filter")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val (id, bad) = (r.getLong(0), r.getLong(2))
+      val expectBad = (if (id % 7 == 2) 2L else if (id % 7 == 5) 1L else 0L) +
+        (if (id % 13 == 8) 1L else 0L)
+      assert(bad == expectBad, s"doc $id: n_bad $bad != $expectBad")
+      assert(r.getBoolean(4) == (bad == 0))               // c4_keep
+      assert(r.getBoolean(5) == (bad * 30 <= r.getLong(1))) // rate_keep
+    }
+    // all three reachable verdict combos occur (c4-keep implies
+    // rate-keep by construction: 0 hits is rate 0)
+    val combos = rows.map(r => (r.getBoolean(4), r.getBoolean(5))).toSet
+    assert(combos == Set((true, true), (false, true), (false, false)),
+      s"verdict combos degenerate: $combos")
+    // the planted case variant is normalized: Slurword. counts
+    val slur = byId.values.filter(r => r.getLong(0) % 13 == 8)
+    assert(slur.nonEmpty && slur.forall(_.getLong(2) >= 1))
+  }
+
+  test("t50/t51: map-only scans — no join, no aggregate in the plan") {
+    Seq("t50_toxicity_filter", "t51_readability").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name plan has a join:\n$plan")
+      assert(!plan.contains("HashAggregate"),
+        s"$name plan has an aggregate:\n$plan")
+    }
+  }
+
+  // -------------------------------------------------------------
+  // p9: curriculum phases
+  // -------------------------------------------------------------
+
+  test("p9: four monotone phases matching the histogram closed form") {
+    val rows = run("p9_curriculum")
+    val n = rows.length.toLong
+    val phases = rows.map(_.getLong(3)).toSet
+    assert(phases == Set(1L, 2L, 3L, 4L), s"phases: $phases")
+    // bin ranges are disjoint and ordered across phases
+    val byPhase = rows.groupBy(_.getLong(3)).toSeq.sortBy(_._1)
+    byPhase.sliding(2).foreach {
+      case Seq((_, lo), (_, hi)) =>
+        assert(lo.map(_.getLong(2)).max < hi.map(_.getLong(2)).min)
+      case _ =>
+    }
+    // phase = floor(4 * docs-before-bin / n) + 1, recomputed here from
+    // the emitted bins alone (the t18 histogram closed form)
+    val counts = rows.groupBy(_.getLong(2)).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    var before = 0L
+    val expect = counts.map { case (bin, c) =>
+      val p = before * 4 / n + 1; before += c; bin -> p
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) == expect(r.getLong(2)),
+        s"bin ${r.getLong(2)}: phase ${r.getLong(3)} != ${expect(r.getLong(2))}")
+    }
+    // the shard-writer sort key is the p4 md5 discipline
+    rows.take(5).foreach { r =>
+      assert(r.getString(4).matches("[0-9a-f]{32}"))
+    }
+  }
+
+  test("p9: the quantile window runs on the histogram, not the corpus") {
+    val df = SparkEntry.queries("p9_curriculum")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // a corpus-wide ntile would sort all rows under one Window keyed
+    // by nothing; here the only Window consumes the binned aggregate
+    assert(plan.contains("Window"), plan)
+    val winIdx = plan.indexOf("Window")
+    assert(plan.indexOf("HashAggregate", winIdx) > 0,
+      s"window does not sit above the bin histogram:\n$plan")
+  }
+
+  // -------------------------------------------------------------
+  // m16: caption quality rules fire in isolation
+  // -------------------------------------------------------------
+
+  test("m16: each boilerplate rule rejects alone; informative captions keep") {
+    val rows = run("m16_caption_quality")
+    def rule(r: Row) = (r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))
+    val byNorm = rows.groupBy(_.getString(4))
+
+    // 'untitled image': fixed-id plant -> df 2, two words, in-list:
+    // rejected by the placeholder list ALONE
+    val ui = byNorm("untitled image")
+    assert(ui.length == 2)
+    ui.foreach { r =>
+      assert(rule(r) == ((true, false, true)), r.toString)
+      assert(r.getLong(6) == 2 && !r.getBoolean(10))
+    }
+    // 'stock banner': repeated across n/5 distinct urls -> df reject
+    // ALONE (fluent length, not in any list)
+    val sb = byNorm("stock banner")
+    assert(sb.length >= 50)
+    sb.foreach(r => assert(rule(r) == ((true, true, false)) &&
+      !r.getBoolean(10), r.toString))
+    // 'image': single word placeholder on n/10 urls -> all three fire
+    byNorm("image").foreach(r =>
+      assert(rule(r) == ((false, false, false)), r.toString))
+    // the m14 informative plants survive every rule
+    val kept = rows.filter(_.getBoolean(10))
+    assert(kept.length >= 400)
+    assert(kept.exists(_.getString(4).startsWith("figure ")))
+    assert(kept.exists(_.getString(4).startsWith("photo ")))
+    // digits are kept by normalization (the df rule depends on it:
+    // stripping them would collapse every 'figure N overview' into
+    // one mega-df caption)
+    assert(kept.exists(_.getString(4).matches("figure [0-9]+ overview")))
+  }
+
+  // -------------------------------------------------------------
+  // s23: CUSUM changepoint
+  // -------------------------------------------------------------
+
+  test("s23: full table matches an independent plain-Scala CUSUM fold") {
+    val out = run("s23_cusum_changepoint")
+    // independent recompute: collect raw (type, hour) in mechanical
+    // form (unix micros), then gap-fill, baseline, plant, fold and
+    // alarm entirely in plain Scala
+    val HourUs = 3600000000L
+    val raw = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getString(0) -> Math.floorDiv(r.getLong(1), HourUs))
+    val utc = java.time.ZoneOffset.UTC
+    def hourOfUs(h: Long): String =
+      java.time.LocalDateTime.ofEpochSecond(h * 3600, 0, utc)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val burstLo = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+      .toEpochSecond(utc) / 3600
+    val expect = raw.groupBy(_._1).toSeq.flatMap { case (tpe, evs) =>
+      val hrs = evs.map(_._2)
+      val counts = hrs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val series = (hrs.min to hrs.max)
+        .map(h => h -> counts.getOrElse(h, 0L))
+      val d = series.length.toLong
+      val sumc = series.map(_._2).sum
+      val g = 3L * (sumc / d + 1L)
+      var s = 0L
+      series.map { case (h, c) =>
+        val cnt = if (tpe == "click" && h >= burstLo && h < burstLo + 12)
+          c + g else c
+        s = math.max(0L, s + d * cnt - 2L * sumc)
+        (tpe, hourOfUs(h), cnt, s, s >= 6L * sumc)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expect)
+    // the planted burst alarms at every SF by construction; noise
+    // alarms outside it are legitimate detector output, but the burst
+    // itself must fire
+    assert(got.exists(t => t._1 == "click" && t._5 &&
+      t._2.startsWith("2024-01-15")), "planted burst did not alarm")
+  }
+
+  test("m16: extraction is m14's — the extra plant only appends rows") {
+    val m14 = run("m14_image_captions")
+    val m16 = run("m16_caption_quality")
+    val extraUrls = Set("/sb.png", "/pl.png", "/ui.png")
+    def isExtra(url: String) = extraUrls.exists(url.endsWith)
+    val m16Core = m16.filterNot(r => isExtra(r.getString(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val m14Keys = m14
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(m16Core == m14Keys)
+    assert(m16.length == m14.length + m16.count(r => isExtra(r.getString(3))))
+  }
+}
