@@ -504,54 +504,68 @@ object EventQueries {
     // collect+fold per type after two keyed aggs; types parallelize,
     // a year is 8,760 fold steps per key.
     "s23_cusum_changepoint" -> ((s, dir) => {
-      val e = graft.Caches.shared(
+      cusumFromCounts(
         Tables.events(s, dir)
-          .select(col("event_type"), date_trunc("hour", col("ts")).as("hr")))
-      val cnt = e.groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
-      val spine = e.groupBy("event_type")
-        .agg(min("hr").as("h0"), max("hr").as("h1"))
-        .select(col("event_type"),
-          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
-            .as("hr"))
-      val filled = spine.join(cnt, Seq("event_type", "hr"), "left")
-        .select(col("event_type"), col("hr"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      // baseline BEFORE the plant: the reference is history, the
-      // burst is the anomaly under test
-      val stats = filled.groupBy("event_type")
-        .agg(count(lit(1)).as("d"), sum("c").as("sumc"))
-      val planted = filled.join(broadcast(stats), "event_type")
-        .withColumn("cnt",
-          when(col("event_type") === "click" &&
-              col("hr") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
-              col("hr") < lit("2024-01-15 12:00:00").cast("timestamp"),
-            col("c") + lit(3L) * (expr("sumc div d") + lit(1L)))
-            .otherwise(col("c")))
-      planted
-        .groupBy(col("event_type"), col("d"), col("sumc"))
-        .agg(sort_array(collect_list(struct(col("hr"), col("cnt"))))
-          .as("ser"))
-        .withColumn("steps", expr(
-          """aggregate(ser,
-            |  named_struct(
-            |    'acc', cast(array() as
-            |      array<struct<hr:timestamp,cnt:bigint,s:bigint>>),
-            |    'run', cast(0 as bigint)),
-            |  (a, x) -> named_struct(
-            |    'acc', array_append(a.acc, named_struct(
-            |      'hr', x.hr, 'cnt', x.cnt,
-            |      's', greatest(cast(0 as bigint),
-            |             a.run + d * x.cnt - 2 * sumc))),
-            |    'run', greatest(cast(0 as bigint),
-            |             a.run + d * x.cnt - 2 * sumc)),
-            |  a -> a.acc)""".stripMargin))
-        .select(col("event_type"), col("sumc"), explode(col("steps")).as("e"))
-        .select(col("event_type"), col("e.hr").cast("string").as("hr"),
-          col("e.cnt").as("cnt"), col("e.s").as("cusum"),
-          (col("e.s") >= lit(6L) * col("sumc")).as("alarm"))
-        .orderBy("event_type", "hr")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .groupBy("event_type", "hr").agg(count(lit(1)).as("c")))
     }),
   )
+
+  /** s23's decision body over an (event_type, hr, c) hourly-count
+    * table — ONE definition shared by the batch query and the
+    * streaming face ([[graft.streaming.EventStreams.streamingTypeHourly]]
+    * maintains exactly these counts as its state; the CUSUM fold then
+    * runs FROM STATE with zero event re-reads). Spine, baseline,
+    * planted burst and the integer-scaled fold per the s23 scaladoc. */
+  private[graft] def cusumFromCounts(cnt: DataFrame): DataFrame = {
+    val spine = cnt.groupBy("event_type")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hr"))
+    val filled = spine.join(cnt, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    // baseline BEFORE the plant: the reference is history, the
+    // burst is the anomaly under test
+    val stats = filled.groupBy("event_type")
+      .agg(count(lit(1)).as("d"), sum("c").as("sumc"))
+    val planted = filled.join(broadcast(stats), "event_type")
+      .withColumn("cnt",
+        when(col("event_type") === "click" &&
+            col("hr") >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+            col("hr") < lit("2024-01-15 12:00:00").cast("timestamp"),
+          col("c") + lit(3L) * (expr("sumc div d") + lit(1L)))
+          .otherwise(col("c")))
+    planted
+      .groupBy(col("event_type"), col("d"), col("sumc"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("cnt"))))
+        .as("ser"))
+      .withColumn("steps", expr(
+        """aggregate(ser,
+          |  named_struct(
+          |    'acc', cast(array() as
+          |      array<struct<hr:timestamp,cnt:bigint,s:bigint>>),
+          |    'run', cast(0 as bigint)),
+          |  (a, x) -> named_struct(
+          |    'acc', array_append(a.acc, named_struct(
+          |      'hr', x.hr, 'cnt', x.cnt,
+          |      's', greatest(cast(0 as bigint),
+          |             a.run + d * x.cnt - 2 * sumc))),
+          |    'run', greatest(cast(0 as bigint),
+          |             a.run + d * x.cnt - 2 * sumc)),
+          |  a -> a.acc)""".stripMargin))
+      .select(col("event_type"), col("sumc"), explode(col("steps")).as("e"))
+      // epoch micros, not a cast-to-string hour: a VARCHAR render is
+      // parquet-encoding-dependent (DuckDB prints a UTC-adjusted
+      // TIMESTAMP_MICROS file as '…+00' where the driver's
+      // unadjusted NANOS prints bare — surfaced by the sf1 smoke);
+      // the epoch integer is absolute in both engines
+      .select(col("event_type"), unix_micros(col("e.hr")).as("hr_us"),
+        col("e.cnt").as("cnt"), col("e.s").as("cusum"),
+        (col("e.s") >= lit(6L) * col("sumc")).as("alarm"))
+      .orderBy("event_type", "hr_us")
+  }
 
   /** Per-key sweep-line union of [st, st+durUs) intervals →
     * (key, n_sessions, active_us). Gaps-and-islands: a running max of
@@ -876,8 +890,8 @@ object EventQueries {
         |    CAST(GREATEST(0, r.s + p.d * p.cnt - 2 * p.sumc) AS BIGINT)
         |   FROM r JOIN pl p
         |    ON p.event_type = r.event_type AND p.i = r.i + 1)
-        | SELECT event_type, CAST(hr AS VARCHAR) AS hr, cnt, s AS cusum,
-        |  s >= 6 * sumc AS alarm
-        | FROM r ORDER BY event_type, hr""".stripMargin.replaceAll("\n", ""),
+        | SELECT event_type, CAST(epoch_us(hr) AS BIGINT) AS hr_us, cnt,
+        |  s AS cusum, s >= 6 * sumc AS alarm
+        | FROM r ORDER BY event_type, hr_us""".stripMargin.replaceAll("\n", ""),
   )
 }

@@ -30,6 +30,42 @@ object TextQueries {
     * regex and RE2). */
   private val WordRunPat = "[A-Za-z]+"
 
+  /** t50's plant + blocklist counts as a (doc_id, n_tok, n_bad) table
+    * — ONE definition for t50's verdicts and the t52 funnel's
+    * blocklist stage; the oracle twin is [[t50CountCtes]]. */
+  private def blocklistCounts(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 2, lit(" badword gorefest"))
+            .when(pmod(col("doc_id"), lit(7)) === 5, lit(" badword"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 8, lit(" Slurword."))
+            .otherwise(lit(""))).as("text"))
+      .withColumn("words",
+        expr(s"transform(regexp_extract_all(text, '$WordRunPat', 0), " +
+          "w -> lower(w))"))
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_tok"),
+        expr("CAST(size(filter(words, " +
+          "w -> array_contains(array('badword', 'gorefest', 'slurword')," +
+          " w))) AS BIGINT)").as("n_bad"))
+
+  /** Oracle twin of [[blocklistCounts]] — a CTE block ending in
+    * `blc(doc_id, n_tok, n_bad)`, shared by the t50 and t52 oracles. */
+  private lazy val t50CountCtes: String =
+    s"""t50p AS (SELECT doc_id, text ||
+      |   CASE WHEN doc_id % 7 = 2 THEN ' badword gorefest'
+      |        WHEN doc_id % 7 = 5 THEN ' badword' ELSE '' END ||
+      |   CASE WHEN doc_id % 13 = 8 THEN ' Slurword.' ELSE '' END AS text
+      |  FROM documents),
+      | t50w AS (SELECT doc_id,
+      |   list_transform(regexp_extract_all(text, '$WordRunPat', 0),
+      |    w -> lower(w)) AS words
+      |  FROM t50p),
+      | blc AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok,
+      |   CAST(len(list_filter(words, w -> list_contains(
+      |     ['badword', 'gorefest', 'slurword'], w))) AS BIGINT) AS n_bad
+      |  FROM t50w)""".stripMargin
+
   /** Flesch–Kincaid grade columns (t51 + p9's difficulty bins — ONE
     * definition): words/sentences/syllables per the t51 scaladoc, fk =
     * 0.39·(words/sent) + 11.8·(syll/words) − 15.59 with the divisions
@@ -2248,21 +2284,7 @@ object TextQueries {
     // shuffles before the output sort; at 100 TB this is a map-only
     // pass with the (tiny) blocklist inlined in the plan.
     "t50_toxicity_filter" -> ((s, dir) => {
-      val planted = docs(s, dir).select(col("doc_id"),
-        concat(col("text"),
-          when(pmod(col("doc_id"), lit(7)) === 2, lit(" badword gorefest"))
-            .when(pmod(col("doc_id"), lit(7)) === 5, lit(" badword"))
-            .otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(13)) === 8, lit(" Slurword."))
-            .otherwise(lit(""))).as("text"))
-      planted
-        .withColumn("words",
-          expr(s"transform(regexp_extract_all(text, '$WordRunPat', 0), " +
-            "w -> lower(w))"))
-        .withColumn("n_tok", size(col("words")).cast("long"))
-        .withColumn("n_bad", expr("CAST(size(filter(words, " +
-          "w -> array_contains(array('badword', 'gorefest', 'slurword')," +
-          " w))) AS BIGINT)"))
+      blocklistCounts(docs(s, dir))
         .select(col("doc_id"), col("n_tok"), col("n_bad"),
           // greatest(1, ·): a doc with NO ASCII letter runs (possible
           // on a non-Latin corpus — fixture-swept) has n_bad = 0 too,
@@ -2292,6 +2314,74 @@ object TextQueries {
         .select(col("doc_id"), col("n_words"), col("n_sent"),
           col("n_syll"), round(col("fk"), 4).as("fk_grade"))
         .orderBy("doc_id")
+    }),
+
+    // T52: filter FUNNEL report (round 14) — the number a pipeline
+    // operator reads before committing a cleaning config: the gates
+    // applied IN SEQUENCE (each stage sees only the previous stage's
+    // survivors — the FineWeb/RefinedWeb ablation table shape), not
+    // four independent reports. Stages: gopher rules (t43's
+    // language-agnostic subset — the labels t48 trains on, ONE
+    // definition) → blocklist (t50's C4-list verdict, ONE definition)
+    // → quality classifier (t48's pred_keep, ONE scoring pipeline).
+    // Per stage: docs in/kept + SEG-TOKEN volume in/kept and both
+    // removal rates — the volume is what the decision is about
+    // (the d22 lesson: one 500-page dup ≠ one tweet). Classifier
+    // coverage is LEFT-joined (a doc with zero seg tokens scores as
+    // drop, never silently vanishes from the funnel). Scale shape:
+    // the label scan, the blocklist scan and t48's scoring pass
+    // (model JOINED on tok), then ONE global 8-long fold — partial
+    // map-side; the 3 output rows are built from that single row.
+    "t52_filter_funnel" -> ((s, dir) => {
+      val d = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
+        TextAnalysis.segTokens(col("text")).as("tk")))
+      val labels = graft.Caches.shared(qualityLabels(docs(s, dir)))
+      val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .join(labels, "doc_id")
+      val scored =
+        qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
+      val flags = labels.withColumnRenamed("keep", "g_keep")
+        .join(blocklistCounts(docs(s, dir))
+          .select(col("doc_id"), (col("n_bad") === 0).as("b_keep")),
+          "doc_id")
+        .join(scored.select(col("doc_id"), col("n_tokens"),
+          col("pred_keep")), Seq("doc_id"), "left")
+        .select(col("g_keep"), col("b_keep"),
+          coalesce(col("pred_keep"), lit(false)).as("p_keep"),
+          coalesce(col("n_tokens"), lit(0L)).as("nt"))
+      def cnt(p: org.apache.spark.sql.Column) =
+        sum(when(p, 1L).otherwise(0L))
+      def vol(p: org.apache.spark.sql.Column) =
+        sum(when(p, col("nt")).otherwise(0L))
+      val tot = flags.agg(
+        count(lit(1)).as("n0"), sum("nt").as("t0"),
+        cnt(col("g_keep")).as("n1"), vol(col("g_keep")).as("t1"),
+        cnt(col("g_keep") && col("b_keep")).as("n2"),
+        vol(col("g_keep") && col("b_keep")).as("t2"),
+        cnt(col("g_keep") && col("b_keep") && col("p_keep")).as("n3"),
+        vol(col("g_keep") && col("b_keep") && col("p_keep")).as("t3"))
+      def rate(in: org.apache.spark.sql.Column,
+          kept: org.apache.spark.sql.Column) =
+        when(in > 0, round((in - kept).cast("double") / in, 6))
+      tot.select(explode(array(
+          struct(lit(1L).as("ord"), lit("gopher_rules").as("stage"),
+            col("n0").as("docs_in"), col("n1").as("docs_kept"),
+            rate(col("n0"), col("n1")).as("doc_removal_rate"),
+            col("t0").as("tokens_in"), col("t1").as("tokens_kept"),
+            rate(col("t0"), col("t1")).as("token_removal_rate")),
+          struct(lit(2L).as("ord"), lit("blocklist").as("stage"),
+            col("n1").as("docs_in"), col("n2").as("docs_kept"),
+            rate(col("n1"), col("n2")).as("doc_removal_rate"),
+            col("t1").as("tokens_in"), col("t2").as("tokens_kept"),
+            rate(col("t1"), col("t2")).as("token_removal_rate")),
+          struct(lit(3L).as("ord"), lit("classifier").as("stage"),
+            col("n2").as("docs_in"), col("n3").as("docs_kept"),
+            rate(col("n2"), col("n3")).as("doc_removal_rate"),
+            col("t2").as("tokens_in"), col("t3").as("tokens_kept"),
+            rate(col("t2"), col("t3")).as("token_removal_rate"))))
+          .as("r"))
+        .select(col("r.*"))
+        .orderBy("ord")
     }),
 
     // P9: curriculum phase assignment (round 14) — the easy→hard
@@ -3450,6 +3540,56 @@ object TextQueries {
         |   THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
         |   END AS f1
         | FROM cm""".stripMargin.replaceAll("\n", ""),
+    // t52: the SAME t48 replay chain (labels + scoring) composed with
+    // the SAME t50 count block, then the sequential funnel fold —
+    // every stage decision comes from the one shared definition its
+    // standalone query hash-checks.
+    "t52_filter_funnel" ->
+      s"""WITH $t48ReplayCtes,
+        | $t50CountCtes,
+        | fpk AS (SELECT doc_id, n_tokens,
+        |   ($t48LogOddsSql) > 0 AS pred_keep
+        |  FROM sc, cn, dc),
+        | ffl AS (SELECT lab.doc_id, lab.keep AS g_keep,
+        |   blc.n_bad = 0 AS b_keep,
+        |   COALESCE(fpk.pred_keep, FALSE) AS p_keep,
+        |   COALESCE(fpk.n_tokens, 0) AS nt
+        |  FROM lab JOIN blc USING (doc_id)
+        |   LEFT JOIN fpk ON lab.doc_id = fpk.doc_id),
+        | ftot AS (SELECT
+        |   CAST(COUNT(*) AS BIGINT) AS n0,
+        |   CAST(SUM(nt) AS BIGINT) AS t0,
+        |   CAST(SUM(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(SUM(CASE WHEN g_keep THEN nt ELSE 0 END) AS BIGINT) AS t1,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n2,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN nt ELSE 0 END)
+        |     AS BIGINT) AS t2,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND p_keep THEN 1 ELSE 0
+        |     END) AS BIGINT) AS n3,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND p_keep THEN nt ELSE 0
+        |     END) AS BIGINT) AS t3
+        |  FROM ffl)
+        | SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS ord, 'gopher_rules' AS stage,
+        |   n0 AS docs_in, n1 AS docs_kept,
+        |   CASE WHEN n0 > 0 THEN ROUND((n0 - n1)::DOUBLE / n0, 6) END
+        |    AS doc_removal_rate,
+        |   t0 AS tokens_in, t1 AS tokens_kept,
+        |   CASE WHEN t0 > 0 THEN ROUND((t0 - t1)::DOUBLE / t0, 6) END
+        |    AS token_removal_rate
+        |  FROM ftot
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'blocklist', n1, n2,
+        |   CASE WHEN n1 > 0 THEN ROUND((n1 - n2)::DOUBLE / n1, 6) END,
+        |   t1, t2,
+        |   CASE WHEN t1 > 0 THEN ROUND((t1 - t2)::DOUBLE / t1, 6) END
+        |  FROM ftot
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'classifier', n2, n3,
+        |   CASE WHEN n2 > 0 THEN ROUND((n2 - n3)::DOUBLE / n2, 6) END,
+        |   t2, t3,
+        |   CASE WHEN t2 > 0 THEN ROUND((t2 - t3)::DOUBLE / t2, 6) END
+        |  FROM ftot)
+        | ORDER BY ord""".stripMargin.replaceAll("\n", ""),
     // t47: t44's replay with every model cell, the smoothing fallback
     // and the tercile cut keyed by lang.
     "t47_perlang_perplexity" ->
@@ -4091,24 +4231,12 @@ object TextQueries {
     // t50: plant + letter-run normalization + blocklist count replayed
     // verbatim; both verdicts are integer comparisons.
     "t50_toxicity_filter" ->
-      s"""WITH p AS (SELECT doc_id, text ||
-        |   CASE WHEN doc_id % 7 = 2 THEN ' badword gorefest'
-        |        WHEN doc_id % 7 = 5 THEN ' badword' ELSE '' END ||
-        |   CASE WHEN doc_id % 13 = 8 THEN ' Slurword.' ELSE '' END AS text
-        |  FROM documents),
-        | w AS (SELECT doc_id,
-        |   list_transform(regexp_extract_all(text, '$WordRunPat', 0),
-        |    w -> lower(w)) AS words
-        |  FROM p),
-        | b AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tok,
-        |   CAST(len(list_filter(words, w -> list_contains(
-        |     ['badword', 'gorefest', 'slurword'], w))) AS BIGINT) AS n_bad
-        |  FROM w)
+      s"""WITH $t50CountCtes
         | SELECT doc_id, n_tok, n_bad,
         |  ROUND(n_bad::DOUBLE / GREATEST(1, n_tok), 6) AS tox_rate,
         |  n_bad = 0 AS c4_keep,
         |  n_bad * 30 <= n_tok AS rate_keep
-        | FROM b ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+        | FROM blc ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     // t51/p9: the FK readability block (fkCtesSql) is ONE definition
     // shared by both oracles — the engine twin is withReadability.
     "t51_readability" ->

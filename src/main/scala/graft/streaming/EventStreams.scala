@@ -61,6 +61,20 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sv"))
 
+  /** s23's streaming state: watermarked hourly per-type counts — the
+    * exact (event_type, hr, c) table
+    * [[graft.operators.EventQueries.cusumFromCounts]] folds, so the
+    * CUSUM changepoint decision runs from state with zero event
+    * re-reads. Run in Complete mode for a bounded-source replay (a
+    * live pipeline runs Update and re-folds on each trigger — the
+    * fold input is the same state either way). */
+  def streamingTypeHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("window.start").as("hr"), col("c"))
+
   /** Time-series downsampling as a stream: per-user tumbling window
     * with a watermark — the streaming face of the s14 batch rollup
     * (minus the distinct-type count, which streaming aggregation

@@ -186,6 +186,45 @@ class Round14CurationSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  // t52: filter funnel
+  // -------------------------------------------------------------
+
+  test("t52: funnel rows recompute from the standalone gate queries") {
+    val funnel = run("t52_filter_funnel")
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6)))).toMap
+    assert(funnel.keySet == Set("gopher_rules", "blocklist", "classifier"))
+    // per-doc decisions from the standalone hash-checked queries
+    // gopher keep = the language-agnostic rule subset, exactly as
+    // qualityLabels ANDs it from the t43 rule table
+    val gKeep = SparkEntry.queries("t43_gopher_rules")(spark, sfDir)
+      .select(col("doc_id"),
+        (col("r_wordcount") && col("r_meanwordlen") && col("r_hash") &&
+          col("r_ellipsis") && col("r_alpha")).as("keep"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bKeep = run("t50_toxicity_filter")
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap // c4_keep
+    val t48 = run("t48_quality_classifier")
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val pKeep = t48.map(t => t._1 -> t._3).toMap
+    val nTok = t48.map(t => t._1 -> t._2).toMap
+    val ids = gKeep.keySet.toSeq.sorted
+    def stage(p: Long => Boolean) =
+      (ids.count(p), ids.filter(p).map(nTok.getOrElse(_, 0L)).sum)
+    val (n0, t0) = stage(_ => true)
+    val (n1, t1) = stage(id => gKeep(id))
+    val (n2, t2) = stage(id => gKeep(id) && bKeep(id))
+    val (n3, t3) = stage(id =>
+      gKeep(id) && bKeep(id) && pKeep.getOrElse(id, false))
+    assert(funnel("gopher_rules") == ((n0.toLong, n1.toLong, t0, t1)))
+    assert(funnel("blocklist") == ((n1.toLong, n2.toLong, t1, t2)))
+    assert(funnel("classifier") == ((n2.toLong, n3.toLong, t2, t3)))
+    // the funnel is non-degenerate: every stage removes something here
+    assert(n0 > n1 && n1 > n2 && n2 >= n3, s"$n0 $n1 $n2 $n3")
+  }
+
+  // -------------------------------------------------------------
   // s23: CUSUM changepoint
   // -------------------------------------------------------------
 
@@ -198,13 +237,8 @@ class Round14CurationSpec extends AnyFunSuite {
     val raw = Tables.events(spark, sfDir)
       .select(col("event_type"), unix_micros(col("ts")).as("us"))
       .collect().map(r => r.getString(0) -> Math.floorDiv(r.getLong(1), HourUs))
-    val utc = java.time.ZoneOffset.UTC
-    def hourOfUs(h: Long): String =
-      java.time.LocalDateTime.ofEpochSecond(h * 3600, 0, utc)
-        .format(java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss"))
     val burstLo = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
-      .toEpochSecond(utc) / 3600
+      .toEpochSecond(java.time.ZoneOffset.UTC) / 3600
     val expect = raw.groupBy(_._1).toSeq.flatMap { case (tpe, evs) =>
       val hrs = evs.map(_._2)
       val counts = hrs.groupBy(identity).view.mapValues(_.length.toLong).toMap
@@ -218,17 +252,18 @@ class Round14CurationSpec extends AnyFunSuite {
         val cnt = if (tpe == "click" && h >= burstLo && h < burstLo + 12)
           c + g else c
         s = math.max(0L, s + d * cnt - 2L * sumc)
-        (tpe, hourOfUs(h), cnt, s, s >= 6L * sumc)
+        (tpe, h * HourUs, cnt, s, s >= 6L * sumc)
       }
     }.sortBy(t => (t._1, t._2))
-    val got = out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+    val got = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getBoolean(4))).toSeq
     assert(got == expect)
     // the planted burst alarms at every SF by construction; noise
     // alarms outside it are legitimate detector output, but the burst
     // itself must fire
     assert(got.exists(t => t._1 == "click" && t._5 &&
-      t._2.startsWith("2024-01-15")), "planted burst did not alarm")
+      t._2 >= burstLo * HourUs && t._2 < (burstLo + 12) * HourUs),
+      "planted burst did not alarm")
   }
 
   test("m16: extraction is m14's — the extra plant only appends rows") {

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -98,6 +100,34 @@ class StreamingSpec extends AnyFunSuite {
         .select("vec_id", "similarity").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(hits(si) == hits(bi))
+  }
+
+  test("s23 streaming face: CUSUM folded from streamed hourly state ≡ batch") {
+    val batch = SparkEntry.queries("s23_cusum_changepoint")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toSeq
+    // Complete mode: the bounded-source replay emits every window
+    // (append would withhold the final un-watermarked hour, which
+    // would shift the spine max and the baseline)
+    val sink = EventStreams.runToCompletion(
+      EventStreams.streamingTypeHourly(rawEventStream),
+      "s23_state_test", OutputMode.Complete)
+    // cusumFromCounts self-joins its input (spine × counts); the
+    // memory-sink plan cannot dedup attribute refs across a self-join,
+    // so rebase the state onto a plain local relation first
+    val state = spark.createDataFrame(
+      sink.select("event_type", "hr", "c").collect().toSeq.asJava,
+      sink.select("event_type", "hr", "c").schema)
+    val streamed = graft.operators.EventQueries
+      .cusumFromCounts(state)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(t => t._1 == "click" && t._5))
   }
 
   test("streaming hourly window agg equals batch rollup once complete") {

@@ -69,7 +69,10 @@ object UnicodeFixtureGateSpec {
     // mh2_ dirs now carry _SEG_USED) surfaced d3's seg-shingled
     // minhash sidecar to the plan scan — the exact hand-gating gap
     // the sweep exists to close
-    "d3_minhash_neardup")
+    "d3_minhash_neardup",
+    // round 14 wave C: the filter funnel reads seg tokens through
+    // t48's scoring chain
+    "t52_filter_funnel")
 }
 
 class UnicodeFixtureGateSpec extends AnyFunSuite {
