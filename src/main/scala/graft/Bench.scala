@@ -100,7 +100,8 @@ object Bench {
     "p9_curriculum", // FK decibin histogram quartiles + broadcast join
     "m16_caption_quality", // caption df agg + AQE-broadcast join back
     "s23_cusum_changepoint", // integer CUSUM fold over time-bounded series
-    "t52_filter_funnel") // sequential gate report: 3 scans + 1 global fold
+    "t52_filter_funnel", // sequential gate report: 3 scans + 1 global fold
+    "m17_scene_cuts") // real zip/PNG decode → luma-delta shot boundaries
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

@@ -551,6 +551,56 @@ object Multimodal {
     spark.createDataFrame(rows, AssetSchema)
   }
 
+  /** Scene-STRUCTURED synthetic videos for the m17 cut detector: the
+    * frame fill is keyed on scene = j div sceneLen instead of j, so
+    * frames WITHIN a scene are bit-identical and scene boundaries are
+    * generic content jumps — the structure a shot-boundary detector
+    * exists to find (the plain [[syntheticVideoAssets]] fill changes
+    * every frame, which would make every boundary a cut and the
+    * detector vacuous). n = 4 + id % 9 frames, sceneLen = 1 + id % 3;
+    * same zip-of-PNG container and distributed build as the plain
+    * builder. */
+  def syntheticSceneVideoAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          val n = 4 + (id % 9).toInt
+          val sceneLen = 1 + (id % 3).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val zos = new java.util.zip.ZipOutputStream(bos)
+          var j = 0
+          while (j < n) {
+            val scene = j / sceneLen
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  ((id * 2654435761L + scene * 69069L + x * 97L + y * 31L)
+                    & 0xffffffL).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            zos.putNextEntry(new java.util.zip.ZipEntry(f"f$j%03d.png"))
+            javax.imageio.ImageIO.write(img, "png", zos)
+            zos.closeEntry()
+            j += 1
+          }
+          zos.close()
+          Row(id, bos.toByteArray, Row("video", w, h, null, 40L * n))
+        }
+      }
+    spark.createDataFrame(rows, AssetSchema)
+  }
+
   private val FrameStatsSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("frame_number", IntegerType, nullable = false),

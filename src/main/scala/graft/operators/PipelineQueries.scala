@@ -781,6 +781,44 @@ object PipelineQueries {
         .orderBy("doc_id", "kind", "pos")
     }),
 
+    // M17: video SCENE-CUT detection (round 14) — shot-boundary
+    // detection, the keyframe-selection rung a video training
+    // pipeline runs after frame extraction (pick one frame per SHOT,
+    // not every Nth frame — m6's stride sampler oversamples static
+    // scenes and skips short ones). Real container decode (zip-of-PNG
+    // via sampleZipFrames, every frame), then the classic
+    // luma-difference detector: per asset, Δ = luma_sum − lag, cut
+    // when |Δ| > n_px (mean per-pixel shift > 1 — integer threshold,
+    // no float), scene_id = running cut count. The assets are
+    // scene-STRUCTURED (syntheticSceneVideoAssets: fill keyed on
+    // j div sceneLen) so within-scene deltas are EXACTLY 0 — no false
+    // cuts by construction — and boundaries are generic jumps. Oracle
+    // recomputes every frame's luma from the fill formula, then the
+    // same lag/threshold/running count. Scale shape: decode stays in
+    // the narrow map (bytes never shuffle), the detector window
+    // partitions on asset_id with ≤ frame-count rows per key.
+    "m17_scene_cuts" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticSceneVideoAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      val frames =
+        graft.multimodal.Multimodal.sampleZipFrames(assets, everyNth = 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("asset_id").orderBy("frame_number")
+      frames
+        .withColumn("delta",
+          col("luma_sum") - lag("luma_sum", 1).over(w))
+        .withColumn("is_cut",
+          col("delta").isNotNull && abs(col("delta")) > col("n_px"))
+        .withColumn("scene_id",
+          sum(when(col("is_cut"), 1L).otherwise(0L)).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .select(col("asset_id"), col("frame_number"), col("luma_sum"),
+          col("delta"), col("is_cut"), col("scene_id"))
+        .orderBy("asset_id", "frame_number")
+    }),
+
     // M8: image NEAR-DUP pairs — the multimodal rung of the dedup
     // ladder: re-crawled/re-saved copies of one image share a
     // perceptual hash even when their bytes differ, and production
@@ -1390,6 +1428,36 @@ object PipelineQueries {
         |  CAST(w * h AS INT) AS n_px
         | FROM px GROUP BY doc_id, j, w, h
         | ORDER BY asset_id, frame_number""".stripMargin.replaceAll("\n", ""),
+    // m17: every frame's luma recomputed from the SCENE-keyed fill
+    // (j // sceneLen), then the same lag / integer threshold /
+    // running cut count.
+    "m17_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+        |   4 + doc_id % 9 AS nf, 1 + doc_id % 3 AS sl FROM documents),
+        | fr AS (SELECT doc_id, w, h, sl, unnest(range(0, nf)) AS j FROM d),
+        | px AS (SELECT doc_id, j, w, h,
+        |   ((doc_id * 2654435761 + (j // sl) * 69069 + x * 97 + y * 31)
+        |     & 16777215) AS v
+        |  FROM fr
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) x)
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) y)
+        |  WHERE x < w AND y < h),
+        | lum AS (SELECT doc_id AS asset_id, CAST(j AS INT) AS frame_number,
+        |   CAST(SUM((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+        |     + (v & 255) * 114) // 1000) AS BIGINT) AS luma_sum,
+        |   w * h AS n_px
+        |  FROM px GROUP BY doc_id, j, w, h),
+        | dl AS (SELECT asset_id, frame_number, luma_sum, n_px,
+        |   luma_sum - lag(luma_sum) OVER (PARTITION BY asset_id
+        |     ORDER BY frame_number) AS delta FROM lum),
+        | ct AS (SELECT *,
+        |   delta IS NOT NULL AND abs(delta) > n_px AS is_cut FROM dl)
+        | SELECT asset_id, frame_number, luma_sum, delta, is_cut,
+        |  CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY asset_id ORDER BY frame_number
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+        | FROM ct ORDER BY asset_id, frame_number"""
+        .stripMargin.replaceAll("\n", ""),
     // m7: every windowed sample statistic recomputed from the id-pure
     // sample formula — integer-exact in both engines (values in
     // [-10000, 10000], sums bounded by 32·10⁴ ≪ 2⁶³; the mod operands

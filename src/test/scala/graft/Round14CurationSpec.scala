@@ -266,6 +266,53 @@ class Round14CurationSpec extends AnyFunSuite {
       "planted burst did not alarm")
   }
 
+  // -------------------------------------------------------------
+  // m17: scene cuts
+  // -------------------------------------------------------------
+
+  test("m17: no false cuts, near-total boundary recall, exact luma replay") {
+    val rows = run("m17_scene_cuts")
+    // scene structure: sceneLen = 1 + id % 3; within-scene frames are
+    // bit-identical, so a cut anywhere else is a decode/detector bug
+    var boundaries = 0; var cuts = 0
+    rows.foreach { r =>
+      val (id, j, cut) = (r.getLong(0), r.getInt(1), r.getBoolean(4))
+      val sl = 1 + (id % 3).toInt
+      if (j > 0 && j % sl == 0) boundaries += 1
+      if (cut) { cuts += 1; assert(j > 0 && j % sl == 0,
+        s"false cut at asset $id frame $j") }
+    }
+    assert(boundaries > 0 && cuts >= boundaries * 95 / 100,
+      s"recall degenerate: $cuts of $boundaries")
+    // scene_id ≡ running cut count, recomputed per asset
+    rows.groupBy(_.getLong(0)).foreach { case (_, fs) =>
+      var s = 0L
+      fs.sortBy(_.getInt(1)).foreach { r =>
+        if (r.getBoolean(4)) s += 1
+        assert(r.getLong(5) == s)
+      }
+    }
+    // one asset's luma re-derived in plain Scala from the fill formula
+    // — pins the REAL zip→PNG→decode chain against pure arithmetic
+    val id = 5L
+    val (w, h, sl) = (1 + (id % 16).toInt, 1 + (id % 8).toInt,
+      1 + (id % 3).toInt)
+    def luma(j: Int): Long = {
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (id * 2654435761L + (j / sl) * 69069L + x * 97L + y * 31L) &
+          0xffffffL
+        sum += (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+          (v & 0xff) * 114) / 1000
+      }
+      sum
+    }
+    rows.filter(_.getLong(0) == id).foreach { r =>
+      assert(r.getLong(2) == luma(r.getInt(1)),
+        s"luma mismatch at frame ${r.getInt(1)}")
+    }
+  }
+
   test("m16: extraction is m14's — the extra plant only appends rows") {
     val m14 = run("m14_image_captions")
     val m16 = run("m16_caption_quality")
