@@ -234,9 +234,25 @@ object Demo {
             println("[audit] " + cells.map(c => f"$c%9s").mkString(" "))
           }
 
+      case "report" =>
+        // t52: the sequential filter-funnel report — what an operator
+        // reads before committing a cleaning config, as a CLI surface
+        val hdr = Seq("stage", "docs_in", "kept", "doc_rate",
+          "tokens_in", "tok_kept", "tok_rate")
+        println("[report] " + hdr.map(h => f"$h%12s").mkString(" "))
+        graft.SparkEntry.queries("t52_filter_funnel")(spark, flags("dir"))
+          .collect().foreach { r =>
+            def rate(i: Int) =
+              if (r.isNullAt(i)) "-" else f"${r.getDouble(i)}%.4f"
+            val cells = Seq(r.getString(1), r.getLong(2).toString,
+              r.getLong(3).toString, rate(4), r.getLong(5).toString,
+              r.getLong(6).toString, rate(7))
+            println("[report] " + cells.map(c => f"$c%12s").mkString(" "))
+          }
+
       case other => sys.error(
         s"unknown mode '$other' (expected import|import-dir|search|" +
-          "generate|scan|compact|purge|audit|demo)")
+          "generate|scan|compact|purge|audit|report|demo)")
     }
   }
 

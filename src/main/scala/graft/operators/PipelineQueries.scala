@@ -246,6 +246,63 @@ object PipelineQueries {
     * semantics in DuckDB); plain character class, engine-portable. */
   private val M15RefPat = "img\\.example/([0-9]+)/"
 
+  /** m17's luma-delta shot-boundary detector over every decoded frame
+    * of the scene-structured assets — ONE definition for m17 (the
+    * per-frame cut table) and m18 (the per-scene keyframe selection).
+    * Columns: asset_id, frame_number, luma_sum, n_px, delta, is_cut,
+    * scene_id. */
+  private def sceneCutFrames(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val assets = graft.multimodal.Multimodal.syntheticSceneVideoAssets(
+      Tables.load(s, dir, "documents"), "doc_id")
+    val frames =
+      graft.multimodal.Multimodal.sampleZipFrames(assets, everyNth = 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_number")
+    frames
+      .withColumn("delta",
+        col("luma_sum") - lag("luma_sum", 1).over(w))
+      .withColumn("is_cut",
+        col("delta").isNotNull && abs(col("delta")) > col("n_px"))
+      .withColumn("scene_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(
+          w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+  }
+
+  /** Oracle twin of [[sceneCutFrames]] — the m17 replay chain as a CTE
+    * block ending in `scn` (asset_id, frame_number, luma_sum, n_px,
+    * delta, is_cut, scene_id), shared by the m17 and m18 oracles. */
+  private lazy val m17SceneCtes: String =
+    """m17d AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+      |   4 + doc_id % 9 AS nf, 1 + doc_id % 3 AS sl FROM documents),
+      | m17f AS (SELECT doc_id, w, h, sl, unnest(range(0, nf)) AS j
+      |  FROM m17d),
+      | m17p AS (SELECT doc_id, j, w, h,
+      |   ((doc_id * 2654435761 + (j // sl) * 69069 + x * 97 + y * 31)
+      |     & 16777215) AS v
+      |  FROM m17f
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) x)
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) y)
+      |  WHERE x < w AND y < h),
+      | m17l AS (SELECT doc_id AS asset_id, CAST(j AS INT) AS frame_number,
+      |   CAST(SUM((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+      |     + (v & 255) * 114) // 1000) AS BIGINT) AS luma_sum,
+      |   w * h AS n_px
+      |  FROM m17p GROUP BY doc_id, j, w, h),
+      | m17dl AS (SELECT asset_id, frame_number, luma_sum, n_px,
+      |   luma_sum - lag(luma_sum) OVER (PARTITION BY asset_id
+      |     ORDER BY frame_number) AS delta FROM m17l),
+      | m17c AS (SELECT *,
+      |   delta IS NOT NULL AND abs(delta) > n_px AS is_cut FROM m17dl),
+      | scn AS (SELECT asset_id, frame_number, luma_sum, n_px, delta,
+      |   is_cut,
+      |   CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+      |     PARTITION BY asset_id ORDER BY frame_number
+      |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+      |  FROM m17c)""".stripMargin
+
   /** m16's extra plant layered ON TOP of the m14 plant: the three
     * boilerplate shapes caption curation exists to catch. %5==0 docs
     * carry a REPEATED caption across distinct images ("stock banner" —
@@ -798,25 +855,30 @@ object PipelineQueries {
     // the narrow map (bytes never shuffle), the detector window
     // partitions on asset_id with ≤ frame-count rows per key.
     "m17_scene_cuts" -> ((s, dir) => {
-      val assets = graft.multimodal.Multimodal.syntheticSceneVideoAssets(
-        Tables.load(s, dir, "documents"), "doc_id")
-      val frames =
-        graft.multimodal.Multimodal.sampleZipFrames(assets, everyNth = 1)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("asset_id").orderBy("frame_number")
-      frames
-        .withColumn("delta",
-          col("luma_sum") - lag("luma_sum", 1).over(w))
-        .withColumn("is_cut",
-          col("delta").isNotNull && abs(col("delta")) > col("n_px"))
-        .withColumn("scene_id",
-          sum(when(col("is_cut"), 1L).otherwise(0L)).over(
-            w.rowsBetween(
-              org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)))
+      sceneCutFrames(s, dir)
         .select(col("asset_id"), col("frame_number"), col("luma_sum"),
           col("delta"), col("is_cut"), col("scene_id"))
         .orderBy("asset_id", "frame_number")
+    }),
+
+    // M18: keyframe SELECTION (round 14) — the training-sample
+    // emitter m17 exists for: one representative frame per detected
+    // SHOT (its first frame — the convention shot-boundary samplers
+    // use: the cut frame is the scene's cleanest exemplar, mid-scene
+    // frames add nothing the detector can distinguish). Per (asset,
+    // scene): the keyframe ordinal + its luma, and the scene length
+    // in frames — what a vision-training exporter writes per sample.
+    // One keyed aggregation over m17's detector output (ONE shared
+    // definition — the selection cannot drift from the detection);
+    // the oracle extends m17's replay with the same GROUP BY.
+    "m18_keyframe_select" -> ((s, dir) => {
+      sceneCutFrames(s, dir)
+        .groupBy(col("asset_id"), col("scene_id"))
+        .agg(min("frame_number").as("keyframe"),
+          min_by(col("luma_sum"), col("frame_number"))
+            .as("keyframe_luma"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("asset_id", "scene_id")
     }),
 
     // M8: image NEAR-DUP pairs — the multimodal rung of the dedup
@@ -1430,34 +1492,22 @@ object PipelineQueries {
         | ORDER BY asset_id, frame_number""".stripMargin.replaceAll("\n", ""),
     // m17: every frame's luma recomputed from the SCENE-keyed fill
     // (j // sceneLen), then the same lag / integer threshold /
-    // running cut count.
+    // running cut count (the chain is shared with m18's oracle).
     "m17_scene_cuts" ->
-      """WITH d AS (SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
-        |   4 + doc_id % 9 AS nf, 1 + doc_id % 3 AS sl FROM documents),
-        | fr AS (SELECT doc_id, w, h, sl, unnest(range(0, nf)) AS j FROM d),
-        | px AS (SELECT doc_id, j, w, h,
-        |   ((doc_id * 2654435761 + (j // sl) * 69069 + x * 97 + y * 31)
-        |     & 16777215) AS v
-        |  FROM fr
-        |  CROSS JOIN (SELECT unnest(range(0, 16)) x)
-        |  CROSS JOIN (SELECT unnest(range(0, 8)) y)
-        |  WHERE x < w AND y < h),
-        | lum AS (SELECT doc_id AS asset_id, CAST(j AS INT) AS frame_number,
-        |   CAST(SUM((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
-        |     + (v & 255) * 114) // 1000) AS BIGINT) AS luma_sum,
-        |   w * h AS n_px
-        |  FROM px GROUP BY doc_id, j, w, h),
-        | dl AS (SELECT asset_id, frame_number, luma_sum, n_px,
-        |   luma_sum - lag(luma_sum) OVER (PARTITION BY asset_id
-        |     ORDER BY frame_number) AS delta FROM lum),
-        | ct AS (SELECT *,
-        |   delta IS NOT NULL AND abs(delta) > n_px AS is_cut FROM dl)
-        | SELECT asset_id, frame_number, luma_sum, delta, is_cut,
-        |  CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
-        |    PARTITION BY asset_id ORDER BY frame_number
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
-        | FROM ct ORDER BY asset_id, frame_number"""
+      s"""WITH $m17SceneCtes
+        | SELECT asset_id, frame_number, luma_sum, delta, is_cut, scene_id
+        | FROM scn ORDER BY asset_id, frame_number"""
         .stripMargin.replaceAll("\n", ""),
+    // m18: the SAME m17 replay chain folded per (asset, scene) — the
+    // selection cannot drift from the detection.
+    "m18_keyframe_select" ->
+      s"""WITH $m17SceneCtes
+        | SELECT asset_id, scene_id,
+        |  CAST(MIN(frame_number) AS INT) AS keyframe,
+        |  arg_min(luma_sum, frame_number) AS keyframe_luma,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames
+        | FROM scn GROUP BY asset_id, scene_id
+        | ORDER BY asset_id, scene_id""".stripMargin.replaceAll("\n", ""),
     // m7: every windowed sample statistic recomputed from the id-pure
     // sample formula — integer-exact in both engines (values in
     // [-10000, 10000], sums bounded by 32·10⁴ ≪ 2⁶³; the mod operands

@@ -313,6 +313,38 @@ class Round14CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("m18: one keyframe per scene, consistent with m17's cut table") {
+    val frames = run("m17_scene_cuts")
+    val keys = run("m18_keyframe_select")
+    // exactly one row per (asset, scene); scene lengths sum back to
+    // the full frame count
+    val scenes = frames.map(r => (r.getLong(0), r.getLong(5))).distinct
+    assert(keys.length == scenes.length)
+    assert(keys.map(_.getLong(4)).sum == frames.length)
+    // each keyframe is the scene's FIRST frame and carries its luma
+    val byScene = frames.groupBy(r => (r.getLong(0), r.getLong(5)))
+    keys.foreach { k =>
+      val fs = byScene((k.getLong(0), k.getLong(1)))
+      val first = fs.minBy(_.getInt(1))
+      assert(k.getInt(2) == first.getInt(1), k.toString)
+      assert(k.getLong(3) == first.getLong(2), k.toString)
+      assert(k.getLong(4) == fs.length.toLong)
+    }
+  }
+
+  test("CLI report mode prints the three-stage funnel") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      graft.cli.Demo.run(spark, "report", Map("dir" -> sfDir))
+    }
+    val lines = buf.toString("UTF-8").linesIterator
+      .filter(_.startsWith("[report]")).toSeq
+    assert(lines.size == 4, s"header + 3 stage rows: $lines")
+    for (st <- Seq("gopher_rules", "blocklist", "classifier"))
+      assert(lines.exists(_.contains(st)), s"missing $st row in:\n$lines")
+    Caches.release(spark)
+  }
+
   test("m16: extraction is m14's — the extra plant only appends rows") {
     val m14 = run("m14_image_captions")
     val m16 = run("m16_caption_quality")
