@@ -101,7 +101,10 @@ object Bench {
     "m16_caption_quality", // caption df agg + AQE-broadcast join back
     "s23_cusum_changepoint", // integer CUSUM fold over time-bounded series
     "t52_filter_funnel", // sequential gate report: 3 scans + 1 global fold
-    "m17_scene_cuts") // real zip/PNG decode → luma-delta shot boundaries
+    "m17_scene_cuts", // real zip/PNG decode → luma-delta shot boundaries
+    "a43_grouping_sets", // one-pass multi-granularity expand + shuffle
+    "s24_ewma_smoothing", // 16ths-scaled integer EWMA per-key fold
+    "j3_key_inventory") // JSON key discovery: parse-in-scan + keyed agg
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

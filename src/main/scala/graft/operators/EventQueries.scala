@@ -509,6 +509,83 @@ object EventQueries {
           .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
           .groupBy("event_type", "hr").agg(count(lit(1)).as("c")))
     }),
+
+    // S24: integer EWMA smoothing (round 14) — the classic streaming
+    // smoother next to s9's forward fill and s23's CUSUM: per user,
+    // exponentially-weighted hourly activity with α = 1/4, kept in
+    // EXACT 16ths-scaled integers (s₀ = 16·x₀, sₜ = (3·sₜ₋₁ + 16·xₜ)
+    // div 4 — non-negative floor division, so both engines fold
+    // bit-identically and no float enters the recursion; truncation
+    // is part of the definition, as in fixed-point DSP). Same
+    // gap-filled spine as s10 (user_id < 50 — the s10 bound), same
+    // time-window-bounded per-key fold as s23: the series length is
+    // hours, never event volume.
+    "s24_ewma_smoothing" -> ((s, dir) => {
+      val e = graft.Caches.shared(
+        Tables.events(s, dir).filter(col("user_id") < 50)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr")))
+      val cnt = e.groupBy("user_id", "hr").agg(count(lit(1)).as("c"))
+      val spine = e.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+            .as("hr"))
+      spine.join(cnt, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("hr"), col("c"))))
+          .as("ser"))
+        .withColumn("steps", expr(
+          """aggregate(ser,
+            |  named_struct(
+            |    'acc', cast(array() as
+            |      array<struct<hr:timestamp,c:bigint,e16:bigint>>),
+            |    'run', cast(-1 as bigint)),
+            |  (a, x) -> named_struct(
+            |    'acc', array_append(a.acc, named_struct(
+            |      'hr', x.hr, 'c', x.c,
+            |      'e16', if(a.run < 0, 16 * x.c,
+            |                (3 * a.run + 16 * x.c) div 4))),
+            |    'run', if(a.run < 0, 16 * x.c,
+            |              (3 * a.run + 16 * x.c) div 4)),
+            |  a -> a.acc)""".stripMargin))
+        .select(col("user_id"), explode(col("steps")).as("e"))
+        .select(col("user_id"), unix_micros(col("e.hr")).as("hr_us"),
+          col("e.c").as("cnt"), col("e.e16").as("ewma16"))
+        .orderBy("user_id", "hr_us")
+    }),
+
+    // J3: JSON key INVENTORY (round 14) — the semi-structured
+    // profiling pass an ingest pipeline runs before declaring a
+    // schema (j1 regex-extracts one known key, j2 parses a declared
+    // schema; this DISCOVERS the keys): per key, how many events
+    // carry it and how many distinct raw values it takes. The corpus
+    // props are single-key, so extra shapes are PLANTED per event_id
+    // (t8 precedent) by pure string surgery — substr to the closing
+    // brace, identical in both engines, no regex. Scale: parse in the
+    // scan projection, explode bounded by keys-per-event, one keyed
+    // aggregation.
+    "j3_key_inventory" -> ((s, dir) => {
+      val planted = Tables.events(s, dir).select(
+        concat(expr("substr(props, 1, length(props) - 1)"),
+          when(pmod(col("event_id"), lit(3)) === 1,
+            concat(lit(", \"tag\": \"t"),
+              pmod(col("event_id"), lit(5)).cast("string"), lit("\"")))
+            .when(pmod(col("event_id"), lit(3)) === 2,
+              lit(", \"flag\": true"))
+            .otherwise(lit("")),
+          lit("}")).as("props"))
+      planted
+        .select(explode(
+          expr("map_entries(from_json(props, 'map<string,string>'))"))
+          .as("e"))
+        .select(col("e.key").as("key"), col("e.value").as("value"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("value").as("n_values"))
+        .orderBy("key")
+    }),
   )
 
   /** s23's decision body over an (event_type, hr, c) hourly-count
@@ -893,5 +970,51 @@ object EventQueries {
         | SELECT event_type, CAST(epoch_us(hr) AS BIGINT) AS hr_us, cnt,
         |  s AS cusum, s >= 6 * sumc AS alarm
         | FROM r ORDER BY event_type, hr_us""".stripMargin.replaceAll("\n", ""),
+    // s24: the 16ths-scaled integer EWMA replayed step-by-step as a
+    // recursive CTE over the same gap-filled spine.
+    "s24_ewma_smoothing" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+        |   date_trunc('hour', ts) AS hr FROM events WHERE user_id < 50),
+        | cc AS (SELECT user_id, hr, COUNT(*) AS c FROM ev
+        |  GROUP BY user_id, hr),
+        | sp AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM ev
+        |  GROUP BY user_id),
+        | hh AS (SELECT user_id,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM sp),
+        | f AS (SELECT hh.user_id, hh.hr,
+        |   CAST(COALESCE(cc.c, 0) AS BIGINT) AS c
+        |  FROM hh LEFT JOIN cc
+        |   ON hh.user_id = cc.user_id AND hh.hr = cc.hr),
+        | pl AS (SELECT user_id, hr, c,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hr) AS i
+        |  FROM f),
+        | r AS (
+        |  SELECT user_id, i, hr, c, CAST(16 * c AS BIGINT) AS e16
+        |   FROM pl WHERE i = 1
+        |  UNION ALL
+        |  SELECT p.user_id, p.i, p.hr, p.c,
+        |    CAST((3 * r.e16 + 16 * p.c) // 4 AS BIGINT)
+        |   FROM r JOIN pl p
+        |    ON p.user_id = r.user_id AND p.i = r.i + 1)
+        | SELECT user_id, CAST(epoch_us(hr) AS BIGINT) AS hr_us,
+        |  c AS cnt, e16 AS ewma16
+        | FROM r ORDER BY user_id, hr_us""".stripMargin.replaceAll("\n", ""),
+    // j3: the same brace-surgery plant, then key/value pairs via
+    // json_keys + json_extract_string (DuckDB strips quotes exactly
+    // like Spark's map<string,string> from_json).
+    "j3_key_inventory" ->
+      """WITH p AS (SELECT substr(props, 1, length(props) - 1) ||
+        |   CASE WHEN event_id % 3 = 1
+        |     THEN ', "tag": "t' || CAST(event_id % 5 AS VARCHAR) || '"'
+        |    WHEN event_id % 3 = 2 THEN ', "flag": true'
+        |    ELSE '' END || '}' AS props
+        |  FROM events),
+        | ke AS (SELECT u.k AS key,
+        |   json_extract_string(p.props, '$.' || u.k) AS value
+        |  FROM p, UNNEST(json_keys(p.props)) AS u(k))
+        | SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT value) AS BIGINT) AS n_values
+        | FROM ke GROUP BY key ORDER BY key"""
+        .stripMargin.replaceAll("\n", ""),
   )
 }

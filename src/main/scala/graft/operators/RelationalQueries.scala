@@ -161,6 +161,26 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // A43: GROUPING SETS — the explicit multi-granularity aggregate
+    // completing the a14 rollup / a28 cube family: a chosen set of
+    // granularities ((rf, ls), (rf), ()) in ONE pass with GROUPING()
+    // flags distinguishing subtotal rows from genuine NULL groups
+    // (the disambiguation a BI rollup needs). One shuffle; the
+    // expand happens map-side.
+    "a43_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
     // A15: EXCEPT set operation.
     "a15_except" -> ((s, dir) => {
       val c = t(s, dir, "customer").select("c_custkey")
@@ -914,6 +934,15 @@ object RelationalQueries {
       "SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "a14_rollup" ->
       "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "a43_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        | SUM(l_quantity) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        | FROM lineitem GROUP BY GROUPING SETS
+        |  ((l_returnflag, l_linestatus), (l_returnflag), ())
+        | ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin.replaceAll("\n", ""),
     "a15_except" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000 ORDER BY c_custkey",
     "a16_semi" ->

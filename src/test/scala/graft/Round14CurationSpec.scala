@@ -332,6 +332,55 @@ class Round14CurationSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------------
+  // a43 / s24 / j3: grouping sets, EWMA, key inventory
+  // -------------------------------------------------------------
+
+  test("a43: subtotals and grand total recompute from the detail rows") {
+    val rows = run("a43_grouping_sets")
+    def g(r: Row) = (r.getLong(4), r.getLong(5))
+    val detail = rows.filter(g(_) == ((0L, 0L)))
+    val subRf = rows.filter(g(_) == ((0L, 1L)))
+    val total = rows.filter(g(_) == ((1L, 1L)))
+    assert(detail.nonEmpty && subRf.nonEmpty && total.length == 1)
+    assert(rows.length == detail.length + subRf.length + 1)
+    // each rf subtotal = sum of its detail rows; grand total = all
+    subRf.foreach { s =>
+      val d = detail.filter(_.getString(0) == s.getString(0))
+      assert(s.getLong(2) == d.map(_.getLong(2)).sum, s.toString)
+      assert(s.isNullAt(1))
+    }
+    assert(total.head.getLong(2) == detail.map(_.getLong(2)).sum)
+    assert(total.head.isNullAt(0) && total.head.isNullAt(1))
+  }
+
+  test("s24: the 16ths-scaled EWMA recursion refolds from emitted counts") {
+    val rows = run("s24_ewma_smoothing")
+    rows.groupBy(_.getLong(0)).foreach { case (_, series) =>
+      var e = -1L
+      series.sortBy(_.getLong(1)).foreach { r =>
+        val c = r.getLong(2)
+        e = if (e < 0) 16 * c else (3 * e + 16 * c) / 4
+        assert(r.getLong(3) == e, r.toString)
+      }
+    }
+    // smoothing is real: somewhere the smoothed value differs from
+    // the raw count (else the fold is an identity)
+    assert(rows.exists(r => r.getLong(3) != 16 * r.getLong(2)))
+  }
+
+  test("j3: planted keys surface with the designed spread") {
+    val rows = run("j3_key_inventory")
+    val byKey = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byKey.keySet == Set("k", "flag", "tag"))
+    val n = byKey("k")._1 // every event carries k
+    // thirds of the corpus carry each planted shape
+    assert(math.abs(byKey("tag")._1 - n / 3) <= 1)
+    assert(math.abs(byKey("flag")._1 - n / 3) <= 1)
+    assert(byKey("tag")._2 == 5 && byKey("flag")._2 == 1)
+  }
+
   test("CLI report mode prints the three-stage funnel") {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
