@@ -104,7 +104,8 @@ object Bench {
     "m17_scene_cuts", // real zip/PNG decode → luma-delta shot boundaries
     "a43_grouping_sets", // one-pass multi-granularity expand + shuffle
     "s24_ewma_smoothing", // 16ths-scaled integer EWMA per-key fold
-    "j3_key_inventory") // JSON key discovery: parse-in-scan + keyed agg
+    "j3_key_inventory", // JSON key discovery: parse-in-scan + keyed agg
+    "m19_silence_segments") // real WAV decode → peak VAD → island fold
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

@@ -749,6 +749,47 @@ object Multimodal {
     spark.createDataFrame(rows, AssetSchema)
   }
 
+  /** Speech-SHAPED synthetic WAVs for the m19 silence segmenter: every
+    * third 32-sample window is digital silence (v = 0), the rest carry
+    * the id-keyed sample formula — the alternating talk/pause
+    * structure a voice-activity detector exists to find (the plain
+    * [[syntheticWavAssets]] fill never goes quiet, which would make
+    * the detector vacuous). n = 256 + id % 128 samples (8–12 windows
+    * → several silent stretches per asset); same real WAVE encode and
+    * distributed build as the plain builder. */
+  def syntheticSpeechWavAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val n = 256 + (id % 128).toInt
+          val pcm = new Array[Byte](n * 2)
+          var k = 0
+          while (k < n) {
+            val v =
+              if ((k / 32) % 3 == 2) 0
+              else ((id * 2654435761L + k * 1013904223L) % 20001L - 10000L)
+                .toInt
+            pcm(2 * k) = (v & 0xff).toByte
+            pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+            k += 1
+          }
+          val fmt =
+            new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, bos.toByteArray,
+            Row("audio", null, null, 8000, 1000L * n / 8000))
+        }
+      }
+    spark.createDataFrame(rows, AssetSchema)
+  }
+
   private val AudioWindowSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("window_number", IntegerType, nullable = false),

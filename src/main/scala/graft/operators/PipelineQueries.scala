@@ -881,6 +881,49 @@ object PipelineQueries {
         .orderBy("asset_id", "scene_id")
     }),
 
+    // M19: audio SILENCE segmentation (round 14) — voice-activity
+    // detection, the audio twin of m17's shot boundaries: a speech
+    // pipeline segments recordings at pauses before transcription /
+    // training-clip export. Real WAV decode into 32-sample windows
+    // (m7's decodeWavWindows — bounded state per the round-13 fix),
+    // a window is SILENT when its peak amplitude stays within ±100
+    // (the classic integer peak test — no float), and active windows
+    // fold into maximal runs via gaps-and-islands (s18's pattern):
+    // one row per speech segment with its window span and amplitude
+    // checksum. The assets are speech-SHAPED
+    // (syntheticSpeechWavAssets: every third window digital silence)
+    // so segments are non-vacuous at every SF; an active window
+    // faking silence needs all ~32 uniform samples inside ±100
+    // (p ≈ (201/20001)³² ≈ 0). Oracle replays the sample formula →
+    // window peaks → the same island fold. Scale: decode in the
+    // narrow map, window/island work partitioned per asset with
+    // window-count-bounded keys.
+    "m19_silence_segments" -> ((s, dir) => {
+      val assets = graft.multimodal.Multimodal.syntheticSpeechWavAssets(
+        Tables.load(s, dir, "documents"), "doc_id")
+      val wins = graft.multimodal.Multimodal
+        .decodeWavWindows(assets, windowSamples = 32)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("asset_id").orderBy("window_number")
+      wins
+        .filter(!(col("sample_min") >= -100 && col("sample_max") <= 100))
+        .withColumn("ni",
+          when(lag("window_number", 1).over(w).isNull ||
+              col("window_number") >
+                lag("window_number", 1).over(w) + 1, 1L)
+            .otherwise(0L))
+        .withColumn("segment_id", sum("ni").over(
+          w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("asset_id", "segment_id")
+        .agg(min("window_number").as("start_window"),
+          max("window_number").as("end_window"),
+          count(lit(1)).as("n_windows"),
+          sum("sample_sum").as("sample_sum"))
+        .orderBy("asset_id", "segment_id")
+    }),
+
     // M8: image NEAR-DUP pairs — the multimodal rung of the dedup
     // ladder: re-crawled/re-saved copies of one image share a
     // perceptual hash even when their bytes differ, and production
@@ -1498,6 +1541,34 @@ object PipelineQueries {
         | SELECT asset_id, frame_number, luma_sum, delta, is_cut, scene_id
         | FROM scn ORDER BY asset_id, frame_number"""
         .stripMargin.replaceAll("\n", ""),
+    // m19: sample formula (with the every-third-window silence plant)
+    // → window peaks → the same peak test and island fold.
+    "m19_silence_segments" ->
+      """WITH d AS (SELECT doc_id, 256 + doc_id % 128 AS n FROM documents),
+        | s AS (SELECT doc_id, CAST(k // 32 AS INT) AS w,
+        |   CASE WHEN (k // 32) % 3 = 2 THEN 0
+        |    ELSE ((doc_id * 2654435761 + k * 1013904223) % 20001 - 10000)
+        |    END AS v
+        |  FROM d, UNNEST(range(0, n)) AS u(k)),
+        | wn AS (SELECT doc_id AS asset_id, w, MIN(v) AS mn, MAX(v) AS mx,
+        |   CAST(SUM(v) AS BIGINT) AS sample_sum
+        |  FROM s GROUP BY doc_id, w),
+        | act AS (SELECT * FROM wn WHERE NOT (mn >= -100 AND mx <= 100)),
+        | mk AS (SELECT asset_id, w, sample_sum,
+        |   CASE WHEN lag(w) OVER (PARTITION BY asset_id ORDER BY w)
+        |     IS NULL OR w > lag(w) OVER (PARTITION BY asset_id
+        |     ORDER BY w) + 1 THEN 1 ELSE 0 END AS ni
+        |  FROM act),
+        | sg AS (SELECT asset_id, w, sample_sum,
+        |   CAST(SUM(ni) OVER (PARTITION BY asset_id ORDER BY w
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
+        |  FROM mk)
+        | SELECT asset_id, segment_id, CAST(MIN(w) AS INT) AS start_window,
+        |  CAST(MAX(w) AS INT) AS end_window,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(sample_sum) AS BIGINT) AS sample_sum
+        | FROM sg GROUP BY asset_id, segment_id
+        | ORDER BY asset_id, segment_id""".stripMargin.replaceAll("\n", ""),
     // m18: the SAME m17 replay chain folded per (asset, scene) — the
     // selection cannot drift from the detection.
     "m18_keyframe_select" ->

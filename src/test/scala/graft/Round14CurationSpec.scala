@@ -394,6 +394,26 @@ class Round14CurationSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("m19: segments are exactly the planted speech runs") {
+    val rows = run("m19_silence_segments")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (st, en, nw) = (r.getInt(2), r.getInt(3), r.getLong(4))
+      // contiguous, and never containing a planted-silent window
+      assert(nw == en - st + 1, r.toString)
+      (st to en).foreach(w => assert(w % 3 != 2, r.toString))
+    }
+    // per asset: runs are {3k, 3k+1} truncated at the window count,
+    // so the segment count is ceil(W/3) for W = ceil(n_samples / 32)
+    rows.groupBy(_.getLong(0)).foreach { case (id, segs) =>
+      val n = 256 + (id % 128).toInt
+      val wCount = (n + 31) / 32
+      val expect = (wCount + 2) / 3
+      assert(segs.length == expect,
+        s"asset $id: ${segs.length} segments, expected $expect")
+    }
+  }
+
   test("m16: extraction is m14's — the extra plant only appends rows") {
     val m14 = run("m14_image_captions")
     val m16 = run("m16_caption_quality")
