@@ -785,6 +785,45 @@ object GraphQueries {
         .limit(100)
     }),
 
+    // G10: Newman–Girvan MODULARITY of g5's communities (round 14) —
+    // the quality metric completing the t49/d22/t52 report pattern
+    // for graph clustering: before trusting a community structure
+    // (for domain grouping, near-dup blocking, recommendation
+    // neighborhoods), an operator reads ONE number saying how much
+    // better-than-random the partition is. Computed by the INTEGER
+    // identity Q = (4m·Σm_c − Σd_c²) / (4m²) — community terms fold
+    // as exact integer sums (no order-dependent float summation; one
+    // final division, identical in both engines). Scale shape: the
+    // degree and community-degree tables are keyed aggs, the
+    // intra-edge count is two label joins on the endpoints — the
+    // edges shuffle once per join, nothing quadratic.
+    "g10_modularity" -> ((s, dir) => {
+      val pairs = graft.Caches.shared(copurchasePairs(s, dir))
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = graft.Caches.shared(
+        Graph.labelPropagation(edges, "src", "dst", iterations = 3))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      val ag = broadcast(labels
+        .join(deg, labels("id") === deg("src"))
+        .groupBy("label").agg(sum("d").as("dsum"))
+        .agg(count(lit(1)).as("n_communities"),
+          sum(col("dsum") * col("dsum")).as("sum_deg_sq")))
+      val mm = broadcast(pairs.agg(count(lit(1)).as("m_edges")))
+      val la = labels.select(col("id").as("src"), col("label").as("la"))
+      val lb = labels.select(col("id").as("dst"), col("label").as("lb"))
+      val ia = broadcast(pairs.join(la, "src").join(lb, "dst")
+        .filter(col("la") === col("lb"))
+        .agg(count(lit(1)).as("intra_edges")))
+      mm.crossJoin(ag).crossJoin(ia)
+        .select(col("m_edges"), col("n_communities"), col("intra_edges"),
+          col("sum_deg_sq"),
+          round((lit(4L) * col("m_edges") * col("intra_edges") -
+              col("sum_deg_sq")).cast("double") /
+            (lit(4L) * col("m_edges") * col("m_edges")), 6)
+            .as("modularity"))
+    }),
+
     // G6: 5-iteration PERSONALIZED PageRank from the % 1000 == 0 seed
     // parts (g3's seed set) — proximity-to-seeds ranking, the quality/
     // spam propagation primitive. Same unrolled-CTE oracle pattern as
@@ -851,6 +890,37 @@ object GraphQueries {
         .orderBy("part_id")
     })
   )
+
+  /** g5's 3-round label-propagation replay as a CTE block ending in
+    * `l3` (id, label) over `pairs`/`edges` — shared by the g5 and g10
+    * oracles so the modularity metric scores exactly the communities
+    * the community query emits. */
+  private lazy val g5LabelCtes: String =
+    """pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      | edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+      | nodes AS (SELECT DISTINCT src AS id FROM edges),
+      | l0 AS (SELECT id, id AS label FROM nodes),
+      | c1 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
+      |   FROM edges e JOIN l0 l ON e.src = l.id GROUP BY 1, 2),
+      | w1 AS (SELECT id, label FROM c1 QUALIFY
+      |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
+      | l1 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
+      |   FROM nodes n LEFT JOIN w1 w USING (id)),
+      | c2 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
+      |   FROM edges e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
+      | w2 AS (SELECT id, label FROM c2 QUALIFY
+      |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
+      | l2 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
+      |   FROM nodes n LEFT JOIN w2 w USING (id)),
+      | c3 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
+      |   FROM edges e JOIN l2 l ON e.src = l.id GROUP BY 1, 2),
+      | w3 AS (SELECT id, label FROM c3 QUALIFY
+      |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
+      | l3 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
+      |   FROM nodes n LEFT JOIN w3 w USING (id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // g9: the 4 Bellman–Ford relaxation rounds unrolled as CTEs over
@@ -966,35 +1036,31 @@ object GraphQueries {
         | SELECT CAST(x AS BIGINT) AS src, CAST(y AS BIGINT) AS dst, score
         | FROM nonedge ORDER BY score DESC, src, dst LIMIT 100""".stripMargin.replaceAll("\n", ""),
     "g5_label_prop" ->
-      """WITH pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        | edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
-        | nodes AS (SELECT DISTINCT src AS id FROM edges),
-        | l0 AS (SELECT id, id AS label FROM nodes),
-        | c1 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
-        |   FROM edges e JOIN l0 l ON e.src = l.id GROUP BY 1, 2),
-        | w1 AS (SELECT id, label FROM c1 QUALIFY
-        |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
-        | l1 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
-        |   FROM nodes n LEFT JOIN w1 w USING (id)),
-        | c2 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
-        |   FROM edges e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
-        | w2 AS (SELECT id, label FROM c2 QUALIFY
-        |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
-        | l2 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
-        |   FROM nodes n LEFT JOIN w2 w USING (id)),
-        | c3 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
-        |   FROM edges e JOIN l2 l ON e.src = l.id GROUP BY 1, 2),
-        | w3 AS (SELECT id, label FROM c3 QUALIFY
-        |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
-        | l3 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
-        |   FROM nodes n LEFT JOIN w3 w USING (id))
+      s"""WITH $g5LabelCtes
         | SELECT CAST(label AS BIGINT) AS community,
         |   COUNT(*) AS n_members
         | FROM l3 GROUP BY 1 ORDER BY n_members DESC, community
         | LIMIT 100""".stripMargin.replaceAll("\n", ""),
+    // g10: the SAME g5 label chain, folded into Newman–Girvan
+    // modularity via the integer identity
+    // Q = (4m·Σm_c − Σd_c²) / (4m²) — one division, no
+    // order-dependent float summation over communities.
+    "g10_modularity" ->
+      s"""WITH $g5LabelCtes,
+        | deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM edges GROUP BY src),
+        | dc AS (SELECT l.label, CAST(SUM(deg.d) AS BIGINT) AS dsum
+        |  FROM l3 l JOIN deg USING (id) GROUP BY l.label),
+        | ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |   CAST(SUM(dsum * dsum) AS BIGINT) AS sum_deg_sq FROM dc),
+        | mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM pairs),
+        | ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra_edges
+        |  FROM pairs p JOIN l3 a ON p.src = a.id
+        |   JOIN l3 b ON p.dst = b.id WHERE a.label = b.label)
+        | SELECT m_edges, n_communities, intra_edges, sum_deg_sq,
+        |  ROUND((4 * m_edges * intra_edges - sum_deg_sq)::DOUBLE
+        |    / (4 * m_edges * m_edges), 6) AS modularity
+        | FROM mm, ag, ia""".stripMargin.replaceAll("\n", ""),
     "g6_personalized_pagerank" -> {
       // unrolled like g1, with the teleport on the seed vector and the
       // step arithmetic mirrored term-for-term against

@@ -381,6 +381,42 @@ class Round14CurationSpec extends AnyFunSuite {
     assert(byKey("tag")._2 == 5 && byKey("flag")._2 == 1)
   }
 
+  test("g10: modularity components brute-recompute from pairs + labels") {
+    val row = run("g10_modularity").head
+    val (m, nc, intra, sd2, q) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    // independent recompute at sf0.001: collect the co-purchase pairs
+    // and the g5 community sizes, rebuild every component in Scala
+    val pairs = graft.operators.GraphQueries.copurchasePairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val labels = {
+      import org.apache.spark.sql.functions.{col => c}
+      val e = graft.operators.GraphQueries.copurchasePairs(spark, sfDir)
+      val und = e.union(e.select(c("dst").as("src"), c("src").as("dst")))
+      graft.operators.Graph.labelPropagation(und, "src", "dst", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(m == pairs.length)
+    assert(intra ==
+      pairs.count(p => labels(p._1) == labels(p._2)))
+    val dsum = edges.groupBy(e => labels(e._1)).view
+      .mapValues(_.length.toLong).toMap
+    assert(nc == dsum.size)
+    assert(sd2 == dsum.values.map(d => d * d).sum)
+    val expectQ = BigDecimal(
+      (4.0 * m * intra - sd2) / (4.0 * m * m))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(q - expectQ) < 1e-9, s"$q vs $expectQ")
+    // inside the metric's range; on this tiny dense graph 3-round LP
+    // collapses to ONE community, where Q = 0 EXACTLY by the identity
+    // (intra = m, Σd_c² = 4m²) — the sf0.1 bench corpus partitions
+    // into ~170 communities at Q ≈ 0.036
+    assert(q >= -0.5 && q < 1)
+    if (nc == 1) assert(q == 0.0 && intra == m)
+    Caches.release(spark)
+  }
+
   test("CLI report mode prints the three-stage funnel") {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
