@@ -521,39 +521,12 @@ object EventQueries {
     // time-window-bounded per-key fold as s23: the series length is
     // hours, never event volume.
     "s24_ewma_smoothing" -> ((s, dir) => {
-      val e = graft.Caches.shared(
+      // shared: the hourly count table feeds both the spine bounds
+      // and the gap-fill join inside ewmaFromCounts
+      ewmaFromCounts(graft.Caches.shared(
         Tables.events(s, dir).filter(col("user_id") < 50)
-          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr")))
-      val cnt = e.groupBy("user_id", "hr").agg(count(lit(1)).as("c"))
-      val spine = e.groupBy("user_id")
-        .agg(min("hr").as("h0"), max("hr").as("h1"))
-        .select(col("user_id"),
-          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
-            .as("hr"))
-      spine.join(cnt, Seq("user_id", "hr"), "left")
-        .select(col("user_id"), col("hr"),
-          coalesce(col("c"), lit(0L)).as("c"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("hr"), col("c"))))
-          .as("ser"))
-        .withColumn("steps", expr(
-          """aggregate(ser,
-            |  named_struct(
-            |    'acc', cast(array() as
-            |      array<struct<hr:timestamp,c:bigint,e16:bigint>>),
-            |    'run', cast(-1 as bigint)),
-            |  (a, x) -> named_struct(
-            |    'acc', array_append(a.acc, named_struct(
-            |      'hr', x.hr, 'c', x.c,
-            |      'e16', if(a.run < 0, 16 * x.c,
-            |                (3 * a.run + 16 * x.c) div 4))),
-            |    'run', if(a.run < 0, 16 * x.c,
-            |              (3 * a.run + 16 * x.c) div 4)),
-            |  a -> a.acc)""".stripMargin))
-        .select(col("user_id"), explode(col("steps")).as("e"))
-        .select(col("user_id"), unix_micros(col("e.hr")).as("hr_us"),
-          col("e.c").as("cnt"), col("e.e16").as("ewma16"))
-        .orderBy("user_id", "hr_us")
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+          .groupBy("user_id", "hr").agg(count(lit(1)).as("c"))))
     }),
 
     // J3: JSON key INVENTORY (round 14) — the semi-structured
@@ -562,21 +535,18 @@ object EventQueries {
     // schema; this DISCOVERS the keys): per key, how many events
     // carry it and how many distinct raw values it takes. The corpus
     // props are single-key, so extra shapes are PLANTED per event_id
-    // (t8 precedent) by pure string surgery — substr to the closing
-    // brace, identical in both engines, no regex. Scale: parse in the
-    // scan projection, explode bounded by keys-per-event, one keyed
-    // aggregation.
+    // (t8 precedent) by pure string surgery — the closing brace (and
+    // any whitespace around it) is stripped by the SAME anchored
+    // pattern in both engines, so a props value with trailing
+    // whitespace still plants a VALID object (round 15 — the naive
+    // length−1 substr would otherwise make Spark's from_json yield
+    // NULL, silently dropping the row, where DuckDB's json_keys
+    // raises: a silent-drop vs oracle-crash asymmetry). The class is
+    // spelled [ \t\n\r\f] explicitly — Java's \s and RE2's \s disagree
+    // on \x0B. Scale: parse in the scan projection, explode bounded
+    // by keys-per-event, one keyed aggregation.
     "j3_key_inventory" -> ((s, dir) => {
-      val planted = Tables.events(s, dir).select(
-        concat(expr("substr(props, 1, length(props) - 1)"),
-          when(pmod(col("event_id"), lit(3)) === 1,
-            concat(lit(", \"tag\": \"t"),
-              pmod(col("event_id"), lit(5)).cast("string"), lit("\"")))
-            .when(pmod(col("event_id"), lit(3)) === 2,
-              lit(", \"flag\": true"))
-            .otherwise(lit("")),
-          lit("}")).as("props"))
-      planted
+      j3PlantedProps(Tables.events(s, dir))
         .select(explode(
           expr("map_entries(from_json(props, 'map<string,string>'))"))
           .as("e"))
@@ -618,31 +588,98 @@ object EventQueries {
       .groupBy(col("event_type"), col("d"), col("sumc"))
       .agg(sort_array(collect_list(struct(col("hr"), col("cnt"))))
         .as("ser"))
-      .withColumn("steps", expr(
-        """aggregate(ser,
-          |  named_struct(
-          |    'acc', cast(array() as
-          |      array<struct<hr:timestamp,cnt:bigint,s:bigint>>),
-          |    'run', cast(0 as bigint)),
-          |  (a, x) -> named_struct(
-          |    'acc', array_append(a.acc, named_struct(
-          |      'hr', x.hr, 'cnt', x.cnt,
-          |      's', greatest(cast(0 as bigint),
-          |             a.run + d * x.cnt - 2 * sumc))),
-          |    'run', greatest(cast(0 as bigint),
-          |             a.run + d * x.cnt - 2 * sumc)),
-          |  a -> a.acc)""".stripMargin))
-      .select(col("event_type"), col("sumc"), explode(col("steps")).as("e"))
+      // linear scan (round 15): see the s24 note — the former
+      // aggregate+array_append accumulator copied the whole array per
+      // step (O(L²) in spine length); the scan UDF is one pass.
+      .withColumn("sv",
+        cusumScan(expr("transform(ser, x -> x.cnt)"), col("d"), col("sumc")))
+      .select(col("event_type"), col("sumc"),
+        explode(arrays_zip(col("ser"), col("sv"))).as("e"))
       // epoch micros, not a cast-to-string hour: a VARCHAR render is
       // parquet-encoding-dependent (DuckDB prints a UTC-adjusted
       // TIMESTAMP_MICROS file as '…+00' where the driver's
       // unadjusted NANOS prints bare — surfaced by the sf1 smoke);
       // the epoch integer is absolute in both engines
-      .select(col("event_type"), unix_micros(col("e.hr")).as("hr_us"),
-        col("e.cnt").as("cnt"), col("e.s").as("cusum"),
-        (col("e.s") >= lit(6L) * col("sumc")).as("alarm"))
+      .select(col("event_type"), unix_micros(col("e.ser.hr")).as("hr_us"),
+        col("e.ser.cnt").as("cnt"), col("e.sv").as("cusum"),
+        (col("e.sv") >= lit(6L) * col("sumc")).as("alarm"))
       .orderBy("event_type", "hr_us")
   }
+
+  /** j3's plant surgery over an (event_id, props) frame — ONE
+    * definition so the whitespace-robustness spec drives the exact
+    * production expression (a props value with whitespace around the
+    * closing brace must still plant a VALID object in both engines). */
+  private[graft] def j3PlantedProps(ev: DataFrame): DataFrame =
+    ev.select(
+      concat(
+        regexp_replace(col("props"),
+          lit("[ \t\n\r\f]*\\}[ \t\n\r\f]*$"), lit("")),
+        when(pmod(col("event_id"), lit(3)) === 1,
+          concat(lit(", \"tag\": \"t"),
+            pmod(col("event_id"), lit(5)).cast("string"), lit("\"")))
+          .when(pmod(col("event_id"), lit(3)) === 2,
+            lit(", \"flag\": true"))
+          .otherwise(lit("")),
+        lit("}")).as("props"))
+
+  /** s24's decision body over a (user_id, hr, c) hourly-count table —
+    * factored like [[cusumFromCounts]] so the 10k-step linear-fold
+    * spec drives the exact production chain: gap-filled hourly spine,
+    * then the 16ths-scaled integer EWMA via the linear [[ewmaScan]]
+    * (round 15 — the round-14 `aggregate`+`array_append` accumulator
+    * copied the whole array per step, O(L²) element copies in the
+    * spine length; the scan is one pass, recursion and oracle
+    * bit-identical). */
+  private[graft] def ewmaFromCounts(cnt: DataFrame): DataFrame = {
+    val spine = cnt.groupBy("user_id")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hr"))
+    spine.join(cnt, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("hr"), col("c"))))
+        .as("ser"))
+      .withColumn("sv", ewmaScan(expr("transform(ser, x -> x.c)")))
+      .select(col("user_id"),
+        explode(arrays_zip(col("ser"), col("sv"))).as("e"))
+      .select(col("user_id"), unix_micros(col("e.ser.hr")).as("hr_us"),
+        col("e.ser.c").as("cnt"), col("e.sv").as("ewma16"))
+      .orderBy("user_id", "hr_us")
+  }
+
+  /** Linear CUSUM scan over a per-key hourly count series — the
+    * round-15 replacement for the quadratic `aggregate`+`array_append`
+    * accumulator (every append copied the whole array: O(L²) element
+    * copies per key in the spine length L). One pass, one output cell
+    * per step; runs once per KEY over a time-window-bounded series, so
+    * it never sits in a per-row hot path. The recursion is the exact
+    * integer form the oracle replays: S₀ = 0, Sₜ = max(0, Sₜ₋₁ +
+    * d·xₜ − 2·Σc) — Long arithmetic matches BIGINT in both engines. */
+  private val cusumScan =
+    udf { (cnts: Seq[Long], d: Long, sumc: Long) =>
+      var run = 0L
+      cnts.map { c =>
+        run = math.max(0L, run + d * c - 2L * sumc)
+        run
+      }
+    }
+
+  /** Linear 16ths-scaled integer EWMA scan (s24) — same linearization
+    * as [[cusumScan]]. s₀ = 16·x₀; sₜ = (3·sₜ₋₁ + 16·xₜ) div 4. All
+    * terms stay non-negative, so Scala's truncating `/` IS the SQL
+    * `div` floor — no float ever enters the recursion. */
+  private val ewmaScan =
+    udf { (cnts: Seq[Long]) =>
+      var run = -1L
+      cnts.map { c =>
+        run = if (run < 0) 16L * c else (3L * run + 16L * c) / 4L
+        run
+      }
+    }
 
   /** Per-key sweep-line union of [st, st+durUs) intervals →
     * (key, n_sessions, active_us). Gaps-and-islands: a running max of
@@ -999,11 +1036,14 @@ object EventQueries {
         | SELECT user_id, CAST(epoch_us(hr) AS BIGINT) AS hr_us,
         |  c AS cnt, e16 AS ewma16
         | FROM r ORDER BY user_id, hr_us""".stripMargin.replaceAll("\n", ""),
-    // j3: the same brace-surgery plant, then key/value pairs via
-    // json_keys + json_extract_string (DuckDB strips quotes exactly
-    // like Spark's map<string,string> from_json).
+    // j3: the same brace-surgery plant — the anchored strip pattern is
+    // spelled identically (explicit [ \t\n\r\f] class; Java \s and RE2
+    // \s disagree on \x0B) — then key/value pairs via json_keys +
+    // json_extract_string (DuckDB strips quotes exactly like Spark's
+    // map<string,string> from_json).
     "j3_key_inventory" ->
-      """WITH p AS (SELECT substr(props, 1, length(props) - 1) ||
+      """WITH p AS (SELECT regexp_replace(props,
+        |   '[ \t\n\r\f]*\}[ \t\n\r\f]*$', '') ||
         |   CASE WHEN event_id % 3 = 1
         |     THEN ', "tag": "t' || CAST(event_id % 5 AS VARCHAR) || '"'
         |    WHEN event_id % 3 = 2 THEN ', "flag": true'

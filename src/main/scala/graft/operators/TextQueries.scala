@@ -2316,22 +2316,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // T52: filter FUNNEL report (round 14) — the number a pipeline
-    // operator reads before committing a cleaning config: the gates
-    // applied IN SEQUENCE (each stage sees only the previous stage's
-    // survivors — the FineWeb/RefinedWeb ablation table shape), not
-    // four independent reports. Stages: gopher rules (t43's
-    // language-agnostic subset — the labels t48 trains on, ONE
-    // definition) → blocklist (t50's C4-list verdict, ONE definition)
-    // → quality classifier (t48's pred_keep, ONE scoring pipeline).
-    // Per stage: docs in/kept + SEG-TOKEN volume in/kept and both
-    // removal rates — the volume is what the decision is about
-    // (the d22 lesson: one 500-page dup ≠ one tweet). Classifier
-    // coverage is LEFT-joined (a doc with zero seg tokens scores as
-    // drop, never silently vanishes from the funnel). Scale shape:
-    // the label scan, the blocklist scan and t48's scoring pass
-    // (model JOINED on tok), then ONE global 8-long fold — partial
-    // map-side; the 3 output rows are built from that single row.
+    // T52: filter FUNNEL report (round 14; dedup stage round 15) —
+    // the number a pipeline operator reads before committing a
+    // cleaning config: the gates applied IN SEQUENCE (each stage sees
+    // only the previous stage's survivors — the FineWeb/RefinedWeb
+    // ablation table shape), not independent reports. Stages: gopher
+    // rules (t43's language-agnostic subset — the labels t48 trains
+    // on, ONE definition) → blocklist (t50's C4-list verdict, ONE
+    // definition) → dedup (textDupDecision's full-corpus winnowing
+    // keep set, ONE definition — the FineWeb ablation interleaves
+    // dedup between the rule gates and the classifier, and that is
+    // where its largest token deltas come from) → quality classifier
+    // (t48's pred_keep, ONE scoring pipeline). Per stage: docs
+    // in/kept + SEG-TOKEN volume in/kept and both removal rates —
+    // the volume is what the decision is about (the d22 lesson: one
+    // 500-page dup ≠ one tweet). Classifier coverage is LEFT-joined
+    // (a doc with zero seg tokens scores as drop, never silently
+    // vanishes from the funnel). Scale shape: the label scan, the
+    // blocklist scan, the dedup decision (fp-keyed joins bounded by
+    // maxDocsPerFp — work ingest already pays for d22) and t48's
+    // scoring pass (model JOINED on tok), then ONE global 10-long
+    // fold — partial map-side; the 4 output rows are built from that
+    // single row.
     "t52_filter_funnel" -> ((s, dir) => {
       val d = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
         TextAnalysis.segTokens(col("text")).as("tk")))
@@ -2344,9 +2350,12 @@ object TextQueries {
         .join(blocklistCounts(docs(s, dir))
           .select(col("doc_id"), (col("n_bad") === 0).as("b_keep")),
           "doc_id")
+        .join(textDupDecision(s, dir)
+          .select(col("asset_id").as("doc_id"), col("kept").as("d_keep")),
+          "doc_id")
         .join(scored.select(col("doc_id"), col("n_tokens"),
           col("pred_keep")), Seq("doc_id"), "left")
-        .select(col("g_keep"), col("b_keep"),
+        .select(col("g_keep"), col("b_keep"), col("d_keep"),
           coalesce(col("pred_keep"), lit(false)).as("p_keep"),
           coalesce(col("n_tokens"), lit(0L)).as("nt"))
       def cnt(p: org.apache.spark.sql.Column) =
@@ -2358,27 +2367,27 @@ object TextQueries {
         cnt(col("g_keep")).as("n1"), vol(col("g_keep")).as("t1"),
         cnt(col("g_keep") && col("b_keep")).as("n2"),
         vol(col("g_keep") && col("b_keep")).as("t2"),
-        cnt(col("g_keep") && col("b_keep") && col("p_keep")).as("n3"),
-        vol(col("g_keep") && col("b_keep") && col("p_keep")).as("t3"))
+        cnt(col("g_keep") && col("b_keep") && col("d_keep")).as("n3"),
+        vol(col("g_keep") && col("b_keep") && col("d_keep")).as("t3"),
+        cnt(col("g_keep") && col("b_keep") && col("d_keep") &&
+          col("p_keep")).as("n4"),
+        vol(col("g_keep") && col("b_keep") && col("d_keep") &&
+          col("p_keep")).as("t4"))
       def rate(in: org.apache.spark.sql.Column,
           kept: org.apache.spark.sql.Column) =
         when(in > 0, round((in - kept).cast("double") / in, 6))
+      def stage(ord: Long, name: String, nIn: String, nKept: String,
+          tIn: String, tKept: String) =
+        struct(lit(ord).as("ord"), lit(name).as("stage"),
+          col(nIn).as("docs_in"), col(nKept).as("docs_kept"),
+          rate(col(nIn), col(nKept)).as("doc_removal_rate"),
+          col(tIn).as("tokens_in"), col(tKept).as("tokens_kept"),
+          rate(col(tIn), col(tKept)).as("token_removal_rate"))
       tot.select(explode(array(
-          struct(lit(1L).as("ord"), lit("gopher_rules").as("stage"),
-            col("n0").as("docs_in"), col("n1").as("docs_kept"),
-            rate(col("n0"), col("n1")).as("doc_removal_rate"),
-            col("t0").as("tokens_in"), col("t1").as("tokens_kept"),
-            rate(col("t0"), col("t1")).as("token_removal_rate")),
-          struct(lit(2L).as("ord"), lit("blocklist").as("stage"),
-            col("n1").as("docs_in"), col("n2").as("docs_kept"),
-            rate(col("n1"), col("n2")).as("doc_removal_rate"),
-            col("t1").as("tokens_in"), col("t2").as("tokens_kept"),
-            rate(col("t1"), col("t2")).as("token_removal_rate")),
-          struct(lit(3L).as("ord"), lit("classifier").as("stage"),
-            col("n2").as("docs_in"), col("n3").as("docs_kept"),
-            rate(col("n2"), col("n3")).as("doc_removal_rate"),
-            col("t2").as("tokens_in"), col("t3").as("tokens_kept"),
-            rate(col("t2"), col("t3")).as("token_removal_rate"))))
+          stage(1L, "gopher_rules", "n0", "n1", "t0", "t1"),
+          stage(2L, "blocklist", "n1", "n2", "t1", "t2"),
+          stage(3L, "dedup", "n2", "n3", "t2", "t3"),
+          stage(4L, "classifier", "n3", "n4", "t3", "t4")))
           .as("r"))
         .select(col("r.*"))
         .orderBy("ord")
@@ -2520,18 +2529,34 @@ object TextQueries {
     val pairs = Dedup.sharedPassagePairs(d, "doc_id", "text",
         k = 8, w = 4, minShared = 2L, maxDocsPerFp = 64L)
       .select(col("a_id"), col("b_id"))
-    val labels = Dedup.dupClustersAuto(pairs)
-      .withColumnRenamed("id", "doc_id")
+    // shared: the label table feeds BOTH the member rank and the
+    // singleton anti-join below — unshared, the whole closure chain
+    // would run twice
+    val labels = graft.Caches.shared(Dedup.dupClustersAuto(pairs)
+      .withColumnRenamed("id", "doc_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy(desc("n_chars"), asc("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    d.select("doc_id", "n_chars")
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    // Rank ONLY cluster members (round 15): the round-14 form gave
+    // every singleton label = doc_id after a left join and ran the
+    // keep-rank window over ALL docs — a corpus-wide exchange spent
+    // ranking one-row partitions. Cluster members are a tiny fraction
+    // of the corpus, so the window input here is the inner join
+    // (O(members)); non-members pass through as self-representatives
+    // with zero window work. Decision-identical by construction: a
+    // singleton's one-row partition always ranked itself first.
+    val members = d.select("doc_id", "n_chars")
+      .join(labels, "doc_id")
       .withColumn("rep_id", first(col("doc_id")).over(w))
       .select(col("doc_id").as("asset_id"), col("rep_id"),
         (col("doc_id") === col("rep_id")).as("kept"))
+    val singles = d.select(col("doc_id").as("asset_id"))
+      .join(labels.select(col("doc_id").as("asset_id")),
+        Seq("asset_id"), "left_anti")
+      .select(col("asset_id"), col("asset_id").as("rep_id"),
+        lit(true).as("kept"))
+    members.unionByName(singles)
   }
 
   /** [[textDupDecision]]'s replay as a CTE block ending in `dec`
@@ -3541,20 +3566,26 @@ object TextQueries {
         |   END AS f1
         | FROM cm""".stripMargin.replaceAll("\n", ""),
     // t52: the SAME t48 replay chain (labels + scoring) composed with
-    // the SAME t50 count block, then the sequential funnel fold —
-    // every stage decision comes from the one shared definition its
-    // standalone query hash-checks.
+    // the SAME t50 count block and the SAME textDedupCtes decision
+    // chain (round 15 — the dedup stage), then the sequential funnel
+    // fold — every stage decision comes from the one shared definition
+    // its standalone query hash-checks. RECURSIVE for the dedup
+    // chain's transitive closure; CTE name sets are disjoint by
+    // construction (asserted in Round15OpsSpec).
     "t52_filter_funnel" ->
-      s"""WITH $t48ReplayCtes,
+      s"""WITH RECURSIVE $t48ReplayCtes,
         | $t50CountCtes,
+        | $textDedupCtes,
         | fpk AS (SELECT doc_id, n_tokens,
         |   ($t48LogOddsSql) > 0 AS pred_keep
         |  FROM sc, cn, dc),
         | ffl AS (SELECT lab.doc_id, lab.keep AS g_keep,
         |   blc.n_bad = 0 AS b_keep,
+        |   dec.kept AS d_keep,
         |   COALESCE(fpk.pred_keep, FALSE) AS p_keep,
         |   COALESCE(fpk.n_tokens, 0) AS nt
         |  FROM lab JOIN blc USING (doc_id)
+        |   JOIN dec ON lab.doc_id = dec.asset_id
         |   LEFT JOIN fpk ON lab.doc_id = fpk.doc_id),
         | ftot AS (SELECT
         |   CAST(COUNT(*) AS BIGINT) AS n0,
@@ -3565,10 +3596,14 @@ object TextQueries {
         |     AS BIGINT) AS n2,
         |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN nt ELSE 0 END)
         |     AS BIGINT) AS t2,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND p_keep THEN 1 ELSE 0
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN 1 ELSE 0
         |     END) AS BIGINT) AS n3,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND p_keep THEN nt ELSE 0
-        |     END) AS BIGINT) AS t3
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN nt ELSE 0
+        |     END) AS BIGINT) AS t3,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND p_keep
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND p_keep
+        |     THEN nt ELSE 0 END) AS BIGINT) AS t4
         |  FROM ffl)
         | SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS ord, 'gopher_rules' AS stage,
@@ -3584,10 +3619,15 @@ object TextQueries {
         |   t1, t2,
         |   CASE WHEN t1 > 0 THEN ROUND((t1 - t2)::DOUBLE / t1, 6) END
         |  FROM ftot
-        |  UNION ALL SELECT CAST(3 AS BIGINT), 'classifier', n2, n3,
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'dedup', n2, n3,
         |   CASE WHEN n2 > 0 THEN ROUND((n2 - n3)::DOUBLE / n2, 6) END,
         |   t2, t3,
         |   CASE WHEN t2 > 0 THEN ROUND((t2 - t3)::DOUBLE / t2, 6) END
+        |  FROM ftot
+        |  UNION ALL SELECT CAST(4 AS BIGINT), 'classifier', n3, n4,
+        |   CASE WHEN n3 > 0 THEN ROUND((n3 - n4)::DOUBLE / n3, 6) END,
+        |   t3, t4,
+        |   CASE WHEN t3 > 0 THEN ROUND((t3 - t4)::DOUBLE / t3, 6) END
         |  FROM ftot)
         | ORDER BY ord""".stripMargin.replaceAll("\n", ""),
     // t47: t44's replay with every model cell, the smoothing fallback
