@@ -105,7 +105,12 @@ object Bench {
     "a43_grouping_sets", // one-pass multi-granularity expand + shuffle
     "s24_ewma_smoothing", // 16ths-scaled integer EWMA per-key fold
     "j3_key_inventory", // JSON key discovery: parse-in-scan + keyed agg
-    "m19_silence_segments") // real WAV decode → peak VAD → island fold
+    "m19_silence_segments", // real WAV decode → peak VAD → island fold
+    "p10_curriculum_packing", // per-phase md5 positions + prefix-sum packs
+    "m20_keyframe_export", // selective keyframe re-extract + real decode
+    "t53_repetition_filter", // Gopher repetition: line/gram doc-keyed folds
+    "s25_event_funnel", // ordered conversion funnel: chained cond-mins
+    "p11_domain_mixture") // mixture plan: one lang agg + broadcast total
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

@@ -674,6 +674,89 @@ object Multimodal {
     spark.createDataFrame(rows, FrameStatsSchema)
   }
 
+  private val KeyframeSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_number", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("luma_sum", LongType, nullable = false),
+    StructField("png", BinaryType, nullable = false)))
+
+  /** SELECTIVE frame extraction — the content emitter the keyframe
+    * selector (m18) exists for: given the wanted (asset_id,
+    * frame_number) set, re-walk each asset's zip directory and emit
+    * the selected entries' ORIGINAL PNG bytes plus dims and the luma
+    * recomputed from a real decode of those bytes (so the hash gate
+    * pins the whole select→extract→decode chain, and a spec pins the
+    * bytes themselves by re-decode equality).
+    *
+    * Two-pass by design: the verdict-suggested single-pass
+    * `min_by(frame_bytes, frame_number)` would drag every frame's
+    * bytes through the scene-detector's asset-keyed window exchange —
+    * at real frame sizes that shuffles the corpus's pixel volume to
+    * pick one frame per scene. Here detection runs on narrow stats
+    * (sceneCutFrames), and ONLY the chosen ordinals (one per scene,
+    * bounded) are decoded again, inside a narrow map after a keyed
+    * join of the tiny wanted-list against the asset table — frame
+    * bytes are born in the final map stage and never shuffle.
+    * Unselected entries are never decoded (the zip stream skips
+    * compressed bytes); corrupt containers emit zero rows
+    * ([[sampleZipFrames]]' contract). */
+  def extractZipFrames(assets: DataFrame, wanted: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val sel = wanted
+      .select(col("asset_id").cast("long").as("asset_id"),
+        col("frame_number").cast("int").as("frame_number"))
+      .groupBy("asset_id")
+      .agg(sort_array(collect_set(col("frame_number"))).as("wanted"))
+    val rows = assets
+      .filter(col("meta.media_type") === "video")
+      .select(col("asset_id"), col("content"))
+      .join(sel, "asset_id")
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val want = r.getAs[scala.collection.Seq[Int]](2).toSet
+          val zis = new java.util.zip.ZipInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          try {
+            var j = 0
+            var e = zis.getNextEntry
+            while (e != null && out.size < want.size) {
+              if (want(j)) {
+                val png = zis.readAllBytes()
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(png))
+                if (img != null) {
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  val px = img.getRGB(0, 0, w, h, null, 0, w)
+                  var luma = 0L
+                  var k = 0
+                  while (k < px.length) {
+                    val rgb = px(k)
+                    luma += (((rgb >> 16) & 0xff) * 299 +
+                      ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                    k += 1
+                  }
+                  out += Row(id, j, w, h, luma, png)
+                }
+              }
+              zis.closeEntry()
+              j += 1
+              e = zis.getNextEntry
+            }
+          } catch {
+            case _: java.util.zip.ZipException => out.clear()
+            case _: java.io.IOException => out.clear()
+          }
+          out
+        }
+      }
+    spark.createDataFrame(rows, KeyframeSchema)
+  }
+
   /** STUB frame sampling for video assets: every `everyNth` "frame"
     * (byte-window stand-in) becomes a row — the explode shape of a
     * real frame extractor, with the ordinal carried like the chunker's

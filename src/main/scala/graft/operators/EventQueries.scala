@@ -529,6 +529,40 @@ object EventQueries {
           .groupBy("user_id", "hr").agg(count(lit(1)).as("c"))))
     }),
 
+    // S25: ordered event FUNNEL (round 15) — the product-analytics
+    // twin of t52's document funnel: per user, the view → click →
+    // purchase conversion path where each stage only counts if it
+    // happens AT OR AFTER the previous stage's first occurrence (a
+    // purchase before ever viewing is not a conversion — the
+    // time-ordering is what separates a funnel from three counts).
+    // Emits per user the first qualifying timestamp of each reached
+    // stage (epoch micros — the s23 VARCHAR-render lesson) and the
+    // stage count. Scale shape: three user-keyed min-aggregations
+    // chained by user-keyed joins — every exchange is on the SAME
+    // user_id key, so the partitioning is produced once and reused
+    // (AQE coalesces the co-partitioned joins); no window, no
+    // per-user event sort, partial min map-side.
+    "s25_event_funnel" -> ((s, dir) => {
+      val e = graft.Caches.shared(Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"), col("us")))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("view_us"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") >= col("view_us"))
+        .groupBy("user_id").agg(min("us").as("click_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") >= col("click_us"))
+        .groupBy("user_id").agg(min("us").as("purchase_us"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("view_us"), col("click_us"),
+          col("purchase_us"),
+          (lit(1L) + when(col("click_us").isNotNull, 1L).otherwise(0L) +
+            when(col("purchase_us").isNotNull, 1L).otherwise(0L))
+            .as("stage"))
+        .orderBy("user_id")
+    }),
+
     // J3: JSON key INVENTORY (round 14) — the semi-structured
     // profiling pass an ingest pipeline runs before declaring a
     // schema (j1 regex-extracts one known key, j2 parses a declared
@@ -1036,6 +1070,24 @@ object EventQueries {
         | SELECT user_id, CAST(epoch_us(hr) AS BIGINT) AS hr_us,
         |  c AS cnt, e16 AS ewma16
         | FROM r ORDER BY user_id, hr_us""".stripMargin.replaceAll("\n", ""),
+    // s25: the same three chained conditional-min stages; epoch_us on
+    // either physical ts encoding.
+    "s25_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        | v AS (SELECT user_id, MIN(us) AS view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | c AS (SELECT e.user_id, MIN(us) AS click_us FROM e
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us >= view_us GROUP BY 1),
+        | p AS (SELECT e.user_id, MIN(us) AS purchase_us FROM e
+        |  JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= click_us GROUP BY 1)
+        | SELECT v.user_id, view_us, click_us, purchase_us,
+        |  CAST(1 + (click_us IS NOT NULL)::INT
+        |    + (purchase_us IS NOT NULL)::INT AS BIGINT) AS stage
+        | FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        | ORDER BY user_id""".stripMargin.replaceAll("\n", ""),
     // j3: the same brace-surgery plant — the anchored strip pattern is
     // spelled identically (explicit [ \t\n\r\f] class; Java \s and RE2
     // \s disagree on \x0B) — then key/value pairs via json_keys +

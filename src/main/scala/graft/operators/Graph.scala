@@ -895,12 +895,20 @@ object GraphQueries {
     * `l3` (id, label) over `pairs`/`edges` — shared by the g5 and g10
     * oracles so the modularity metric scores exactly the communities
     * the community query emits. */
-  private lazy val g5LabelCtes: String =
+  /** The co-purchase pair build alone — split from [[g5LabelCtes]]
+    * (round 15) so the sf1 chain-at-a-time oracle can materialize the
+    * expensive self-join ONCE and feed the LP rounds from parquet. */
+  private lazy val g5PairsCte: String =
     """pairs AS (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      | edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+      .stripMargin
+
+  /** The 3 label-propagation rounds over an existing `pairs` CTE —
+    * the rest of [[g5LabelCtes]]. */
+  private lazy val g5LabelFromPairsCtes: String =
+    """edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
       | nodes AS (SELECT DISTINCT src AS id FROM edges),
       | l0 AS (SELECT id, id AS label FROM nodes),
       | c1 AS (SELECT e.dst AS id, l.label, COUNT(*) AS votes
@@ -921,6 +929,41 @@ object GraphQueries {
       |   row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) = 1),
       | l3 AS (SELECT n.id, COALESCE(w.label, n.id) AS label
       |   FROM nodes n LEFT JOIN w3 w USING (id))""".stripMargin
+
+  private lazy val g5LabelCtes: String =
+    s"$g5PairsCte,\n $g5LabelFromPairsCtes"
+
+  /** sf1 chain-at-a-time oracle plan for g10 (round 15): the one-WITH
+    * replay (pairs self-join + 3 LP rounds) exceeds DuckDB temp disk
+    * at sf1; materializing the pair build once and feeding the label
+    * rounds and the rollup from parquet bounds peak temp usage to one
+    * chain. Each entry is (name, sql); `__CHAIN_<name>__` placeholders
+    * are replaced with read_parquet refs by tools/sf1_chain_oracle.py;
+    * the last entry ("rollup") must hash-match the engine output. */
+  private[graft] def sf1ChainPlan: Map[String, Seq[(String, String)]] = Map(
+    "g10_modularity" -> Seq(
+      "pairs" -> s"WITH $g5PairsCte SELECT src, dst FROM pairs",
+      "labels" -> (s"WITH pairs AS (SELECT src, dst FROM __CHAIN_pairs__)," +
+        s" $g5LabelFromPairsCtes SELECT id, label FROM l3")
+          .replaceAll("\n", ""),
+      "rollup" -> ("""WITH pairs AS (SELECT src, dst FROM __CHAIN_pairs__),
+        | l3 AS (SELECT id, label FROM __CHAIN_labels__),
+        | edges AS (SELECT src, dst FROM pairs
+        |  UNION ALL SELECT dst, src FROM pairs),
+        | deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM edges GROUP BY src),
+        | dc AS (SELECT l.label, CAST(SUM(deg.d) AS BIGINT) AS dsum
+        |  FROM l3 l JOIN deg USING (id) GROUP BY l.label),
+        | ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |   CAST(SUM(dsum * dsum) AS BIGINT) AS sum_deg_sq FROM dc),
+        | mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM pairs),
+        | ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra_edges
+        |  FROM pairs p JOIN l3 a ON p.src = a.id
+        |   JOIN l3 b ON p.dst = b.id WHERE a.label = b.label)
+        | SELECT m_edges, n_communities, intra_edges, sum_deg_sq,
+        |  ROUND((4 * m_edges * intra_edges - sum_deg_sq)::DOUBLE
+        |    / (4 * m_edges * m_edges), 6) AS modularity
+        | FROM mm, ag, ia""".stripMargin.replaceAll("\n", ""))))
 
   def oracleSql: Map[String, String] = Map(
     // g9: the 4 Bellman–Ford relaxation rounds unrolled as CTEs over

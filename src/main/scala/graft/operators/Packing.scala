@@ -131,6 +131,68 @@ object Packing {
       .parquet(path)
   }
 
+  /** Run `build` over each curriculum phase slice and union the
+    * results with the phase label re-attached. The phase domain is the
+    * quartile LITERAL {1,2,3,4} (p9's `floor(before·4/n)+1` is bounded
+    * by construction), so this is 4 bounded passes — no driver
+    * materialization of data-dependent values, and an empty slice
+    * contributes zero rows with the same schema. */
+  private def perPhaseUnion(df: DataFrame, phaseCol: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    (1L to 4L).map { p =>
+      build(df.filter(col(phaseCol) === p).drop(phaseCol))
+        .withColumn("phase", lit(p))
+    }.reduce(_ unionByName _)
+
+  /** Curriculum pack offsets (round 15 — p10): within each phase,
+    * rows take p4's reproducible md5-shuffled positions
+    * (`md5(id||salt)` — with salt "-p9" that IS p9's curriculum_key,
+    * so the schedule's order key and the packing order cannot drift)
+    * and pack offsets restart at 0 per phase via the same two-phase
+    * distributed prefix sum as [[withPackOffsets]]. Emits `phase`,
+    * `pos`, `start_offset`, `pack_id`, `n_spans`, `shard_id`
+    * (= pack_id div packsPerShard) per row. Never a global sort:
+    * each phase pays one sampled-boundary prefix sum over its
+    * quarter of the corpus. */
+  def perPhasePackOffsets(
+      df: DataFrame, idCol: String, tokensCol: String, phaseCol: String,
+      salt: String, ctxSize: Int, packsPerShard: Int): DataFrame = {
+    require(packsPerShard > 0, "packsPerShard must be positive")
+    perPhaseUnion(df, phaseCol) { slice =>
+      withPackOffsets(
+        Sampling.shufflePositions(slice, idCol, salt),
+        "pos", tokensCol, ctxSize)
+    }.withColumn("shard_id", expr(s"pack_id div $packsPerShard"))
+  }
+
+  /** Materialize the CURRICULUM shards (round 15): the per-phase
+    * packing plan written `partitionBy(phase, shard_id)` — a trainer
+    * streams phase 1's shard directories before phase 2's (easy→hard)
+    * and within a phase reads dense ctx windows in the reproducible
+    * md5 order. Same invariants as [[writeShards]], now PER PHASE:
+    * every non-final shard of a phase holds exactly
+    * packsPerShard × ctxSize tokens (segments, not whole documents,
+    * cross shard boundaries), and shard contents are phase-monotone
+    * by construction of the partitioning. One repartition on
+    * (phase, shard_id) bounds writer memory. */
+  def writeCurriculumShards(
+      df: DataFrame, idCol: String, tokensCol: String, phaseCol: String,
+      salt: String, ctxSize: Int, packsPerShard: Int, path: String): Unit = {
+    require(packsPerShard > 0, "packsPerShard must be positive")
+    perPhaseUnion(df, phaseCol) { slice =>
+      packSegments(
+        Sampling.shufflePositions(slice, idCol, salt),
+        "pos", tokensCol, ctxSize)
+    }
+      .withColumn("shard_id", expr(s"pack_id div $packsPerShard"))
+      .repartition(col("phase"), col("shard_id"))
+      .sortWithinPartitions(col("phase"), col("shard_id"), col("pack_id"),
+        col("pos"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("phase", "shard_id")
+      .parquet(path)
+  }
+
   /** Per-pack roll-up: how many documents start in each ctx window,
     * their token volume, id range, and how many straddle into the next
     * window — the packing audit a data pipeline reports before

@@ -252,11 +252,66 @@ object PipelineQueries {
     * Columns: asset_id, frame_number, luma_sum, n_px, delta, is_cut,
     * scene_id. */
   private def sceneCutFrames(
-      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    sceneCutsFromFrames(graft.multimodal.Multimodal.sampleZipFrames(
+      graft.multimodal.Multimodal.syntheticSceneVideoAssets(
+        Tables.load(s, dir, "documents"), "doc_id"), everyNth = 1))
+
+  /** m20's content join — ONE definition for the query (which drops
+    * the binary column for the hash gate) and the byte-pinning spec
+    * (which decodes it): the selected (asset_id, scene_id,
+    * frame_number) rows joined to their REALLY-extracted frames —
+    * original PNG entry bytes, dims and a recomputed luma. */
+  private[graft] def keyframeContent(
+      s: SparkSession, dir: String,
+      sel: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val assets = graft.multimodal.Multimodal.syntheticSceneVideoAssets(
       Tables.load(s, dir, "documents"), "doc_id")
-    val frames =
-      graft.multimodal.Multimodal.sampleZipFrames(assets, everyNth = 1)
+    graft.multimodal.Multimodal
+      .extractZipFrames(assets, sel.select("asset_id", "frame_number"))
+      .join(sel, Seq("asset_id", "frame_number"))
+  }
+
+  /** The m19 DECISION chain over an already-decoded (asset_id,
+    * window_number, sample_min, sample_max, sample_sum) window table —
+    * factored (round 15) so the streaming face
+    * ([[graft.streaming.DedupStreams.silenceSegmentsFromState]]) runs
+    * the same integer peak test + gaps-and-islands fold over the
+    * committed wav-window state with ZERO re-decode. */
+  private[graft] def silenceSegmentsFromWindows(
+      wins: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("window_number")
+    wins
+      .filter(!(col("sample_min") >= -100 && col("sample_max") <= 100))
+      .withColumn("ni",
+        when(lag("window_number", 1).over(w).isNull ||
+            col("window_number") >
+              lag("window_number", 1).over(w) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("segment_id", sum("ni").over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("asset_id", "segment_id")
+      .agg(min("window_number").as("start_window"),
+        max("window_number").as("end_window"),
+        count(lit(1)).as("n_windows"),
+        sum("sample_sum").as("sample_sum"))
+  }
+
+  /** The m17 DECISION chain over an already-decoded (asset_id,
+    * frame_number, luma_sum, n_px) frame table — factored from
+    * [[sceneCutFrames]] (round 15) so the streaming face
+    * ([[graft.streaming.DedupStreams.sceneCutsFromState]]) runs the
+    * exact same lag/threshold/running-count over the committed
+    * frame-luma state with ZERO re-decode: ingest pays the container
+    * walk once, the detector replays from narrow integers. */
+  private[graft] def sceneCutsFromFrames(
+      frames: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("asset_id").orderBy("frame_number")
     frames
@@ -881,6 +936,34 @@ object PipelineQueries {
         .orderBy("asset_id", "scene_id")
     }),
 
+    // M20: keyframe content EXPORT (round 15) — the emitter m18's
+    // ordinals exist for: a vision-training exporter needs the
+    // selected frame's PIXELS, not its row. Two passes by design:
+    // detection runs over narrow luma stats (m17's chain, ONE shared
+    // definition), then ONLY the chosen ordinals — one per scene,
+    // bounded — are re-extracted from their containers and REALLY
+    // decoded (extractZipFrames: original PNG entry bytes + dims +
+    // luma recomputed from those bytes). The single-pass alternative
+    // (min_by(frame_bytes) through the detector) would drag every
+    // frame's bytes through the asset-keyed window exchange — at real
+    // frame sizes that shuffles the corpus's pixel volume to keep one
+    // frame per scene. Here bytes are born in the final narrow map
+    // and never shuffle. The hash gate pins the whole
+    // detect→select→extract→decode chain (the oracle recomputes dims
+    // and the keyframe's luma from the fill formula); the PNG bytes
+    // themselves are spec-pinned by re-decode equality + a bounded
+    // size budget (Round15OpsSpec).
+    "m20_keyframe_export" -> ((s, dir) => {
+      val sel = sceneCutFrames(s, dir)
+        .groupBy(col("asset_id"), col("scene_id"))
+        .agg(min("frame_number").as("frame_number"))
+      keyframeContent(s, dir, sel)
+        .select(col("asset_id"), col("scene_id"),
+          col("frame_number").as("keyframe"), col("width"), col("height"),
+          col("luma_sum").as("keyframe_luma"))
+        .orderBy("asset_id", "scene_id")
+    }),
+
     // M19: audio SILENCE segmentation (round 14) — voice-activity
     // detection, the audio twin of m17's shot boundaries: a speech
     // pipeline segments recordings at pauses before transcription /
@@ -901,26 +984,8 @@ object PipelineQueries {
     "m19_silence_segments" -> ((s, dir) => {
       val assets = graft.multimodal.Multimodal.syntheticSpeechWavAssets(
         Tables.load(s, dir, "documents"), "doc_id")
-      val wins = graft.multimodal.Multimodal
-        .decodeWavWindows(assets, windowSamples = 32)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("asset_id").orderBy("window_number")
-      wins
-        .filter(!(col("sample_min") >= -100 && col("sample_max") <= 100))
-        .withColumn("ni",
-          when(lag("window_number", 1).over(w).isNull ||
-              col("window_number") >
-                lag("window_number", 1).over(w) + 1, 1L)
-            .otherwise(0L))
-        .withColumn("segment_id", sum("ni").over(
-          w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-        .groupBy("asset_id", "segment_id")
-        .agg(min("window_number").as("start_window"),
-          max("window_number").as("end_window"),
-          count(lit(1)).as("n_windows"),
-          sum("sample_sum").as("sample_sum"))
+      silenceSegmentsFromWindows(graft.multimodal.Multimodal
+        .decodeWavWindows(assets, windowSamples = 32))
         .orderBy("asset_id", "segment_id")
     }),
 
@@ -1579,6 +1644,20 @@ object PipelineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_frames
         | FROM scn GROUP BY asset_id, scene_id
         | ORDER BY asset_id, scene_id""".stripMargin.replaceAll("\n", ""),
+    // m20: m18's selection extended with the asset's dims — the
+    // engine recomputes width/height/luma from a REAL decode of the
+    // extracted PNG entry, the oracle from the id formula (w = 1 +
+    // id%16, h = 1 + id%8, luma from the fill), so a mismatch
+    // anywhere in the select→extract→decode chain hash-fails.
+    "m20_keyframe_export" ->
+      s"""WITH $m17SceneCtes
+        | SELECT asset_id, scene_id,
+        |  CAST(MIN(frame_number) AS INT) AS keyframe,
+        |  CAST(1 + asset_id % 16 AS INT) AS width,
+        |  CAST(1 + asset_id % 8 AS INT) AS height,
+        |  arg_min(luma_sum, frame_number) AS keyframe_luma
+        | FROM scn GROUP BY asset_id, scene_id
+        | ORDER BY asset_id, scene_id""".stripMargin.replaceAll("\n", ""),
     // m7: every windowed sample statistic recomputed from the id-pure
     // sample formula — integer-exact in both engines (values in
     // [-10000, 10000], sums bounded by 32·10⁴ ≪ 2⁶³; the mod operands
@@ -1601,4 +1680,77 @@ object PipelineQueries {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         | FROM documents ORDER BY asset_id""".stripMargin.replaceAll("\n", ""),
   )
+
+  /** sf1 chain-at-a-time oracle plan for the COMPOSITE audits (round
+    * 15): d22's four-chain and m15's two-chain one-WITH replays exceed
+    * DuckDB temp disk at sf1 (the round-13/14 documented
+    * oracle-resource bound), so each decision chain is materialized to
+    * parquet SEPARATELY — peak temp usage is then one chain — and only
+    * the final rollup runs over the materialized `dec` tables. Each
+    * entry is an ORDERED (name, sql) list; `__CHAIN_<name>__`
+    * placeholders are replaced with read_parquet refs by
+    * tools/sf1_chain_oracle.py; the last entry ("rollup") must
+    * hash-match the engine's own output. The chain SQLs are the SAME
+    * replay blocks the sf0.x composite oracles interpolate — nothing
+    * re-derived, only re-staged. */
+  private[graft] def sf1ChainPlan: Map[String, Seq[(String, String)]] = Map(
+    "d22_dedup_audit" -> Seq(
+      "text" -> (s"WITH RECURSIVE ${graft.operators.TextQueries
+          .textDedupCtes} SELECT 'text' AS modality," +
+        " 'tokens' AS vol_unit, asset_id, rep_id, kept," +
+        " CAST(ntok AS BIGINT) AS weight FROM dec").replaceAll("\n", ""),
+      "image" -> (s"WITH RECURSIVE $m9DedupCtes SELECT 'image' AS" +
+        " modality, 'px' AS vol_unit, dc.asset_id, dc.rep_id, dc.kept," +
+        " CAST(dd.w * dd.h AS BIGINT) AS weight" +
+        " FROM dec dc JOIN d dd ON dd.doc_id = dc.asset_id")
+        .replaceAll("\n", ""),
+      "audio" -> (s"WITH RECURSIVE $m10DedupCtes SELECT 'audio' AS" +
+        " modality, 'ms' AS vol_unit, dc.asset_id, dc.rep_id, dc.kept," +
+        " CAST(hh.score AS BIGINT) AS weight" +
+        " FROM dec dc JOIN hh ON hh.doc_id = dc.asset_id")
+        .replaceAll("\n", ""),
+      "video" -> (s"WITH RECURSIVE $m11DedupCtes SELECT 'video' AS" +
+        " modality, 'ms' AS vol_unit, dc.asset_id, dc.rep_id, dc.kept," +
+        " CAST(40 * (2 + dd.fid % 7) AS BIGINT) AS weight" +
+        " FROM dec dc JOIN d0 dd ON dd.doc_id = dc.asset_id")
+        .replaceAll("\n", ""),
+      "rollup" -> """WITH alldec AS (
+        |  SELECT * FROM __CHAIN_text__
+        |  UNION ALL SELECT * FROM __CHAIN_image__
+        |  UNION ALL SELECT * FROM __CHAIN_audio__
+        |  UNION ALL SELECT * FROM __CHAIN_video__),
+        | cs AS (SELECT modality, vol_unit, rep_id, COUNT(*) AS sz,
+        |   SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS k,
+        |   SUM(weight) AS wsz,
+        |   SUM(CASE WHEN kept THEN 0 ELSE weight END) AS wrm
+        |  FROM alldec GROUP BY 1, 2, 3)
+        | SELECT modality, vol_unit,
+        |  CAST(SUM(sz) AS BIGINT) AS n_items,
+        |  CAST(SUM(k) AS BIGINT) AS n_kept,
+        |  CAST(SUM(sz) - SUM(k) AS BIGINT) AS n_removed,
+        |  ROUND(CAST(SUM(sz) - SUM(k) AS DOUBLE) / SUM(sz), 6)
+        |   AS removal_rate,
+        |  COUNT(*) AS n_clusters,
+        |  CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_clusters,
+        |  CAST(MAX(sz) AS BIGINT) AS max_cluster,
+        |  CAST(SUM(wsz) AS BIGINT) AS vol_total,
+        |  CAST(SUM(wrm) AS BIGINT) AS vol_removed,
+        |  ROUND(CAST(SUM(wrm) AS DOUBLE) / SUM(wsz), 6)
+        |   AS vol_removal_rate
+        | FROM cs GROUP BY modality, vol_unit ORDER BY modality"""
+        .stripMargin.replaceAll("\n", "")),
+    "m15_caption_consolidation" -> Seq(
+      "image" -> (s"WITH RECURSIVE $m9DedupCtes" +
+        " SELECT asset_id, rep_id, kept FROM dec").replaceAll("\n", ""),
+      "rollup" -> s"""WITH ${m14ExtractCtes()},
+        | refs AS (SELECT caption,
+        |   CAST(regexp_extract(image_url, '$M15RefPat', 1) AS BIGINT)
+        |    AS asset_id FROM allp
+        |  WHERE regexp_matches(image_url, '$M15RefPat'))
+        | SELECT dd.rep_id, refs.caption,
+        |  CAST(COUNT(*) AS BIGINT) AS n_refs
+        | FROM refs JOIN __CHAIN_image__ dd ON dd.asset_id = refs.asset_id
+        | GROUP BY 1, 2 ORDER BY rep_id, caption"""
+        .stripMargin.replaceAll("\n", "")))
 }

@@ -2406,29 +2406,268 @@ object TextQueries {
     // assignment here, ordering there. Two aggregates + one broadcast
     // join at any corpus size.
     "p9_curriculum" -> ((s, dir) => {
-      val binned = withReadability(docs(s, dir))
-        .withColumn("bin", round(col("fk") * 10).cast("long"))
-        .select(col("doc_id"), col("fk"), col("bin"))
-      val hist = binned.groupBy("bin").agg(count(lit(1)).as("c"))
-      val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val n = broadcast(binned.agg(count(lit(1)).as("n")))
-      val phases = hist
-        .withColumn("before", sum("c").over(wCum) - col("c"))
-        .crossJoin(n)
-        .select(col("bin"),
-          (floor(col("before") * 4 / col("n")) + 1).cast("long")
-            .as("phase"))
-      binned.join(broadcast(phases), "bin")
+      curriculumPhases(docs(s, dir))
         .select(col("doc_id"), round(col("fk"), 4).as("fk_grade"),
           col("bin"), col("phase"),
           md5(concat(col("doc_id").cast("string"), lit("-p9")))
             .as("curriculum_key"))
         .orderBy("doc_id")
     }),
+
+    // P10: curriculum PACKING (round 15) — the artifact p9's schedule
+    // exists for: p9 assigns each document a difficulty phase and an
+    // md5 order key "for the shard writer", and this IS that writer's
+    // plan — WITHIN each phase, documents take p4's reproducible
+    // md5-shuffled positions (md5(doc_id||'-p9') is exactly p9's
+    // curriculum_key, so the order key and the position assignment
+    // cannot drift) and pack offsets restart at 0 per phase via p2's
+    // two-phase distributed prefix sum. The composed clean → schedule
+    // → pack chain: a trainer then reads phase 1's shards before
+    // phase 2's (easy→hard, Bengio et al. 2009) with every context
+    // window dense. Scale shape: the phase domain is the quartile
+    // LITERAL {1,2,3,4}, so per-phase packing is 4 bounded passes
+    // each over ~a quarter of the corpus — never a global sort, never
+    // a single-task window (withPackOffsets' bucket prefix sum);
+    // the phase table joins back broadcast off the bounded histogram.
+    // Packing.writeCurriculumShards materializes this same plan as
+    // partitionBy(phase, shard_id) parquet (spec-pinned: non-final
+    // shards exactly at their token budget, phase-monotone contents).
+    "p10_curriculum_packing" -> ((s, dir) => {
+      curriculumPacking(s, dir)
+        .select("doc_id", "phase", "pos", "n_tokens", "start_offset",
+          "pack_id", "shard_id")
+        .orderBy("doc_id")
+    }),
+
+    // T53: REPETITION filter (round 15) — the other half of Gopher's
+    // table A1 (Rae et al. 2021): t43 carries the word-count /
+    // symbol-ratio rules; the repetition family catches the
+    // degenerate-generation / boilerplate shapes those miss —
+    // duplicate-LINE fraction (docs assembled from a repeated
+    // template), duplicate-line CHARACTER fraction (one huge repeated
+    // line ≠ many tiny ones), and top-2-gram character fraction (a
+    // single phrase dominating the text). Lines are 10-word chunks
+    // (d19's convention — the corpus has no line structure) and
+    // violations are PLANTED (t8/d19/d21 precedent), scaled WITH the
+    // document so each rule fires at every SF: %9==4 docs repeat
+    // their first line n_lines times (dup_line_frac > 1/2), %11==7
+    // docs append one line of "zz yy" × 6·n_lines (top-2-gram chars ≈
+    // 1/3 of the doc). Thresholds are the paper's 0.30 / 0.20 / 0.20,
+    // compared in EXACT integer cross-multiplication (10·dup ≤
+    // 3·lines etc.) so no float boundary can diverge between engines.
+    // Scale shape: the line/gram tables explode in the scan
+    // projection and fold under ONE doc-keyed shuffle each (partial
+    // map-side); the top-gram pick is max-count + lexicographic-min
+    // via two keyed aggs + a co-keyed join — no per-doc window sort,
+    // no corpus self-join.
+    "t53_repetition_filter" -> ((s, dir) => {
+      val lined = graft.Caches.shared(docs(s, dir)
+        .select(col("doc_id"), t53PlantedLines(col("doc_id"), col("text"))
+          .as("ls"))
+        .withColumn("text", array_join(col("ls"), "\n"))
+        .withColumn("total_chars", length(col("text")).cast("long"))
+        .withColumn("n_lines", size(col("ls")).cast("long")))
+      val lm = lined.select(col("doc_id"), explode(col("ls")).as("line"))
+        .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("n_dup_lines"),
+          sum(when(col("c") > 1, col("c") * length(col("line")))
+            .otherwise(0L)).as("dup_chars"))
+      val gcnt = lined
+        .select(col("doc_id"),
+          explode(TextAnalysis.letBound(
+            expr("flatten(transform(ls, l -> split(l, ' ')))")) { tk =>
+            when(size(tk) >= 2,
+              transform(sequence(lit(1), size(tk) - 1),
+                i => concat(element_at(tk, i), lit(" "),
+                  element_at(tk, i + 1))))
+              .otherwise(expr("CAST(array() AS array<string>)"))
+          }).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val mx = gcnt.groupBy("doc_id").agg(max("c").as("mc"))
+      val top = gcnt.join(mx, "doc_id").filter(col("c") === col("mc"))
+        .groupBy("doc_id")
+        .agg(min("g").as("top_bigram"), max("c").as("top_cnt"))
+      val topChars = coalesce(col("top_cnt"), lit(0L)) *
+        length(coalesce(col("top_bigram"), lit(""))).cast("long")
+      lined.select("doc_id", "n_lines", "total_chars")
+        .join(lm, "doc_id")
+        .join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"), col("total_chars"),
+          col("n_dup_lines"),
+          round(col("n_dup_lines").cast("double") / col("n_lines"), 6)
+            .as("dup_line_frac"),
+          round(col("dup_chars").cast("double") / col("total_chars"), 6)
+            .as("dup_char_frac"),
+          coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+          coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+          round(topChars.cast("double") / col("total_chars"), 6)
+            .as("top_char_frac"),
+          (col("n_dup_lines") * 10 <= col("n_lines") * 3 &&
+            col("dup_chars") * 5 <= col("total_chars") &&
+            topChars * 5 <= col("total_chars")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // P11: domain MIXTURE allocation (round 15) — the data-mixing
+    // plan every multi-source pre-training corpus publishes (The
+    // Pile's per-set epochs, Gao et al. 2020; DoReMi's domain
+    // weights): given per-domain token supply and a token budget with
+    // a target mixture, the per-domain sampling rate — capped at 1.0
+    // where a domain cannot fill its target without repeating (the
+    // up-sampling decision is the operator's, not the planner's).
+    // Here: domains = lang, budget = half the corpus, target =
+    // uniform. Rates are EXACT millionths (floor division) so both
+    // engines emit identical integers; alloc_tokens = tokens·rate6
+    // div 10⁶. Scale shape: one lang-keyed aggregation (partial
+    // map-side, the key domain is tiny) + a broadcast 1-row total —
+    // the planning pass costs one corpus scan regardless of size.
+    "p11_domain_mixture" -> ((s, dir) => {
+      // shared: the tiny per-domain table feeds both the total/count
+      // aggregate and the output join — unshared, the corpus scan
+      // would run twice
+      val byLang = graft.Caches.shared(docs(s, dir)
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("nt"))
+        .groupBy("lang")
+        .agg(sum("nt").as("tokens"), count(lit(1)).as("n_docs")))
+      val nDomains = broadcast(
+        byLang.agg(count(lit(1)).as("nd"), sum("tokens").as("total")))
+      byLang.crossJoin(nDomains)
+        .withColumn("target_tokens", expr("(total div 2) div nd"))
+        .withColumn("rate6", least(lit(1000000L),
+          expr("(target_tokens * 1000000) div tokens")))
+        .withColumn("alloc_tokens", expr("(tokens * rate6) div 1000000"))
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          col("target_tokens"), col("rate6"), col("alloc_tokens"),
+          (col("rate6") === 1000000L).as("capped"))
+        .orderBy("lang")
+    }),
   )
+
+  /** t53's planted line list: 10-word chunk lines (d19's convention)
+    * plus the two repetition plants, each scaled WITH the document so
+    * the rule it targets fires at every SF. ONE definition — the
+    * oracle replays the same construction. */
+  private def t53PlantedLines(
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TextAnalysis.letBound(Chunker.chunksCol(text, 10)) { base =>
+      concat(base,
+        when(pmod(id, lit(9)) === 4,
+          array_repeat(element_at(base, 1), size(base)))
+          .otherwise(expr("CAST(array() AS array<string>)")),
+        when(pmod(id, lit(11)) === 7,
+          array(array_join(
+            array_repeat(lit("zz yy"), size(base) * 6), " ")))
+          .otherwise(expr("CAST(array() AS array<string>)")))
+    }
+
+  /** p10's packed curriculum plan — ONE definition for the query and
+    * [[graft.operators.Packing.writeCurriculumShards]]'s spec input:
+    * (doc_id, phase, pos, n_tokens, start_offset, pack_id, shard_id)
+    * with positions and offsets restarting per phase. ctx 2048 / 64
+    * packs per shard — the p5 context size. */
+  private[graft] def curriculumPacking(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val phased = graft.Caches.shared(
+      curriculumPhases(docs(s, dir)).select("doc_id", "phase").join(d, "doc_id"))
+    Packing.perPhasePackOffsets(phased, "doc_id", "n_tokens",
+      phaseCol = "phase", salt = "-p9", ctxSize = 2048, packsPerShard = 64)
+  }
+
+  /** p9's phase assignment — ONE definition shared by the p9 query and
+    * p10's packing: FK decibin (bounded integer domain), phase =
+    * quartile of the bin distribution via t18's bounded-histogram
+    * prefix sum (the window runs on the HISTOGRAM, never the corpus),
+    * broadcast-joined back. Returns (doc_id, fk, bin, phase). */
+  private[graft] def curriculumPhases(d: DataFrame): DataFrame = {
+    val binned = withReadability(d)
+      .withColumn("bin", round(col("fk") * 10).cast("long"))
+      .select(col("doc_id"), col("fk"), col("bin"))
+    val hist = binned.groupBy("bin").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val n = broadcast(binned.agg(count(lit(1)).as("n")))
+    val phases = hist
+      .withColumn("before", sum("c").over(wCum) - col("c"))
+      .crossJoin(n)
+      .select(col("bin"),
+        (floor(col("before") * 4 / col("n")) + 1).cast("long")
+          .as("phase"))
+    binned.join(broadcast(phases), "bin")
+  }
+
+  /** sf1 chain-at-a-time oracle plan for t52 (round 15): with the
+    * dedup stage, t52's oracle carries the full-corpus winnowing
+    * closure — the piece whose one-WITH replay is DuckDB-temp-bound at
+    * sf1 (the d22 class). Staged form: materialize the dedup decision
+    * once, then replay the (cheap) t48 + t50 + funnel fold over it.
+    * Same contract as [[PipelineQueries.sf1ChainPlan]]. */
+  private[graft] def sf1ChainPlan: Map[String, Seq[(String, String)]] = Map(
+    "t52_filter_funnel" -> Seq(
+      "dedup" -> (s"WITH RECURSIVE $textDedupCtes" +
+        " SELECT asset_id, kept FROM dec").replaceAll("\n", ""),
+      "rollup" -> s"""WITH $t48ReplayCtes,
+        | $t50CountCtes,
+        | fpk AS (SELECT doc_id, n_tokens,
+        |   ($t48LogOddsSql) > 0 AS pred_keep
+        |  FROM sc, cn, dc),
+        | ffl AS (SELECT lab.doc_id, lab.keep AS g_keep,
+        |   blc.n_bad = 0 AS b_keep,
+        |   ddc.kept AS d_keep,
+        |   COALESCE(fpk.pred_keep, FALSE) AS p_keep,
+        |   COALESCE(fpk.n_tokens, 0) AS nt
+        |  FROM lab JOIN blc USING (doc_id)
+        |   JOIN __CHAIN_dedup__ ddc ON lab.doc_id = ddc.asset_id
+        |   LEFT JOIN fpk ON lab.doc_id = fpk.doc_id),
+        | ftot AS (SELECT
+        |   CAST(COUNT(*) AS BIGINT) AS n0,
+        |   CAST(SUM(nt) AS BIGINT) AS t0,
+        |   CAST(SUM(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(SUM(CASE WHEN g_keep THEN nt ELSE 0 END) AS BIGINT) AS t1,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n2,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN nt ELSE 0 END)
+        |     AS BIGINT) AS t2,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN 1 ELSE 0
+        |     END) AS BIGINT) AS n3,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN nt ELSE 0
+        |     END) AS BIGINT) AS t3,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND p_keep
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND p_keep
+        |     THEN nt ELSE 0 END) AS BIGINT) AS t4
+        |  FROM ffl)
+        | SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS ord, 'gopher_rules' AS stage,
+        |   n0 AS docs_in, n1 AS docs_kept,
+        |   CASE WHEN n0 > 0 THEN ROUND((n0 - n1)::DOUBLE / n0, 6) END
+        |    AS doc_removal_rate,
+        |   t0 AS tokens_in, t1 AS tokens_kept,
+        |   CASE WHEN t0 > 0 THEN ROUND((t0 - t1)::DOUBLE / t0, 6) END
+        |    AS token_removal_rate
+        |  FROM ftot
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'blocklist', n1, n2,
+        |   CASE WHEN n1 > 0 THEN ROUND((n1 - n2)::DOUBLE / n1, 6) END,
+        |   t1, t2,
+        |   CASE WHEN t1 > 0 THEN ROUND((t1 - t2)::DOUBLE / t1, 6) END
+        |  FROM ftot
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'dedup', n2, n3,
+        |   CASE WHEN n2 > 0 THEN ROUND((n2 - n3)::DOUBLE / n2, 6) END,
+        |   t2, t3,
+        |   CASE WHEN t2 > 0 THEN ROUND((t2 - t3)::DOUBLE / t2, 6) END
+        |  FROM ftot
+        |  UNION ALL SELECT CAST(4 AS BIGINT), 'classifier', n3, n4,
+        |   CASE WHEN n3 > 0 THEN ROUND((n3 - n4)::DOUBLE / n3, 6) END,
+        |   t3, t4,
+        |   CASE WHEN t3 > 0 THEN ROUND((t3 - t4)::DOUBLE / t3, 6) END
+        |  FROM ftot)
+        | ORDER BY ord""".stripMargin.replaceAll("\n", "")))
 
   /** Oracle-side distinct word-n-gram shingle list over a `tk` token
     * list, INCLUDING Spark [[TextAnalysis.shingles]]' whole-text
@@ -4299,5 +4538,114 @@ object TextQueries {
         |  md5(CAST(doc_id AS VARCHAR) || '-p9') AS curriculum_key
         | FROM b JOIN ph ON b.bin = ph.bin CROSS JOIN n
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // t53: the same 10-word chunk lines, the same document-scaled
+    // plants, then both repetition tables (line counts, bigram counts
+    // over the flattened per-line words) and the same exact-integer
+    // keep comparisons.
+    "t53_repetition_filter" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') tk
+        |   FROM documents),
+        | ch AS (SELECT doc_id, list_transform(
+        |   range(1, GREATEST(CAST(CEIL(len(tk)/10.0) AS BIGINT), 1) + 1),
+        |   i -> array_to_string(tk[(i-1)*10+1 : (i-1)*10+10], ' '))
+        |    AS ls FROM base),
+        | pl AS (SELECT doc_id, list_concat(list_concat(ls,
+        |   CASE WHEN doc_id % 9 = 4 THEN
+        |     list_transform(range(1, len(ls) + 1), i -> ls[1])
+        |    ELSE CAST([] AS VARCHAR[]) END),
+        |   CASE WHEN doc_id % 11 = 7 THEN
+        |     [array_to_string(list_transform(range(1, len(ls) * 6 + 1),
+        |       i -> 'zz yy'), ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END) AS ls FROM ch),
+        | txt AS (SELECT doc_id, ls,
+        |   CAST(length(array_to_string(ls, chr(10))) AS BIGINT)
+        |    AS total_chars,
+        |   CAST(len(ls) AS BIGINT) AS n_lines FROM pl),
+        | lc AS (SELECT doc_id, line, COUNT(*) AS c FROM
+        |   (SELECT doc_id, unnest(ls) AS line FROM txt) GROUP BY 1, 2),
+        | lm AS (SELECT doc_id,
+        |   CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_dup_lines,
+        |   CAST(SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
+        |    AS BIGINT) AS dup_chars
+        |  FROM lc GROUP BY doc_id),
+        | tkx AS (SELECT doc_id,
+        |   flatten(list_transform(ls, l -> string_split(l, ' '))) AS tk
+        |  FROM txt),
+        | gr AS (SELECT doc_id,
+        |   tk[CAST(u.i AS INT)] || ' ' || tk[CAST(u.i AS INT) + 1] AS g
+        |  FROM tkx, UNNEST(range(1, len(tk))) AS u(i)),
+        | gc AS (SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY 1, 2),
+        | mx AS (SELECT doc_id, MAX(c) AS mc FROM gc GROUP BY 1),
+        | top AS (SELECT gc.doc_id, MIN(g) AS top_bigram,
+        |   CAST(MAX(gc.c) AS BIGINT) AS top_cnt
+        |  FROM gc JOIN mx ON gc.doc_id = mx.doc_id AND gc.c = mx.mc
+        |  GROUP BY 1)
+        | SELECT t.doc_id, n_lines, total_chars, n_dup_lines,
+        |  ROUND(n_dup_lines::DOUBLE / n_lines, 6) AS dup_line_frac,
+        |  ROUND(dup_chars::DOUBLE / total_chars, 6) AS dup_char_frac,
+        |  COALESCE(top_bigram, '') AS top_bigram,
+        |  COALESCE(top_cnt, 0) AS top_cnt,
+        |  ROUND((COALESCE(top_cnt, 0)
+        |     * length(COALESCE(top_bigram, '')))::DOUBLE / total_chars, 6)
+        |   AS top_char_frac,
+        |  (n_dup_lines * 10 <= n_lines * 3
+        |   AND dup_chars * 5 <= total_chars
+        |   AND COALESCE(top_cnt, 0) * length(COALESCE(top_bigram, '')) * 5
+        |    <= total_chars) AS keep
+        | FROM txt t JOIN lm USING (doc_id) LEFT JOIN top USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // p11: one lang aggregate + the same exact-millionths floor
+    // arithmetic.
+    "p11_domain_mixture" ->
+      """WITH bl AS (SELECT lang,
+        |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |   CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        | tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |   CAST(SUM(tokens) AS BIGINT) AS total FROM bl)
+        | SELECT lang, n_docs, tokens,
+        |  CAST((total // 2) // nd AS BIGINT) AS target_tokens,
+        |  CAST(LEAST(1000000, ((total // 2) // nd) * 1000000 // tokens)
+        |   AS BIGINT) AS rate6,
+        |  CAST(tokens * LEAST(1000000,
+        |    ((total // 2) // nd) * 1000000 // tokens) // 1000000
+        |   AS BIGINT) AS alloc_tokens,
+        |  LEAST(1000000, ((total // 2) // nd) * 1000000 // tokens)
+        |   = 1000000 AS capped
+        | FROM bl, tt ORDER BY lang""".stripMargin.replaceAll("\n", ""),
+    // p10: the p9 phase assignment (same fkx/bin/quartile block), then
+    // per-PHASE md5 positions and running-sum offsets — the window
+    // partitions by phase, replaying the engine's phase-restarting
+    // two-phase prefix sum.
+    "p10_curriculum_packing" ->
+      s"""WITH $fkCtesSql,
+        | b AS (SELECT doc_id, fk,
+        |   CAST(ROUND(fk * 10) AS BIGINT) AS bin FROM fkx),
+        | h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+        | n AS (SELECT COUNT(*) AS n FROM b),
+        | ph AS (SELECT bin,
+        |   SUM(c) OVER (ORDER BY bin
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |    AS before FROM h),
+        | phs AS (SELECT doc_id,
+        |   CAST(FLOOR(before * 4 / n) AS BIGINT) + 1 AS phase
+        |  FROM b JOIN ph ON b.bin = ph.bin CROSS JOIN n),
+        | tok AS (SELECT doc_id,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | pp AS (SELECT phs.doc_id, phase, n_tokens,
+        |   CAST(row_number() OVER (PARTITION BY phase
+        |     ORDER BY md5(CAST(phs.doc_id AS VARCHAR) || '-p9'),
+        |       phs.doc_id) AS BIGINT) AS pos
+        |  FROM phs JOIN tok USING (doc_id)),
+        | oo AS (SELECT doc_id, phase, pos, n_tokens,
+        |   SUM(n_tokens) OVER (PARTITION BY phase ORDER BY pos
+        |     ROWS UNBOUNDED PRECEDING) - n_tokens AS so FROM pp)
+        | SELECT doc_id, phase, pos, n_tokens,
+        |  CAST(so AS BIGINT) AS start_offset,
+        |  CAST(so // 2048 AS BIGINT) AS pack_id,
+        |  CAST(so // 2048 // 64 AS BIGINT) AS shard_id
+        | FROM oo ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
   )
 }

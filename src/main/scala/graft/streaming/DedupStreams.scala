@@ -427,6 +427,92 @@ object DedupStreams {
     Cdc.readRollup(spark, statePath).map(st =>
       graft.multimodal.Multimodal.fingerprintDedup(st, maxDist))
 
+  // -------------------------------------------------------------
+  // Frame-luma state (m17/m18) and wav-window state (m19)
+  // -------------------------------------------------------------
+
+  /** Generic atomic struct-min merge for keyed DETERMINISTIC
+    * recomputations (frame luma stats, wav window stats): a re-emitted
+    * row is byte-identical to the state's, so any associative,
+    * idempotent pick is correct — the lexicographic struct-min keeps
+    * the whole payload atomic (never mixes fields from two emissions),
+    * the same discipline as [[mergeMinChunks]] without the chunk
+    * schema contract. */
+  private[streaming] def mergeLeastStruct(
+      state: DataFrame, delta: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val u = state.unionByName(delta)
+    val payload = u.columns.toSeq.filterNot(keyCols.contains)
+    u.groupBy(keyCols.map(col): _*)
+      .agg(min(struct(payload.map(col): _*)).as("__m"))
+      .select(keyCols.map(col) ++ payload.map(c =>
+        col(s"__m.$c").as(c)): _*)
+  }
+
+  /** One asset batch's m17 delta: per-frame integer luma statistics
+    * from the REAL container walk — the zip directory stream + PNG
+    * decode happens once at ingest, so the scene detector never
+    * re-opens a container. Keyed by (asset_id, frame_number). */
+  def frameLumaBatch(batch: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.sampleZipFrames(batch, everyNth = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        col("frame_number"), col("luma_sum"), col("n_px"))
+
+  /** Fold an append video-asset stream into the per-frame luma state
+    * the m17/m18 detectors read. */
+  def streamingFrameLumas(
+      assets: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    Cdc.streamingRollup(assets, statePath, Seq("asset_id", "frame_number"),
+      frameLumaBatch, checkpoint, mergeLeastStruct)
+
+  /** m17's scene-cut table from the committed frame-luma state —
+    * identical to the batch operator when the state has folded the
+    * same assets (spec-pinned): the lag/threshold/running-count chain
+    * is ONE definition (PipelineQueries.sceneCutsFromFrames) and runs
+    * over narrow integers with ZERO re-decode — decode is the
+    * expensive half of m17 and ingest already paid it. */
+  def sceneCutsFromState(
+      spark: SparkSession, statePath: String): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(
+      graft.operators.PipelineQueries.sceneCutsFromFrames)
+
+  /** m18's keyframe selection from the same committed state — the
+    * keyed fold over [[sceneCutsFromState]]'s output. */
+  def keyframesFromState(
+      spark: SparkSession, statePath: String): Option[DataFrame] =
+    sceneCutsFromState(spark, statePath).map(scn =>
+      scn.groupBy(col("asset_id"), col("scene_id"))
+        .agg(min("frame_number").as("keyframe"),
+          min_by(col("luma_sum"), col("frame_number")).as("keyframe_luma"),
+          count(lit(1)).as("n_frames")))
+
+  /** One asset batch's m19 delta: per-window integer sample statistics
+    * from the REAL WAV decode — the codec cost lands once at ingest.
+    * Keyed by (asset_id, window_number). */
+  def wavWindowBatch(windowSamples: Int)(batch: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.decodeWavWindows(batch, windowSamples)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        col("window_number"), col("n_samples"), col("sample_sum"),
+        col("sample_min"), col("sample_max"))
+
+  /** Fold an append audio-asset stream into the per-window state the
+    * m19 segmenter reads. */
+  def streamingWavWindows(
+      assets: DataFrame, statePath: String, checkpoint: String,
+      windowSamples: Int = 32): StreamingQuery =
+    Cdc.streamingRollup(assets, statePath, Seq("asset_id", "window_number"),
+      wavWindowBatch(windowSamples), checkpoint, mergeLeastStruct)
+
+  /** m19's silence segments from the committed wav-window state —
+    * identical to the batch operator when the state has folded the
+    * same assets (spec-pinned): the peak test + gaps-and-islands fold
+    * is ONE definition (PipelineQueries.silenceSegmentsFromWindows)
+    * over narrow integers, ZERO re-decode. */
+  def silenceSegmentsFromState(
+      spark: SparkSession, statePath: String): Option[DataFrame] =
+    Cdc.readRollup(spark, statePath).map(
+      graft.operators.PipelineQueries.silenceSegmentsFromWindows)
+
   /** d22's cross-modality dedup AUDIT from the committed media states
     * (round 13 — the audit rung's streaming face): image pHash, audio
     * fingerprint and video frame-hash states each yield their collapse

@@ -760,4 +760,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the label-partitioned keep-rank window is expected:\n${ws.mkString("\n")}")
     Caches.release(spark)
   }
+
+  test("g1 pagerank step: edge side never re-exchanges — one shuffle (the dst agg) + a broadcast rank per step") {
+    // One unrolled step of the iteration (step plans are identical in
+    // form: each reads the cached edgesW and the previous cached rank
+    // table): the weighted-edge table must come straight off its
+    // InMemoryRelation with NO exchange on the edge side, the rank
+    // side must ride a broadcast (the sf0.1-measured AQE choice —
+    // ProfileG1 round 7: forcing shuffle/merge is 1.2–1.3× slower at
+    // this V), and the ONLY shuffle in the step is the O(V) dst-keyed
+    // mass aggregation. A second exchange here means AQE demoted the
+    // join and every iteration re-shuffles O(E) — the round-15 audit
+    // this test pins.
+    val s = spark
+    import s.implicits._
+    val ring = (0L until 2000L).map(i => (i, (i + 1) % 2000L))
+    val edges = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    val ranks = graft.operators.Graph.pageRank(edges, "src", "dst",
+      iterations = 1)
+    ranks.collect()
+    val plan = ranks.queryExecution.executedPlan
+    val shuffles = deepCollect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size == 1,
+      s"exactly one exchange per step (the dst agg), got ${shuffles.size}:\n" +
+        plan.toString.take(2000))
+    val bhj = deepCollect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "the rank join must be a BroadcastHashJoin:\n" +
+      plan.toString.take(2000))
+    assert(deepCollect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "no sort-merge join may enter the iteration")
+    Caches.release(spark)
+  }
 }

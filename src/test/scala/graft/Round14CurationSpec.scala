@@ -193,7 +193,10 @@ class Round14CurationSpec extends AnyFunSuite {
     val funnel = run("t52_filter_funnel")
       .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
         r.getLong(5), r.getLong(6)))).toMap
-    assert(funnel.keySet == Set("gopher_rules", "blocklist", "classifier"))
+    // round 15: the dedup stage joined the funnel between blocklist
+    // and classifier (its recompute is pinned in Round15OpsSpec)
+    assert(funnel.keySet ==
+      Set("gopher_rules", "blocklist", "dedup", "classifier"))
     // per-doc decisions from the standalone hash-checked queries
     // gopher keep = the language-agnostic rule subset, exactly as
     // qualityLabels ANDs it from the t43 rule table
@@ -209,19 +212,24 @@ class Round14CurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
     val pKeep = t48.map(t => t._1 -> t._3).toMap
     val nTok = t48.map(t => t._1 -> t._2).toMap
+    val dKeep = graft.operators.TextQueries.textDupDecision(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     val ids = gKeep.keySet.toSeq.sorted
     def stage(p: Long => Boolean) =
       (ids.count(p), ids.filter(p).map(nTok.getOrElse(_, 0L)).sum)
     val (n0, t0) = stage(_ => true)
     val (n1, t1) = stage(id => gKeep(id))
     val (n2, t2) = stage(id => gKeep(id) && bKeep(id))
-    val (n3, t3) = stage(id =>
-      gKeep(id) && bKeep(id) && pKeep.getOrElse(id, false))
+    val (n3, t3) = stage(id => gKeep(id) && bKeep(id) && dKeep(id))
+    val (n4, t4) = stage(id =>
+      gKeep(id) && bKeep(id) && dKeep(id) && pKeep.getOrElse(id, false))
     assert(funnel("gopher_rules") == ((n0.toLong, n1.toLong, t0, t1)))
     assert(funnel("blocklist") == ((n1.toLong, n2.toLong, t1, t2)))
-    assert(funnel("classifier") == ((n2.toLong, n3.toLong, t2, t3)))
+    assert(funnel("dedup") == ((n2.toLong, n3.toLong, t2, t3)))
+    assert(funnel("classifier") == ((n3.toLong, n4.toLong, t3, t4)))
     // the funnel is non-degenerate: every stage removes something here
-    assert(n0 > n1 && n1 > n2 && n2 >= n3, s"$n0 $n1 $n2 $n3")
+    assert(n0 > n1 && n1 > n2 && n2 > n3 && n3 >= n4,
+      s"$n0 $n1 $n2 $n3 $n4")
   }
 
   // -------------------------------------------------------------
@@ -417,15 +425,16 @@ class Round14CurationSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
-  test("CLI report mode prints the three-stage funnel") {
+  test("CLI report mode prints the four-stage funnel") {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
       graft.cli.Demo.run(spark, "report", Map("dir" -> sfDir))
     }
     val lines = buf.toString("UTF-8").linesIterator
       .filter(_.startsWith("[report]")).toSeq
-    assert(lines.size == 4, s"header + 3 stage rows: $lines")
-    for (st <- Seq("gopher_rules", "blocklist", "classifier"))
+    // round 15: the dedup stage joined the funnel
+    assert(lines.size == 5, s"header + 4 stage rows: $lines")
+    for (st <- Seq("gopher_rules", "blocklist", "dedup", "classifier"))
       assert(lines.exists(_.contains(st)), s"missing $st row in:\n$lines")
     Caches.release(spark)
   }

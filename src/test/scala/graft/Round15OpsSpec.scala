@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventQueries, TextQueries}
+import graft.multimodal.Multimodal
+import graft.operators.{EventQueries, PipelineQueries, TextQueries}
+import graft.streaming.DedupStreams
 
 /** Round-15 operator specs: the linearized s23/s24 sequential folds
   * (bit-equality on a 10k-step spine, where the round-14 quadratic
@@ -209,6 +211,243 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(TextQueries.textDedupCteNames.forall(n => names.contains(n)),
       "the dedup decision chain must be composed in full")
     assert(sql.contains("'dedup'") && sql.contains("'classifier'"))
+  }
+
+  // -------------------------------------------------------------
+  // p10: curriculum shards
+  // -------------------------------------------------------------
+
+  test("writeCurriculumShards: per phase, non-final shards land exactly at their token budget") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p10").toString
+    try {
+      val docsDf = Tables.load(spark, sfDir, "documents")
+      val phased = TextQueries.curriculumPhases(docsDf)
+        .select("doc_id", "phase")
+        .join(docsDf.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text"))
+            .as("n_tokens")), "doc_id")
+      val pps = 4
+      val ctx = 2048
+      graft.operators.Packing.writeCurriculumShards(phased, "doc_id",
+        "n_tokens", "phase", "-p9", ctx, pps, s"$tmp/shards")
+      // partition directory columns read back as inferred ints
+      val back = spark.read.parquet(s"$tmp/shards")
+        .withColumn("phase", col("phase").cast("long"))
+        .withColumn("shard_id", col("shard_id").cast("long"))
+      // shard assignment is the pack range — phase-monotone by the
+      // (phase, shard_id) partitioning, pinned per row here
+      assert(back.filter(col("shard_id") =!=
+        expr(s"pack_id div $pps")).count() == 0)
+      // within every phase: each non-final shard holds EXACTLY
+      // packsPerShard × ctxSize tokens of the concatenated stream
+      val perShard = back.groupBy("phase", "shard_id")
+        .agg(sum("seg_tokens").as("tok"), max("pack_id").as("maxp"))
+        .collect()
+      val lastShard = perShard.groupBy(_.getLong(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).max }
+      perShard.foreach { r =>
+        val (phase, shard, tok) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        if (shard < lastShard(phase))
+          assert(tok == pps.toLong * ctx,
+            s"phase $phase shard $shard holds $tok tokens")
+        else assert(tok <= pps.toLong * ctx)
+      }
+      // phases are the quartile literal; a coarse bin histogram may
+      // legitimately skip one, but the schedule must be multi-phase
+      val phasesSeen = perShard.map(_.getLong(0)).toSet
+      assert(phasesSeen.subsetOf(Set(1L, 2L, 3L, 4L)) && phasesSeen.size >= 2,
+        s"phases: $phasesSeen")
+      // no document lost or split across phases: per-doc shard tokens
+      // fold back to exactly its token count, within its one phase
+      val byDoc = back.groupBy("doc_id")
+        .agg(sum("seg_tokens").as("tok"),
+          countDistinct("phase").as("np"))
+        .join(phased.filter(col("n_tokens") > 0), "doc_id")
+      assert(byDoc.filter(col("tok") =!= col("n_tokens") ||
+        col("np") =!= 1L).count() == 0)
+      // and the shard plan agrees with the oracle-checked p10 query
+      // on every document's starting pack
+      val q = SparkEntry.queries("p10_curriculum_packing")(spark, sfDir)
+        .select(col("doc_id"), col("phase"), col("pack_id"))
+      val firstPack = back.groupBy("doc_id", "phase")
+        .agg(min("pack_id").as("first_pack"))
+      assert(q.join(firstPack, Seq("doc_id", "phase"))
+        .filter(col("pack_id") =!= col("first_pack")).count() == 0)
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  // -------------------------------------------------------------
+  // m20: keyframe bytes — re-decode equality + bounded size
+  // -------------------------------------------------------------
+
+  test("m20: every exported PNG re-decodes to the exact synthetic fill, within a size budget") {
+    val sel = SparkEntry.queries("m18_keyframe_select")(spark, sfDir)
+      .select(col("asset_id"), col("scene_id"),
+        col("keyframe").as("frame_number"))
+    val kf = PipelineQueries.keyframeContent(spark, sfDir, sel).collect()
+    assert(kf.length == sel.count(), "one content row per selected frame")
+    kf.foreach { r =>
+      val id = r.getAs[Long]("asset_id")
+      val j = r.getAs[Int]("frame_number")
+      val png = r.getAs[Array[Byte]]("png")
+      // bounded: one small PNG per scene — never a raw raster dump
+      assert(png.length > 0 && png.length <= 4096,
+        s"asset $id frame $j png ${png.length}B")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val w = 1 + (id % 16).toInt
+      val h = 1 + (id % 8).toInt
+      assert(img.getWidth == w && img.getHeight == h, s"asset $id dims")
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      val scene = j / (1 + (id % 3).toInt)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val want = ((id * 2654435761L + scene * 69069L +
+            x * 97L + y * 31L) & 0xffffffL).toInt
+          assert((img.getRGB(x, y) & 0xffffff) == want,
+            s"asset $id frame $j pixel ($x,$y)")
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Caches.release(spark)
+  }
+
+  // -------------------------------------------------------------
+  // m17/m19 streaming faces: detector from state == batch
+  // -------------------------------------------------------------
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("m17/m18 streaming face: scene cuts + keyframes from the folded frame-luma state == batch") {
+    val tmp =
+      java.nio.file.Files.createTempDirectory("graft_m17stream").toString
+    try {
+      val assets = Multimodal.syntheticSceneVideoAssets(
+        Tables.load(spark, sfDir, "documents"), "doc_id")
+      assets.repartition(3).write.parquet(s"$tmp/src")
+      val raw = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/src")
+      DedupStreams.streamingFrameLumas(raw, s"$tmp/state", s"$tmp/ckpt")
+        .awaitTermination()
+      val scn = DedupStreams.sceneCutsFromState(spark, s"$tmp/state")
+      assert(scn.isDefined, "no committed state")
+      assert(rowsOf(scn.get.select("asset_id", "frame_number", "luma_sum",
+        "delta", "is_cut", "scene_id")) ==
+        rowsOf(SparkEntry.queries("m17_scene_cuts")(spark, sfDir)))
+      val kfs = DedupStreams.keyframesFromState(spark, s"$tmp/state")
+      assert(rowsOf(kfs.get) ==
+        rowsOf(SparkEntry.queries("m18_keyframe_select")(spark, sfDir)))
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("m19 streaming face: silence segments from the folded wav-window state == batch") {
+    val tmp =
+      java.nio.file.Files.createTempDirectory("graft_m19stream").toString
+    try {
+      val assets = Multimodal.syntheticSpeechWavAssets(
+        Tables.load(spark, sfDir, "documents"), "doc_id")
+      assets.repartition(3).write.parquet(s"$tmp/src")
+      val raw = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/src").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/src")
+      DedupStreams.streamingWavWindows(raw, s"$tmp/state", s"$tmp/ckpt")
+        .awaitTermination()
+      val seg = DedupStreams.silenceSegmentsFromState(spark, s"$tmp/state")
+      assert(seg.isDefined, "no committed state")
+      assert(rowsOf(seg.get) ==
+        rowsOf(SparkEntry.queries("m19_silence_segments")(spark, sfDir)))
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  // -------------------------------------------------------------
+  // t53 / s25 / p11: wave-C invariants
+  // -------------------------------------------------------------
+
+  test("t53: each plant class fires exactly its own rule") {
+    val rows = SparkEntry.queries("t53_repetition_filter")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val dupFail =
+        r.getAs[Long]("n_dup_lines") * 10 > r.getAs[Long]("n_lines") * 3
+      val keep = r.getAs[Boolean]("keep")
+      if (id % 9 == 4)
+        assert(dupFail && !keep,
+          s"doc $id: the repeated-first-line plant must trip the dup rule")
+      if (id % 11 == 7) {
+        assert(r.getAs[String]("top_bigram") == "zz yy", s"doc $id")
+        assert(!keep,
+          s"doc $id: the dominant-bigram plant must trip the top rule")
+      }
+      if (id % 9 != 4 && id % 11 != 7) {
+        // unplanted docs never trip the DUP rules (the corpus has no
+        // natural line repetition); the top rule may honestly fire on
+        // very short docs (a 1-line doc's single bigram can exceed
+        // 20% of its chars) — pin keep to the exact integer rule
+        assert(r.getAs[Long]("n_dup_lines") == 0L, s"doc $id")
+        val topChars = r.getAs[Long]("top_cnt") *
+          r.getAs[String]("top_bigram").length
+        assert(keep == (topChars * 5 <= r.getAs[Long]("total_chars")),
+          s"doc $id keep must be exactly the top-gram rule")
+      }
+    }
+    Caches.release(spark)
+  }
+
+  test("s25: stages are time-ordered and monotone") {
+    val rows = SparkEntry.queries("s25_event_funnel")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    var reached = Array(0, 0, 0)
+    rows.foreach { r =>
+      val stage = r.getAs[Long]("stage")
+      val v = r.getAs[Long]("view_us")
+      if (stage >= 2) assert(r.getAs[Long]("click_us") >= v, r.toString)
+      if (stage == 3) assert(r.getAs[Long]("purchase_us") >=
+        r.getAs[Long]("click_us"), r.toString)
+      if (stage < 3) assert(r.isNullAt(r.fieldIndex("purchase_us")))
+      if (stage < 2) assert(r.isNullAt(r.fieldIndex("click_us")))
+      reached(stage.toInt - 1) += 1
+    }
+    // a funnel narrows: someone converts, someone drops out (holds on
+    // the synthetic event mix at every SF)
+    assert(reached(0) + reached(1) + reached(2) == rows.length)
+  }
+
+  test("p11: allocation never exceeds supply, caps exactly at it, and respects the budget") {
+    val rows = SparkEntry.queries("p11_domain_mixture")(spark, sfDir)
+      .collect()
+    assert(rows.length >= 2)
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    rows.foreach { r =>
+      val (tok, tgt, rate, alloc) = (r.getAs[Long]("tokens"),
+        r.getAs[Long]("target_tokens"), r.getAs[Long]("rate6"),
+        r.getAs[Long]("alloc_tokens"))
+      assert(tgt == (total / 2) / rows.length)
+      assert(alloc <= tok, "cannot sample more than the domain holds")
+      assert(alloc <= tgt, "floor rates never overshoot the target")
+      if (r.getAs[Boolean]("capped")) {
+        assert(rate == 1000000L && alloc == tok,
+          "a capped domain contributes everything it has")
+        assert(tok <= tgt)
+      } else assert(tok > tgt)
+    }
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= total / 2)
   }
 
   test("textDupDecision: members + singletons partition the corpus exactly") {
