@@ -519,11 +519,33 @@ object PipelineQueries {
 
   /** m9's replay (pHash CTEs + collapse) as a CTE block ending in
     * `dec` — shared by the m9 oracle and d22's audit oracle. */
+  // REP-LEVEL pair graph (round 15): the original replay banded and
+  // verified pairs at the ASSET level, which goes quadratic when the
+  // synthetic dHash space saturates (thousands of assets share a
+  // 16-bit band key at sf1 → the cand join and the reach closure both
+  // blow DuckDB's temp disk — the documented sf1 oracle bound). The
+  // ENGINE collapses exact-fingerprint classes before pairing
+  // (fingerprintDedup — the m10/m13 shape, whose oracles were always
+  // rep-level), and the contraction is decision-IDENTICAL: exact
+  // duplicates share every band (dist 0), and any cross-class pair's
+  // dist ≤ 3 band match holds verbatim for the class reps because
+  // reps carry the same hashes. Components, labels and the
+  // area-desc/min-id keep are unchanged; only the replay's
+  // intermediate cardinality drops from O(assets²) to O(classes²).
   private lazy val m9DedupCtes: String =
     s"""$phashReplayCtes,
+      | cls AS (SELECT h0, h1, h2, h3, MIN(doc_id) AS crep FROM hh
+      |  GROUP BY 1, 2, 3, 4),
+      | rbnd AS (SELECT crep, u.c AS band,
+      |   CASE u.c WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+      |    ELSE h3 END AS key
+      |  FROM cls, UNNEST(range(0, 4)) AS u(c)),
+      | rcand AS (SELECT DISTINCT x.crep AS a, y.crep AS b
+      |  FROM rbnd x JOIN rbnd y
+      |   ON x.band = y.band AND x.key = y.key AND x.crep < y.crep),
       | pr AS (SELECT c.a, c.b
-      |  FROM cand c JOIN hh ha ON ha.doc_id = c.a
-      |   JOIN hh hb ON hb.doc_id = c.b
+      |  FROM rcand c JOIN cls ha ON ha.crep = c.a
+      |   JOIN cls hb ON hb.crep = c.b
       |  WHERE $phashDistSql <= 3),
       | e AS (SELECT a AS src, b AS dst FROM pr
       |  UNION ALL SELECT b, a FROM pr),
@@ -531,11 +553,12 @@ object PipelineQueries {
       |  UNION
       |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
       | lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
-      | al AS (SELECT d.doc_id AS asset_id,
-      |   CAST(d.w * d.h AS BIGINT) AS area FROM d),
-      | l2 AS (SELECT al.asset_id,
-      |   COALESCE(lab.label, al.asset_id) AS label, al.area
-      |  FROM al LEFT JOIN lab ON lab.id = al.asset_id),
+      | l2 AS (SELECT hh.doc_id AS asset_id,
+      |   COALESCE(lab.label, cls.crep) AS label,
+      |   CAST(d.w * d.h AS BIGINT) AS area
+      |  FROM hh JOIN cls USING (h0, h1, h2, h3)
+      |   JOIN d ON d.doc_id = hh.doc_id
+      |   LEFT JOIN lab ON lab.id = cls.crep),
       | rep AS (SELECT label, asset_id AS rep_id FROM l2
       |  QUALIFY row_number() OVER (PARTITION BY label
       |   ORDER BY area DESC, asset_id) = 1),
@@ -566,8 +589,8 @@ object PipelineQueries {
     }.mkString("'")
 
   private val m9CteNames = Seq("d0", "d", "fids", "gxs", "gys", "lum",
-    "bits", "hf", "hh", "bands", "cand", "pr", "e", "reach", "lab",
-    "al", "l2", "rep", "dec")
+    "bits", "hf", "hh", "bands", "cand", "cls", "rbnd", "rcand", "pr",
+    "e", "reach", "lab", "l2", "rep", "dec")
   private val m10CteNames = Seq("d0", "fids", "sm", "bits", "hf", "hh",
     "cls", "bands", "cand", "pr", "e", "reach", "lab", "mem", "repx", "dec")
   private val m11CteNames = Seq("d0", "fids", "sf", "gxs", "gys", "lum",

@@ -42,6 +42,9 @@ def canon(v):
 
 def connect():
     con = duckdb.connect()
+    # chain results are compared as SORTED row sets, so the writer
+    # need not preserve order — dropping it cuts COPY buffering
+    con.sql("SET preserve_insertion_order = false")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
@@ -59,6 +62,7 @@ for name, chains in sorted(plan.items()):
     ok = True
     err = None
     want = None
+    cname = None
     try:
         for cname, sql in chains:
             for k, p in chain_paths.items():
@@ -66,6 +70,7 @@ for name, chains in sorted(plan.items()):
             # one fresh connection per chain: temp spill is freed with
             # the connection, so peak disk is a single chain's
             con = connect()
+            t1 = time.time()
             if cname == "rollup":
                 want = con.sql(sql).df()
             else:
@@ -73,9 +78,11 @@ for name, chains in sorted(plan.items()):
                 con.sql(f"COPY ({sql}) TO '{p}' (FORMAT PARQUET)")
                 chain_paths[cname] = p
             con.close()
+            print(f"  chain {name}/{cname}: {round(time.time() - t1, 1)}s",
+                  flush=True)
     except Exception as e:  # noqa: BLE001 - report, don't crash the sweep
         ok = False
-        err = str(e)[:300]
+        err = f"chain '{cname}': {str(e)[:300]}"
     dur = round(time.time() - t0, 1)
     if not ok:
         print(f"FAIL {name}: {err}")
