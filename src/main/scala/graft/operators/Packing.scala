@@ -98,7 +98,15 @@ object Packing {
   def packSegments(
       df: DataFrame, idCol: String, tokensCol: String,
       ctxSize: Int): DataFrame =
-    withPackOffsets(df, idCol, tokensCol, ctxSize)
+    segmentsFromOffsets(
+      withPackOffsets(df, idCol, tokensCol, ctxSize), tokensCol, ctxSize)
+
+  /** The (document, context window) segment explode over an
+    * already-offset frame (any of the `*PackOffsets` outputs) — pure
+    * map work, at most ceil(n/ctxSize)+1 rows per doc. */
+  private def segmentsFromOffsets(
+      offsets: DataFrame, tokensCol: String, ctxSize: Int): DataFrame =
+    offsets
       .filter(col(tokensCol) > 0)
       .withColumn("span_idx", explode(sequence(lit(0L), col("n_spans") - 1)))
       .withColumn("pack_id", col("pack_id") + col("span_idx"))
@@ -131,38 +139,67 @@ object Packing {
       .parquet(path)
   }
 
-  /** Run `build` over each curriculum phase slice and union the
-    * results with the phase label re-attached. The phase domain is the
-    * quartile LITERAL {1,2,3,4} (p9's `floor(before·4/n)+1` is bounded
-    * by construction), so this is 4 bounded passes — no driver
-    * materialization of data-dependent values, and an empty slice
-    * contributes zero rows with the same schema. */
-  private def perPhaseUnion(df: DataFrame, phaseCol: String)(
-      build: DataFrame => DataFrame): DataFrame =
-    (1L to 4L).map { p =>
-      build(df.filter(col(phaseCol) === p).drop(phaseCol))
-        .withColumn("phase", lit(p))
-    }.reduce(_ unionByName _)
-
   /** Curriculum pack offsets (round 15 — p10): within each phase,
     * rows take p4's reproducible md5-shuffled positions
     * (`md5(id||salt)` — with salt "-p9" that IS p9's curriculum_key,
     * so the schedule's order key and the packing order cannot drift)
-    * and pack offsets restart at 0 per phase via the same two-phase
-    * distributed prefix sum as [[withPackOffsets]]. Emits `phase`,
-    * `pos`, `start_offset`, `pack_id`, `n_spans`, `shard_id`
-    * (= pack_id div packsPerShard) per row. Never a global sort:
-    * each phase pays one sampled-boundary prefix sum over its
-    * quarter of the corpus. */
+    * and pack offsets restart at 0 per phase. Emits `phase`, `pos`,
+    * `start_offset`, `pack_id`, `n_spans`, `shard_id` (= pack_id div
+    * packsPerShard) per row.
+    *
+    * ONE generalized two-phase prefix sum, not a pass per phase (the
+    * first cut looped [[withPackOffsets]] over the 4 slices and paid
+    * the boundary-sample + window machinery 8×, measured 6.7 s at
+    * sf0.1 — the slowest headline entry): rows bucket by sampled
+    * (phase, md5, id) range boundaries, the local window partitions by
+    * (phase, bucket) computing the running token sum AND the running
+    * row count in one frame, and the per-(phase, bucket) subtotal
+    * table — #phases × #buckets rows — prefix-sums PER PHASE before
+    * broadcasting back. A bucket spanning two phases is fine: both
+    * windows key on the phase, so the reset at a phase boundary is
+    * structural. Never a global sort; one corpus pass. */
   def perPhasePackOffsets(
       df: DataFrame, idCol: String, tokensCol: String, phaseCol: String,
       salt: String, ctxSize: Int, packsPerShard: Int): DataFrame = {
+    require(ctxSize > 0, "ctxSize must be positive")
     require(packsPerShard > 0, "packsPerShard must be positive")
-    perPhaseUnion(df, phaseCol) { slice =>
-      withPackOffsets(
-        Sampling.shufflePositions(slice, idCol, salt),
-        "pos", tokensCol, ctxSize)
-    }.withColumn("shard_id", expr(s"pack_id div $packsPerShard"))
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val hashed = df.withColumn("_h",
+      md5(concat(col(idCol).cast("string"), lit(salt))))
+    val keys = Seq(col(phaseCol), col("_h"), col(idCol))
+    val bounds = RangeBuckets.boundaries(hashed, Seq(phaseCol, "_h", idCol),
+      parts)
+    val parted = hashed.withColumn("_part",
+      RangeBuckets.bucket(keys, bounds))
+    val wLocal = Window.partitionBy(phaseCol, "_part")
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted
+      .withColumn("_local_end", sum(col(tokensCol)).over(wLocal))
+      .withColumn("_local_rn", count(lit(1)).over(wLocal))
+    val wParts = Window.partitionBy(phaseCol).orderBy("_part")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = parted.groupBy(col(phaseCol), col("_part"))
+      .agg(sum(col(tokensCol)).as("_pt"), count(lit(1)).as("_pc"))
+      .withColumn("_tbase",
+        coalesce(sum(col("_pt")).over(wParts) - col("_pt"), lit(0L)))
+      .withColumn("_cbase",
+        coalesce(sum(col("_pc")).over(wParts) - col("_pc"), lit(0L)))
+      .select(col(phaseCol), col("_part"), col("_tbase"), col("_cbase"))
+    local
+      .join(broadcast(bases), Seq(phaseCol, "_part"))
+      .withColumn("pos", col("_cbase") + col("_local_rn"))
+      .withColumn("start_offset",
+        col("_tbase") + col("_local_end") - col(tokensCol))
+      .withColumn("pack_id", floor(col("start_offset") / ctxSize))
+      .withColumn("n_spans",
+        when(col(tokensCol) > 0,
+          floor((col("start_offset") + col(tokensCol) - lit(1)) / ctxSize)
+            - col("pack_id") + lit(1))
+          .otherwise(lit(1L)))
+      .withColumn("shard_id", expr(s"pack_id div $packsPerShard"))
+      .drop("_h", "_part", "_local_end", "_local_rn", "_tbase", "_cbase")
   }
 
   /** Materialize the CURRICULUM shards (round 15): the per-phase
@@ -179,17 +216,18 @@ object Packing {
       df: DataFrame, idCol: String, tokensCol: String, phaseCol: String,
       salt: String, ctxSize: Int, packsPerShard: Int, path: String): Unit = {
     require(packsPerShard > 0, "packsPerShard must be positive")
-    perPhaseUnion(df, phaseCol) { slice =>
-      packSegments(
-        Sampling.shufflePositions(slice, idCol, salt),
-        "pos", tokensCol, ctxSize)
-    }
+    val offsets = perPhasePackOffsets(df, idCol, tokensCol, phaseCol,
+      salt, ctxSize, packsPerShard)
+    segmentsFromOffsets(offsets, tokensCol, ctxSize)
+      // shard_id follows the SEGMENT's window (a straddling document
+      // contributes each side to its own shard), so recompute it from
+      // the exploded pack_id
       .withColumn("shard_id", expr(s"pack_id div $packsPerShard"))
-      .repartition(col("phase"), col("shard_id"))
-      .sortWithinPartitions(col("phase"), col("shard_id"), col("pack_id"),
+      .repartition(col(phaseCol), col("shard_id"))
+      .sortWithinPartitions(col(phaseCol), col("shard_id"), col("pack_id"),
         col("pos"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("phase", "shard_id")
+      .partitionBy(phaseCol, "shard_id")
       .parquet(path)
   }
 
