@@ -250,9 +250,37 @@ object Demo {
             println("[report] " + cells.map(c => f"$c%12s").mkString(" "))
           }
 
+      case "pack" =>
+        // p10: materialize the curriculum shards — the artifact the
+        // clean → schedule → pack chain exists for, as a CLI surface
+        // (a trainer then streams phase=1/ shard directories first)
+        val out = flags.getOrElse("out",
+          sys.error("pack needs --out <dir>"))
+        val docsDf = Tables.load(spark, flags("dir"), "documents")
+        val phased = graft.operators.TextQueries.curriculumPhases(docsDf)
+          .select("doc_id", "phase")
+          .join(docsDf.select(col("doc_id"),
+            graft.operators.TextAnalysis.tokenCount(col("text"))
+              .as("n_tokens")), "doc_id")
+        val ctx = flags.getOrElse("ctx-size", "2048").toInt
+        val pps = flags.getOrElse("packs-per-shard", "64").toInt
+        graft.operators.Packing.writeCurriculumShards(phased, "doc_id",
+          "n_tokens", "phase", "-p9", ctx, pps, out)
+        val shardRows = spark.read.parquet(out)
+          .groupBy("phase", "shard_id")
+          .agg(count(lit(1)).as("n_segs"), sum("seg_tokens").as("tokens"))
+          .orderBy("phase", "shard_id").collect()
+        println("[pack] " + Seq("phase", "shard", "segs", "tokens")
+          .map(h => f"$h%8s").mkString(" "))
+        shardRows.foreach { r =>
+          println("[pack] " + Seq(r.get(0).toString, r.get(1).toString,
+            r.getLong(2).toString, r.getLong(3).toString)
+            .map(c => f"$c%8s").mkString(" "))
+        }
+
       case other => sys.error(
         s"unknown mode '$other' (expected import|import-dir|search|" +
-          "generate|scan|compact|purge|audit|report|demo)")
+          "generate|scan|compact|purge|audit|report|pack|demo)")
     }
   }
 

@@ -450,6 +450,27 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= total / 2)
   }
 
+  test("CLI pack mode writes phase-partitioned curriculum shards and prints the summary") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        graft.cli.Demo.run(spark, "pack",
+          Map("dir" -> sfDir, "out" -> s"$tmp/shards",
+            "packs-per-shard" -> "4"))
+      }
+      val lines = buf.toString("UTF-8").linesIterator
+        .filter(_.startsWith("[pack]")).toSeq
+      assert(lines.size >= 3, s"header + shard rows: $lines")
+      val dirs = new java.io.File(s"$tmp/shards").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dirs.exists(_.startsWith("phase=")),
+        s"phase-partitioned layout expected: ${dirs.toSeq}")
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("textDupDecision: members + singletons partition the corpus exactly") {
     val dec = TextQueries.textDupDecision(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")
