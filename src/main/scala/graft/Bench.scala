@@ -110,7 +110,8 @@ object Bench {
     "m20_keyframe_export", // selective keyframe re-extract + real decode
     "t53_repetition_filter", // Gopher repetition: line/gram doc-keyed folds
     "s25_event_funnel", // ordered conversion funnel: chained cond-mins
-    "p11_domain_mixture") // mixture plan: one lang agg + broadcast total
+    "p11_domain_mixture", // mixture plan: one lang agg + broadcast total
+    "s26_retention_cohorts") // cohort retention: 2 user-keyed aggs + join
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

@@ -563,6 +563,42 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // S26: retention COHORTS (round 15) — the other table every
+    // product-analytics stack ships next to s25's funnel: users
+    // grouped by their signup WEEK, then for each later week the
+    // fraction of that cohort still active (any event). Weeks are
+    // pure integer epoch-week indexes (us div 604800e6) — no
+    // calendar/timezone surface, identical in both engines; the rate
+    // is count/count ROUND(,6). Week 0 is the signup week itself, so
+    // every cohort's offset-0 rate is 1.0 by construction (the
+    // signup event is activity) — a structural sanity row. Scale
+    // shape: one user-keyed min-agg for the cohort table, one
+    // user-keyed join back (same key — the partitioning is reused),
+    // one (cohort, offset)-keyed distinct-count, and the bounded
+    // cohort-size table joins back broadcast.
+    "s26_retention_cohorts" -> ((s, dir) => {
+      val wkUs = 604800000000L
+      val e = graft.Caches.shared(Tables.eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr(s"us div $wkUs").as("wk")))
+      val cohort = graft.Caches.shared(
+        e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("wk").as("cohort_wk")))
+      val sizes = cohort.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("cohort_users"))
+      e.join(cohort, "user_id")
+        .filter(col("wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
+          .as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          col("cohort_users"),
+          round(col("n_active").cast("double") / col("cohort_users"), 6)
+            .as("retention_rate"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     // J3: JSON key INVENTORY (round 14) — the semi-structured
     // profiling pass an ingest pipeline runs before declaring a
     // schema (j1 regex-extracts one known key, j2 parses a declared
@@ -1088,6 +1124,25 @@ object EventQueries {
         |    + (purchase_us IS NOT NULL)::INT AS BIGINT) AS stage
         | FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         | ORDER BY user_id""".stripMargin.replaceAll("\n", ""),
+    // s26: the same epoch-week integer indexes, cohort min, activity
+    // join and count/count rate.
+    "s26_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(ts) // 604800000000 AS wk FROM events),
+        | c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        | cz AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT)
+        |   AS cohort_users FROM c GROUP BY 1),
+        | a AS (SELECT c.cohort_wk, e.wk - c.cohort_wk AS week_offset,
+        |   CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE e.wk >= c.cohort_wk GROUP BY 1, 2)
+        | SELECT a.cohort_wk, a.week_offset, a.n_active, cz.cohort_users,
+        |  ROUND(a.n_active::DOUBLE / cz.cohort_users, 6)
+        |   AS retention_rate
+        | FROM a JOIN cz USING (cohort_wk)
+        | ORDER BY cohort_wk, week_offset""".stripMargin
+        .replaceAll("\n", ""),
     // j3: the same brace-surgery plant — the anchored strip pattern is
     // spelled identically (explicit [ \t\n\r\f] class; Java \s and RE2
     // \s disagree on \x0B) — then key/value pairs via json_keys +

@@ -429,6 +429,25 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(reached(0) + reached(1) + reached(2) == rows.length)
   }
 
+  test("s26: every cohort's signup week retains 1.0; activity never exceeds the cohort") {
+    val rows = SparkEntry.queries("s26_retention_cohorts")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_wk"))
+    byCohort.foreach { case (wk, rs) =>
+      val zero = rs.find(_.getAs[Long]("week_offset") == 0L)
+      assert(zero.isDefined, s"cohort $wk lacks its signup-week row")
+      assert(zero.get.getAs[Double]("retention_rate") == 1.0,
+        s"cohort $wk offset 0 must retain everyone (signup IS activity)")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_users"),
+          r.toString)
+        assert(r.getAs[Long]("week_offset") >= 0L, r.toString)
+      }
+    }
+    Caches.release(spark)
+  }
+
   test("p11: allocation never exceeds supply, caps exactly at it, and respects the budget") {
     val rows = SparkEntry.queries("p11_domain_mixture")(spark, sfDir)
       .collect()
