@@ -112,6 +112,10 @@ object Bench {
     "s25_event_funnel", // ordered conversion funnel: chained cond-mins
     "p11_domain_mixture", // mixture plan: one lang agg + broadcast total
     "s26_retention_cohorts") // cohort retention: 2 user-keyed aggs + join
+  // p12 stays out of the headline: it is p10's prefix sum + segment
+  // explode (headlined) plus one (phase, shard)-keyed bounded
+  // aggregate — no new plan family; its artifact path (writer +
+  // manifest + verify + append) is spec-timed in Round16OpsSpec.
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

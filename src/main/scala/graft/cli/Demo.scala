@@ -24,6 +24,13 @@ import graft.store.Catalog
   *     [--embedder <url>] [--generator <url>]
   *   runMain graft.cli.Demo demo        # self-contained 5-doc flow
   *
+  * Pipeline-artifact modes (beyond the reference surface): `audit`
+  * (d22 dedup report), `report` (t52 funnel), `pack` (p10 curriculum
+  * shards + `_manifest`, bounded per-phase report), `pack-verify`
+  * (manifest-vs-data integrity diff, nonzero exit on divergence),
+  * `export-keyframes` (m20 PNGs partitionBy(asset) + manifest),
+  * `scan`, `compact`, `purge`.
+  *
   * `--embedder http(s)://host` routes chunk and query embedding
   * through the plain-JSON HTTP service seam (HttpEmbedder);
   * `--generator` does the same for G5 generation. Both default to the
@@ -266,21 +273,95 @@ object Demo {
         val pps = flags.getOrElse("packs-per-shard", "64").toInt
         graft.operators.Packing.writeCurriculumShards(phased, "doc_id",
           "n_tokens", "phase", "-p9", ctx, pps, out)
-        val shardRows = spark.read.parquet(out)
-          .groupBy("phase", "shard_id")
-          .agg(count(lit(1)).as("n_segs"), sum("seg_tokens").as("tokens"))
-          .orderBy("phase", "shard_id").collect()
-        println("[pack] " + Seq("phase", "shard", "segs", "tokens")
+        // BOUNDED report from the manifest the writer just emitted:
+        // per-phase totals (#phases rows) + a 20-shard sample — never
+        // one driver row per shard (at 100 TB the artifact holds
+        // ~10⁸ shards; collecting them all is a driver OOM inside the
+        // one command that materializes the training data)
+        val man = graft.operators.Packing.readManifest(spark, out)
+        println("[pack] " + Seq("phase", "shards", "segs", "tokens")
+          .map(h => f"$h%12s").mkString(" "))
+        man.groupBy("phase")
+          .agg(count(lit(1)).as("n_shards"), sum("n_segs").as("segs"),
+            sum("tokens").as("tokens"))
+          .orderBy("phase").collect()
+          .foreach { r =>
+            println("[pack] " + Seq(r.get(0).toString,
+              r.getLong(1).toString, r.getLong(2).toString,
+              r.getLong(3).toString).map(c => f"$c%12s").mkString(" "))
+          }
+        println("[pack] sample " + Seq("phase", "shard", "segs", "tokens")
           .map(h => f"$h%8s").mkString(" "))
-        shardRows.foreach { r =>
-          println("[pack] " + Seq(r.get(0).toString, r.get(1).toString,
-            r.getLong(2).toString, r.getLong(3).toString)
+        man.orderBy("phase", "shard_id").limit(20).collect().foreach { r =>
+          println("[pack] sample " + Seq(
+            r.getAs[Long]("phase").toString,
+            r.getAs[Long]("shard_id").toString,
+            r.getAs[Long]("n_segs").toString,
+            r.getAs[Long]("tokens").toString)
             .map(c => f"$c%8s").mkString(" "))
+        }
+
+      case "pack-verify" =>
+        // manifest-driven integrity check: recompute per-shard
+        // aggregates + content hash from the data and diff against the
+        // manifest — what a trainer runs before a job (round 16)
+        val out = flags.getOrElse("out",
+          sys.error("pack-verify needs --out <dir>"))
+        val bad = graft.operators.Packing.verifyCurriculumShards(spark, out)
+        val n = bad.count()
+        if (n == 0)
+          println("[pack-verify] OK — manifest matches shard data")
+        else {
+          bad.orderBy("phase", "shard_id").limit(20).collect()
+            .foreach(r => println(s"[pack-verify] MISMATCH $r"))
+          sys.error(s"[pack-verify] $n (phase, shard) rows diverge " +
+            "between manifest and shard data")
+        }
+
+      case "export-keyframes" =>
+        // m20 as an artifact (round 16): the detect → select → extract
+        // chain's PNGs written partitionBy(asset_id) with a bounded
+        // per-asset manifest — what a vision trainer ingests. Bytes
+        // are born in extractZipFrames' final narrow map and flow
+        // straight to the asset-partitioned writer (one exchange on
+        // asset_id, never a byte-heavy wide shuffle).
+        val out = flags.getOrElse("out",
+          sys.error("export-keyframes needs --out <dir>"))
+        val sel = graft.SparkEntry.queries("m18_keyframe_select")(
+          spark, flags("dir"))
+          .select(col("asset_id"), col("scene_id"),
+            col("keyframe").as("frame_number"))
+        graft.operators.PipelineQueries.keyframeContent(spark,
+            flags("dir"), sel)
+          .repartition(col("asset_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("asset_id").parquet(s"$out/frames")
+        // bounded manifest from the written files (one row per asset)
+        val kman = spark.read.parquet(s"$out/frames")
+          .withColumn("asset_id", col("asset_id").cast("long"))
+          .withColumn("_k64", graft.operators.Dedup.md5Long(
+            concat_ws("|", col("frame_number"), md5(col("png")))))
+          .groupBy("asset_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("png"))).as("png_bytes"),
+            min("scene_id").as("min_scene"),
+            max("scene_id").as("max_scene"),
+            expr("bit_xor(_k64)").as("content_hash"))
+        kman.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$out/frames/_manifest")
+        val tot = kman.agg(count(lit(1)), sum("n_frames"),
+          sum("png_bytes")).head
+        println(s"[export-keyframes] assets=${tot.getLong(0)} " +
+          s"frames=${tot.getLong(1)} bytes=${tot.getLong(2)}")
+        kman.orderBy("asset_id").limit(20).collect().foreach { r =>
+          println(s"[export-keyframes] sample asset=${r.getLong(0)} " +
+            s"frames=${r.getLong(1)} bytes=${r.getLong(2)}")
         }
 
       case other => sys.error(
         s"unknown mode '$other' (expected import|import-dir|search|" +
-          "generate|scan|compact|purge|audit|report|pack|demo)")
+          "generate|scan|compact|purge|audit|report|pack|pack-verify|" +
+          "export-keyframes|demo)")
     }
   }
 

@@ -722,9 +722,15 @@ object Multimodal {
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           try {
             var j = 0
+            // early exit counts PROCESSED wanted ordinals, not emitted
+            // rows: a wanted entry that fails ImageIO decode emits
+            // nothing, and an emitted-row test would then degrade the
+            // walk to a full-container scan (round-15 advisor note)
+            var done = 0
             var e = zis.getNextEntry
-            while (e != null && out.size < want.size) {
+            while (e != null && done < want.size) {
               if (want(j)) {
+                done += 1
                 val png = zis.readAllBytes()
                 val img = javax.imageio.ImageIO.read(
                   new java.io.ByteArrayInputStream(png))

@@ -104,7 +104,7 @@ object Packing {
   /** The (document, context window) segment explode over an
     * already-offset frame (any of the `*PackOffsets` outputs) — pure
     * map work, at most ceil(n/ctxSize)+1 rows per doc. */
-  private def segmentsFromOffsets(
+  private[graft] def segmentsFromOffsets(
       offsets: DataFrame, tokensCol: String, ctxSize: Int): DataFrame =
     offsets
       .filter(col(tokensCol) > 0)
@@ -160,20 +160,23 @@ object Packing {
     * structural. Never a global sort; one corpus pass. */
   def perPhasePackOffsets(
       df: DataFrame, idCol: String, tokensCol: String, phaseCol: String,
-      salt: String, ctxSize: Int, packsPerShard: Int): DataFrame = {
+      salt: String, ctxSize: Int, packsPerShard: Int,
+      seeds: Option[DataFrame] = None,
+      preOrderCols: Seq[String] = Nil): DataFrame = {
     require(ctxSize > 0, "ctxSize must be positive")
     require(packsPerShard > 0, "packsPerShard must be positive")
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val hashed = df.withColumn("_h",
       md5(concat(col(idCol).cast("string"), lit(salt))))
-    val keys = Seq(col(phaseCol), col("_h"), col(idCol))
-    val bounds = RangeBuckets.boundaries(hashed, Seq(phaseCol, "_h", idCol),
+    val orderNames = preOrderCols ++ Seq("_h", idCol)
+    val keys = col(phaseCol) +: orderNames.map(col)
+    val bounds = RangeBuckets.boundaries(hashed, phaseCol +: orderNames,
       parts)
     val parted = hashed.withColumn("_part",
       RangeBuckets.bucket(keys, bounds))
     val wLocal = Window.partitionBy(phaseCol, "_part")
-      .orderBy(col("_h"), col(idCol))
+      .orderBy(orderNames.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted
       .withColumn("_local_end", sum(col(tokensCol)).over(wLocal))
@@ -187,11 +190,28 @@ object Packing {
       .withColumn("_cbase",
         coalesce(sum(col("_pc")).over(wParts) - col("_pc"), lit(0L)))
       .select(col(phaseCol), col("_part"), col("_tbase"), col("_cbase"))
-    local
+    // incremental seed (round 16): per-phase token/position bases from
+    // an existing artifact's manifest — the new batch's offsets
+    // CONTINUE each phase's stream instead of restarting at 0. Phases
+    // absent from the seed start fresh (coalesce 0). The seed is one
+    // row per phase — always broadcastable.
+    val seeded = seeds match {
+      case Some(sd) =>
+        local.join(broadcast(sd
+            .select(col(phaseCol), col("_tok_base"), col("_pos_base"))),
+          Seq(phaseCol), "left")
+      case None =>
+        local.withColumn("_tok_base", lit(0L))
+          .withColumn("_pos_base", lit(0L))
+    }
+    seeded
       .join(broadcast(bases), Seq(phaseCol, "_part"))
-      .withColumn("pos", col("_cbase") + col("_local_rn"))
+      .withColumn("pos",
+        coalesce(col("_pos_base"), lit(0L)) + col("_cbase") +
+          col("_local_rn"))
       .withColumn("start_offset",
-        col("_tbase") + col("_local_end") - col(tokensCol))
+        coalesce(col("_tok_base"), lit(0L)) + col("_tbase") +
+          col("_local_end") - col(tokensCol))
       .withColumn("pack_id", floor(col("start_offset") / ctxSize))
       .withColumn("n_spans",
         when(col(tokensCol) > 0,
@@ -199,8 +219,20 @@ object Packing {
             - col("pack_id") + lit(1))
           .otherwise(lit(1L)))
       .withColumn("shard_id", expr(s"pack_id div $packsPerShard"))
-      .drop("_h", "_part", "_local_end", "_local_rn", "_tbase", "_cbase")
+      .drop("_h", "_part", "_local_end", "_local_rn", "_tbase", "_cbase",
+        "_tok_base", "_pos_base")
   }
+
+  /** The curriculum segment plan: [[perPhasePackOffsets]]' output
+    * exploded to one row per (document, context window) with the
+    * shard_id recomputed from the SEGMENT's window (a straddling
+    * document contributes each side to its own shard) — the shared
+    * body of the writer, the append path and the p12 manifest query. */
+  private[graft] def perPhaseSegments(
+      offsets: DataFrame, tokensCol: String, ctxSize: Int,
+      packsPerShard: Int): DataFrame =
+    segmentsFromOffsets(offsets, tokensCol, ctxSize)
+      .withColumn("shard_id", expr(s"pack_id div $packsPerShard"))
 
   /** Materialize the CURRICULUM shards (round 15): the per-phase
     * packing plan written `partitionBy(phase, shard_id)` — a trainer
@@ -218,17 +250,214 @@ object Packing {
     require(packsPerShard > 0, "packsPerShard must be positive")
     val offsets = perPhasePackOffsets(df, idCol, tokensCol, phaseCol,
       salt, ctxSize, packsPerShard)
-    segmentsFromOffsets(offsets, tokensCol, ctxSize)
-      // shard_id follows the SEGMENT's window (a straddling document
-      // contributes each side to its own shard), so recompute it from
-      // the exploded pack_id
-      .withColumn("shard_id", expr(s"pack_id div $packsPerShard"))
+    perPhaseSegments(offsets, tokensCol, ctxSize, packsPerShard)
       .repartition(col(phaseCol), col("shard_id"))
       .sortWithinPartitions(col(phaseCol), col("shard_id"), col("pack_id"),
         col("pos"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(phaseCol, "shard_id")
       .parquet(path)
+    // manifest generation 0, computed from WHAT IS ON DISK (a
+    // column-pruned read of the keys only — the manifest describes the
+    // artifact, not the plan that produced it); `_manifest` is
+    // underscore-prefixed so spark.read.parquet(path) of the shard
+    // data never picks it up
+    readShardData(df.sparkSession, path, phaseCol)
+      .transform(curriculumManifest(_, idCol, phaseCol))
+      .withColumn("gen", lit(0L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$ManifestDir")
+  }
+
+  /** Name of the manifest subdirectory inside a curriculum-shard
+    * artifact. Underscore-prefixed: parquet directory listings skip
+    * `_*`, so the shard-data read never sees it. */
+  val ManifestDir = "_manifest"
+
+  /** The shard data of a curriculum artifact with the partition
+    * columns cast back to long (partition-directory values are
+    * read back as inferred INT). */
+  private def readShardData(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      phaseCol: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn(phaseCol, col(phaseCol).cast("long"))
+      .withColumn("shard_id", col("shard_id").cast("long"))
+
+  /** The shard MANIFEST over a segment frame: one row per (phase,
+    * shard) with the counts a trainer's dataloader and a
+    * resume-after-failure consume — segment count, distinct documents,
+    * token volume, position and doc-id spans, and an order-independent
+    * content hash (XOR of the 60-bit md5 of each segment's
+    * (pack_id, pos, doc_id, seg_tokens) key — engine-portable: DuckDB
+    * replays it as bit_xor over the shared md5LongSql spelling, and
+    * XOR cannot overflow where an ANSI SUM of raw hashes would).
+    * Bounded output: #shards rows, never corpus rows; one keyed
+    * aggregation with map-side partials. */
+  def curriculumManifest(
+      segments: DataFrame, idCol: String, phaseCol: String): DataFrame =
+    segments
+      .withColumn("_k64", Dedup.md5Long(concat_ws("|",
+        col("pack_id"), col("pos"), col(idCol), col("seg_tokens"))))
+      .groupBy(col(phaseCol), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        countDistinct(col("pos")).as("n_docs"),
+        sum(col("seg_tokens")).as("tokens"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        min(col(idCol)).as("min_doc_id"),
+        max(col(idCol)).as("max_doc_id"),
+        expr("bit_xor(_k64)").as("content_hash"))
+
+  /** The CURRENT manifest of a curriculum artifact: latest generation
+    * per (phase, shard) — appends supersede a rewritten tail shard's
+    * row by writing a higher `gen`, never rewriting history (the
+    * manifest is append-only, so updating it is O(affected shards),
+    * not O(artifact)). The resolve window runs over manifest rows —
+    * metadata scale, bounded by #shards. */
+  def readManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      phaseCol: String = "phase"): DataFrame = {
+    val w = Window.partitionBy(col(phaseCol), col("shard_id"))
+      .orderBy(col("gen").desc)
+    spark.read.parquet(s"$path/$ManifestDir")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "gen")
+  }
+
+  /** Incremental curriculum maintenance (round 16): append a new doc
+    * batch into an existing artifact touching ONLY each phase's final
+    * partial shard — closed shards stay byte-identical (spec-pinned).
+    * The batch's offsets are seeded from the manifest's per-phase
+    * running totals, so new documents CONTINUE each phase's token
+    * stream: the result is decision-identical to a full re-pack of the
+    * union under the composite order (batch, md5-key) — the monotone
+    * order an incremental packer must adopt (the global md5 shuffle
+    * would interleave new docs among closed shards; immutability and
+    * full-shuffle ordering are mutually exclusive, and production
+    * packers pick immutability).
+    *
+    * Cost is O(new data): the prefix sum runs over the BATCH, the only
+    * artifact reads are the manifest (metadata scale) and each phase's
+    * reopened tail shard (partition-pruned — at most one shard per
+    * phase), and the write uses dynamic partition overwrite so only
+    * partitions present in the new frame are replaced. The manifest
+    * update appends superseding rows at gen+1 (O(affected shards)).
+    *
+    * `newDf` must carry ALREADY-ASSIGNED phases (the original
+    * schedule's): re-deriving phases from the union would reshuffle
+    * old documents' phases and contradict immutability. Its ids must
+    * be disjoint from the artifact's. */
+  def appendCurriculumShards(
+      newDf: DataFrame, idCol: String, tokensCol: String, phaseCol: String,
+      salt: String, ctxSize: Int, packsPerShard: Int, path: String): Unit = {
+    require(packsPerShard > 0, "packsPerShard must be positive")
+    val spark = newDf.sparkSession
+    val bases = readManifest(spark, path, phaseCol).groupBy(col(phaseCol))
+      .agg(sum(col("tokens")).as("_tok_base"),
+        max(col("max_pos")).as("_pos_base"),
+        max(col("shard_id")).as("_last_shard"))
+    // one row per PHASE — bounded by the phase count, never data size
+    val baseRows = bases.collect()
+    val offsets = perPhasePackOffsets(newDf, idCol, tokensCol, phaseCol,
+      salt, ctxSize, packsPerShard,
+      seeds = Some(bases.select(col(phaseCol), col("_tok_base"),
+        col("_pos_base"))))
+    val newSegs = perPhaseSegments(offsets, tokensCol, ctxSize,
+      packsPerShard)
+    // a phase's tail shard reopens only when it is PARTIAL (its token
+    // total is not a multiple of the shard budget) — otherwise the
+    // batch starts a fresh shard and nothing existing is touched
+    val shardTokens = ctxSize.toLong * packsPerShard
+    val reopen = baseRows.toSeq.flatMap { r =>
+      val tok = r.getLong(1)
+      val last = r.getLong(3)
+      if (tok % shardTokens != 0) Some((r.get(0), last)) else None
+    }
+    val tailPred = reopen.map { case (p, sh) =>
+      col(phaseCol) === lit(p) && col("shard_id") === lit(sh)
+    }.reduceOption(_ || _)
+    // partition-pruned: the filter lands on the RAW partition columns
+    // (before the long cast), so only the reopened tail directories
+    // are listed and read
+    val all = tailPred
+      .map { p =>
+        val tail = spark.read.parquet(path).filter(p)
+          .withColumn(phaseCol, col(phaseCol).cast("long"))
+          .withColumn("shard_id", col("shard_id").cast("long"))
+        newSegs.unionByName(tail)
+      }
+      .getOrElse(newSegs)
+    val prevMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      all.repartition(col(phaseCol), col("shard_id"))
+        .sortWithinPartitions(col(phaseCol), col("shard_id"),
+          col("pack_id"), col("pos"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(phaseCol, "shard_id")
+        .parquet(path)
+    finally prevMode match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset(
+        "spark.sql.sources.partitionOverwriteMode")
+    }
+    // superseding manifest rows for exactly the rewritten/new
+    // partitions, at gen+1 — recomputed from WHAT IS NOW ON DISK. The
+    // pre-write frame cannot be reused here: its tail scan references
+    // the files the dynamic overwrite just replaced. The affected set
+    // is known per phase without touching data: every shard from the
+    // batch's first pack onward (= tokBase div shardTokens), or the
+    // whole phase when it is new — a partition-pruned O(new) read.
+    val basePerPhase = baseRows.map(r => r.get(0) -> r.getLong(1)).toMap
+    val batchPhases = newDf.select(col(phaseCol)).distinct().collect()
+      .map(_.get(0))
+    val affectedPred = batchPhases.map { p =>
+      basePerPhase.get(p) match {
+        case Some(tok) => col(phaseCol) === lit(p) &&
+          col("shard_id") >= lit(tok / shardTokens)
+        case None => col(phaseCol) === lit(p)
+      }
+    }.reduce(_ || _)
+    val affected = spark.read.parquet(path).filter(affectedPred)
+      .withColumn(phaseCol, col(phaseCol).cast("long"))
+      .withColumn("shard_id", col("shard_id").cast("long"))
+    val maxGen = spark.read.parquet(s"$path/$ManifestDir")
+      .agg(max(col("gen"))).head.getLong(0)
+    curriculumManifest(affected, idCol, phaseCol)
+      .withColumn("gen", lit(maxGen + 1L))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/$ManifestDir")
+  }
+
+  /** Manifest-vs-data integrity check (round 16): recompute every
+    * (phase, shard)'s manifest row from the shard data and full-outer
+    * diff against the stored manifest — the verification a trainer
+    * runs before a job. Returns the MISMATCH rows (empty = intact):
+    * shards missing on either side, or any field disagreeing, with the
+    * manifest (`m_*`) and recomputed (`d_*`) values side by side.
+    * One pass over the artifact's key columns + the manifest read —
+    * nothing unbounded on the driver (callers print a limited
+    * sample). */
+  def verifyCurriculumShards(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String = "doc_id", phaseCol: String = "phase"): DataFrame = {
+    val fields = Seq("n_segs", "n_docs", "tokens", "min_pos", "max_pos",
+      "min_doc_id", "max_doc_id", "content_hash")
+    def pfx(df: DataFrame, p: String): DataFrame =
+      df.select(col(phaseCol) +: col("shard_id") +:
+        fields.map(f => col(f).as(s"$p$f")): _*)
+    val m = pfx(readManifest(spark, path, phaseCol), "m_")
+    val d = pfx(
+      curriculumManifest(readShardData(spark, path, phaseCol), idCol,
+        phaseCol), "d_")
+    m.join(d, Seq(phaseCol, "shard_id"), "full_outer")
+      .filter(fields.map(f => !(col(s"m_$f") <=> col(s"d_$f")))
+        .reduce(_ || _))
   }
 
   /** Per-pack roll-up: how many documents start in each ctx window,

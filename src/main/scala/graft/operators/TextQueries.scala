@@ -1657,26 +1657,8 @@ object TextQueries {
     // (benchmarks are tiny next to a 100 TB corpus) — the corpus gram
     // pass joins it map-side with zero corpus exchange; only the
     // narrow per-doc report joins by id.
-    "d21_benchmark_decontamination" -> ((s, dir) => {
-      lastDecontamCtx = Some((s, dir))
-      val d = docs(s, dir)
-      val bench = d.filter(col("doc_id") % 23 === 0)
-      val pass = bench.select(col("doc_id").as("b_id"),
-        concat_ws(" ",
-          slice(TextAnalysis.segTokens(col("text")), 1, 16)).as("passage"))
-      val train = d.filter(col("doc_id") % 23 =!= 0)
-        .withColumn("b_id", col("doc_id") - (col("doc_id") % 23))
-        .join(broadcast(pass), Seq("b_id"), "left")
-        .select(col("doc_id"),
-          when(col("doc_id") % 13 === 5 && col("passage").isNotNull &&
-              length(col("passage")) > 0,
-            concat(col("text"), lit(" "), translate(
-              regexp_replace(col("passage"), " ", " , "),
-              "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")))
-            .otherwise(col("text")).as("text"))
-      Dedup.benchmarkContamination(train, bench, "doc_id", "text", k = 13)
-        .orderBy("doc_id")
-    }),
+    "d21_benchmark_decontamination" -> ((s, dir) =>
+      benchmarkDecontamination(s, dir).orderBy("doc_id")),
 
     // T43: the Gopher RULE SET (Rae et al. 2021, table A1) as a
     // per-document keep/drop decision with per-rule flags — the
@@ -2316,8 +2298,9 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // T52: filter FUNNEL report (round 14; dedup stage round 15) —
-    // the number a pipeline operator reads before committing a
+    // T52: filter FUNNEL report (round 14; dedup stage round 15;
+    // decontamination stage round 16) — the number a pipeline
+    // operator reads before committing a
     // cleaning config: the gates applied IN SEQUENCE (each stage sees
     // only the previous stage's survivors — the FineWeb/RefinedWeb
     // ablation table shape), not independent reports. Stages: gopher
@@ -2326,17 +2309,24 @@ object TextQueries {
     // definition) → dedup (textDupDecision's full-corpus winnowing
     // keep set, ONE definition — the FineWeb ablation interleaves
     // dedup between the rule gates and the classifier, and that is
-    // where its largest token deltas come from) → quality classifier
+    // where its largest token deltas come from) → decontamination
+    // (d21's benchmark-overlap decision, ONE definition — the
+    // ablation drops train/test leakage after dedup, before spending
+    // classifier compute on leaked docs) → quality classifier
     // (t48's pred_keep, ONE scoring pipeline). Per stage: docs
     // in/kept + SEG-TOKEN volume in/kept and both removal rates —
     // the volume is what the decision is about (the d22 lesson: one
     // 500-page dup ≠ one tweet). Classifier coverage is LEFT-joined
     // (a doc with zero seg tokens scores as drop, never silently
-    // vanishes from the funnel). Scale shape: the label scan, the
+    // vanishes from the funnel); decontamination coverage too (d21
+    // screens TRAIN docs only — the %23 benchmark slice is eval data
+    // held outside a real corpus, so it passes unscreened). Scale
+    // shape: the label scan, the
     // blocklist scan, the dedup decision (fp-keyed joins bounded by
-    // maxDocsPerFp — work ingest already pays for d22) and t48's
-    // scoring pass (model JOINED on tok), then ONE global 10-long
-    // fold — partial map-side; the 4 output rows are built from that
+    // maxDocsPerFp — work ingest already pays for d22), the d21 gram
+    // screen (bench grams broadcast — zero corpus exchange) and t48's
+    // scoring pass (model JOINED on tok), then ONE global 12-long
+    // fold — partial map-side; the 5 output rows are built from that
     // single row.
     "t52_filter_funnel" -> ((s, dir) => {
       val d = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
@@ -2353,9 +2343,18 @@ object TextQueries {
         .join(textDupDecision(s, dir)
           .select(col("asset_id").as("doc_id"), col("kept").as("d_keep")),
           "doc_id")
+        // decontamination (round 16 — stage 4): d21's benchmark-
+        // overlap decision, ONE definition. LEFT join: d21 screens
+        // TRAIN docs only; the %23 benchmark slice is eval data a
+        // real pipeline holds outside the corpus, so it passes
+        // through unscreened (coalesce TRUE)
+        .join(benchmarkDecontamination(s, dir)
+          .select(col("doc_id"), (!col("contaminated")).as("c_keep")),
+          Seq("doc_id"), "left")
         .join(scored.select(col("doc_id"), col("n_tokens"),
           col("pred_keep")), Seq("doc_id"), "left")
         .select(col("g_keep"), col("b_keep"), col("d_keep"),
+          coalesce(col("c_keep"), lit(true)).as("c_keep"),
           coalesce(col("pred_keep"), lit(false)).as("p_keep"),
           coalesce(col("n_tokens"), lit(0L)).as("nt"))
       def cnt(p: org.apache.spark.sql.Column) =
@@ -2370,9 +2369,13 @@ object TextQueries {
         cnt(col("g_keep") && col("b_keep") && col("d_keep")).as("n3"),
         vol(col("g_keep") && col("b_keep") && col("d_keep")).as("t3"),
         cnt(col("g_keep") && col("b_keep") && col("d_keep") &&
-          col("p_keep")).as("n4"),
+          col("c_keep")).as("n4"),
         vol(col("g_keep") && col("b_keep") && col("d_keep") &&
-          col("p_keep")).as("t4"))
+          col("c_keep")).as("t4"),
+        cnt(col("g_keep") && col("b_keep") && col("d_keep") &&
+          col("c_keep") && col("p_keep")).as("n5"),
+        vol(col("g_keep") && col("b_keep") && col("d_keep") &&
+          col("c_keep") && col("p_keep")).as("t5"))
       def rate(in: org.apache.spark.sql.Column,
           kept: org.apache.spark.sql.Column) =
         when(in > 0, round((in - kept).cast("double") / in, 6))
@@ -2387,7 +2390,8 @@ object TextQueries {
           stage(1L, "gopher_rules", "n0", "n1", "t0", "t1"),
           stage(2L, "blocklist", "n1", "n2", "t1", "t2"),
           stage(3L, "dedup", "n2", "n3", "t2", "t3"),
-          stage(4L, "classifier", "n3", "n4", "t3", "t4")))
+          stage(4L, "decontaminate", "n3", "n4", "t3", "t4"),
+          stage(5L, "classifier", "n4", "n5", "t4", "t5")))
           .as("r"))
         .select(col("r.*"))
         .orderBy("ord")
@@ -2546,6 +2550,28 @@ object TextQueries {
           (col("rate6") === 1000000L).as("capped"))
         .orderBy("lang")
     }),
+
+    // P12: shard MANIFEST (round 16) — the metadata table the packed
+    // artifact ships with: one row per (phase, shard) with segment
+    // count, distinct documents, token volume, position and doc-id
+    // spans, and an order-independent content hash (bit-XOR of the
+    // 60-bit md5 of each segment's (pack_id, pos, doc_id, seg_tokens)
+    // key — the shared md5Long spelling, so DuckDB replays it
+    // verbatim; XOR cannot overflow where an ANSI SUM of raw hashes
+    // would). This is what a trainer's dataloader and a
+    // resume-after-failure consume, and what `Demo pack-verify` diffs
+    // the on-disk bytes against; Packing.writeCurriculumShards
+    // persists exactly this table as the artifact's `_manifest`.
+    // Scale shape: p10's one generalized prefix sum + the bounded
+    // segment explode, then ONE (phase, shard)-keyed aggregation with
+    // map-side partials — output is #shards rows, never corpus rows.
+    "p12_pack_manifest" -> ((s, dir) => {
+      Packing.curriculumManifest(
+        Packing.perPhaseSegments(curriculumPacking(s, dir), "n_tokens",
+          ctxSize = 2048, packsPerShard = 64),
+        "doc_id", "phase")
+        .orderBy("phase", "shard_id")
+    }),
   )
 
   /** t53's planted line list: 10-word chunk lines (d19's convention)
@@ -2605,72 +2631,116 @@ object TextQueries {
     binned.join(broadcast(phases), "bin")
   }
 
-  /** sf1 chain-at-a-time oracle plan for t52 (round 15): with the
-    * dedup stage, t52's oracle carries the full-corpus winnowing
-    * closure — the piece whose one-WITH replay is DuckDB-temp-bound at
-    * sf1 (the d22 class). Staged form: materialize the dedup decision
-    * once, then replay the (cheap) t48 + t50 + funnel fold over it.
+  /** t52's funnel fold tail — ONE spelling for the full oracle and
+    * the sf1 chain rollup: `fpk`/`ffl`/`ftot` CTEs + the 5 stage rows.
+    * `dedupRef` is the dedup decision table (the `dec` CTE or the
+    * materialized `__CHAIN_dedup__`), `deconRef` the d21 contamination
+    * table (`dxrep` or `__CHAIN_decon__`). Decontamination is
+    * LEFT-joined with COALESCE TRUE — the %23 benchmark slice is
+    * never screened. */
+  private def t52FoldSql(dedupRef: String, deconRef: String): String =
+    s"""fpk AS (SELECT doc_id, n_tokens,
+      |   ($t48LogOddsSql) > 0 AS pred_keep
+      |  FROM sc, cn, dc),
+      | ffl AS (SELECT lab.doc_id, lab.keep AS g_keep,
+      |   blc.n_bad = 0 AS b_keep,
+      |   ddc.kept AS d_keep,
+      |   COALESCE(NOT dxr.contaminated, TRUE) AS c_keep,
+      |   COALESCE(fpk.pred_keep, FALSE) AS p_keep,
+      |   COALESCE(fpk.n_tokens, 0) AS nt
+      |  FROM lab JOIN blc USING (doc_id)
+      |   JOIN $dedupRef ddc ON lab.doc_id = ddc.asset_id
+      |   LEFT JOIN $deconRef dxr ON lab.doc_id = dxr.doc_id
+      |   LEFT JOIN fpk ON lab.doc_id = fpk.doc_id),
+      | ftot AS (SELECT
+      |   CAST(COUNT(*) AS BIGINT) AS n0,
+      |   CAST(SUM(nt) AS BIGINT) AS t0,
+      |   CAST(SUM(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |   CAST(SUM(CASE WHEN g_keep THEN nt ELSE 0 END) AS BIGINT) AS t1,
+      |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN 1 ELSE 0 END)
+      |     AS BIGINT) AS n2,
+      |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN nt ELSE 0 END)
+      |     AS BIGINT) AS t2,
+      |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN 1 ELSE 0
+      |     END) AS BIGINT) AS n3,
+      |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN nt ELSE 0
+      |     END) AS BIGINT) AS t3,
+      |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND c_keep
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+      |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND c_keep
+      |     THEN nt ELSE 0 END) AS BIGINT) AS t4,
+      |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND c_keep
+      |     AND p_keep THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+      |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND c_keep
+      |     AND p_keep THEN nt ELSE 0 END) AS BIGINT) AS t5
+      |  FROM ffl)
+      | SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS ord, 'gopher_rules' AS stage,
+      |   n0 AS docs_in, n1 AS docs_kept,
+      |   CASE WHEN n0 > 0 THEN ROUND((n0 - n1)::DOUBLE / n0, 6) END
+      |    AS doc_removal_rate,
+      |   t0 AS tokens_in, t1 AS tokens_kept,
+      |   CASE WHEN t0 > 0 THEN ROUND((t0 - t1)::DOUBLE / t0, 6) END
+      |    AS token_removal_rate
+      |  FROM ftot
+      |  UNION ALL SELECT CAST(2 AS BIGINT), 'blocklist', n1, n2,
+      |   CASE WHEN n1 > 0 THEN ROUND((n1 - n2)::DOUBLE / n1, 6) END,
+      |   t1, t2,
+      |   CASE WHEN t1 > 0 THEN ROUND((t1 - t2)::DOUBLE / t1, 6) END
+      |  FROM ftot
+      |  UNION ALL SELECT CAST(3 AS BIGINT), 'dedup', n2, n3,
+      |   CASE WHEN n2 > 0 THEN ROUND((n2 - n3)::DOUBLE / n2, 6) END,
+      |   t2, t3,
+      |   CASE WHEN t2 > 0 THEN ROUND((t2 - t3)::DOUBLE / t2, 6) END
+      |  FROM ftot
+      |  UNION ALL SELECT CAST(4 AS BIGINT), 'decontaminate', n3, n4,
+      |   CASE WHEN n3 > 0 THEN ROUND((n3 - n4)::DOUBLE / n3, 6) END,
+      |   t3, t4,
+      |   CASE WHEN t3 > 0 THEN ROUND((t3 - t4)::DOUBLE / t3, 6) END
+      |  FROM ftot
+      |  UNION ALL SELECT CAST(5 AS BIGINT), 'classifier', n4, n5,
+      |   CASE WHEN n4 > 0 THEN ROUND((n4 - n5)::DOUBLE / n4, 6) END,
+      |   t4, t5,
+      |   CASE WHEN t4 > 0 THEN ROUND((t4 - t5)::DOUBLE / t4, 6) END
+      |  FROM ftot)
+      | ORDER BY ord""".stripMargin
+
+  /** t52's full oracle, emitted dump-time (round 16 — the
+    * decontamination stage embeds d21's canon chain, which needs the
+    * corpus alphabet): the SAME t48 replay chain, the SAME t50 count
+    * block, the SAME textDedupCtes decision chain, the SAME d21
+    * replay (prefixed `dx` — its `d`/`tr` names collide with the t48
+    * chain's), then the shared funnel fold. Every stage decision
+    * comes from the one definition its standalone query hash-checks;
+    * CTE name sets are disjoint by construction (asserted in
+    * Round15OpsSpec). RECURSIVE for the dedup chain's transitive
+    * closure. */
+  private def t52OracleSql(s: SparkSession, dir: String): Option[String] =
+    Some(s"""WITH RECURSIVE $t48ReplayCtes,
+      | $t50CountCtes,
+      | $textDedupCtes,
+      | ${d21ReplayCtes(s, dir, "dx")},
+      | ${t52FoldSql("dec", "dxrep")}"""
+      .stripMargin.replaceAll("\n", ""))
+
+  /** sf1 chain-at-a-time oracle plan for t52 (round 15; decon chain
+    * round 16): the one-WITH replay carries the full-corpus winnowing
+    * closure AND the d21 gram screen — both DuckDB-temp-bound at sf1
+    * (the d22 class). Staged form: materialize the dedup decision and
+    * the contamination table once each, then replay the (cheap)
+    * t48 + t50 + funnel fold over them. Session-scoped (the decon
+    * chain embeds the dump-time canon chain for `dir`'s alphabet).
     * Same contract as [[PipelineQueries.sf1ChainPlan]]. */
-  private[graft] def sf1ChainPlan: Map[String, Seq[(String, String)]] = Map(
+  private[graft] def sf1ChainPlan(
+      s: SparkSession, dir: String): Map[String, Seq[(String, String)]] = Map(
     "t52_filter_funnel" -> Seq(
       "dedup" -> (s"WITH RECURSIVE $textDedupCtes" +
         " SELECT asset_id, kept FROM dec").replaceAll("\n", ""),
-      "rollup" -> s"""WITH $t48ReplayCtes,
-        | $t50CountCtes,
-        | fpk AS (SELECT doc_id, n_tokens,
-        |   ($t48LogOddsSql) > 0 AS pred_keep
-        |  FROM sc, cn, dc),
-        | ffl AS (SELECT lab.doc_id, lab.keep AS g_keep,
-        |   blc.n_bad = 0 AS b_keep,
-        |   ddc.kept AS d_keep,
-        |   COALESCE(fpk.pred_keep, FALSE) AS p_keep,
-        |   COALESCE(fpk.n_tokens, 0) AS nt
-        |  FROM lab JOIN blc USING (doc_id)
-        |   JOIN __CHAIN_dedup__ ddc ON lab.doc_id = ddc.asset_id
-        |   LEFT JOIN fpk ON lab.doc_id = fpk.doc_id),
-        | ftot AS (SELECT
-        |   CAST(COUNT(*) AS BIGINT) AS n0,
-        |   CAST(SUM(nt) AS BIGINT) AS t0,
-        |   CAST(SUM(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |   CAST(SUM(CASE WHEN g_keep THEN nt ELSE 0 END) AS BIGINT) AS t1,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN 1 ELSE 0 END)
-        |     AS BIGINT) AS n2,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN nt ELSE 0 END)
-        |     AS BIGINT) AS t2,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN 1 ELSE 0
-        |     END) AS BIGINT) AS n3,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN nt ELSE 0
-        |     END) AS BIGINT) AS t3,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND p_keep
-        |     THEN 1 ELSE 0 END) AS BIGINT) AS n4,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND p_keep
-        |     THEN nt ELSE 0 END) AS BIGINT) AS t4
-        |  FROM ffl)
-        | SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS ord, 'gopher_rules' AS stage,
-        |   n0 AS docs_in, n1 AS docs_kept,
-        |   CASE WHEN n0 > 0 THEN ROUND((n0 - n1)::DOUBLE / n0, 6) END
-        |    AS doc_removal_rate,
-        |   t0 AS tokens_in, t1 AS tokens_kept,
-        |   CASE WHEN t0 > 0 THEN ROUND((t0 - t1)::DOUBLE / t0, 6) END
-        |    AS token_removal_rate
-        |  FROM ftot
-        |  UNION ALL SELECT CAST(2 AS BIGINT), 'blocklist', n1, n2,
-        |   CASE WHEN n1 > 0 THEN ROUND((n1 - n2)::DOUBLE / n1, 6) END,
-        |   t1, t2,
-        |   CASE WHEN t1 > 0 THEN ROUND((t1 - t2)::DOUBLE / t1, 6) END
-        |  FROM ftot
-        |  UNION ALL SELECT CAST(3 AS BIGINT), 'dedup', n2, n3,
-        |   CASE WHEN n2 > 0 THEN ROUND((n2 - n3)::DOUBLE / n2, 6) END,
-        |   t2, t3,
-        |   CASE WHEN t2 > 0 THEN ROUND((t2 - t3)::DOUBLE / t2, 6) END
-        |  FROM ftot
-        |  UNION ALL SELECT CAST(4 AS BIGINT), 'classifier', n3, n4,
-        |   CASE WHEN n3 > 0 THEN ROUND((n3 - n4)::DOUBLE / n3, 6) END,
-        |   t3, t4,
-        |   CASE WHEN t3 > 0 THEN ROUND((t3 - t4)::DOUBLE / t3, 6) END
-        |  FROM ftot)
-        | ORDER BY ord""".stripMargin.replaceAll("\n", "")))
+      "decon" -> (s"WITH ${d21ReplayCtes(s, dir, "")}" +
+        " SELECT doc_id, contaminated FROM rep").replaceAll("\n", ""),
+      "rollup" -> (s"WITH $t48ReplayCtes, $t50CountCtes, " +
+        t52FoldSql("__CHAIN_dedup__", "__CHAIN_decon__"))
+        .replaceAll("\n", "")))
 
   /** Oracle-side distinct word-n-gram shingle list over a `tk` token
     * list, INCLUDING Spark [[TextAnalysis.shingles]]' whole-text
@@ -2809,6 +2879,38 @@ object TextQueries {
     * regex escapes (`\f`) and SQL lambda params (`a`, `b`, `i`, `j`)
     * under d22's word-boundary prefix rename — the round-13 advisor
     * finding. */
+  /** d21's full decision chain — ONE definition for the d21 query and
+    * t52's decontamination stage (round 16): the %23 benchmark slice,
+    * the MUTATED planted passages (%13==5 train docs get the
+    * benchmark's first 16 seg tokens ASCII-uppercased with ", "
+    * wedged between words — the reformatting a raw-gram screen
+    * misses), then the normalized 13-gram containment test
+    * ([[Dedup.benchmarkContamination]]). Covers TRAIN docs only
+    * (%23≠0); the benchmark slice itself is eval data a real pipeline
+    * holds outside the corpus — funnel callers left-join and treat it
+    * as unscreened. Sets the dump-time oracle context (the replay
+    * needs the corpus alphabet for its canon chain). */
+  private[graft] def benchmarkDecontamination(
+      s: SparkSession, dir: String): DataFrame = {
+    lastDecontamCtx = Some((s, dir))
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 23 === 0)
+    val pass = bench.select(col("doc_id").as("b_id"),
+      concat_ws(" ",
+        slice(TextAnalysis.segTokens(col("text")), 1, 16)).as("passage"))
+    val train = d.filter(col("doc_id") % 23 =!= 0)
+      .withColumn("b_id", col("doc_id") - (col("doc_id") % 23))
+      .join(broadcast(pass), Seq("b_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5 && col("passage").isNotNull &&
+            length(col("passage")) > 0,
+          concat(col("text"), lit(" "), translate(
+            regexp_replace(col("passage"), " ", " , "),
+            "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")))
+          .otherwise(col("text")).as("text"))
+    Dedup.benchmarkContamination(train, bench, "doc_id", "text", k = 13)
+  }
+
   private[graft] lazy val textDedupCtes: String =
     s"""toks AS (SELECT doc_id, n_chars, $segTokSql tk,
       |   len($segTokSql) AS ntok FROM documents),
@@ -3188,7 +3290,13 @@ object TextQueries {
     * stripped to spaces, then the ONE shared segTokSql segmentation.
     * Tokenizer, normalizer and hash all reuse the single shared
     * spellings, so no side can drift independently. */
-  private def d21OracleSql(s: SparkSession, dir: String): Option[String] = {
+  /** d21's replay CTE chain, CTE names prefixed with `p` so it
+    * composes into other WITH blocks without shadowing (t52 reuses it
+    * under prefix "dx" — its `d`/`tr` names collide with the t48
+    * chain's otherwise). Ends in `<p>rep(doc_id, n_grams, n_hits,
+    * contaminated)`. */
+  private def d21ReplayCtes(
+      s: SparkSession, dir: String, p: String): String = {
     val extra = ('A'.toInt to 'Z'.toInt) :+ ','.toInt
     val punct = "'" + TextAnalysis.DecontamPunctChars.replace("'", "''") + "'"
     val spaces = "'" + TextAnalysis.DecontamPunctSpaces + "'"
@@ -3197,35 +3305,41 @@ object TextQueries {
         s"translate(${canonChainSql(s, dir, expr, extra)}, $punct, $spaces)")
     val gram = md5LongSql(
       "array_to_string(tk[CAST(u.i AS INT) : CAST(u.i AS INT) + 12], ' ')")
-    Some(
-      s"""WITH bench AS (SELECT doc_id, text FROM documents
-        |   WHERE doc_id % 23 = 0),
-        | bp AS (SELECT doc_id,
-        |   array_to_string(($segTokSql)[1:16], ' ') AS passage FROM bench),
-        | tr0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0),
-        | tr AS (SELECT t.doc_id,
-        |   CASE WHEN t.doc_id % 13 = 5 AND p.passage IS NOT NULL
-        |     AND length(p.passage) > 0
-        |    THEN t.text || ' ' || translate(replace(p.passage, ' ', ' , '),
-        |      'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
-        |    ELSE t.text END AS text
-        |  FROM tr0 t LEFT JOIN bp p
-        |   ON p.doc_id = t.doc_id - (t.doc_id % 23)),
-        | d AS (SELECT doc_id, ${normToks("text")} tk FROM tr),
-        | bt AS (SELECT doc_id, ${normToks("text")} tk FROM bench),
-        | bg AS (SELECT DISTINCT $gram AS g
-        |  FROM bt, UNNEST(range(1, len(tk) - 11)) AS u(i)),
-        | tg AS (SELECT doc_id, $gram AS g
-        |  FROM d, UNNEST(range(1, len(tk) - 11)) AS u(i)),
-        | hits AS (SELECT doc_id, COUNT(DISTINCT g) AS n_hits FROM tg
-        |  WHERE g IN (SELECT g FROM bg) GROUP BY doc_id)
-        | SELECT d.doc_id,
-        |  GREATEST(len(d.tk) - 12, CAST(0 AS BIGINT)) AS n_grams,
-        |  COALESCE(h.n_hits, 0) AS n_hits,
-        |  COALESCE(h.n_hits, 0) > 0 AS contaminated
-        | FROM d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"""
-        .stripMargin.replaceAll("\n", ""))
+    s"""${p}bench AS (SELECT doc_id, text FROM documents
+      |   WHERE doc_id % 23 = 0),
+      | ${p}bp AS (SELECT doc_id,
+      |   array_to_string(($segTokSql)[1:16], ' ') AS passage
+      |  FROM ${p}bench),
+      | ${p}tr0 AS (SELECT doc_id, text FROM documents
+      |   WHERE doc_id % 23 <> 0),
+      | ${p}tr AS (SELECT t.doc_id,
+      |   CASE WHEN t.doc_id % 13 = 5 AND p.passage IS NOT NULL
+      |     AND length(p.passage) > 0
+      |    THEN t.text || ' ' || translate(replace(p.passage, ' ', ' , '),
+      |      'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
+      |    ELSE t.text END AS text
+      |  FROM ${p}tr0 t LEFT JOIN ${p}bp p
+      |   ON p.doc_id = t.doc_id - (t.doc_id % 23)),
+      | ${p}d AS (SELECT doc_id, ${normToks("text")} tk FROM ${p}tr),
+      | ${p}bt AS (SELECT doc_id, ${normToks("text")} tk FROM ${p}bench),
+      | ${p}bg AS (SELECT DISTINCT $gram AS g
+      |  FROM ${p}bt, UNNEST(range(1, len(tk) - 11)) AS u(i)),
+      | ${p}tg AS (SELECT doc_id, $gram AS g
+      |  FROM ${p}d, UNNEST(range(1, len(tk) - 11)) AS u(i)),
+      | ${p}hits AS (SELECT doc_id, COUNT(DISTINCT g) AS n_hits
+      |  FROM ${p}tg WHERE g IN (SELECT g FROM ${p}bg) GROUP BY doc_id),
+      | ${p}rep AS (SELECT d.doc_id,
+      |   GREATEST(len(d.tk) - 12, CAST(0 AS BIGINT)) AS n_grams,
+      |   COALESCE(h.n_hits, 0) AS n_hits,
+      |   COALESCE(h.n_hits, 0) > 0 AS contaminated
+      |  FROM ${p}d d LEFT JOIN ${p}hits h USING (doc_id))"""
+      .stripMargin
   }
+
+  private def d21OracleSql(s: SparkSession, dir: String): Option[String] =
+    Some((s"WITH ${d21ReplayCtes(s, dir, "")}" +
+      " SELECT doc_id, n_grams, n_hits, contaminated FROM rep" +
+      " ORDER BY doc_id").replaceAll("\n", ""))
 
   private def t42OracleSql(s: SparkSession, dir: String): Option[String] = {
     val canon = canonChainSql(s, dir, "text")
@@ -3254,7 +3368,8 @@ object TextQueries {
       t42OracleSql(s, dir).map("t42_canonical_key" -> _)
     } ++
     lastDecontamCtx.toSeq.flatMap { case (s, dir) =>
-      d21OracleSql(s, dir).map("d21_benchmark_decontamination" -> _)
+      d21OracleSql(s, dir).map("d21_benchmark_decontamination" -> _) ++
+        t52OracleSql(s, dir).map("t52_filter_funnel" -> _)
     } ++ Map(
     // t25/t33: the sketch queries' derived-invariant oracles (see the
     // query Scaladocs): DuckDB recomputes the EXACT side — the
@@ -3807,71 +3922,9 @@ object TextQueries {
         |   THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
         |   END AS f1
         | FROM cm""".stripMargin.replaceAll("\n", ""),
-    // t52: the SAME t48 replay chain (labels + scoring) composed with
-    // the SAME t50 count block and the SAME textDedupCtes decision
-    // chain (round 15 — the dedup stage), then the sequential funnel
-    // fold — every stage decision comes from the one shared definition
-    // its standalone query hash-checks. RECURSIVE for the dedup
-    // chain's transitive closure; CTE name sets are disjoint by
-    // construction (asserted in Round15OpsSpec).
-    "t52_filter_funnel" ->
-      s"""WITH RECURSIVE $t48ReplayCtes,
-        | $t50CountCtes,
-        | $textDedupCtes,
-        | fpk AS (SELECT doc_id, n_tokens,
-        |   ($t48LogOddsSql) > 0 AS pred_keep
-        |  FROM sc, cn, dc),
-        | ffl AS (SELECT lab.doc_id, lab.keep AS g_keep,
-        |   blc.n_bad = 0 AS b_keep,
-        |   dec.kept AS d_keep,
-        |   COALESCE(fpk.pred_keep, FALSE) AS p_keep,
-        |   COALESCE(fpk.n_tokens, 0) AS nt
-        |  FROM lab JOIN blc USING (doc_id)
-        |   JOIN dec ON lab.doc_id = dec.asset_id
-        |   LEFT JOIN fpk ON lab.doc_id = fpk.doc_id),
-        | ftot AS (SELECT
-        |   CAST(COUNT(*) AS BIGINT) AS n0,
-        |   CAST(SUM(nt) AS BIGINT) AS t0,
-        |   CAST(SUM(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |   CAST(SUM(CASE WHEN g_keep THEN nt ELSE 0 END) AS BIGINT) AS t1,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN 1 ELSE 0 END)
-        |     AS BIGINT) AS n2,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep THEN nt ELSE 0 END)
-        |     AS BIGINT) AS t2,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN 1 ELSE 0
-        |     END) AS BIGINT) AS n3,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep THEN nt ELSE 0
-        |     END) AS BIGINT) AS t3,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND p_keep
-        |     THEN 1 ELSE 0 END) AS BIGINT) AS n4,
-        |   CAST(SUM(CASE WHEN g_keep AND b_keep AND d_keep AND p_keep
-        |     THEN nt ELSE 0 END) AS BIGINT) AS t4
-        |  FROM ffl)
-        | SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS ord, 'gopher_rules' AS stage,
-        |   n0 AS docs_in, n1 AS docs_kept,
-        |   CASE WHEN n0 > 0 THEN ROUND((n0 - n1)::DOUBLE / n0, 6) END
-        |    AS doc_removal_rate,
-        |   t0 AS tokens_in, t1 AS tokens_kept,
-        |   CASE WHEN t0 > 0 THEN ROUND((t0 - t1)::DOUBLE / t0, 6) END
-        |    AS token_removal_rate
-        |  FROM ftot
-        |  UNION ALL SELECT CAST(2 AS BIGINT), 'blocklist', n1, n2,
-        |   CASE WHEN n1 > 0 THEN ROUND((n1 - n2)::DOUBLE / n1, 6) END,
-        |   t1, t2,
-        |   CASE WHEN t1 > 0 THEN ROUND((t1 - t2)::DOUBLE / t1, 6) END
-        |  FROM ftot
-        |  UNION ALL SELECT CAST(3 AS BIGINT), 'dedup', n2, n3,
-        |   CASE WHEN n2 > 0 THEN ROUND((n2 - n3)::DOUBLE / n2, 6) END,
-        |   t2, t3,
-        |   CASE WHEN t2 > 0 THEN ROUND((t2 - t3)::DOUBLE / t2, 6) END
-        |  FROM ftot
-        |  UNION ALL SELECT CAST(4 AS BIGINT), 'classifier', n3, n4,
-        |   CASE WHEN n3 > 0 THEN ROUND((n3 - n4)::DOUBLE / n3, 6) END,
-        |   t3, t4,
-        |   CASE WHEN t3 > 0 THEN ROUND((t3 - t4)::DOUBLE / t3, 6) END
-        |  FROM ftot)
-        | ORDER BY ord""".stripMargin.replaceAll("\n", ""),
+    // t52's oracle is emitted dump-time (t52OracleSql — its round-16
+    // decontamination stage embeds the d21 canon chain, which needs
+    // the corpus alphabet).
     // t47: t44's replay with every model cell, the smoothing fallback
     // and the tercile cut keyed by lang.
     "t47_perlang_perplexity" ->
@@ -4622,33 +4675,69 @@ object TextQueries {
     // partitions by phase, replaying the engine's phase-restarting
     // two-phase prefix sum.
     "p10_curriculum_packing" ->
-      s"""WITH $fkCtesSql,
-        | b AS (SELECT doc_id, fk,
-        |   CAST(ROUND(fk * 10) AS BIGINT) AS bin FROM fkx),
-        | h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
-        | n AS (SELECT COUNT(*) AS n FROM b),
-        | ph AS (SELECT bin,
-        |   SUM(c) OVER (ORDER BY bin
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
-        |    AS before FROM h),
-        | phs AS (SELECT doc_id,
-        |   CAST(FLOOR(before * 4 / n) AS BIGINT) + 1 AS phase
-        |  FROM b JOIN ph ON b.bin = ph.bin CROSS JOIN n),
-        | tok AS (SELECT doc_id,
-        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        | pp AS (SELECT phs.doc_id, phase, n_tokens,
-        |   CAST(row_number() OVER (PARTITION BY phase
-        |     ORDER BY md5(CAST(phs.doc_id AS VARCHAR) || '-p9'),
-        |       phs.doc_id) AS BIGINT) AS pos
-        |  FROM phs JOIN tok USING (doc_id)),
-        | oo AS (SELECT doc_id, phase, pos, n_tokens,
-        |   SUM(n_tokens) OVER (PARTITION BY phase ORDER BY pos
-        |     ROWS UNBOUNDED PRECEDING) - n_tokens AS so FROM pp)
+      s"""WITH $p10CtesSql
         | SELECT doc_id, phase, pos, n_tokens,
         |  CAST(so AS BIGINT) AS start_offset,
         |  CAST(so // 2048 AS BIGINT) AS pack_id,
         |  CAST(so // 2048 // 64 AS BIGINT) AS shard_id
         | FROM oo ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // p12: p10's replay chain extended with the segment explode (one
+    // row per (doc, context window), boundary-split token counts) and
+    // the per-(phase, shard) manifest fold; the content hash is
+    // bit_xor over the SAME md5Long spelling every gram table uses.
+    "p12_pack_manifest" ->
+      s"""WITH $p10CtesSql,
+        | oob AS (SELECT doc_id, phase, pos, n_tokens,
+        |   CAST(so AS BIGINT) AS so FROM oo),
+        | sg AS (SELECT doc_id, phase, pos, n_tokens, so,
+        |   so // 2048 + u.i AS pack_id
+        |  FROM oob, UNNEST(range(0,
+        |    (so + n_tokens - 1) // 2048 - so // 2048 + 1)) AS u(i)
+        |  WHERE n_tokens > 0),
+        | sg2 AS (SELECT doc_id, phase, pos, pack_id,
+        |   LEAST(so + n_tokens, (pack_id + 1) * 2048)
+        |     - GREATEST(so, pack_id * 2048) AS seg_tokens,
+        |   pack_id // 64 AS shard_id FROM sg)
+        | SELECT phase, shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_docs,
+        |  CAST(SUM(seg_tokens) AS BIGINT) AS tokens,
+        |  MIN(pos) AS min_pos, MAX(pos) AS max_pos,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+        |  bit_xor(${md5LongSql(
+             "CAST(pack_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)" +
+               " || '|' || CAST(doc_id AS VARCHAR) || '|' ||" +
+               " CAST(seg_tokens AS VARCHAR)")}) AS content_hash
+        | FROM sg2 GROUP BY phase, shard_id
+        | ORDER BY phase, shard_id""".stripMargin.replaceAll("\n", ""),
   )
+
+  /** p10's oracle CTE chain through `oo` (doc_id, phase, pos,
+    * n_tokens, so) — the per-phase md5-ordered running-sum replay,
+    * shared by the p10 offsets oracle and the p12 manifest oracle. */
+  private def p10CtesSql: String =
+    s"""$fkCtesSql,
+      | b AS (SELECT doc_id, fk,
+      |   CAST(ROUND(fk * 10) AS BIGINT) AS bin FROM fkx),
+      | h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+      | n AS (SELECT COUNT(*) AS n FROM b),
+      | ph AS (SELECT bin,
+      |   SUM(c) OVER (ORDER BY bin
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      |    AS before FROM h),
+      | phs AS (SELECT doc_id,
+      |   CAST(FLOOR(before * 4 / n) AS BIGINT) + 1 AS phase
+      |  FROM b JOIN ph ON b.bin = ph.bin CROSS JOIN n),
+      | tok AS (SELECT doc_id,
+      |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      | pp AS (SELECT phs.doc_id, phase, n_tokens,
+      |   CAST(row_number() OVER (PARTITION BY phase
+      |     ORDER BY md5(CAST(phs.doc_id AS VARCHAR) || '-p9'),
+      |       phs.doc_id) AS BIGINT) AS pos
+      |  FROM phs JOIN tok USING (doc_id)),
+      | oo AS (SELECT doc_id, phase, pos, n_tokens,
+      |   SUM(n_tokens) OVER (PARTITION BY phase ORDER BY pos
+      |     ROWS UNBOUNDED PRECEDING) - n_tokens AS so FROM pp)"""
+      .stripMargin
 }

@@ -235,6 +235,109 @@ object EventStreams {
       }
   }
 
+  case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long)
+  case class FunnelOut(user_id: Long, stage: Long, view_us: Long,
+      click_us: Option[Long], purchase_us: Option[Long])
+
+  /** Streaming ordered-funnel — the stream face of the s25 batch
+    * query (round 16): per user, view → click → purchase where each
+    * stage counts only at-or-after the previous stage's FIRST
+    * occurrence. One row is emitted per stage TRANSITION (at most 3
+    * per user, ever), carrying the funnel row as of that moment; the
+    * user's max-stage row ≡ the batch funnel row (spec-pinned). Users
+    * with no view emit nothing, exactly as the batch form starts from
+    * the view cohort.
+    *
+    * State per user is O(1) — three epoch-micros slots (-1 = unset).
+    * Under the time-ordered delivery contract of the sibling rungs
+    * (sorted within a micro-batch, ordered batches across), the first
+    * qualifying click observed IS min(click ≥ first view), so the
+    * chained conditional mins fold with no history kept. */
+  def streamingFunnel(events: Dataset[TypedEv]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[TypedEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+          for (e <- evs.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
+            e.event_type match {
+              case "view" if st.viewUs < 0 =>
+                st = st.copy(viewUs = e.ts_us)
+                out += FunnelOut(uid, 1L, e.ts_us, None, None)
+              case "click" if st.viewUs >= 0 && st.clickUs < 0 &&
+                  e.ts_us >= st.viewUs =>
+                st = st.copy(clickUs = e.ts_us)
+                out += FunnelOut(uid, 2L, st.viewUs, Some(e.ts_us), None)
+              case "purchase" if st.clickUs >= 0 && st.purchaseUs < 0 &&
+                  e.ts_us >= st.clickUs =>
+                st = st.copy(purchaseUs = e.ts_us)
+                out += FunnelOut(uid, 3L, st.viewUs, Some(st.clickUs),
+                  Some(e.ts_us))
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class RetState(cohortWk: Long, preWks: List[Long],
+      emitted: List[Long])
+  case class RetOut(user_id: Long, cohort_wk: Long, week_offset: Long)
+
+  /** Streaming retention — the stream face of the s26 batch query
+    * (round 16): per user, one row per (cohort_wk, week_offset) the
+    * FIRST time the user is active in that week at-or-after their
+    * signup week. The s26 cohort table folds from the emitted rows
+    * with plain aggregation (n_active = COUNT per (cohort, offset) —
+    * each pair emits once per user; cohort size = the offset-0 count,
+    * since signup itself is activity); stream ≡ batch spec-pinned.
+    *
+    * State per user: the cohort week plus the emitted offset list —
+    * bounded by the HORIZON in weeks (a year = 52 entries), never by
+    * event volume. `preWks` holds distinct weeks seen before the
+    * signup arrives; under time-ordered delivery those can only
+    * qualify at offset 0, but they fold through the same ≥-cohort
+    * gate so an in-batch reorder cannot drop the signup-week
+    * activity. Weeks are the same pure integer epoch-week indexes as
+    * the batch form (us div 604800·10⁶). */
+  def streamingRetention(
+      events: Dataset[TypedEv],
+      weekUs: Long = 604800000000L): Dataset[RetOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[TypedEv], state: GroupState[RetState]) =>
+          var st = state.getOption.getOrElse(RetState(-1L, Nil, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[RetOut]
+          for (e <- evs.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
+            val wk = Math.floorDiv(e.ts_us, weekUs)
+            if (st.cohortWk < 0) {
+              if (e.event_type == "signup") {
+                val offs = (wk :: st.preWks).filter(_ >= wk)
+                  .map(_ - wk).distinct
+                offs.foreach(o => out += RetOut(uid, wk, o))
+                st = RetState(wk, Nil, offs)
+              } else if (!st.preWks.contains(wk))
+                st = st.copy(preWks = wk :: st.preWks)
+            } else {
+              val o = wk - st.cohortWk
+              if (o >= 0 && !st.emitted.contains(o)) {
+                out += RetOut(uid, st.cohortWk, o)
+                st = st.copy(emitted = o :: st.emitted)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stream-stream correlated join: for each left event, all right
     * events of the same user within the trailing `windowSeconds`.
     * Watermarks on both sides bound the join state (right rows are

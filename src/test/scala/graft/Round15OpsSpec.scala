@@ -159,7 +159,8 @@ class Round15OpsSpec extends AnyFunSuite {
     val q = SparkEntry.queries
     val funnel = q("t52_filter_funnel")(spark, sfDir).collect()
     assert(funnel.map(_.getAs[String]("stage")).toSeq ==
-      Seq("gopher_rules", "blocklist", "dedup", "classifier"))
+      Seq("gopher_rules", "blocklist", "dedup", "decontaminate",
+        "classifier"))
     val docs = Tables.load(spark, sfDir, "documents")
     val flags = TextQueries.qualityLabels(docs)
       .withColumnRenamed("keep", "g_keep")
@@ -168,10 +169,16 @@ class Round15OpsSpec extends AnyFunSuite {
       .join(TextQueries.textDupDecision(spark, sfDir)
         .select(col("asset_id").as("doc_id"), col("kept").as("d_keep")),
         "doc_id")
+      // decontamination recomputed from the STANDALONE d21 output
+      // (round 16): left join — the %23 benchmark slice is unscreened
+      .join(q("d21_benchmark_decontamination")(spark, sfDir)
+        .select(col("doc_id"), (!col("contaminated")).as("c_keep")),
+        Seq("doc_id"), "left")
       .join(q("t48_quality_classifier")(spark, sfDir)
         .select(col("doc_id"), col("n_tokens"), col("pred_keep")),
         Seq("doc_id"), "left")
       .select(col("g_keep"), col("b_keep"), col("d_keep"),
+        coalesce(col("c_keep"), lit(true)).as("c_keep"),
         coalesce(col("pred_keep"), lit(false)).as("p_keep"),
         coalesce(col("n_tokens"), lit(0L)).as("nt"))
       .collect()
@@ -184,7 +191,10 @@ class Round15OpsSpec extends AnyFunSuite {
       r => r.getAs[Boolean]("g_keep") && r.getAs[Boolean]("b_keep") &&
         r.getAs[Boolean]("d_keep"),
       r => r.getAs[Boolean]("g_keep") && r.getAs[Boolean]("b_keep") &&
-        r.getAs[Boolean]("d_keep") && r.getAs[Boolean]("p_keep"))
+        r.getAs[Boolean]("d_keep") && r.getAs[Boolean]("c_keep"),
+      r => r.getAs[Boolean]("g_keep") && r.getAs[Boolean]("b_keep") &&
+        r.getAs[Boolean]("d_keep") && r.getAs[Boolean]("c_keep") &&
+        r.getAs[Boolean]("p_keep"))
       .map(fold)
     funnel.zipWithIndex.foreach { case (row, i) =>
       assert(row.getAs[Long]("docs_in") == cuts(i)._1, s"docs_in @$i")
@@ -203,6 +213,9 @@ class Round15OpsSpec extends AnyFunSuite {
   }
 
   test("t52 oracle: composed CTE name sets stay disjoint") {
+    // t52's oracle is dump-time (the decon stage embeds the canon
+    // chain): constructing the query plan sets the oracle context
+    SparkEntry.queries("t52_filter_funnel")(spark, sfDir)
     val sql = SparkEntry.oracleSql("t52_filter_funnel")
     val names = "(?i)(?:WITH RECURSIVE|,)\\s*([a-zA-Z_][a-zA-Z0-9_]*) AS \\("
       .r.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSeq
@@ -210,7 +223,11 @@ class Round15OpsSpec extends AnyFunSuite {
       s"duplicate CTE name would silently shadow: $names")
     assert(TextQueries.textDedupCteNames.forall(n => names.contains(n)),
       "the dedup decision chain must be composed in full")
-    assert(sql.contains("'dedup'") && sql.contains("'classifier'"))
+    // the round-16 decontamination chain, under its dx prefix
+    assert(Seq("dxbench", "dxtr", "dxd", "dxbg", "dxtg", "dxrep")
+      .forall(names.contains), s"d21 chain missing from: $names")
+    assert(sql.contains("'dedup'") && sql.contains("'decontaminate'") &&
+      sql.contains("'classifier'"))
   }
 
   // -------------------------------------------------------------

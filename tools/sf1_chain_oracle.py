@@ -101,6 +101,15 @@ for name, chains in sorted(plan.items()):
                for r in got[gc].itertuples(index=False))
     w = sorted(tuple(canon(v) for v in r)
                for r in want[wc].itertuples(index=False))
+    if len(g) != len(w):
+        # report the count delta first: zip() below truncates to the
+        # shorter list, so a pure row-count mismatch would otherwise
+        # print an empty example list
+        print(f"FAIL {name}: row count {len(g)} != {len(w)}")
+        report[name] = {"match": False,
+                        "err": f"rows {len(g)} != {len(w)}", "sec": dur}
+        fails += 1
+        continue
     if g != w:
         bad = [(a, b) for a, b in zip(g, w) if a != b][:3]
         print(f"FAIL {name}: value mismatch, e.g. {bad}")
