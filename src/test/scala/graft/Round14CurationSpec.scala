@@ -194,9 +194,11 @@ class Round14CurationSpec extends AnyFunSuite {
       .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
         r.getLong(5), r.getLong(6)))).toMap
     // round 15: the dedup stage joined the funnel between blocklist
-    // and classifier (its recompute is pinned in Round15OpsSpec)
+    // and classifier; round 16: the decontamination stage between
+    // dedup and classifier (recomputes pinned in Round15OpsSpec)
     assert(funnel.keySet ==
-      Set("gopher_rules", "blocklist", "dedup", "classifier"))
+      Set("gopher_rules", "blocklist", "dedup", "decontaminate",
+        "classifier"))
     // per-doc decisions from the standalone hash-checked queries
     // gopher keep = the language-agnostic rule subset, exactly as
     // qualityLabels ANDs it from the t43 rule table
@@ -217,19 +219,27 @@ class Round14CurationSpec extends AnyFunSuite {
     val ids = gKeep.keySet.toSeq.sorted
     def stage(p: Long => Boolean) =
       (ids.count(p), ids.filter(p).map(nTok.getOrElse(_, 0L)).sum)
+    // round 16: decontamination from the standalone d21 output
+    // (left-coverage — the %23 benchmark slice passes unscreened)
+    val cKeep = run("d21_benchmark_decontamination")
+      .map(r => r.getLong(0) -> !r.getBoolean(3)).toMap
     val (n0, t0) = stage(_ => true)
     val (n1, t1) = stage(id => gKeep(id))
     val (n2, t2) = stage(id => gKeep(id) && bKeep(id))
     val (n3, t3) = stage(id => gKeep(id) && bKeep(id) && dKeep(id))
-    val (n4, t4) = stage(id =>
-      gKeep(id) && bKeep(id) && dKeep(id) && pKeep.getOrElse(id, false))
+    val (n4, t4) = stage(id => gKeep(id) && bKeep(id) && dKeep(id) &&
+      cKeep.getOrElse(id, true))
+    val (n5, t5) = stage(id =>
+      gKeep(id) && bKeep(id) && dKeep(id) &&
+        cKeep.getOrElse(id, true) && pKeep.getOrElse(id, false))
     assert(funnel("gopher_rules") == ((n0.toLong, n1.toLong, t0, t1)))
     assert(funnel("blocklist") == ((n1.toLong, n2.toLong, t1, t2)))
     assert(funnel("dedup") == ((n2.toLong, n3.toLong, t2, t3)))
-    assert(funnel("classifier") == ((n3.toLong, n4.toLong, t3, t4)))
+    assert(funnel("decontaminate") == ((n3.toLong, n4.toLong, t3, t4)))
+    assert(funnel("classifier") == ((n4.toLong, n5.toLong, t4, t5)))
     // the funnel is non-degenerate: every stage removes something here
-    assert(n0 > n1 && n1 > n2 && n2 > n3 && n3 >= n4,
-      s"$n0 $n1 $n2 $n3 $n4")
+    assert(n0 > n1 && n1 > n2 && n2 > n3 && n3 > n4 && n4 >= n5,
+      s"$n0 $n1 $n2 $n3 $n4 $n5")
   }
 
   // -------------------------------------------------------------
@@ -425,16 +435,17 @@ class Round14CurationSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
-  test("CLI report mode prints the four-stage funnel") {
+  test("CLI report mode prints the five-stage funnel") {
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
       graft.cli.Demo.run(spark, "report", Map("dir" -> sfDir))
     }
     val lines = buf.toString("UTF-8").linesIterator
       .filter(_.startsWith("[report]")).toSeq
-    // round 15: the dedup stage joined the funnel
-    assert(lines.size == 5, s"header + 4 stage rows: $lines")
-    for (st <- Seq("gopher_rules", "blocklist", "dedup", "classifier"))
+    // round 15: dedup; round 16: decontaminate
+    assert(lines.size == 6, s"header + 5 stage rows: $lines")
+    for (st <- Seq("gopher_rules", "blocklist", "dedup", "decontaminate",
+        "classifier"))
       assert(lines.exists(_.contains(st)), s"missing $st row in:\n$lines")
     Caches.release(spark)
   }
