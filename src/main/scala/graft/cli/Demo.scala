@@ -26,10 +26,13 @@ import graft.store.Catalog
   *
   * Pipeline-artifact modes (beyond the reference surface): `audit`
   * (d22 dedup report), `report` (t52 funnel), `pack` (p10 curriculum
-  * shards + `_manifest`, bounded per-phase report), `pack-verify`
-  * (manifest-vs-data integrity diff, nonzero exit on divergence),
-  * `export-keyframes` (m20 PNGs partitionBy(asset) + manifest),
-  * `scan`, `compact`, `purge`.
+  * shards + `_manifest`/`_params`/`_phase_cuts` sidecars, bounded
+  * per-phase report), `pack-append` (O(new-data) maintenance — new
+  * docs phased by the artifact's frozen schedule, only partial tail
+  * shards reopen), `pack-verify` (manifest-vs-data integrity diff,
+  * nonzero exit on divergence), `pack-compact` (collapse the
+  * manifest's append log), `export-keyframes` (m20 PNGs
+  * partitionBy(asset) + manifest), `scan`, `compact`, `purge`.
   *
   * `--embedder http(s)://host` routes chunk and query embedding
   * through the plain-JSON HTTP service seam (HttpEmbedder);
@@ -273,6 +276,23 @@ object Demo {
         val pps = flags.getOrElse("packs-per-shard", "64").toInt
         graft.operators.Packing.writeCurriculumShards(phased, "doc_id",
           "n_tokens", "phase", "-p9", ctx, pps, out)
+        // the artifact is SELF-DESCRIBING (round 16): persist the
+        // packing parameters and the FROZEN phase schedule (first bin
+        // of each phase) so `pack-append` maintains it without the
+        // caller re-supplying — or worse, re-deriving — either.
+        // Underscore-prefixed sidecars, like _manifest.
+        locally {
+          import spark.implicits._
+          Seq((ctx.toLong, pps.toLong, "-p9"))
+            .toDF("ctx_size", "packs_per_shard", "salt")
+            .coalesce(1).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$out/_params")
+        }
+        graft.operators.TextQueries.phaseCuts(docsDf)
+          .coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$out/_phase_cuts")
         // BOUNDED report from the manifest the writer just emitted:
         // per-phase totals (#phases rows) + a 20-shard sample — never
         // one driver row per shard (at 100 TB the artifact holds
@@ -300,6 +320,49 @@ object Demo {
             r.getAs[Long]("tokens").toString)
             .map(c => f"$c%8s").mkString(" "))
         }
+
+      case "pack-append" =>
+        // O(new-data) curriculum maintenance end-to-end (round 16):
+        // new documents (--docs <parquet> with doc_id, text) are
+        // binned, assigned phases from the artifact's FROZEN schedule
+        // (_phase_cuts), and appended with the artifact's own
+        // parameters (_params) — only each phase's partial tail shard
+        // reopens; the manifest gains superseding rows at gen+1.
+        // Caller contract: new doc_ids are disjoint from the
+        // artifact's (production allocates ids monotonically — a
+        // disjointness scan would cost the O(artifact) read this
+        // path exists to avoid).
+        val out = flags.getOrElse("out",
+          sys.error("pack-append needs --out <artifact dir>"))
+        val prm = spark.read.parquet(s"$out/_params").head
+        val ctx2 = prm.getAs[Long]("ctx_size").toInt
+        val pps2 = prm.getAs[Long]("packs_per_shard").toInt
+        val salt = prm.getAs[String]("salt")
+        // bounded by the phase count (4 rows)
+        val cuts = spark.read.parquet(s"$out/_phase_cuts").collect()
+          .map(r => (r.getAs[Long]("phase"), r.getAs[Long]("min_bin")))
+          .toSeq
+        val newDocs = spark.read.parquet(flags("docs"))
+        val phasedNew = graft.operators.TextQueries
+          .phasesFromCuts(newDocs, cuts)
+        graft.operators.Packing.appendCurriculumShards(phasedNew,
+          "doc_id", "n_tokens", "phase", salt, ctx2, pps2, out)
+        val manA = graft.operators.Packing.readManifest(spark, out)
+        val totA = manA.agg(count(lit(1)), sum("n_segs"), sum("tokens"))
+          .head
+        println(s"[pack-append] appended ${newDocs.count()} docs; " +
+          s"artifact now shards=${totA.getLong(0)} " +
+          s"segs=${totA.getLong(1)} tokens=${totA.getLong(2)}")
+
+      case "pack-compact" =>
+        // collapse the manifest's append log to one generation — the
+        // periodic upkeep of a long-lived artifact (metadata scale)
+        val out = flags.getOrElse("out",
+          sys.error("pack-compact needs --out <artifact dir>"))
+        graft.operators.Packing.compactManifest(spark, out)
+        println(s"[pack-compact] manifest compacted to gen 0 " +
+          s"(${graft.operators.Packing.readManifest(spark, out).count()} " +
+          "shard rows)")
 
       case "pack-verify" =>
         // manifest-driven integrity check: recompute per-shard
@@ -360,8 +423,8 @@ object Demo {
 
       case other => sys.error(
         s"unknown mode '$other' (expected import|import-dir|search|" +
-          "generate|scan|compact|purge|audit|report|pack|pack-verify|" +
-          "export-keyframes|demo)")
+          "generate|scan|compact|purge|audit|report|pack|pack-append|" +
+          "pack-verify|pack-compact|export-keyframes|demo)")
     }
   }
 

@@ -286,7 +286,9 @@ object Packing {
 
   /** The shard MANIFEST over a segment frame: one row per (phase,
     * shard) with the counts a trainer's dataloader and a
-    * resume-after-failure consume — segment count, distinct documents,
+    * resume-after-failure consume (the shard-index sidecar every
+    * sharded training format ships — WebDataset shard lists,
+    * TFRecord index files) — segment count, distinct documents,
     * token volume, position and doc-id spans, and an order-independent
     * content hash (XOR of the 60-bit md5 of each segment's
     * (pack_id, pos, doc_id, seg_tokens) key — engine-portable: DuckDB
@@ -432,6 +434,34 @@ object Packing {
       .withColumn("gen", lit(maxGen + 1L))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/$ManifestDir")
+  }
+
+  /** Compact the append-only manifest log back to a single
+    * generation — the checkpointing step every log-structured
+    * metadata store pairs with its append log (the Delta/Iceberg
+    * snapshot-checkpoint pattern, applied to this artifact's tiny
+    * log): resolve latest-gen rows, stage them as gen 0 beside
+    * the log, then swap directories (the manifest cannot be
+    * overwritten in place — the resolve plan reads the files the
+    * overwrite would delete, the round-16 append lesson). Run it when
+    * the generation count grows past taste; O(manifest) — metadata
+    * scale, never corpus scale. Single-writer contract, like append;
+    * a crash between delete and rename leaves the staged
+    * `._manifest_compact` intact for manual recovery (rename it to
+    * `_manifest`). */
+  def compactManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      phaseCol: String = "phase"): Unit = {
+    val manDir = new org.apache.hadoop.fs.Path(s"$path/$ManifestDir")
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$path/._manifest_compact")
+    val fs = manDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(spark, path, phaseCol)
+      .withColumn("gen", lit(0L))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmpDir.toString)
+    fs.delete(manDir, true)
+    require(fs.rename(tmpDir, manDir),
+      s"manifest compaction swap failed for $manDir")
   }
 
   /** Manifest-vs-data integrity check (round 16): recompute every

@@ -2631,6 +2631,36 @@ object TextQueries {
     binned.join(broadcast(phases), "bin")
   }
 
+  /** The FROZEN phase schedule of a packed artifact (round 16): the
+    * first difficulty bin of each phase, from the same
+    * [[curriculumPhases]] histogram cut. 4 rows — what `Demo pack`
+    * persists as the artifact's `_phase_cuts` so an APPENDER assigns
+    * new documents the ORIGINAL schedule's phases (re-deriving
+    * quartiles from the union would reshuffle old documents' phases
+    * and contradict shard immutability). */
+  private[graft] def phaseCuts(d: DataFrame): DataFrame =
+    curriculumPhases(d).groupBy("phase").agg(min("bin").as("min_bin"))
+
+  /** Phase assignment for NEW documents from a frozen cut table:
+    * phase = the largest phase whose first bin is ≤ the document's
+    * bin (bins below every cut fall to phase 1 — an easier document
+    * than any the schedule has seen belongs at the front). `cuts` is
+    * bounded by the phase count (4 rows), so it collects to a literal
+    * when-chain — pure map-side work in the scan at any corpus
+    * size. Returns (doc_id, phase, n_tokens). */
+  private[graft] def phasesFromCuts(
+      d: DataFrame, cuts: Seq[(Long, Long)]): DataFrame = {
+    val sorted = cuts.sortBy(_._2) // ascending min_bin
+    val binned = withReadability(d)
+      .withColumn("bin", round(col("fk") * 10).cast("long"))
+    val phase = sorted.tail.foldLeft(lit(sorted.head._1)) {
+      case (acc, (p, minBin)) =>
+        when(col("bin") >= minBin, p).otherwise(acc)
+    }
+    binned.select(col("doc_id"), phase.cast("long").as("phase"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+  }
+
   /** t52's funnel fold tail — ONE spelling for the full oracle and
     * the sf1 chain rollup: `fpk`/`ffl`/`ftot` CTEs + the 5 stage rows.
     * `dedupRef` is the dedup decision table (the `dec` CTE or the

@@ -363,6 +363,82 @@ class Round16OpsSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("CLI pack-append: frozen-schedule phases land new docs; pack-compact collapses the manifest log") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pa").toString
+    try {
+      val s = spark
+      import s.implicits._
+      val out = s"$tmp/artifact"
+      Console.withOut(new java.io.PrintStream(
+          new java.io.ByteArrayOutputStream(), true, "UTF-8")) {
+        graft.cli.Demo.run(spark, "pack",
+          Map("dir" -> sfDir, "out" -> out, "ctx-size" -> "512",
+            "packs-per-shard" -> "4"))
+      }
+      // sidecars persisted: the artifact is self-describing
+      assert(spark.read.parquet(s"$out/_params").count() == 1)
+      val cuts = spark.read.parquet(s"$out/_phase_cuts").collect()
+        .map(r => (r.getAs[Long]("phase"), r.getAs[Long]("min_bin")))
+        .toSeq
+      assert(cuts.nonEmpty && cuts.size <= 4)
+      // new docs with ids beyond the corpus range; varied text so the
+      // FK bins spread across (and beyond) the frozen cut range
+      val newDocs = (1 to 12).map { i =>
+        (9000000L + i, Seq.fill(20 + i * 7)(
+          if (i % 3 == 0) "antidisestablishmentarianism" else "a cat sat")
+          .mkString(" ") + ". And then it rested. It slept well.")
+      }.toDF("doc_id", "text")
+      newDocs.write.parquet(s"$tmp/newdocs")
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        graft.cli.Demo.run(spark, "pack-append",
+          Map("out" -> out, "docs" -> s"$tmp/newdocs"))
+      }
+      assert(buf.toString("UTF-8").contains("appended 12 docs"))
+      // the maintained artifact still verifies clean
+      assert(Packing.verifyCurriculumShards(spark, out).count() == 0)
+      // every new doc landed whole, in the phase the FROZEN cuts
+      // dictate (append-after-original ordering is pinned by the
+      // library-level union-re-pack spec above)
+      val want = TextQueries.phasesFromCuts(
+        spark.read.parquet(s"$tmp/newdocs"), cuts).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val back = spark.read.parquet(out)
+        .filter(col("doc_id") >= 9000000L)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("phase")).as("np"),
+          first(col("phase").cast("long")).as("phase"),
+          sum("seg_tokens").as("tok"))
+        .collect()
+      assert(back.length == 12, s"${back.length} new docs on disk")
+      back.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        assert(r.getAs[Long]("np") == 1L)
+        assert(r.getAs[Long]("phase") == want(id)._1, s"phase of $id")
+        assert(r.getAs[Long]("tok") == want(id)._2, s"tokens of $id")
+      }
+      // manifest log: append created gen 1; compaction folds to gen 0
+      val rawMan = spark.read.parquet(s"$out/_manifest")
+      assert(rawMan.agg(max("gen")).head.getLong(0) == 1L)
+      val resolvedBefore = Packing.readManifest(spark, out).collect()
+        .map(_.toString).sorted
+      Console.withOut(new java.io.PrintStream(
+          new java.io.ByteArrayOutputStream(), true, "UTF-8")) {
+        graft.cli.Demo.run(spark, "pack-compact", Map("out" -> out))
+      }
+      val rawAfter = spark.read.parquet(s"$out/_manifest")
+      assert(rawAfter.agg(max("gen")).head.getLong(0) == 0L)
+      assert(rawAfter.count() == resolvedBefore.length)
+      val resolvedAfter = Packing.readManifest(spark, out).collect()
+        .map(_.toString).sorted
+      assert(resolvedAfter.sameElements(resolvedBefore),
+        "compaction must not change the resolved manifest")
+      assert(Packing.verifyCurriculumShards(spark, out).count() == 0)
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   // -------------------------------------------------------------
   // m20 artifact: CLI export-keyframes
   // -------------------------------------------------------------
