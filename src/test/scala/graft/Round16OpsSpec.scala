@@ -250,6 +250,69 @@ class Round16OpsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  // property: seeded/keyed prefix sum vs plain-Scala ground truth
+  // -------------------------------------------------------------
+
+  test("perPhasePackOffsets: batch-ordered and seeded forms match a plain-Scala fold on random corpora") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(16)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(40)
+      val ctx = Seq(4, 16)(rnd.nextInt(2))
+      val pps = Seq(1, 3)(rnd.nextInt(2))
+      val salt = "-p9"
+      // distinct ids; token counts INCLUDE zeros; 1-3 phases; a
+      // random batch split (batch 0 may be empty)
+      val ids = rnd.shuffle((1L to 500L).toList).take(n)
+      val rows = ids.map(id => (id, 1L + rnd.nextInt(3).toLong,
+        rnd.nextInt(51).toLong, rnd.nextInt(2).toLong))
+      val df = rows.toDF("doc_id", "phase", "n_tokens", "batch")
+      // ground truth: per phase, order by (batch, md5(id||salt), id)
+      val want = rows.groupBy(_._2).flatMap { case (phase, rs) =>
+        val ordered = rs.sortBy(r => (r._4, md5hex(r._1.toString + salt),
+          r._1))
+        var tok = 0L
+        ordered.zipWithIndex.map { case ((id, _, nt, _), i) =>
+          val so = tok
+          tok += nt
+          (id, phase, (i + 1).toLong, so)
+        }
+      }.toSet
+      val got = Packing.perPhasePackOffsets(df, "doc_id", "n_tokens",
+          "phase", salt, ctx, pps, preOrderCols = Seq("batch"))
+        .select("doc_id", "phase", "pos", "start_offset")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == want, s"trial $trial (n=$n ctx=$ctx): " +
+        s"e.g. ${(got -- want).take(2)} vs ${(want -- got).take(2)}")
+      // seeded form over batch 1 alone ≡ the union fold's batch-1 rows
+      val b0 = rows.filter(_._4 == 0L)
+      val b1 = rows.filter(_._4 == 1L)
+      if (b1.nonEmpty) {
+        val seeds = b0.groupBy(_._2).map { case (p, rs) =>
+          (p, rs.map(_._3).sum, rs.length.toLong) }.toSeq
+          .toDF("phase", "_tok_base", "_pos_base")
+        val gotSeeded = Packing.perPhasePackOffsets(
+            b1.toDF("doc_id", "phase", "n_tokens", "batch"),
+            "doc_id", "n_tokens", "phase", salt, ctx, pps,
+            seeds = Some(seeds))
+          .select("doc_id", "phase", "pos", "start_offset")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val wantSeeded = want.filter(w => b1.exists(_._1 == w._1))
+        assert(gotSeeded == wantSeeded, s"trial $trial seeded")
+      }
+    }
+    Caches.release(spark)
+  }
+
+  // -------------------------------------------------------------
   // s25/s26 streaming faces: stream ≡ batch
   // -------------------------------------------------------------
 
