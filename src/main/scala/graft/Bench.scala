@@ -116,6 +116,9 @@ object Bench {
   // explode (headlined) plus one (phase, shard)-keyed bounded
   // aggregate — no new plan family; its artifact path (writer +
   // manifest + verify + append) is spec-timed in Round16OpsSpec.
+  // p13 stays out of the headline: it is p11's bounded plan
+  // (headlined) plus a map-side md5 residue decision in the scan —
+  // no new plan family.
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

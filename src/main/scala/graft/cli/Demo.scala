@@ -267,8 +267,12 @@ object Demo {
         val out = flags.getOrElse("out",
           sys.error("pack needs --out <dir>"))
         val docsDf = Tables.load(spark, flags("dir"), "documents")
-        val phased = graft.operators.TextQueries.curriculumPhases(docsDf)
-          .select("doc_id", "phase")
+        // ONE phase computation feeds both the writer input and the
+        // frozen _phase_cuts sidecar (unshared, the FK scan runs twice)
+        val phases = graft.Caches.shared(
+          graft.operators.TextQueries.curriculumPhases(docsDf)
+            .select("doc_id", "bin", "phase"))
+        val phased = phases.select("doc_id", "phase")
           .join(docsDf.select(col("doc_id"),
             graft.operators.TextAnalysis.tokenCount(col("text"))
               .as("n_tokens")), "doc_id")
@@ -289,7 +293,7 @@ object Demo {
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$out/_params")
         }
-        graft.operators.TextQueries.phaseCuts(docsDf)
+        phases.groupBy("phase").agg(min("bin").as("min_bin"))
           .coalesce(1).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$out/_phase_cuts")

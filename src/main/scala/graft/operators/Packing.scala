@@ -248,8 +248,13 @@ object Packing {
       df: DataFrame, idCol: String, tokensCol: String, phaseCol: String,
       salt: String, ctxSize: Int, packsPerShard: Int, path: String): Unit = {
     require(packsPerShard > 0, "packsPerShard must be positive")
-    val offsets = perPhasePackOffsets(df, idCol, tokensCol, phaseCol,
-      salt, ctxSize, packsPerShard)
+    // zero-token documents carry no packable content and do NOT
+    // participate in the artifact (they would emit no segments
+    // anyway, but an assigned-yet-invisible position would also make
+    // the manifest's max_pos undercount the per-phase position base
+    // an APPEND seeds from — a latent pos collision)
+    val offsets = perPhasePackOffsets(df.filter(col(tokensCol) > 0),
+      idCol, tokensCol, phaseCol, salt, ctxSize, packsPerShard)
     perPhaseSegments(offsets, tokensCol, ctxSize, packsPerShard)
       .repartition(col(phaseCol), col("shard_id"))
       .sortWithinPartitions(col(phaseCol), col("shard_id"), col("pack_id"),
@@ -363,7 +368,11 @@ object Packing {
         max(col("shard_id")).as("_last_shard"))
     // one row per PHASE — bounded by the phase count, never data size
     val baseRows = bases.collect()
-    val offsets = perPhasePackOffsets(newDf, idCol, tokensCol, phaseCol,
+    // zero-token docs are excluded exactly as in the initial write —
+    // positions stay dense over PARTICIPATING docs, so the manifest's
+    // max_pos is the true per-phase position base
+    val offsets = perPhasePackOffsets(
+      newDf.filter(col(tokensCol) > 0), idCol, tokensCol, phaseCol,
       salt, ctxSize, packsPerShard,
       seeds = Some(bases.select(col(phaseCol), col("_tok_base"),
         col("_pos_base"))))

@@ -2530,25 +2530,36 @@ object TextQueries {
     // div 10⁶. Scale shape: one lang-keyed aggregation (partial
     // map-side, the key domain is tiny) + a broadcast 1-row total —
     // the planning pass costs one corpus scan regardless of size.
-    "p11_domain_mixture" -> ((s, dir) => {
-      // shared: the tiny per-domain table feeds both the total/count
-      // aggregate and the output join — unshared, the corpus scan
-      // would run twice
-      val byLang = graft.Caches.shared(docs(s, dir)
-        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("nt"))
-        .groupBy("lang")
-        .agg(sum("nt").as("tokens"), count(lit(1)).as("n_docs")))
-      val nDomains = broadcast(
-        byLang.agg(count(lit(1)).as("nd"), sum("tokens").as("total")))
-      byLang.crossJoin(nDomains)
-        .withColumn("target_tokens", expr("(total div 2) div nd"))
-        .withColumn("rate6", least(lit(1000000L),
-          expr("(target_tokens * 1000000) div tokens")))
-        .withColumn("alloc_tokens", expr("(tokens * rate6) div 1000000"))
-        .select(col("lang"), col("n_docs"), col("tokens"),
-          col("target_tokens"), col("rate6"), col("alloc_tokens"),
-          (col("rate6") === 1000000L).as("capped"))
-        .orderBy("lang")
+    "p11_domain_mixture" -> ((s, dir) =>
+      domainMixture(s, dir).orderBy("lang")),
+
+    // P13: mixture SAMPLING (round 16) — EXECUTING p11's plan: p11
+    // says each domain's sampling rate; this is the per-document
+    // decision a pipeline actually applies — deterministic and
+    // reproducible (the p4 md5 discipline: a doc is kept iff
+    // md5(doc_id||'-p13') mod 10⁶ < rate6, so reruns, engines and
+    // partitionings all agree; no RNG state to ship). Capped domains
+    // (rate6 = 10⁶) keep everything by construction — the md5 residue
+    // is always < 10⁶; under-supplied domains cannot be up-sampled by
+    // a keep/drop decision (epoch repetition is the trainer's knob).
+    // Expected kept token mass per domain ≈ p11's alloc_tokens
+    // (spec-checked within tolerance; the decision itself is exact —
+    // the oracle replays every row). Scale shape: p11's bounded plan
+    // (one lang-keyed agg + broadcast 1-row total) joins back
+    // broadcast on lang; the decision is pure map work in the scan —
+    // one corpus pass, zero corpus exchange.
+    "p13_mixture_sampling" -> ((s, dir) => {
+      val rates = domainMixture(s, dir).select("lang", "rate6")
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .join(broadcast(rates), "lang")
+        .withColumn("sampled",
+          pmod(Dedup.md5Long(
+            concat(col("doc_id").cast("string"), lit("-p13"))),
+            lit(1000000L)) < col("rate6"))
+        .select("doc_id", "lang", "n_tokens", "rate6", "sampled")
+        .orderBy("doc_id")
     }),
 
     // P12: shard MANIFEST (round 16) — the metadata table the packed
@@ -2631,17 +2642,34 @@ object TextQueries {
     binned.join(broadcast(phases), "bin")
   }
 
-  /** The FROZEN phase schedule of a packed artifact (round 16): the
-    * first difficulty bin of each phase, from the same
-    * [[curriculumPhases]] histogram cut. 4 rows — what `Demo pack`
-    * persists as the artifact's `_phase_cuts` so an APPENDER assigns
-    * new documents the ORIGINAL schedule's phases (re-deriving
-    * quartiles from the union would reshuffle old documents' phases
-    * and contradict shard immutability). */
-  private[graft] def phaseCuts(d: DataFrame): DataFrame =
-    curriculumPhases(d).groupBy("phase").agg(min("bin").as("min_bin"))
+  /** p11's domain-mixture plan — ONE definition for the p11 query and
+    * p13's sampling decision: per-domain token supply vs the uniform
+    * half-corpus budget, the rate in EXACT millionths capped at 1.0.
+    * The tiny per-domain table is shared (unshared, the corpus scan
+    * runs twice); output is domain-bounded, never corpus rows. */
+  private def domainMixture(s: SparkSession, dir: String): DataFrame = {
+    val byLang = graft.Caches.shared(docs(s, dir)
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("nt"))
+      .groupBy("lang")
+      .agg(sum("nt").as("tokens"), count(lit(1)).as("n_docs")))
+    val nDomains = broadcast(
+      byLang.agg(count(lit(1)).as("nd"), sum("tokens").as("total")))
+    byLang.crossJoin(nDomains)
+      .withColumn("target_tokens", expr("(total div 2) div nd"))
+      .withColumn("rate6", least(lit(1000000L),
+        expr("(target_tokens * 1000000) div tokens")))
+      .withColumn("alloc_tokens", expr("(tokens * rate6) div 1000000"))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        col("target_tokens"), col("rate6"), col("alloc_tokens"),
+        (col("rate6") === 1000000L).as("capped"))
+  }
 
-  /** Phase assignment for NEW documents from a frozen cut table:
+  /** Phase assignment for NEW documents from a frozen cut table (the
+    * first difficulty bin per phase — what `Demo pack` persists as
+    * the artifact's `_phase_cuts`, so an APPENDER assigns new
+    * documents the ORIGINAL schedule's phases; re-deriving quartiles
+    * from the union would reshuffle old documents' phases and
+    * contradict shard immutability):
     * phase = the largest phase whose first bin is ≤ the document's
     * bin (bins below every cut fall to phase 1 — an easier document
     * than any the schedule has seen belongs at the front). `cuts` is
@@ -4700,6 +4728,26 @@ object TextQueries {
         |  LEAST(1000000, ((total // 2) // nd) * 1000000 // tokens)
         |   = 1000000 AS capped
         | FROM bl, tt ORDER BY lang""".stripMargin.replaceAll("\n", ""),
+    // p13: p11's rate table replayed, then every document's md5
+    // residue decision — md5Long is the ONE shared 60-bit spelling
+    // (non-negative, so % ≡ pmod in both engines).
+    "p13_mixture_sampling" ->
+      s"""WITH bl AS (SELECT lang,
+        |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |   CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        | tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |   CAST(SUM(tokens) AS BIGINT) AS total FROM bl),
+        | pl AS (SELECT lang, CAST(LEAST(1000000,
+        |   ((total // 2) // nd) * 1000000 // tokens) AS BIGINT) AS rate6
+        |  FROM bl, tt)
+        | SELECT doc_id, d.lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  rate6,
+        |  ${md5LongSql("CAST(doc_id AS VARCHAR) || '-p13'")} % 1000000
+        |   < rate6 AS sampled
+        | FROM documents d JOIN pl ON d.lang = pl.lang
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     // p10: the p9 phase assignment (same fkx/bin/quartile block), then
     // per-PHASE md5 positions and running-sum offsets — the window
     // partitions by phase, replaying the engine's phase-restarting

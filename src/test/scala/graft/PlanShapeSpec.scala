@@ -796,4 +796,38 @@ class PlanShapeSpec extends AnyFunSuite {
     }.isEmpty, "no sort-merge join may enter the iteration")
     Caches.release(spark)
   }
+
+  test("p13 mixture sampling: the corpus leg rides a broadcast — its only exchange is the output sort") {
+    // the rate table is domain-bounded and must broadcast; the corpus
+    // scan's md5 decision is map work, so the ONLY corpus-side
+    // exchange allowed is the presentation orderBy's range partition.
+    // A hash exchange on the corpus leg means the join demoted to
+    // sort-merge and the whole corpus shuffles to apply a per-row
+    // filter — the exact degradation this pin exists to catch.
+    val df = SparkEntry.queries("p13_mixture_sampling")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(deepCollect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, "rate table must broadcast:\n" + plan.toString.take(2000))
+    assert(deepCollect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "no sort-merge join:\n" + plan.toString.take(2000))
+    // hash exchanges may appear only under the bounded rate-table
+    // subtree (the lang agg); the corpus side feeds the BHJ directly.
+    // The tiny side's aggregates are lang-keyed: every hash exchange
+    // must partition on lang, never on doc_id.
+    val hashEx = deepCollect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical
+              .HashPartitioning] &&
+            e.outputPartitioning.toString.contains("doc_id") => e
+    }
+    assert(hashEx.isEmpty,
+      "no corpus-keyed hash exchange (the presentation orderBy's " +
+        "range partition is the one allowed corpus exchange):\n" +
+        plan.toString.take(2000))
+    Caches.release(spark)
+  }
 }

@@ -204,6 +204,8 @@ class Round16OpsSpec extends AnyFunSuite {
         // the union under the composite (batch, md5-key) order
         val union = batch0.withColumn("batch", lit(0L))
           .unionByName(batch1.withColumn("batch", lit(1L)))
+          // the artifact excludes zero-token docs (writer contract)
+          .filter(col("n_tokens") > 0)
         val truth = Packing.perPhaseSegments(
           Packing.perPhasePackOffsets(union, "doc_id", "n_tokens",
             "phase", "-p9", ctx, pps, preOrderCols = Seq("batch")),
@@ -309,6 +311,54 @@ class Round16OpsSpec extends AnyFunSuite {
         assert(gotSeeded == wantSeeded, s"trial $trial seeded")
       }
     }
+    Caches.release(spark)
+  }
+
+  // -------------------------------------------------------------
+  // p13: mixture sampling executes p11's plan
+  // -------------------------------------------------------------
+
+  test("p13: decisions recompute from md5; capped domains keep all; kept mass tracks the plan") {
+    val rows = SparkEntry.queries("p13_mixture_sampling")(spark, sfDir)
+      .collect()
+    val plan = SparkEntry.queries("p11_domain_mixture")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("rate6"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("capped"))))
+      .toMap
+    def md5res(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id-p13".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (rate, _, _, capped) = plan(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("rate6") == rate)
+      assert(r.getAs[Boolean]("sampled") == (md5res(id) < rate),
+        s"decision of $id")
+      if (capped) assert(r.getAs[Boolean]("sampled"),
+        s"capped domain must keep $id")
+    }
+    // the executed sample's token mass tracks the plan's allocation
+    // (exact for capped domains; md5-uniform concentration otherwise)
+    val kept = rows.filter(_.getAs[Boolean]("sampled"))
+      .groupBy(_.getAs[String]("lang"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("n_tokens")).sum }
+    var sampledSomething = false
+    plan.foreach { case (lang, (_, tokens, alloc, capped)) =>
+      val k = kept.getOrElse(lang, 0L)
+      if (capped) assert(k == tokens, s"$lang capped keeps all tokens")
+      else {
+        sampledSomething = true
+        assert(math.abs(k - alloc) <= alloc / 2 + 100,
+          s"$lang kept $k vs alloc $alloc")
+      }
+    }
+    assert(sampledSomething, "at least one domain must be down-sampled")
     Caches.release(spark)
   }
 
@@ -561,12 +611,16 @@ class Round16OpsSpec extends AnyFunSuite {
       import s.implicits._
       val ctx = 16
       val pps = 2 // shard budget = 32 tokens
-      val b0 = Seq((1L, 1L, 16L), (2L, 1L, 16L), (3L, 2L, 8L))
+      // zero-token docs (4, 12) do NOT participate: no segments, no
+      // position — the appended doc 11 must still continue phase 2's
+      // stream exactly where doc 3 left it
+      val b0 = Seq((1L, 1L, 16L), (2L, 1L, 16L), (3L, 2L, 8L),
+          (4L, 2L, 0L))
         .toDF("doc_id", "phase", "n_tokens")
       Packing.writeCurriculumShards(b0, "doc_id", "n_tokens", "phase",
         "-p9", ctx, pps, s"$tmp/shards")
       val before = fileHashes(s"$tmp/shards")
-      val b1 = Seq((10L, 1L, 8L), (11L, 2L, 8L))
+      val b1 = Seq((10L, 1L, 8L), (11L, 2L, 8L), (12L, 1L, 0L))
         .toDF("doc_id", "phase", "n_tokens")
       Packing.appendCurriculumShards(b1, "doc_id", "n_tokens", "phase",
         "-p9", ctx, pps, s"$tmp/shards")
@@ -583,6 +637,14 @@ class Round16OpsSpec extends AnyFunSuite {
         .filter(col("phase") === 2 && col("shard_id") === 0)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(p2 == Set(3L, 11L), s"phase-2 tail: $p2")
+      // zero-token docs are invisible in the artifact
+      assert(spark.read.parquet(s"$tmp/shards")
+        .filter(col("doc_id").isin(4L, 12L)).count() == 0)
+      // and doc 11 took the position RIGHT AFTER doc 3 — the
+      // zero-token doc 4 consumed none
+      assert(spark.read.parquet(s"$tmp/shards")
+        .filter(col("doc_id") === 11L).select("pos").head.getLong(0)
+        == 2L)
       assert(Packing.verifyCurriculumShards(spark, s"$tmp/shards")
         .count() == 0)
       Caches.release(spark)
