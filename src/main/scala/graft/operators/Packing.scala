@@ -371,21 +371,30 @@ object Packing {
     // zero-token docs are excluded exactly as in the initial write —
     // positions stay dense over PARTICIPATING docs, so the manifest's
     // max_pos is the true per-phase position base
+    val participating = newDf.filter(col(tokensCol) > 0)
+    // the batch's phase set — bounded by the phase count
+    val batchPhases = participating.select(col(phaseCol)).distinct()
+      .collect().map(_.get(0))
+    if (batchPhases.isEmpty) return // nothing packable — no-op append
     val offsets = perPhasePackOffsets(
-      newDf.filter(col(tokensCol) > 0), idCol, tokensCol, phaseCol,
+      participating, idCol, tokensCol, phaseCol,
       salt, ctxSize, packsPerShard,
       seeds = Some(bases.select(col(phaseCol), col("_tok_base"),
         col("_pos_base"))))
     val newSegs = perPhaseSegments(offsets, tokensCol, ctxSize,
       packsPerShard)
-    // a phase's tail shard reopens only when it is PARTIAL (its token
-    // total is not a multiple of the shard budget) — otherwise the
-    // batch starts a fresh shard and nothing existing is touched
+    // a phase's tail shard reopens only when the BATCH extends it and
+    // it is PARTIAL (its token total is not a multiple of the shard
+    // budget) — otherwise the batch starts a fresh shard and nothing
+    // existing is touched; phases the batch never mentions are never
+    // read, never rewritten
     val shardTokens = ctxSize.toLong * packsPerShard
     val reopen = baseRows.toSeq.flatMap { r =>
       val tok = r.getLong(1)
       val last = r.getLong(3)
-      if (tok % shardTokens != 0) Some((r.get(0), last)) else None
+      if (tok % shardTokens != 0 && batchPhases.contains(r.get(0)))
+        Some((r.get(0), last))
+      else None
     }
     val tailPred = reopen.map { case (p, sh) =>
       col(phaseCol) === lit(p) && col("shard_id") === lit(sh)
@@ -425,8 +434,6 @@ object Packing {
     // batch's first pack onward (= tokBase div shardTokens), or the
     // whole phase when it is new — a partition-pruned O(new) read.
     val basePerPhase = baseRows.map(r => r.get(0) -> r.getLong(1)).toMap
-    val batchPhases = newDf.select(col(phaseCol)).distinct().collect()
-      .map(_.get(0))
     val affectedPred = batchPhases.map { p =>
       basePerPhase.get(p) match {
         case Some(tok) => col(phaseCol) === lit(p) &&

@@ -647,6 +647,22 @@ class Round16OpsSpec extends AnyFunSuite {
         == 2L)
       assert(Packing.verifyCurriculumShards(spark, s"$tmp/shards")
         .count() == 0)
+      // a batch touching ONLY phase 1 must leave phase 2's PARTIAL
+      // tail byte-identical — phases the batch never mentions are
+      // never read, never rewritten, never re-manifested
+      val mid = fileHashes(s"$tmp/shards")
+      Packing.appendCurriculumShards(
+        Seq((20L, 1L, 8L)).toDF("doc_id", "phase", "n_tokens"),
+        "doc_id", "n_tokens", "phase", "-p9", ctx, pps, s"$tmp/shards")
+      val fin = fileHashes(s"$tmp/shards")
+      mid.keys.filter(_.startsWith("phase=2/")).foreach { rel =>
+        assert(fin.get(rel) == mid.get(rel), s"phase-2 $rel changed")
+      }
+      assert(spark.read.parquet(s"$tmp/shards/_manifest")
+        .filter(col("gen") === 2L && col("phase") === 2L).count() == 0,
+        "no superseding manifest row for an untouched phase")
+      assert(Packing.verifyCurriculumShards(spark, s"$tmp/shards")
+        .count() == 0)
       Caches.release(spark)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
