@@ -111,7 +111,8 @@ object Bench {
     "t53_repetition_filter", // Gopher repetition: line/gram doc-keyed folds
     "s25_event_funnel", // ordered conversion funnel: chained cond-mins
     "p11_domain_mixture", // mixture plan: one lang agg + broadcast total
-    "s26_retention_cohorts") // cohort retention: 2 user-keyed aggs + join
+    "s26_retention_cohorts", // cohort retention: 2 user-keyed aggs + join
+    "t54_pii_redaction") // PII mask: 6 regex passes in one map scan
   // p12 stays out of the headline: it is p10's prefix sum + segment
   // explode (headlined) plus one (phase, shard)-keyed bounded
   // aggregate — no new plan family; its artifact path (writer +

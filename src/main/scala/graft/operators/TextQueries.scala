@@ -30,6 +30,40 @@ object TextQueries {
     * regex and RE2). */
   private val WordRunPat = "[A-Za-z]+"
 
+  /** t54's PII patterns — ONE set of shared constants interpolated
+    * into the oracle SQL (the m14 discipline): plain character
+    * classes and bounded quantifiers only, no anchors/backrefs/escape
+    * sequences (`[.]` instead of `\.` — a backslash survives Scala,
+    * Spark-SQL-literal and DuckDB-literal escaping differently; a
+    * character class is the same five bytes everywhere), so Java
+    * regex and RE2 match identically. */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val Ipv4Pat =
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** t54's plant surgery — ONE definition replayed verbatim by the
+    * oracle: the corpus is synthetic clean prose, so PII is PLANTED
+    * per doc_id class (t8/t50 precedent) with case and punctuation
+    * variety so the patterns, not substring luck, do the work. */
+  private def piiPlantedText(
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text,
+      when(pmod(id, lit(6)) === 1,
+        concat(lit(" Reach me at user"), id.cast("string"),
+          lit("@Example.org for details.")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(10)) === 3,
+        concat(lit(" Server at 10.0."), pmod(id, lit(256)).cast("string"),
+          lit(".7 responded.")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(8)) === 5,
+        concat(lit(" Call 555-867-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0"),
+          lit(" today.")))
+        .otherwise(lit("")))
+
   /** t50's plant + blocklist counts as a (doc_id, n_tok, n_bad) table
     * — ONE definition for t50's verdicts and the t52 funnel's
     * blocklist stage; the oracle twin is [[t50CountCtes]]. */
@@ -2467,6 +2501,44 @@ object TextQueries {
     // map-side); the top-gram pick is max-count + lexicographic-min
     // via two keyed aggs + a co-keyed join — no per-doc window sort,
     // no corpus self-join.
+    // T54: PII detection + REDACTION (round 16) — the privacy rung
+    // every production corpus pipeline runs between the quality gates
+    // and the shard writer (C4 strips lines by blocklist; modern
+    // stacks detect-and-mask structured identifiers): per document,
+    // how many emails / IPv4s / phone-shaped numbers appear, whether
+    // it is PII-free, and the fingerprint of the text with every
+    // match masked (<EMAIL>/<IP>/<PHONE>, applied in that fixed
+    // order — masks carry no digits, so a later pattern can never
+    // match across an earlier replacement). Patterns are the shared
+    // backslash-free constants (EmailPat/Ipv4Pat/PhonePat); both
+    // engines count with leftmost-first non-overlapping semantics and
+    // replace globally, so counts AND the redacted fingerprint
+    // hash-match. The fingerprint (md5) stands in for the redacted
+    // text itself — same bytes checked, tidy compare. PII is PLANTED
+    // per doc_id class (piiPlantedText, ONE definition). Pure scan
+    // projection — zero shuffles before the output sort; at 100 TB a
+    // map-only pass with the patterns inlined in the plan.
+    "t54_pii_redaction" -> ((s, dir) => {
+      val masked = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"),
+        PhonePat, "<PHONE>")
+      def cnt(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast("long")
+      docs(s, dir)
+        .select(col("doc_id"),
+          piiPlantedText(col("doc_id"), col("text")).as("text"))
+        .select(col("doc_id"),
+          cnt(EmailPat).as("n_emails"),
+          cnt(Ipv4Pat).as("n_ips"),
+          cnt(PhonePat).as("n_phones"),
+          md5(masked).as("red_fp"))
+        .withColumn("pii_free",
+          col("n_emails") === 0 && col("n_ips") === 0 &&
+            col("n_phones") === 0)
+        .orderBy("doc_id")
+    }),
+
     "t53_repetition_filter" -> ((s, dir) => {
       val lined = graft.Caches.shared(docs(s, dir)
         .select(col("doc_id"), t53PlantedLines(col("doc_id"), col("text"))
@@ -4748,6 +4820,37 @@ object TextQueries {
         |   < rate6 AS sampled
         | FROM documents d JOIN pl ON d.lang = pl.lang
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+    // t54: the same plant surgery, the same shared backslash-free
+    // patterns, counts via regexp_extract_all and the same
+    // fixed-order global replace chain — the md5 fingerprint compares
+    // the REDACTED BYTES, not just the counts.
+    "t54_pii_redaction" ->
+      s"""WITH pt AS (SELECT doc_id, text ||
+        |   CASE WHEN doc_id % 6 = 1 THEN ' Reach me at user' ||
+        |     CAST(doc_id AS VARCHAR) || '@Example.org for details.'
+        |    ELSE '' END ||
+        |   CASE WHEN doc_id % 10 = 3 THEN ' Server at 10.0.' ||
+        |     CAST(doc_id % 256 AS VARCHAR) || '.7 responded.'
+        |    ELSE '' END ||
+        |   CASE WHEN doc_id % 8 = 5 THEN ' Call 555-867-' ||
+        |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'
+        |    ELSE '' END AS text
+        |  FROM documents)
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT)
+        |   AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT)
+        |   AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT)
+        |   AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$EmailPat', '<EMAIL>', 'g'), '$Ipv4Pat', '<IP>', 'g'),
+        |    '$PhonePat', '<PHONE>', 'g')) AS red_fp,
+        |  len(regexp_extract_all(text, '$EmailPat')) = 0
+        |   AND len(regexp_extract_all(text, '$Ipv4Pat')) = 0
+        |   AND len(regexp_extract_all(text, '$PhonePat')) = 0
+        |   AS pii_free
+        | FROM pt ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     // p10: the p9 phase assignment (same fkx/bin/quartile block), then
     // per-PHASE md5 positions and running-sum offsets — the window
     // partitions by phase, replaying the engine's phase-restarting

@@ -363,6 +363,64 @@ class Round16OpsSpec extends AnyFunSuite {
   }
 
   // -------------------------------------------------------------
+  // t54: PII redaction
+  // -------------------------------------------------------------
+
+  test("t54: plant classes fire their own counters; redaction recomputes in plain Java regex; clean docs untouched") {
+    val rows = SparkEntry.queries("t54_pii_redaction")(spark, sfDir)
+      .collect()
+    val texts = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    def planted(id: Long): String = {
+      val sb = new StringBuilder(texts(id))
+      if (id % 6 == 1)
+        sb ++= s" Reach me at user$id@Example.org for details."
+      if (id % 10 == 3)
+        sb ++= s" Server at 10.0.${id % 256}.7 responded."
+      if (id % 8 == 5)
+        sb ++= f" Call 555-867-${id % 10000}%04d today."
+      sb.toString
+    }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.nonEmpty)
+    var fired = (false, false, false)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = planted(id)
+      // counts recompute with plain Java regex over the planted text
+      def c(p: String) = p.r.findAllIn(t).size.toLong
+      assert(r.getAs[Long]("n_emails") == c(email), s"emails of $id")
+      assert(r.getAs[Long]("n_ips") == c(ip), s"ips of $id")
+      assert(r.getAs[Long]("n_phones") == c(phone), s"phones of $id")
+      // the redacted bytes recompute with the same fixed-order chain
+      val red = t.replaceAll(email, "<EMAIL>")
+        .replaceAll(ip, "<IP>").replaceAll(phone, "<PHONE>")
+      assert(r.getAs[String]("red_fp") == md5hex(red), s"redaction of $id")
+      // plant classes fire their own counters
+      if (id % 6 == 1) { assert(r.getAs[Long]("n_emails") >= 1)
+        fired = fired.copy(_1 = true) }
+      if (id % 10 == 3) { assert(r.getAs[Long]("n_ips") >= 1)
+        fired = fired.copy(_2 = true) }
+      if (id % 8 == 5) { assert(r.getAs[Long]("n_phones") >= 1)
+        fired = fired.copy(_3 = true) }
+      // a PII-free doc's fingerprint is its ORIGINAL text — the
+      // redactor never rewrites clean content
+      if (r.getAs[Boolean]("pii_free"))
+        assert(r.getAs[String]("red_fp") == md5hex(t), s"clean $id")
+    }
+    assert(fired == ((true, true, true)), "every plant class must fire")
+    assert(rows.exists(_.getAs[Boolean]("pii_free")),
+      "clean docs must exist — the corpus is not all-planted")
+    Caches.release(spark)
+  }
+
+  // -------------------------------------------------------------
   // s25/s26 streaming faces: stream ≡ batch
   // -------------------------------------------------------------
 
