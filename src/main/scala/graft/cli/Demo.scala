@@ -351,10 +351,14 @@ object Demo {
           .phasesFromCuts(newDocs, cuts)
         graft.operators.Packing.appendCurriculumShards(phasedNew,
           "doc_id", "n_tokens", "phase", salt, ctx2, pps2, out)
+        // report the PACKABLE count — zero-token docs never enter the
+        // artifact, so counting raw input rows would overstate what
+        // the manifest totals on the same line describe
+        val nNew = phasedNew.filter(col("n_tokens") > 0).count()
         val manA = graft.operators.Packing.readManifest(spark, out)
         val totA = manA.agg(count(lit(1)), sum("n_segs"), sum("tokens"))
           .head
-        println(s"[pack-append] appended ${newDocs.count()} docs; " +
+        println(s"[pack-append] appended $nNew docs; " +
           s"artifact now shards=${totA.getLong(0)} " +
           s"segs=${totA.getLong(1)} tokens=${totA.getLong(2)}")
 
@@ -416,13 +420,19 @@ object Demo {
             expr("bit_xor(_k64)").as("content_hash"))
         kman.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$out/frames/_manifest")
-        val tot = kman.agg(count(lit(1)), sum("n_frames"),
+        // report from the JUST-WRITTEN manifest (bounded metadata
+        // read) — re-aggregating kman would re-scan and re-hash every
+        // PNG once per report line
+        val rep = spark.read.parquet(s"$out/frames/_manifest")
+        val tot = rep.agg(count(lit(1)), sum("n_frames"),
           sum("png_bytes")).head
         println(s"[export-keyframes] assets=${tot.getLong(0)} " +
           s"frames=${tot.getLong(1)} bytes=${tot.getLong(2)}")
-        kman.orderBy("asset_id").limit(20).collect().foreach { r =>
-          println(s"[export-keyframes] sample asset=${r.getLong(0)} " +
-            s"frames=${r.getLong(1)} bytes=${r.getLong(2)}")
+        rep.orderBy("asset_id").limit(20).collect().foreach { r =>
+          println(s"[export-keyframes] sample " +
+            s"asset=${r.getAs[Long]("asset_id")} " +
+            s"frames=${r.getAs[Long]("n_frames")} " +
+            s"bytes=${r.getAs[Long]("png_bytes")}")
         }
 
       case other => sys.error(

@@ -252,8 +252,14 @@ object Packing {
     // participate in the artifact (they would emit no segments
     // anyway, but an assigned-yet-invisible position would also make
     // the manifest's max_pos undercount the per-phase position base
-    // an APPEND seeds from — a latent pos collision)
-    val offsets = perPhasePackOffsets(df.filter(col(tokensCol) > 0),
+    // an APPEND seeds from — a latent pos collision). Phase and token
+    // columns are canonicalized to LONG: the appender compares phase
+    // values JVM-side against the manifest's longs, where a boxed
+    // Integer never equals a boxed Long (silent type drift between an
+    // int-phased write and a later append would otherwise skip the
+    // tail reopen and drop its rows).
+    val offsets = perPhasePackOffsets(
+      canonicalArtifactInput(df, tokensCol, phaseCol),
       idCol, tokensCol, phaseCol, salt, ctxSize, packsPerShard)
     perPhaseSegments(offsets, tokensCol, ctxSize, packsPerShard)
       .repartition(col(phaseCol), col("shard_id"))
@@ -278,6 +284,17 @@ object Packing {
     * artifact. Underscore-prefixed: parquet directory listings skip
     * `_*`, so the shard-data read never sees it. */
   val ManifestDir = "_manifest"
+
+  /** Canonical artifact input: phase and token counts as LONG, only
+    * packable (token > 0) rows — shared by the writer and the
+    * appender so the on-disk schema, the manifest's phase values and
+    * the appender's JVM-side phase comparisons can never drift on the
+    * caller's integer width. */
+  private def canonicalArtifactInput(
+      df: DataFrame, tokensCol: String, phaseCol: String): DataFrame =
+    df.withColumn(phaseCol, col(phaseCol).cast("long"))
+      .withColumn(tokensCol, col(tokensCol).cast("long"))
+      .filter(col(tokensCol) > 0)
 
   /** The shard data of a curriculum artifact with the partition
     * columns cast back to long (partition-directory values are
@@ -356,7 +373,13 @@ object Packing {
     * `newDf` must carry ALREADY-ASSIGNED phases (the original
     * schedule's): re-deriving phases from the union would reshuffle
     * old documents' phases and contradict immutability. Its ids must
-    * be disjoint from the artifact's. */
+    * be disjoint from the artifact's. Single-writer contract; a crash
+    * between the data commit and the manifest append leaves the
+    * artifact detectably inconsistent, and the NEXT append refuses to
+    * run (tail-vs-manifest divergence / uncommitted-shard guards
+    * below) rather than double-packing from stale totals — recover by
+    * restoring the tail partitions to the manifest's description (or
+    * re-packing). */
   def appendCurriculumShards(
       newDf: DataFrame, idCol: String, tokensCol: String, phaseCol: String,
       salt: String, ctxSize: Int, packsPerShard: Int, path: String): Unit = {
@@ -368,10 +391,15 @@ object Packing {
         max(col("shard_id")).as("_last_shard"))
     // one row per PHASE — bounded by the phase count, never data size
     val baseRows = bases.collect()
-    // zero-token docs are excluded exactly as in the initial write —
-    // positions stay dense over PARTICIPATING docs, so the manifest's
-    // max_pos is the true per-phase position base
-    val participating = newDf.filter(col(tokensCol) > 0)
+    // canonical long phase/tokens + zero-token docs excluded exactly
+    // as in the initial write — positions stay dense over
+    // PARTICIPATING docs (so the manifest's max_pos is the true
+    // per-phase position base) and the JVM-side phase comparisons
+    // below compare Long to Long (a boxed Integer from an int-typed
+    // phase column never equals the manifest's boxed Long — the
+    // reopen would silently skip and the overwrite would drop the
+    // tail's rows)
+    val participating = canonicalArtifactInput(newDf, tokensCol, phaseCol)
     // the batch's phase set — bounded by the phase count
     val batchPhases = participating.select(col(phaseCol)).distinct()
       .collect().map(_.get(0))
@@ -399,6 +427,47 @@ object Packing {
     val tailPred = reopen.map { case (p, sh) =>
       col(phaseCol) === lit(p) && col("shard_id") === lit(sh)
     }.reduceOption(_ || _)
+    // RETRY/CRASH GUARD: a previous append that died between its data
+    // commit and its manifest append leaves shard bytes the manifest
+    // does not describe; re-seeding from the stale totals would
+    // DOUBLE-PACK the batch with colliding positions. Detection is
+    // O(tail + #phases), never an artifact scan: (i) every reopened
+    // tail's recomputed manifest row must equal the stored one, and
+    // (ii) no shard directory may exist beyond a batch phase's
+    // manifest tail. On violation fail loudly with the recovery path
+    // instead of corrupting silently.
+    val manCols = Seq(phaseCol, "shard_id", "n_segs", "n_docs", "tokens",
+      "min_pos", "max_pos", "min_doc_id", "max_doc_id", "content_hash")
+    tailPred.foreach { pred =>
+      val stored = readManifest(spark, path, phaseCol).filter(pred)
+        .select(manCols.map(col): _*)
+      val actual = curriculumManifest(
+        spark.read.parquet(path).filter(pred)
+          .withColumn(phaseCol, col(phaseCol).cast("long"))
+          .withColumn("shard_id", col("shard_id").cast("long")),
+        idCol, phaseCol)
+        .select(manCols.map(col): _*)
+      require(stored.exceptAll(actual).isEmpty &&
+        actual.exceptAll(stored).isEmpty,
+        s"tail shard bytes diverge from the manifest at $path — a " +
+          "previous append likely crashed between its data commit and " +
+          "its manifest append; verify (Demo pack-verify) and restore " +
+          "before appending")
+    }
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      baseRows.foreach { r =>
+        if (batchPhases.contains(r.get(0))) {
+          val next = new org.apache.hadoop.fs.Path(root,
+            s"$phaseCol=${r.get(0)}/shard_id=${r.getLong(3) + 1}")
+          require(!fs.exists(next),
+            s"uncommitted shard directory $next exists beyond the " +
+              "manifest tail — a previous append likely crashed before " +
+              "its manifest append; verify and restore before appending")
+        }
+      }
+    }
     // partition-pruned: the filter lands on the RAW partition columns
     // (before the long cast), so only the reopened tail directories
     // are listed and read

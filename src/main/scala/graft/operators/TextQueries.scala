@@ -2750,6 +2750,9 @@ object TextQueries {
     * size. Returns (doc_id, phase, n_tokens). */
   private[graft] def phasesFromCuts(
       d: DataFrame, cuts: Seq[(Long, Long)]): DataFrame = {
+    require(cuts.nonEmpty,
+      "empty phase-cut table — the artifact's _phase_cuts sidecar is " +
+        "missing or truncated (re-run `pack`, or restore the sidecar)")
     val sorted = cuts.sortBy(_._2) // ascending min_bin
     val binned = withReadability(d)
       .withColumn("bin", round(col("fk") * 10).cast("long"))

@@ -249,10 +249,16 @@ object EventStreams {
     * the view cohort.
     *
     * State per user is O(1) — three epoch-micros slots (-1 = unset).
-    * Under the time-ordered delivery contract of the sibling rungs
-    * (sorted within a micro-batch, ordered batches across), the first
-    * qualifying click observed IS min(click ≥ first view), so the
-    * chained conditional mins fold with no history kept. */
+    * Each micro-batch is folded in STAGE order (all views, then all
+    * clicks, then all purchases, each pass in time order): the
+    * chained conditional mins need full batch visibility — a click
+    * TIED with the first view's timestamp can sort before it, and a
+    * single time-ordered pass would silently drop it where the batch
+    * `min(click ≥ view_us)` counts it (ties qualify under ≥). Within
+    * a pass the first qualifying event IS the min, so the fold stays
+    * O(batch) with no history kept; ACROSS batches the usual
+    * ordered-delivery contract of the sibling stateful rungs applies
+    * (a tie split across two micro-batches is out of contract). */
   def streamingFunnel(events: Dataset[TypedEv]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     events
@@ -262,23 +268,24 @@ object EventStreams {
         (uid: Long, evs: Iterator[TypedEv], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
-          for (e <- evs.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
-            e.event_type match {
-              case "view" if st.viewUs < 0 =>
-                st = st.copy(viewUs = e.ts_us)
-                out += FunnelOut(uid, 1L, e.ts_us, None, None)
-              case "click" if st.viewUs >= 0 && st.clickUs < 0 &&
-                  e.ts_us >= st.viewUs =>
-                st = st.copy(clickUs = e.ts_us)
-                out += FunnelOut(uid, 2L, st.viewUs, Some(e.ts_us), None)
-              case "purchase" if st.clickUs >= 0 && st.purchaseUs < 0 &&
-                  e.ts_us >= st.clickUs =>
-                st = st.copy(purchaseUs = e.ts_us)
-                out += FunnelOut(uid, 3L, st.viewUs, Some(st.clickUs),
-                  Some(e.ts_us))
-              case _ =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          for (e <- sorted if e.event_type == "view")
+            if (st.viewUs < 0) {
+              st = st.copy(viewUs = e.ts_us)
+              out += FunnelOut(uid, 1L, e.ts_us, None, None)
             }
-          }
+          for (e <- sorted if e.event_type == "click")
+            if (st.viewUs >= 0 && st.clickUs < 0 && e.ts_us >= st.viewUs) {
+              st = st.copy(clickUs = e.ts_us)
+              out += FunnelOut(uid, 2L, st.viewUs, Some(e.ts_us), None)
+            }
+          for (e <- sorted if e.event_type == "purchase")
+            if (st.clickUs >= 0 && st.purchaseUs < 0 &&
+                e.ts_us >= st.clickUs) {
+              st = st.copy(purchaseUs = e.ts_us)
+              out += FunnelOut(uid, 3L, st.viewUs, Some(st.clickUs),
+                Some(e.ts_us))
+            }
           state.update(st)
           out.iterator
       }

@@ -662,6 +662,111 @@ class Round16OpsSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("streamingFunnel: stage events tied with the previous stage's first event count (batch ≥ semantics)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_tie").toString
+    try {
+      // user 7: click and purchase TIED with the first view's
+      // timestamp, sorting BEFORE it (smaller event_id) — the batch
+      // chained mins count both (≥), so the stream must too.
+      // user 8: a click strictly BEFORE any view never counts.
+      val evs = Seq(
+        (1L, 100L, 7L, "purchase"),
+        (2L, 100L, 7L, "click"),
+        (3L, 100L, 7L, "view"),
+        (10L, 50L, 8L, "click"),
+        (11L, 60L, 8L, "view"))
+        .toDF("event_id", "ts_us", "user_id", "event_type")
+      evs.coalesce(1).write.parquet(s"$d/evs")
+      val raw = spark.readStream.schema(evs.schema).parquet(s"$d/evs")
+        .as[graft.streaming.EventStreams.TypedEv]
+      val out = graft.streaming.EventStreams.runToCompletion(
+        graft.streaming.EventStreams.streamingFunnel(raw).toDF(),
+        "tie16_test", org.apache.spark.sql.streaming.OutputMode.Append)
+        .collect()
+      val u7 = out.filter(_.getAs[Long]("user_id") == 7L)
+        .maxBy(_.getAs[Long]("stage"))
+      assert(u7.getAs[Long]("stage") == 3L, s"tied funnel: ${out.toSeq}")
+      assert(u7.getAs[Long]("view_us") == 100L &&
+        u7.getAs[Long]("click_us") == 100L &&
+        u7.getAs[Long]("purchase_us") == 100L)
+      val u8 = out.filter(_.getAs[Long]("user_id") == 8L)
+        .maxBy(_.getAs[Long]("stage"))
+      assert(u8.getAs[Long]("stage") == 1L &&
+        u8.getAs[Long]("view_us") == 60L, s"pre-view click: ${out.toSeq}")
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d))
+  }
+
+  test("appendCurriculumShards: int-typed phase columns append correctly (no boxed-type drift)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_appi").toString
+    try {
+      val s = spark
+      import s.implicits._
+      val ctx = 16
+      val pps = 2
+      // phases and token counts as INTs — the writer/appender must
+      // canonicalize, or the appender's JVM-side phase comparison
+      // (boxed Integer vs the manifest's boxed Long) silently skips
+      // the tail reopen and the overwrite drops the tail's rows
+      val b0 = Seq((1, 1, 16), (2, 2, 8)).toDF("doc_id", "phase",
+        "n_tokens").withColumn("doc_id", col("doc_id").cast("long"))
+      Packing.writeCurriculumShards(b0, "doc_id", "n_tokens", "phase",
+        "-p9", ctx, pps, s"$tmp/shards")
+      val b1 = Seq((11, 2, 8)).toDF("doc_id", "phase", "n_tokens")
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      Packing.appendCurriculumShards(b1, "doc_id", "n_tokens", "phase",
+        "-p9", ctx, pps, s"$tmp/shards")
+      val p2 = spark.read.parquet(s"$tmp/shards")
+        .filter(col("phase") === 2 && col("shard_id") === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(p2 == Set(2L, 11L),
+        s"int-phased append must reopen the tail, not drop it: $p2")
+      assert(Packing.verifyCurriculumShards(spark, s"$tmp/shards")
+        .count() == 0)
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("appendCurriculumShards: refuses to run on a half-committed artifact (crashed-append guards)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_appg").toString
+    try {
+      val s = spark
+      import s.implicits._
+      val ctx = 16
+      val pps = 2
+      val b0 = Seq((1L, 1L, 16L), (2L, 2L, 8L))
+        .toDF("doc_id", "phase", "n_tokens")
+      Packing.writeCurriculumShards(b0, "doc_id", "n_tokens", "phase",
+        "-p9", ctx, pps, s"$tmp/shards")
+      val b1 = Seq((11L, 2L, 8L)).toDF("doc_id", "phase", "n_tokens")
+      // (i) a shard directory beyond the manifest tail — the footprint
+      // of an append that died before its manifest append
+      val orphan = java.nio.file.Paths.get(s"$tmp/shards/phase=2/shard_id=1")
+      java.nio.file.Files.createDirectories(orphan)
+      val e1 = intercept[IllegalArgumentException] {
+        Packing.appendCurriculumShards(b1, "doc_id", "n_tokens", "phase",
+          "-p9", ctx, pps, s"$tmp/shards")
+      }
+      assert(e1.getMessage.contains("uncommitted"), e1.getMessage)
+      java.nio.file.Files.delete(orphan)
+      // (ii) tail bytes diverging from the manifest's description
+      val tailFile = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$tmp/shards/phase=2"))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.delete(tailFile)
+      val e2 = intercept[IllegalArgumentException] {
+        Packing.appendCurriculumShards(b1, "doc_id", "n_tokens", "phase",
+          "-p9", ctx, pps, s"$tmp/shards")
+      }
+      assert(e2.getMessage.contains("diverge"), e2.getMessage)
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("appendCurriculumShards: a shard-aligned phase opens a fresh shard and touches nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_appa").toString
     try {
