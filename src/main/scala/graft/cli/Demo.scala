@@ -280,19 +280,12 @@ object Demo {
         val pps = flags.getOrElse("packs-per-shard", "64").toInt
         graft.operators.Packing.writeCurriculumShards(phased, "doc_id",
           "n_tokens", "phase", "-p9", ctx, pps, out)
-        // the artifact is SELF-DESCRIBING (round 16): persist the
-        // packing parameters and the FROZEN phase schedule (first bin
-        // of each phase) so `pack-append` maintains it without the
-        // caller re-supplying — or worse, re-deriving — either.
-        // Underscore-prefixed sidecars, like _manifest.
-        locally {
-          import spark.implicits._
-          Seq((ctx.toLong, pps.toLong, "-p9"))
-            .toDF("ctx_size", "packs_per_shard", "salt")
-            .coalesce(1).write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$out/_params")
-        }
+        // the artifact is SELF-DESCRIBING (round 16): the library
+        // writer persists _params (ctx/pps/salt); the PIPELINE-level
+        // piece — the FROZEN phase schedule (first bin of each
+        // phase) — is persisted here so `pack-append` assigns new
+        // documents the original schedule's phases without the caller
+        // re-supplying (or worse, re-deriving) it.
         phases.groupBy("phase").agg(min("bin").as("min_bin"))
           .coalesce(1).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -380,13 +373,27 @@ object Demo {
           sys.error("pack-verify needs --out <dir>"))
         val bad = graft.operators.Packing.verifyCurriculumShards(spark, out)
         val n = bad.count()
-        if (n == 0)
-          println("[pack-verify] OK — manifest matches shard data")
+        // the budget invariant reads _params + the manifest only —
+        // metadata scale; artifacts without the sidecar (foreign
+        // layouts) skip it rather than fail the bytes check
+        val pPath = new org.apache.hadoop.fs.Path(s"$out/_params")
+        val pFs = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val overfull =
+          if (pFs.exists(pPath))
+            graft.operators.Packing.verifyShardBudgets(spark, out)
+          else spark.emptyDataFrame
+        val nb = if (pFs.exists(pPath)) overfull.count() else 0L
+        if (n == 0 && nb == 0)
+          println("[pack-verify] OK — manifest matches shard data; " +
+            "non-final shards at budget")
         else {
           bad.orderBy("phase", "shard_id").limit(20).collect()
             .foreach(r => println(s"[pack-verify] MISMATCH $r"))
-          sys.error(s"[pack-verify] $n (phase, shard) rows diverge " +
-            "between manifest and shard data")
+          if (nb > 0)
+            overfull.orderBy("phase", "shard_id").limit(20).collect()
+              .foreach(r => println(s"[pack-verify] BUDGET $r"))
+          sys.error(s"[pack-verify] $n manifest/data divergences, " +
+            s"$nb shard-budget violations")
         }
 
       case "export-keyframes" =>

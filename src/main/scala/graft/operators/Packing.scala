@@ -278,7 +278,25 @@ object Packing {
       .withColumn("gen", lit(0L))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/$ManifestDir")
+    // the packing PARAMETERS travel with the artifact (one row): an
+    // append run with a different ctx/pps/salt would interleave
+    // incompatible pack boundaries silently — appendCurriculumShards
+    // cross-checks against this sidecar, and verifyShardBudgets reads
+    // the shard budget from it
+    locally {
+      val s = df.sparkSession
+      import s.implicits._
+      Seq((ctxSize.toLong, packsPerShard.toLong, salt))
+        .toDF("ctx_size", "packs_per_shard", "salt")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/$ParamsDir")
+    }
   }
+
+  /** Name of the packing-parameters sidecar inside a curriculum-shard
+    * artifact (ctx_size, packs_per_shard, salt — one row). */
+  val ParamsDir = "_params"
 
   /** Name of the manifest subdirectory inside a curriculum-shard
     * artifact. Underscore-prefixed: parquet directory listings skip
@@ -385,6 +403,25 @@ object Packing {
       salt: String, ctxSize: Int, packsPerShard: Int, path: String): Unit = {
     require(packsPerShard > 0, "packsPerShard must be positive")
     val spark = newDf.sparkSession
+    // parameter guard: appending with a different ctx/pps/salt than
+    // the artifact was packed with interleaves incompatible pack
+    // boundaries SILENTLY — cross-check the _params sidecar when the
+    // artifact carries one
+    locally {
+      val pp = new org.apache.hadoop.fs.Path(s"$path/$ParamsDir")
+      val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(pp)) {
+        val p = spark.read.parquet(pp.toString).head
+        require(p.getAs[Long]("ctx_size") == ctxSize.toLong &&
+          p.getAs[Long]("packs_per_shard") == packsPerShard.toLong &&
+          p.getAs[String]("salt") == salt,
+          s"append parameters (ctx=$ctxSize, pps=$packsPerShard, " +
+            s"salt=$salt) do not match the artifact's _params " +
+            s"(ctx=${p.getAs[Long]("ctx_size")}, " +
+            s"pps=${p.getAs[Long]("packs_per_shard")}, " +
+            s"salt=${p.getAs[String]("salt")})")
+      }
+    }
     val bases = readManifest(spark, path, phaseCol).groupBy(col(phaseCol))
       .agg(sum(col("tokens")).as("_tok_base"),
         max(col("max_pos")).as("_pos_base"),
@@ -547,6 +584,29 @@ object Packing {
     fs.delete(manDir, true)
     require(fs.rename(tmpDir, manDir),
       s"manifest compaction swap failed for $manDir")
+  }
+
+  /** Shard-budget invariant check (round 16): every NON-FINAL shard
+    * of every phase must hold exactly packsPerShard × ctxSize tokens
+    * of the concatenated stream (the writer/appender invariant the
+    * specs pin — this makes it checkable on any artifact in the
+    * field). Reads the budget from the `_params` sidecar and the
+    * token totals from the manifest — metadata scale, zero data
+    * reads. Returns the violating (phase, shard) rows (empty =
+    * intact). */
+  def verifyShardBudgets(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      phaseCol: String = "phase"): DataFrame = {
+    val p = spark.read.parquet(s"$path/$ParamsDir").head
+    val budget = p.getAs[Long]("ctx_size") * p.getAs[Long]("packs_per_shard")
+    val man = readManifest(spark, path, phaseCol)
+    val last = man.groupBy(col(phaseCol))
+      .agg(max(col("shard_id")).as("_last"))
+    man.join(broadcast(last), phaseCol)
+      .filter(col("shard_id") < col("_last") &&
+        col("tokens") =!= budget)
+      .select(col(phaseCol), col("shard_id"), col("tokens"),
+        lit(budget).as("expected_tokens"))
   }
 
   /** Manifest-vs-data integrity check (round 16): recompute every

@@ -767,6 +767,48 @@ class Round16OpsSpec extends AnyFunSuite {
       .deleteDirectory(new java.io.File(tmp))
   }
 
+  test("append parameter guard + shard-budget verifier catch mixed-parameter and doctored artifacts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prm").toString
+    try {
+      val s = spark
+      import s.implicits._
+      val b0 = Seq((1L, 1L, 40L), (2L, 1L, 30L))
+        .toDF("doc_id", "phase", "n_tokens")
+      Packing.writeCurriculumShards(b0, "doc_id", "n_tokens", "phase",
+        "-p9", ctxSize = 16, packsPerShard = 2, s"$tmp/shards")
+      // the writer persisted its own parameters
+      val prm = spark.read.parquet(s"$tmp/shards/_params").head
+      assert(prm.getAs[Long]("ctx_size") == 16L &&
+        prm.getAs[Long]("packs_per_shard") == 2L &&
+        prm.getAs[String]("salt") == "-p9")
+      // appending with a DIFFERENT ctx would interleave incompatible
+      // pack boundaries — must refuse
+      val b1 = Seq((10L, 1L, 8L)).toDF("doc_id", "phase", "n_tokens")
+      val e = intercept[IllegalArgumentException] {
+        Packing.appendCurriculumShards(b1, "doc_id", "n_tokens", "phase",
+          "-p9", ctxSize = 32, packsPerShard = 2, s"$tmp/shards")
+      }
+      assert(e.getMessage.contains("_params"), e.getMessage)
+      // intact artifact: every non-final shard exactly at budget
+      assert(Packing.verifyShardBudgets(spark, s"$tmp/shards")
+        .count() == 0)
+      // a doctored manifest row (non-final shard claiming the wrong
+      // token total) is flagged by the budget verifier
+      spark.read.parquet(s"$tmp/shards/_manifest")
+        .filter(col("shard_id") === 0L)
+        .withColumn("tokens", lit(31L))
+        .withColumn("gen", lit(99L))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$tmp/shards/_manifest")
+      val bad = Packing.verifyShardBudgets(spark, s"$tmp/shards")
+        .collect()
+      assert(bad.length == 1 && bad.head.getAs[Long]("tokens") == 31L &&
+        bad.head.getAs[Long]("expected_tokens") == 32L, bad.toSeq)
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   test("appendCurriculumShards: a shard-aligned phase opens a fresh shard and touches nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_appa").toString
     try {
