@@ -639,12 +639,15 @@ class PlanShapeSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
-  test("t39/t40 are single-codegen map scans: no exchange before the output sort") {
+  test("t39/t40/t54 are single-codegen map scans: no exchange before the output sort") {
     // row-local statistics must never shuffle the corpus; the only
     // exchange allowed is the final presentation orderBy's range
     // partitioning. t40's NfcNormalize participates in whole-stage
-    // codegen (defineCodeGen), so the scan+project fuses.
-    Seq("t39_script_mix", "t40_nfc_fingerprint").foreach { q =>
+    // codegen (defineCodeGen), so the scan+project fuses. t54's six
+    // regex passes (3 counts + 3 replaces) are all codegen'd builtins
+    // and must stay inside the one span (round 16).
+    Seq("t39_script_mix", "t40_nfc_fingerprint",
+      "t54_pii_redaction").foreach { q =>
       val p = planOf(q).split("== Initial Plan ==")(0)
       assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
         s"$q:\n${p.take(2000)}")
