@@ -340,20 +340,33 @@ object Demo {
           .map(r => (r.getAs[Long]("phase"), r.getAs[Long]("min_bin")))
           .toSeq
         val newDocs = spark.read.parquet(flags("docs"))
-        val phasedNew = graft.operators.TextQueries
-          .phasesFromCuts(newDocs, cuts)
-        graft.operators.Packing.appendCurriculumShards(phasedNew,
-          "doc_id", "n_tokens", "phase", salt, ctx2, pps2, out)
-        // report the PACKABLE count — zero-token docs never enter the
-        // artifact, so counting raw input rows would overstate what
-        // the manifest totals on the same line describe
-        val nNew = phasedNew.filter(col("n_tokens") > 0).count()
-        val manA = graft.operators.Packing.readManifest(spark, out)
-        val totA = manA.agg(count(lit(1)), sum("n_segs"), sum("tokens"))
-          .head
-        println(s"[pack-append] appended $nNew docs; " +
-          s"artifact now shards=${totA.getLong(0)} " +
-          s"segs=${totA.getLong(1)} tokens=${totA.getLong(2)}")
+        // shared: the phase assignment feeds the append AND the
+        // packable-count report below — unshared, the readability
+        // scan over the batch would run twice
+        val phasedNew = graft.Caches.shared(graft.operators.TextQueries
+          .phasesFromCuts(newDocs, cuts))
+        // optional --batch-id: idempotent replay (a retried committed
+        // batch id is a clean no-op via the _batches ledger); without
+        // it a re-submitted batch is refused by the id-overlap guard
+        val appended = graft.operators.Packing.appendCurriculumShards(
+          phasedNew, "doc_id", "n_tokens", "phase", salt, ctx2, pps2,
+          out, batchId = flags.get("batch-id"))
+        if (!appended)
+          println("[pack-append] no-op: batch already committed " +
+            "(replayed batch id) or nothing packable")
+        else {
+          // report the PACKABLE count — zero-token docs never enter
+          // the artifact, so counting raw input rows would overstate
+          // what the manifest totals on the same line describe
+          val nNew = phasedNew.filter(col("n_tokens") > 0).count()
+          val manA = graft.operators.Packing.readManifest(spark, out)
+          val totA = manA.agg(count(lit(1)), sum("n_segs"), sum("tokens"))
+            .head
+          println(s"[pack-append] appended $nNew docs; " +
+            s"artifact now shards=${totA.getLong(0)} " +
+            s"segs=${totA.getLong(1)} tokens=${totA.getLong(2)}")
+        }
+        graft.Caches.release(spark)
 
       case "pack-compact" =>
         // collapse the manifest's append log to one generation — the

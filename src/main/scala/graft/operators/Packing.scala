@@ -298,6 +298,23 @@ object Packing {
     * artifact (ctx_size, packs_per_shard, salt — one row). */
   val ParamsDir = "_params"
 
+  /** Name of the append-batch ledger inside a curriculum-shard
+    * artifact: one row per committed append (batch_id, n_docs) — the
+    * exactly-once replay-skip discipline
+    * [[graft.operators.Cdc]]'s streaming rollup established, applied
+    * to the pack appender (an orchestrator that retries a committed
+    * append with the same batch id gets a no-op, never a double
+    * pack). Underscore-prefixed like the manifest. */
+  val BatchesDir = "_batches"
+
+  /** Ceiling on the number of manifest spans the id-overlap guard
+    * will verify EXACTLY (a partition-pruned membership check per
+    * overlapping shard). A monotone-id producer overlaps zero spans;
+    * a replayed committed batch overlaps its own shards and is caught;
+    * past this many overlaps the guard refuses instead of scanning the
+    * artifact — the check must stay O(new data), never O(artifact). */
+  val MaxOverlapShards = 256
+
   /** Name of the manifest subdirectory inside a curriculum-shard
     * artifact. Underscore-prefixed: parquet directory listings skip
     * `_*`, so the shard-data read never sees it. */
@@ -391,25 +408,49 @@ object Packing {
     * `newDf` must carry ALREADY-ASSIGNED phases (the original
     * schedule's): re-deriving phases from the union would reshuffle
     * old documents' phases and contradict immutability. Its ids must
-    * be disjoint from the artifact's. Single-writer contract; a crash
-    * between the data commit and the manifest append leaves the
-    * artifact detectably inconsistent, and the NEXT append refuses to
-    * run (tail-vs-manifest divergence / uncommitted-shard guards
-    * below) rather than double-packing from stale totals — recover by
+    * be disjoint from the artifact's — and unlike round 16 this is
+    * now ENFORCED, not just documented: the batch's doc-id range is
+    * compared against the manifest's per-shard doc-id spans (metadata
+    * scale), and any overlapping span is verified EXACTLY with a
+    * partition-pruned membership check — a re-submitted
+    * already-committed batch collides on every id and is refused
+    * loudly instead of double-packing. A monotone-id producer (the
+    * production shape) overlaps nothing and pays zero extra reads.
+    * For orchestrators that retry on lost acks, pass `batchId`: a
+    * committed batch id is recorded in the `_batches` ledger and a
+    * replay returns false as a clean no-op (the
+    * [[Cdc]]-streaming-rollup exactly-once discipline).
+    *
+    * Single-writer contract; a crash between the data commit and the
+    * manifest append leaves the artifact detectably inconsistent, and
+    * the NEXT append refuses to run (tail-vs-manifest divergence /
+    * uncommitted-shard / undescribed-phase-directory guards below)
+    * rather than double-packing from stale totals — recover by
     * restoring the tail partitions to the manifest's description (or
-    * re-packing). */
+    * re-packing).
+    *
+    * Returns true when the batch was appended, false for a no-op
+    * (replayed batchId, or a batch with no packable rows). */
   def appendCurriculumShards(
       newDf: DataFrame, idCol: String, tokensCol: String, phaseCol: String,
-      salt: String, ctxSize: Int, packsPerShard: Int, path: String): Unit = {
+      salt: String, ctxSize: Int, packsPerShard: Int, path: String,
+      batchId: Option[String] = None): Boolean = {
     require(packsPerShard > 0, "packsPerShard must be positive")
     val spark = newDf.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
     // parameter guard: appending with a different ctx/pps/salt than
     // the artifact was packed with interleaves incompatible pack
     // boundaries SILENTLY — cross-check the _params sidecar when the
-    // artifact carries one
+    // artifact carries one. A pre-sidecar artifact (round-15 layout)
+    // is sanity-checked against the manifest instead: every non-final
+    // shard of every phase must hold exactly ctx×pps tokens (metadata
+    // scale — the budget is the one packing parameter the manifest
+    // can witness; the salt cannot be recovered from metadata, which
+    // is exactly why the sidecar is then persisted for every later
+    // append to cross-check properly).
     locally {
       val pp = new org.apache.hadoop.fs.Path(s"$path/$ParamsDir")
-      val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = pp.getFileSystem(hconf)
       if (fs.exists(pp)) {
         val p = spark.read.parquet(pp.toString).head
         require(p.getAs[Long]("ctx_size") == ctxSize.toLong &&
@@ -420,14 +461,68 @@ object Packing {
             s"(ctx=${p.getAs[Long]("ctx_size")}, " +
             s"pps=${p.getAs[Long]("packs_per_shard")}, " +
             s"salt=${p.getAs[String]("salt")})")
+      } else {
+        val budget = ctxSize.toLong * packsPerShard
+        val man = readManifest(spark, path, phaseCol)
+        val last = man.groupBy(col(phaseCol))
+          .agg(max(col("shard_id")).as("_last"))
+        val off = man.join(broadcast(last), phaseCol)
+          .filter(col("shard_id") < col("_last") &&
+            col("tokens") =!= budget)
+          .count()
+        require(off == 0L,
+          s"artifact at $path has no _params sidecar and $off non-final " +
+            s"shards disagree with the supplied budget ctx=$ctxSize × " +
+            s"pps=$packsPerShard — the append parameters do not match " +
+            "how the artifact was packed")
+        locally {
+          import spark.implicits._
+          Seq((ctxSize.toLong, packsPerShard.toLong, salt))
+            .toDF("ctx_size", "packs_per_shard", "salt")
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(pp.toString)
+        }
       }
     }
+    // replay-skip: a batch id already in the ledger was fully
+    // committed (the ledger row is written LAST) — the retry is a
+    // clean no-op
+    val ledgerPath = new org.apache.hadoop.fs.Path(s"$path/$BatchesDir")
+    val ledgerFs = ledgerPath.getFileSystem(hconf)
+    if (batchId.isDefined && ledgerFs.exists(ledgerPath) &&
+        spark.read.parquet(ledgerPath.toString)
+          .filter(col("batch_id") === lit(batchId.get)).limit(1)
+          .count() > 0)
+      return false
     val bases = readManifest(spark, path, phaseCol).groupBy(col(phaseCol))
       .agg(sum(col("tokens")).as("_tok_base"),
         max(col("max_pos")).as("_pos_base"),
         max(col("shard_id")).as("_last_shard"))
     // one row per PHASE — bounded by the phase count, never data size
     val baseRows = bases.collect()
+    // CRASH GUARD (new-phase class): an append that INTRODUCED a
+    // phase and died between its data commit and its manifest append
+    // leaves a phase directory the manifest knows nothing about — the
+    // per-phase tail/uncommitted-shard guards below only cover
+    // manifest phases, so without this check the next append to that
+    // phase would seed from zero and silently collide. Bounded
+    // top-level listing (#phases directories).
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(hconf)
+      val manifestPhases = baseRows.map(_.get(0).toString).toSet
+      val orphan = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"$phaseCol="))
+        .map(_.getPath.getName.stripPrefix(s"$phaseCol="))
+        .filterNot(manifestPhases.contains)
+      require(orphan.isEmpty,
+        s"phase directories ${orphan.mkString(", ")} exist at $path but " +
+          "the manifest has no rows for them — a previous append likely " +
+          "crashed between its data commit and its manifest append; " +
+          "verify (Demo pack-verify) and restore before appending")
+    }
     // canonical long phase/tokens + zero-token docs excluded exactly
     // as in the initial write — positions stay dense over
     // PARTICIPATING docs (so the manifest's max_pos is the true
@@ -435,17 +530,85 @@ object Packing {
     // below compare Long to Long (a boxed Integer from an int-typed
     // phase column never equals the manifest's boxed Long — the
     // reopen would silently skip and the overwrite would drop the
-    // tail's rows)
+    // tail's rows). Persisted for the method's lifetime: the batch
+    // lineage otherwise re-evaluates for the phase set, the id-range
+    // guard, the prefix sum and the shard write — repeated scans of
+    // the new data in a path sold as O(new data).
     val participating = canonicalArtifactInput(newDf, tokensCol, phaseCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      appendParticipating(participating, idCol, tokensCol, phaseCol,
+        salt, ctxSize, packsPerShard, path, batchId, baseRows)
+    } finally {
+      participating.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** [[appendCurriculumShards]]' body over the persisted canonical
+    * batch — split out so the persist/unpersist lifecycle wraps it. */
+  private def appendParticipating(
+      participating: DataFrame, idCol: String, tokensCol: String,
+      phaseCol: String, salt: String, ctxSize: Int, packsPerShard: Int,
+      path: String, batchId: Option[String],
+      baseRows: Array[org.apache.spark.sql.Row]): Boolean = {
+    val spark = participating.sparkSession
     // the batch's phase set — bounded by the phase count
     val batchPhases = participating.select(col(phaseCol)).distinct()
       .collect().map(_.get(0))
-    if (batchPhases.isEmpty) return // nothing packable — no-op append
+    if (batchPhases.isEmpty) return false // nothing packable — no-op
+    // ID-DISJOINTNESS GUARD: "new ids must be disjoint from the
+    // artifact's" is enforced, not assumed. Metadata prefilter: the
+    // batch's global [min, max] doc-id range against the manifest's
+    // per-shard doc-id spans (already persisted — zero data reads).
+    // Zero overlapping spans — the monotone-id production shape, and
+    // every fresh batch under monotone allocation — proves
+    // disjointness outright. Otherwise the overlapping shards (and
+    // only those — partition-pruned) are membership-checked exactly,
+    // so interleaved-but-disjoint ids still append fine; past
+    // [[MaxOverlapShards]] spans the guard refuses rather than scan
+    // the artifact (an O(new) path must not hide an O(artifact)
+    // fallback — a batch overlapping hundreds of spans is either a
+    // replayed commit or an id-allocation bug either way).
+    locally {
+      val rg = participating
+        .agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head
+      val mn = rg.getLong(0)
+      val mx = rg.getLong(1)
+      val overlap = readManifest(spark, path, phaseCol)
+        .filter(!(col("max_doc_id") < mn || col("min_doc_id") > mx))
+        .select(col(phaseCol), col("shard_id"))
+        .limit(MaxOverlapShards + 1)
+        .collect()
+      require(overlap.length <= MaxOverlapShards,
+        s"batch doc-id range [$mn, $mx] overlaps more than " +
+          s"$MaxOverlapShards manifest doc-id spans at $path — this " +
+          "batch is almost certainly a re-submitted already-committed " +
+          "append (or the id allocator regressed); refusing to verify " +
+          "disjointness at artifact scale. Pass batchId for idempotent " +
+          "replay, or allocate fresh monotone ids")
+      if (overlap.nonEmpty) {
+        val pred = overlap.map { r =>
+          col(phaseCol) === lit(r.get(0)) &&
+            col("shard_id") === lit(r.getLong(1))
+        }.reduce(_ || _)
+        val clash = spark.read.parquet(path).filter(pred)
+          .select(col(idCol))
+          .join(participating.select(col(idCol)), idCol)
+          .limit(5).collect().map(_.get(0))
+        require(clash.isEmpty,
+          s"batch doc ids ${clash.mkString(", ")} are already packed in " +
+            s"the artifact at $path — re-submitting a committed batch " +
+            "double-packs; pass batchId for idempotent replay, or drop " +
+            "the duplicate documents")
+      }
+    }
+    // per-phase seeds rebuilt from the already-collected manifest
+    // totals (bounded by the phase count)
+    val seedsDf = seedsFromBaseRows(spark, baseRows, phaseCol)
     val offsets = perPhasePackOffsets(
       participating, idCol, tokensCol, phaseCol,
-      salt, ctxSize, packsPerShard,
-      seeds = Some(bases.select(col(phaseCol), col("_tok_base"),
-        col("_pos_base"))))
+      salt, ctxSize, packsPerShard, seeds = Some(seedsDf))
     val newSegs = perPhaseSegments(offsets, tokensCol, ctxSize,
       packsPerShard)
     // a phase's tail shard reopens only when the BATCH extends it and
@@ -556,6 +719,31 @@ object Packing {
       .withColumn("gen", lit(maxGen + 1L))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/$ManifestDir")
+    // the ledger row is written LAST: a crash anywhere above leaves
+    // the batch id absent, so the retry falls through to the
+    // tail/overlap guards instead of silently no-opping a
+    // half-committed append
+    batchId.foreach { bid =>
+      val nDocs = participating.count()
+      import spark.implicits._
+      Seq((bid, nDocs)).toDF("batch_id", "n_docs")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/$BatchesDir")
+    }
+    true
+  }
+
+  /** Per-phase (phase, _tok_base, _pos_base) seed frame from the
+    * collected manifest base rows — bounded by the phase count. */
+  private def seedsFromBaseRows(
+      spark: org.apache.spark.sql.SparkSession,
+      baseRows: Array[org.apache.spark.sql.Row],
+      phaseCol: String): DataFrame = {
+    import spark.implicits._
+    baseRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF(phaseCol, "_tok_base", "_pos_base")
   }
 
   /** Compact the append-only manifest log back to a single

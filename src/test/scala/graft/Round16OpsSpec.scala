@@ -143,10 +143,17 @@ class Round16OpsSpec extends AnyFunSuite {
         val s = spark
         import s.implicits._
         // driver-local batches: the read-bound assertion below must
-        // count ONLY artifact reads, not re-scans of the docs parquet
-        val batch0 = rows.filter(_._1 % 10 != 0).toSeq
+        // count ONLY artifact reads, not re-scans of the docs parquet.
+        // MONOTONE id split (batch = the top decile of ids) — the
+        // production appender shape the O(new) contract models, and
+        // what keeps the round-17 id-disjointness guard metadata-only
+        // (zero overlapping spans); the interleaved-id path has its
+        // own spec below
+        val sortedIds = rows.map(_._1).sorted
+        val thr = sortedIds(sortedIds.length * 9 / 10)
+        val batch0 = rows.filter(_._1 < thr).toSeq
           .toDF("doc_id", "phase", "n_tokens")
-        val batch1 = rows.filter(_._1 % 10 == 0).toSeq
+        val batch1 = rows.filter(_._1 >= thr).toSeq
           .toDF("doc_id", "phase", "n_tokens")
         Packing.writeCurriculumShards(batch0, "doc_id", "n_tokens",
           "phase", "-p9", ctx, pps, s"$tmp/shards")

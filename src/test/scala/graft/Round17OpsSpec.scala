@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Packing, TextQueries}
+
+/** Round-17 operator specs: append BATCH IDENTITY (the id-disjointness
+  * guard + the `_batches` replay ledger — a re-submitted
+  * already-committed batch is refused loudly or no-ops cleanly, never
+  * double-packed), the new-phase crashed-append guard, and the
+  * missing-`_params` budget fallback. */
+class Round17OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+  val AllSfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
+
+  private def phasedDocs(dir: String): DataFrame = {
+    val docsDf = Tables.load(spark, dir, "documents")
+    TextQueries.curriculumPhases(docsDf)
+      .select("doc_id", "phase")
+      .join(docsDf.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text"))
+          .as("n_tokens")), "doc_id")
+  }
+
+  private def fileHashes(root: String): Map[String, String] = {
+    val base = java.nio.file.Paths.get(root)
+    val out = scala.collection.mutable.Map.empty[String, String]
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        out(base.relativize(p).toString) = d.map("%02x".format(_)).mkString
+      }
+    }
+    out.toMap
+  }
+
+  // -------------------------------------------------------------
+  // batch identity: resubmission refused; batch-id replay no-ops
+  // -------------------------------------------------------------
+
+  test("append batch identity: a re-submitted committed batch is refused; the same batchId replays as a no-op — at 3 SFs") {
+    val ctx = 256
+    val pps = 4
+    for (dir <- AllSfs) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bid").toString
+      try {
+        val s = spark
+        import s.implicits._
+        val rows = phasedDocs(dir).select("doc_id", "phase", "n_tokens")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val sortedIds = rows.map(_._1).sorted
+        val thr = sortedIds(sortedIds.length * 9 / 10)
+        val batch0 = rows.filter(_._1 < thr).toSeq
+          .toDF("doc_id", "phase", "n_tokens")
+        val batch1 = rows.filter(_._1 >= thr).toSeq
+          .toDF("doc_id", "phase", "n_tokens")
+        Packing.writeCurriculumShards(batch0, "doc_id", "n_tokens",
+          "phase", "-p9", ctx, pps, s"$tmp/shards")
+        // first append commits and records the batch id
+        assert(Packing.appendCurriculumShards(batch1, "doc_id",
+          "n_tokens", "phase", "-p9", ctx, pps, s"$tmp/shards",
+          batchId = Some("batch-1")),
+          s"$dir: first append must commit")
+        val committed = fileHashes(s"$tmp/shards")
+        // the orchestrator's lost-ack retry WITH the batch id: a clean
+        // no-op — nothing on disk changes
+        assert(!Packing.appendCurriculumShards(batch1, "doc_id",
+          "n_tokens", "phase", "-p9", ctx, pps, s"$tmp/shards",
+          batchId = Some("batch-1")),
+          s"$dir: replayed batch id must no-op")
+        assert(fileHashes(s"$tmp/shards") == committed,
+          s"$dir: replay must leave the artifact byte-identical")
+        // the same retry WITHOUT a batch id: the id-disjointness guard
+        // must refuse loudly (exact collision when few spans overlap,
+        // the bounded-verification refusal when many do) — round 16
+        // double-packed here silently
+        val e = intercept[IllegalArgumentException] {
+          Packing.appendCurriculumShards(batch1, "doc_id", "n_tokens",
+            "phase", "-p9", ctx, pps, s"$tmp/shards")
+        }
+        assert(e.getMessage.contains("already packed") ||
+          e.getMessage.contains("refusing to verify"), s"$dir: $e")
+        assert(fileHashes(s"$tmp/shards") == committed,
+          s"$dir: refused append must not touch the artifact")
+        assert(Packing.verifyCurriculumShards(spark, s"$tmp/shards")
+          .count() == 0, s"$dir: artifact intact after refusals")
+        Caches.release(spark)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("append id-overlap guard: a single already-packed id inside a fresh batch is rejected; interleaved-but-disjoint ids still append") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ovl").toString
+    try {
+      val s = spark
+      import s.implicits._
+      val ctx = 256
+      val pps = 4
+      val rows = phasedDocs(sfDir).select("doc_id", "phase", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // interleaved split: every 10th id goes to the batch — id RANGES
+      // overlap everywhere, so the guard must fall through to the
+      // exact partition-pruned membership check and still allow it
+      val batch0 = rows.filter(_._1 % 10 != 0).toSeq
+        .toDF("doc_id", "phase", "n_tokens")
+      val batch1 = rows.filter(_._1 % 10 == 0).toSeq
+        .toDF("doc_id", "phase", "n_tokens")
+      Packing.writeCurriculumShards(batch0, "doc_id", "n_tokens",
+        "phase", "-p9", ctx, pps, s"$tmp/shards")
+      assert(Packing.appendCurriculumShards(batch1, "doc_id", "n_tokens",
+        "phase", "-p9", ctx, pps, s"$tmp/shards"),
+        "interleaved-but-disjoint batch must append")
+      // decision identity still holds under the composite order
+      val union = batch0.withColumn("batch", lit(0L))
+        .unionByName(batch1.withColumn("batch", lit(1L)))
+        .filter(col("n_tokens") > 0)
+      val truth = Packing.perPhaseSegments(
+        Packing.perPhasePackOffsets(union, "doc_id", "n_tokens",
+          "phase", "-p9", ctx, pps, preOrderCols = Seq("batch")),
+        "n_tokens", ctx, pps)
+      val cols = Seq("doc_id", "phase", "pos", "n_tokens",
+        "start_offset", "pack_id", "n_spans", "seg_tokens", "shard_id")
+      val disk = spark.read.parquet(s"$tmp/shards")
+        .withColumn("phase", col("phase").cast("long"))
+        .withColumn("shard_id", col("shard_id").cast("long"))
+        .select(cols.map(col): _*)
+      val t = truth.select(cols.map(col): _*)
+      assert(disk.exceptAll(t).count() == 0 &&
+        t.exceptAll(disk).count() == 0,
+        "interleaved append diverges from the union re-pack")
+      // now a "fresh" batch that smuggles ONE committed id among new
+      // ones: rejected by the exact check, naming the id
+      val maxId = rows.map(_._1).max
+      val dupe = rows.head
+      val bad = Seq((maxId + 1000L, dupe._2, 64L),
+          (dupe._1, dupe._2, dupe._3))
+        .toDF("doc_id", "phase", "n_tokens")
+      val e = intercept[IllegalArgumentException] {
+        Packing.appendCurriculumShards(bad, "doc_id", "n_tokens",
+          "phase", "-p9", ctx, pps, s"$tmp/shards")
+      }
+      assert(e.getMessage.contains("already packed") &&
+        e.getMessage.contains(dupe._1.toString), e.getMessage)
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  // -------------------------------------------------------------
+  // crashed-append guard, new-phase class
+  // -------------------------------------------------------------
+
+  test("append refuses when a phase directory exists that the manifest does not describe (new-phase crashed append)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nph").toString
+    try {
+      val s = spark
+      import s.implicits._
+      val b0 = Seq((1L, 1L, 16L), (2L, 2L, 8L))
+        .toDF("doc_id", "phase", "n_tokens")
+      Packing.writeCurriculumShards(b0, "doc_id", "n_tokens", "phase",
+        "-p9", ctxSize = 16, packsPerShard = 2, s"$tmp/shards")
+      // footprint of an append that INTRODUCED phase 9 and died
+      // before its manifest append: a phase directory with zero
+      // manifest rows — the per-phase tail guards never look at it,
+      // so without the round-17 listing guard the next append to
+      // phase 9 would seed from zero and collide silently
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$tmp/shards/phase=9/shard_id=0"))
+      val b1 = Seq((11L, 9L, 8L)).toDF("doc_id", "phase", "n_tokens")
+      val e = intercept[IllegalArgumentException] {
+        Packing.appendCurriculumShards(b1, "doc_id", "n_tokens", "phase",
+          "-p9", ctxSize = 16, packsPerShard = 2, s"$tmp/shards")
+      }
+      assert(e.getMessage.contains("manifest has no rows"), e.getMessage)
+      // the guard fires even for a batch that never mentions phase 9 —
+      // the artifact is inconsistent, full stop
+      val b2 = Seq((12L, 1L, 8L)).toDF("doc_id", "phase", "n_tokens")
+      val e2 = intercept[IllegalArgumentException] {
+        Packing.appendCurriculumShards(b2, "doc_id", "n_tokens", "phase",
+          "-p9", ctxSize = 16, packsPerShard = 2, s"$tmp/shards")
+      }
+      assert(e2.getMessage.contains("manifest has no rows"), e2.getMessage)
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  // -------------------------------------------------------------
+  // missing _params: budget fallback + sidecar persisted on append
+  // -------------------------------------------------------------
+
+  test("append to a pre-sidecar artifact sanity-checks the shard budget and persists _params") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nop").toString
+    try {
+      val s = spark
+      import s.implicits._
+      // 70 tokens at budget 32 → shards 0/1 full (non-final), shard 2
+      // partial — the manifest can witness the budget
+      val b0 = Seq((1L, 1L, 40L), (2L, 1L, 30L))
+        .toDF("doc_id", "phase", "n_tokens")
+      Packing.writeCurriculumShards(b0, "doc_id", "n_tokens", "phase",
+        "-p9", ctxSize = 16, packsPerShard = 2, s"$tmp/shards")
+      // simulate a round-15 artifact: no _params sidecar
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$tmp/shards/_params"))
+      // wrong budget: round 16 skipped the check entirely here and
+      // would interleave incompatible pack boundaries — must refuse
+      val b1 = Seq((10L, 1L, 8L)).toDF("doc_id", "phase", "n_tokens")
+      val e = intercept[IllegalArgumentException] {
+        Packing.appendCurriculumShards(b1, "doc_id", "n_tokens", "phase",
+          "-p9", ctxSize = 8, packsPerShard = 2, s"$tmp/shards")
+      }
+      assert(e.getMessage.contains("no _params sidecar"), e.getMessage)
+      // correct budget: append proceeds AND persists the sidecar so
+      // every later append cross-checks properly
+      assert(Packing.appendCurriculumShards(b1, "doc_id", "n_tokens",
+        "phase", "-p9", ctxSize = 16, packsPerShard = 2, s"$tmp/shards"))
+      val prm = spark.read.parquet(s"$tmp/shards/_params").head
+      assert(prm.getAs[Long]("ctx_size") == 16L &&
+        prm.getAs[Long]("packs_per_shard") == 2L &&
+        prm.getAs[String]("salt") == "-p9")
+      assert(Packing.verifyCurriculumShards(spark, s"$tmp/shards")
+        .count() == 0)
+      // and now a mismatched append is caught by the sidecar path
+      val e2 = intercept[IllegalArgumentException] {
+        Packing.appendCurriculumShards(
+          Seq((20L, 1L, 8L)).toDF("doc_id", "phase", "n_tokens"),
+          "doc_id", "n_tokens", "phase", "-p9", ctxSize = 8,
+          packsPerShard = 2, s"$tmp/shards")
+      }
+      assert(e2.getMessage.contains("_params"), e2.getMessage)
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+}
