@@ -112,14 +112,10 @@ object Bench {
     "s25_event_funnel", // ordered conversion funnel: chained cond-mins
     "p11_domain_mixture", // mixture plan: one lang agg + broadcast total
     "s26_retention_cohorts", // cohort retention: 2 user-keyed aggs + join
-    "t54_pii_redaction") // PII mask: 6 regex passes in one map scan
-  // p12 stays out of the headline: it is p10's prefix sum + segment
-  // explode (headlined) plus one (phase, shard)-keyed bounded
-  // aggregate — no new plan family; its artifact path (writer +
-  // manifest + verify + append) is spec-timed in Round16OpsSpec.
-  // p13 stays out of the headline: it is p11's bounded plan
-  // (headlined) plus a map-side md5 residue decision in the scan —
-  // no new plan family.
+    "t54_pii_redaction", // PII mask: 6 regex passes in one map scan
+    "p12_pack_manifest", // p10's prefix sum + (phase, shard)-keyed fold
+    "p13_mixture_sampling", // p11's bounded plan + md5 residue map scan
+    "t55_data_card") // per-lang × per-gate release report: 1 lang fold
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

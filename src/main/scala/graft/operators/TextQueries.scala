@@ -2518,26 +2518,8 @@ object TextQueries {
     // per doc_id class (piiPlantedText, ONE definition). Pure scan
     // projection — zero shuffles before the output sort; at 100 TB a
     // map-only pass with the patterns inlined in the plan.
-    "t54_pii_redaction" -> ((s, dir) => {
-      val masked = regexp_replace(regexp_replace(regexp_replace(
-        col("text"), EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"),
-        PhonePat, "<PHONE>")
-      def cnt(pat: String) =
-        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
-          .cast("long")
-      docs(s, dir)
-        .select(col("doc_id"),
-          piiPlantedText(col("doc_id"), col("text")).as("text"))
-        .select(col("doc_id"),
-          cnt(EmailPat).as("n_emails"),
-          cnt(Ipv4Pat).as("n_ips"),
-          cnt(PhonePat).as("n_phones"),
-          md5(masked).as("red_fp"))
-        .withColumn("pii_free",
-          col("n_emails") === 0 && col("n_ips") === 0 &&
-            col("n_phones") === 0)
-        .orderBy("doc_id")
-    }),
+    "t54_pii_redaction" -> ((s, dir) =>
+      piiCounts(docs(s, dir)).orderBy("doc_id")),
 
     "t53_repetition_filter" -> ((s, dir) => {
       val lined = graft.Caches.shared(docs(s, dir)
@@ -2655,7 +2637,108 @@ object TextQueries {
         "doc_id", "phase")
         .orderBy("phase", "shard_id")
     }),
+
+    // T55: per-domain DATA CARD (round 17) — the per-language ×
+    // per-gate breakdown a corpus release publishes (The Pile §2,
+    // Dolma, FineWeb data cards): t52 gives the whole-corpus
+    // sequential funnel; the card is the same ONE-definition gate
+    // tables folded one level finer, per `lang` — docs and seg-token
+    // volume, each gate's independent pass count (gopher rules,
+    // blocklist, full-corpus dedup, benchmark decontamination,
+    // PII-free, quality classifier), the final all-gates keep with
+    // its doc/token keep rates, and the readability distribution (the
+    // p9 FK decibin summed exactly; its mean as the one derived
+    // double). Every flag comes from the SAME definition its
+    // standalone query hash-checks (t43/t48 labels, t50 counts,
+    // textDupDecision, d21, t54's piiCounts, p9's bin) — the card can
+    // never drift from the gates it reports. Decontamination is
+    // LEFT-joined, coalesce TRUE (the %23 benchmark slice is eval
+    // data, unscreened — the t52 convention); classifier coverage
+    // LEFT-joined, zero-token docs score as drop. Scale shape: the
+    // gate scans the pipeline already pays, then ONE lang-keyed fold
+    // with map-side partials — output is #languages rows, never
+    // corpus rows; rates are exact-integer ratios rounded at the end.
+    "t55_data_card" -> ((s, dir) => {
+      val dd = docs(s, dir)
+      val d = graft.Caches.shared(dd.select(col("doc_id"),
+        TextAnalysis.segTokens(col("text")).as("tk")))
+      val labels = graft.Caches.shared(qualityLabels(dd))
+      val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .join(labels, "doc_id")
+      val scored =
+        qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
+      val flags = dd.select(col("doc_id"), col("lang"))
+        .join(labels.withColumnRenamed("keep", "g_keep"), "doc_id")
+        .join(blocklistCounts(dd)
+          .select(col("doc_id"), (col("n_bad") === 0).as("b_keep")),
+          "doc_id")
+        .join(textDupDecision(s, dir)
+          .select(col("asset_id").as("doc_id"), col("kept").as("d_keep")),
+          "doc_id")
+        .join(benchmarkDecontamination(s, dir)
+          .select(col("doc_id"), (!col("contaminated")).as("c_keep")),
+          Seq("doc_id"), "left")
+        .join(scored.select(col("doc_id"), col("n_tokens"),
+          col("pred_keep")), Seq("doc_id"), "left")
+        .join(piiCounts(dd).select(col("doc_id"), col("pii_free")),
+          "doc_id")
+        .join(withReadability(dd)
+          .select(col("doc_id"),
+            round(col("fk") * 10).cast("long").as("bin")), "doc_id")
+        .select(col("lang"), col("g_keep"), col("b_keep"), col("d_keep"),
+          coalesce(col("c_keep"), lit(true)).as("c_keep"),
+          coalesce(col("pred_keep"), lit(false)).as("p_keep"),
+          coalesce(col("n_tokens"), lit(0L)).as("nt"),
+          col("pii_free"), col("bin"))
+      def cnt(p: org.apache.spark.sql.Column) =
+        sum(when(p, 1L).otherwise(0L))
+      val keepAll = col("g_keep") && col("b_keep") && col("d_keep") &&
+        col("c_keep") && col("pii_free") && col("p_keep")
+      flags.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"),
+          cnt(col("g_keep")).as("gopher_pass"),
+          cnt(col("b_keep")).as("blocklist_pass"),
+          cnt(col("d_keep")).as("dedup_pass"),
+          cnt(col("c_keep")).as("decon_pass"),
+          cnt(col("pii_free")).as("pii_free_docs"),
+          cnt(col("p_keep")).as("classifier_pass"),
+          cnt(keepAll).as("docs_kept"),
+          sum(when(keepAll, col("nt")).otherwise(0L)).as("tokens_kept"),
+          sum("bin").as("fk_bin_sum"))
+        .withColumn("doc_keep_rate",
+          round(col("docs_kept").cast("double") / col("n_docs"), 6))
+        .withColumn("token_keep_rate",
+          when(col("n_tokens") > 0,
+            round(col("tokens_kept").cast("double") / col("n_tokens"), 6)))
+        .withColumn("mean_fk_bin",
+          round(col("fk_bin_sum").cast("double") / col("n_docs"), 4))
+        .orderBy("lang")
+    }),
   )
+
+  /** t54's detection + redaction body — ONE definition for the t54
+    * query and the t55 data card's PII gate: plant, per-pattern
+    * leftmost-first counts, the fixed-order global mask chain's md5
+    * fingerprint, and the pii_free verdict. Pure scan projection. */
+  private def piiCounts(d: DataFrame): DataFrame = {
+    val masked = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"),
+      PhonePat, "<PHONE>")
+    def cnt(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long")
+    d.select(col("doc_id"),
+        piiPlantedText(col("doc_id"), col("text")).as("text"))
+      .select(col("doc_id"),
+        cnt(EmailPat).as("n_emails"),
+        cnt(Ipv4Pat).as("n_ips"),
+        cnt(PhonePat).as("n_phones"),
+        md5(masked).as("red_fp"))
+      .withColumn("pii_free",
+        col("n_emails") === 0 && col("n_ips") === 0 &&
+          col("n_phones") === 0)
+  }
 
   /** t53's planted line list: 10-word chunk lines (d19's convention)
     * plus the two repetition plants, each scaled WITH the document so
@@ -2856,6 +2939,81 @@ object TextQueries {
       | ${t52FoldSql("dec", "dxrep")}"""
       .stripMargin.replaceAll("\n", ""))
 
+  /** t55's per-lang fold tail — ONE spelling for the full oracle and
+    * the sf1 chain rollup (the t52FoldSql pattern): the PII gate
+    * (shared plant + patterns), the classifier coverage, and the
+    * lang-grouped per-gate counts with the exact-integer rates.
+    * `dedupRef`/`deconRef` as in [[t52FoldSql]]. */
+  private def t55FoldSql(dedupRef: String, deconRef: String): String = {
+    val keepAll = "g_keep AND b_keep AND d_keep AND c_keep AND " +
+      "pii_free AND p_keep"
+    s"""t55pt AS ($piiPlantSql),
+      | pix AS (SELECT doc_id,
+      |   len(regexp_extract_all(text, '$EmailPat')) = 0
+      |   AND len(regexp_extract_all(text, '$Ipv4Pat')) = 0
+      |   AND len(regexp_extract_all(text, '$PhonePat')) = 0 AS pii_free
+      |  FROM t55pt),
+      | fpk AS (SELECT doc_id, n_tokens,
+      |   ($t48LogOddsSql) > 0 AS pred_keep
+      |  FROM sc, cn, dc),
+      | crd AS (SELECT src.lang, lab.keep AS g_keep,
+      |   blc.n_bad = 0 AS b_keep,
+      |   ddc.kept AS d_keep,
+      |   COALESCE(NOT dxr.contaminated, TRUE) AS c_keep,
+      |   COALESCE(fpk.pred_keep, FALSE) AS p_keep,
+      |   COALESCE(fpk.n_tokens, 0) AS nt,
+      |   pix.pii_free,
+      |   CAST(ROUND(fkx.fk * 10) AS BIGINT) AS bin
+      |  FROM documents src
+      |   JOIN lab ON src.doc_id = lab.doc_id
+      |   JOIN blc ON src.doc_id = blc.doc_id
+      |   JOIN $dedupRef ddc ON src.doc_id = ddc.asset_id
+      |   LEFT JOIN $deconRef dxr ON src.doc_id = dxr.doc_id
+      |   LEFT JOIN fpk ON src.doc_id = fpk.doc_id
+      |   JOIN pix ON src.doc_id = pix.doc_id
+      |   JOIN fkx ON src.doc_id = fkx.doc_id)
+      | SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS gopher_pass,
+      |  CAST(SUM(CASE WHEN b_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS blocklist_pass,
+      |  CAST(SUM(CASE WHEN d_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS dedup_pass,
+      |  CAST(SUM(CASE WHEN c_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS decon_pass,
+      |  CAST(SUM(CASE WHEN pii_free THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS pii_free_docs,
+      |  CAST(SUM(CASE WHEN p_keep THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS classifier_pass,
+      |  CAST(SUM(CASE WHEN $keepAll THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS docs_kept,
+      |  CAST(SUM(CASE WHEN $keepAll THEN nt ELSE 0 END) AS BIGINT)
+      |   AS tokens_kept,
+      |  CAST(SUM(bin) AS BIGINT) AS fk_bin_sum,
+      |  ROUND(SUM(CASE WHEN $keepAll THEN 1 ELSE 0 END)::DOUBLE
+      |    / COUNT(*), 6) AS doc_keep_rate,
+      |  CASE WHEN SUM(nt) > 0 THEN
+      |    ROUND(SUM(CASE WHEN $keepAll THEN nt ELSE 0 END)::DOUBLE
+      |      / SUM(nt), 6) END AS token_keep_rate,
+      |  ROUND(SUM(bin)::DOUBLE / COUNT(*), 4) AS mean_fk_bin
+      | FROM crd GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** t55's full oracle, emitted dump-time like t52's (its
+    * decontamination gate embeds d21's canon chain): the SAME t48 /
+    * t50 / dedup / d21(dx) chains plus the FK block, folded per lang
+    * by [[t55FoldSql]]. */
+  private def t55OracleSql(s: SparkSession, dir: String): Option[String] =
+    Some(s"""WITH RECURSIVE $t48ReplayCtes,
+      | $t50CountCtes,
+      | $textDedupCtes,
+      | ${d21ReplayCtes(s, dir, "dx")},
+      | $fkCtesSql,
+      | ${t55FoldSql("dec", "dxrep")}"""
+      .stripMargin.replaceAll("\n", ""))
+
   /** sf1 chain-at-a-time oracle plan for t52 (round 15; decon chain
     * round 16): the one-WITH replay carries the full-corpus winnowing
     * closure AND the d21 gram screen — both DuckDB-temp-bound at sf1
@@ -2873,6 +3031,17 @@ object TextQueries {
         " SELECT doc_id, contaminated FROM rep").replaceAll("\n", ""),
       "rollup" -> (s"WITH $t48ReplayCtes, $t50CountCtes, " +
         t52FoldSql("__CHAIN_dedup__", "__CHAIN_decon__"))
+        .replaceAll("\n", "")),
+    // t55 embeds the same two DuckDB-temp-bound chains (winnowing
+    // closure + d21 gram screen) — the identical staged form, with
+    // the per-lang fold as the rollup
+    "t55_data_card" -> Seq(
+      "dedup" -> (s"WITH RECURSIVE $textDedupCtes" +
+        " SELECT asset_id, kept FROM dec").replaceAll("\n", ""),
+      "decon" -> (s"WITH ${d21ReplayCtes(s, dir, "")}" +
+        " SELECT doc_id, contaminated FROM rep").replaceAll("\n", ""),
+      "rollup" -> (s"WITH $t48ReplayCtes, $t50CountCtes, $fkCtesSql, " +
+        t55FoldSql("__CHAIN_dedup__", "__CHAIN_decon__"))
         .replaceAll("\n", "")))
 
   /** Oracle-side distinct word-n-gram shingle list over a `tk` token
@@ -3164,6 +3333,22 @@ object TextQueries {
   private lazy val t48LogOddsSql: String =
     s"bdiff - n_tokens * (${q6lnSql("nk + v")} - ${q6lnSql("ndt + v")})" +
       s" + ${q6lnSql("dk + 1")} - ${q6lnSql("dd + 1")}"
+
+  /** Oracle twin of [[piiPlantedText]] over `documents` — the body of
+    * the plant CTE, ONE spelling shared by the t54 and t55 oracles
+    * (two copies of the plant surgery could drift independently). */
+  private lazy val piiPlantSql: String =
+    """SELECT doc_id, text ||
+      |   CASE WHEN doc_id % 6 = 1 THEN ' Reach me at user' ||
+      |     CAST(doc_id AS VARCHAR) || '@Example.org for details.'
+      |    ELSE '' END ||
+      |   CASE WHEN doc_id % 10 = 3 THEN ' Server at 10.0.' ||
+      |     CAST(doc_id % 256 AS VARCHAR) || '.7 responded.'
+      |    ELSE '' END ||
+      |   CASE WHEN doc_id % 8 = 5 THEN ' Call 555-867-' ||
+      |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'
+      |    ELSE '' END AS text
+      |  FROM documents""".stripMargin
 
   /** Oracle-side spelling of [[Dedup.md5Long]]: parse the first 15 hex
     * digits of md5(expr) back to a BIGINT with a strpos fold — 60 bits,
@@ -3502,7 +3687,8 @@ object TextQueries {
     } ++
     lastDecontamCtx.toSeq.flatMap { case (s, dir) =>
       d21OracleSql(s, dir).map("d21_benchmark_decontamination" -> _) ++
-        t52OracleSql(s, dir).map("t52_filter_funnel" -> _)
+        t52OracleSql(s, dir).map("t52_filter_funnel" -> _) ++
+        t55OracleSql(s, dir).map("t55_data_card" -> _)
     } ++ Map(
     // t25/t33: the sketch queries' derived-invariant oracles (see the
     // query Scaladocs): DuckDB recomputes the EXACT side — the
@@ -4828,17 +5014,7 @@ object TextQueries {
     // fixed-order global replace chain — the md5 fingerprint compares
     // the REDACTED BYTES, not just the counts.
     "t54_pii_redaction" ->
-      s"""WITH pt AS (SELECT doc_id, text ||
-        |   CASE WHEN doc_id % 6 = 1 THEN ' Reach me at user' ||
-        |     CAST(doc_id AS VARCHAR) || '@Example.org for details.'
-        |    ELSE '' END ||
-        |   CASE WHEN doc_id % 10 = 3 THEN ' Server at 10.0.' ||
-        |     CAST(doc_id % 256 AS VARCHAR) || '.7 responded.'
-        |    ELSE '' END ||
-        |   CASE WHEN doc_id % 8 = 5 THEN ' Call 555-867-' ||
-        |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'
-        |    ELSE '' END AS text
-        |  FROM documents)
+      s"""WITH pt AS ($piiPlantSql)
         | SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT)
         |   AS n_emails,

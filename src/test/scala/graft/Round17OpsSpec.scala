@@ -239,4 +239,75 @@ class Round17OpsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
   }
+
+  // -------------------------------------------------------------
+  // t55 data card: every cell from the standalone gate outputs
+  // -------------------------------------------------------------
+
+  test("t55 data card: every cell recomputes from the standalone gate outputs") {
+    val s = spark
+    val dir = sfDir
+    val docsDf = Tables.load(s, dir, "documents")
+    val lang = docsDf.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val g = TextQueries.qualityLabels(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val b = SparkEntry.queries("t50_toxicity_filter")(s, dir)
+      .select("doc_id", "c4_keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val dk = TextQueries.textDupDecision(s, dir).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Boolean]("kept")).toMap
+    val ck = SparkEntry.queries("d21_benchmark_decontamination")(s, dir)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> !r.getBoolean(1)).toMap
+    val sc = SparkEntry.queries("t48_quality_classifier")(s, dir)
+      .select("doc_id", "n_tokens", "pred_keep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val pii = SparkEntry.queries("t54_pii_redaction")(s, dir)
+      .select("doc_id", "pii_free").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bins = TextQueries.withReadability(docsDf)
+      .select(col("doc_id"), round(col("fk") * 10).cast("long").as("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain-Scala fold, one record per document, grouped by lang —
+    // fully independent of the card's joined/aggregated plan
+    case class Cell(id: Long, g: Boolean, b: Boolean, d: Boolean,
+        c: Boolean, p: Boolean, nt: Long, pii: Boolean, bin: Long)
+    val cells = lang.keys.toSeq.map { id =>
+      val (nt, pk) = sc.getOrElse(id, (0L, false))
+      Cell(id, g(id), b(id), dk(id), ck.getOrElse(id, true), pk, nt,
+        pii(id), bins(id))
+    }
+    val want = cells.groupBy(c => lang(c.id))
+    val card = SparkEntry.queries("t55_data_card")(s, dir).collect()
+    assert(card.map(_.getString(0)).toSet == want.keySet,
+      "card must cover exactly the corpus languages")
+    card.foreach { r =>
+      val cs = want(r.getString(0))
+      val all = (c: Cell) => c.g && c.b && c.d && c.c && c.pii && c.p
+      def n(name: String) = r.getAs[Long](name)
+      assert(n("n_docs") == cs.size, s"${r.getString(0)} n_docs")
+      assert(n("n_tokens") == cs.map(_.nt).sum, s"${r.getString(0)} nt")
+      assert(n("gopher_pass") == cs.count(_.g))
+      assert(n("blocklist_pass") == cs.count(_.b))
+      assert(n("dedup_pass") == cs.count(_.d))
+      assert(n("decon_pass") == cs.count(_.c))
+      assert(n("pii_free_docs") == cs.count(_.pii))
+      assert(n("classifier_pass") == cs.count(_.p))
+      assert(n("docs_kept") == cs.count(all))
+      assert(n("tokens_kept") == cs.filter(all).map(_.nt).sum)
+      assert(n("fk_bin_sum") == cs.map(_.bin).sum)
+      assert(math.abs(r.getAs[Double]("doc_keep_rate") -
+        cs.count(all).toDouble / cs.size) < 1e-6)
+      assert(math.abs(r.getAs[Double]("mean_fk_bin") -
+        cs.map(_.bin).sum.toDouble / cs.size) < 1e-3)
+    }
+    // and the gates individually fire somewhere: a card whose columns
+    // are all-pass would not witness the joins
+    assert(card.map(_.getAs[Long]("dedup_pass")).sum <
+      card.map(_.getAs[Long]("n_docs")).sum, "dedup gate never fired")
+    assert(card.map(_.getAs[Long]("pii_free_docs")).sum <
+      card.map(_.getAs[Long]("n_docs")).sum, "pii gate never fired")
+    Caches.release(spark)
+  }
 }

@@ -72,7 +72,8 @@ object UnicodeFixtureGateSpec {
     "d3_minhash_neardup",
     // round 14 wave C: the filter funnel reads seg tokens through
     // t48's scoring chain
-    "t52_filter_funnel")
+    "t52_filter_funnel",
+    "t55_data_card")
 }
 
 class UnicodeFixtureGateSpec extends AnyFunSuite {
