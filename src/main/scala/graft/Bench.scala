@@ -115,7 +115,8 @@ object Bench {
     "t54_pii_redaction", // PII mask: 6 regex passes in one map scan
     "p12_pack_manifest", // p10's prefix sum + (phase, shard)-keyed fold
     "p13_mixture_sampling", // p11's bounded plan + md5 residue map scan
-    "t55_data_card") // per-lang × per-gate release report: 1 lang fold
+    "t55_data_card", // per-lang × per-gate release report: 1 lang fold
+    "m21_caption_alignment") // curate→align gate: fused encode/decode map
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

@@ -503,6 +503,79 @@ object Multimodal {
     spark.createDataFrame(rows, AssetSchema)
   }
 
+  /** m21's vision side (round 17): for each (caption, image-url)
+    * pair, build the pair's REAL PNG (8-bit gray, one pixel row,
+    * painted by the url's alignment class), decode it back with the
+    * same JDK codec family, and emit the decoded 16-bin
+    * luminance-bucket histogram (counts of luma div 16). The whole
+    * encode→PNG→decode→histogram roundtrip runs in ONE narrow map —
+    * bytes never leave the task (the m13 fused-decode shape), so at
+    * 100 TB the pass adds zero exchange to the extraction scan it
+    * sits on. Raster samples are written and read directly (setRGB
+    * on a gray raster would color-convert and break exactness).
+    *
+    * Paint classes (decided by the url, the plant's stand-in for a
+    * crawl-table media lookup):
+    *  - `m21.example/<id>/a.png` — ALIGNED: cap_hist(b) pixels at
+    *    bucket b's mid luma (b·16+8), so the decoded histogram
+    *    EQUALS the caption histogram (a zero-mass caption paints one
+    *    bucket-0 pixel);
+    *  - `m21.example/<id>/m.png` — MISALIGNED: every pixel in the
+    *    fixed bucket 2 — orthogonal to any caption with no
+    *    bucket-2 mass;
+    *  - otherwise GENERIC: 32 pixels, luma_i = (doc_id·7 + pos·11 +
+    *    i·13) mod 256 — the id-pure fill discipline of the other
+    *    synthetic assets, so an oracle replays the histogram without
+    *    a codec.
+    * Input rows carry doc_id (long), pos (int), image_url and
+    * cap_hist (16 longs); every column passes through with img_hist
+    * appended. */
+  def captionAlignedHists(pairs: DataFrame): DataFrame = {
+    val schema = pairs.schema.add("img_hist",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+    val iDoc = pairs.schema.fieldIndex("doc_id")
+    val iPos = pairs.schema.fieldIndex("pos")
+    val iUrl = pairs.schema.fieldIndex("image_url")
+    val iCap = pairs.schema.fieldIndex("cap_hist")
+    val rows = pairs.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(iDoc)
+        val pos = r.getInt(iPos)
+        val url = r.getString(iUrl)
+        val cap = r.getSeq[Long](iCap)
+        val lumas: Array[Int] =
+          if (url.matches(".*m21[.]example/[0-9]+/a[.]png")) {
+            val px = (0 until 16).flatMap(b =>
+              Seq.fill(cap(b).toInt)(b * 16 + 8))
+            if (px.isEmpty) Array(8) else px.toArray
+          } else if (url.matches(".*m21[.]example/[0-9]+/m[.]png")) {
+            Array.fill(math.max(cap.sum.toInt, 1))(2 * 16 + 8)
+          } else {
+            Array.tabulate(32)(i =>
+              ((id * 7 + pos.toLong * 11 + i * 13) % 256).toInt)
+          }
+        val img = new java.awt.image.BufferedImage(lumas.length, 1,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var x = 0
+        while (x < lumas.length) {
+          img.getRaster.setSample(x, 0, 0, lumas(x)); x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        val hist = new Array[Long](16)
+        var k = 0
+        while (k < back.getWidth) {
+          hist(back.getRaster.getSample(k, 0, 0) / 16) += 1; k += 1
+        }
+        Row.fromSeq(r.toSeq :+ hist.toSeq)
+      }
+    }
+    pairs.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Deterministic REAL video containers: each asset is a zip archive
     * of PNG key-frames (frame j's pixels derive from (id, j, x, y) by
     * the same arithmetic family as [[syntheticPngAssets]] — so an

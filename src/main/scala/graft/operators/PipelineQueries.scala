@@ -398,6 +398,59 @@ object PipelineQueries {
   private val M16Placeholders =
     Seq("image", "photo", "logo", "icon", "picture", "untitled image")
 
+  /** m21's alignment plant layered on top of the m14/m16 plants:
+    * %7==3 docs carry a caption whose image is painted FROM the
+    * caption's character histogram (cosine exactly 1 — the aligned
+    * class), %7==5 a caption whose letters all land in bucket 10
+    * (j/z — the id digits are transliterated so uniqueness never
+    * leaks digit mass into other buckets) against an image painted
+    * entirely in bucket 2 (cosine exactly 0 — the misaligned class).
+    * Both captions embed the id so m16's cross-image-df rule keeps
+    * them (a FIXED caption on thousands of urls is boilerplate by
+    * m16's own definition — the round-17 lesson: alignment plants
+    * must survive the curation gate they compose with). */
+  private def m21PlantExpr(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val s = id.cast("string")
+    concat(
+      when(id % 7 === 3, concat(
+          lit(" ![m21 aligned sample "), s,
+          lit("](http://m21.example/"), s, lit("/a.png)")))
+        .otherwise(lit("")),
+      when(id % 7 === 5, concat(
+          lit(" ![zz zz "), translate(s, "0123456789", "jjjjjzzzzz"),
+          lit("](http://m21.example/"), s, lit("/m.png)")))
+        .otherwise(lit("")))
+  }
+
+  /** SQL twin of [[m21PlantExpr]] — single-line by design (the
+    * m14ExtractCtes margin-strip caveat). */
+  private val m21ExtraPlantSql: String =
+    " || CASE WHEN doc_id % 7 = 3 THEN ' ![m21 aligned sample '" +
+      " || doc_id || '](http://m21.example/' || doc_id || '/a.png)'" +
+      " ELSE '' END" +
+      " || CASE WHEN doc_id % 7 = 5 THEN ' ![zz zz '" +
+      " || translate(CAST(doc_id AS VARCHAR), '0123456789', 'jjjjjzzzzz')" +
+      " || '](http://m21.example/' || doc_id || '/m.png)' ELSE '' END"
+
+  /** m21's 16 character-bucket classes: [a-z0-9] partitioned by
+    * code point mod 16 — ONE generated table interpolated into BOTH
+    * engines' regex counts (plain character classes, byte-identical
+    * under Java regex and RE2), and the bucket map the aligned
+    * painter consumes via the cap_hist column itself. */
+  private[graft] val M21BucketChars: Seq[String] =
+    (0 until 16).map { b =>
+      (('a' to 'z') ++ ('0' to '9')).filter(_.toInt % 16 == b).mkString
+    }
+
+  /** The 16 bucket counts as a DuckDB list literal over
+    * `caption_norm` — generated from the SAME [[M21BucketChars]]
+    * table the engine interpolates. */
+  private lazy val m21CapHistSql: String =
+    M21BucketChars.map(cs =>
+      s"CAST(len(regexp_extract_all(caption_norm, '[$cs]')) AS BIGINT)")
+      .mkString("[", ", ", "]")
+
   /** m14's extraction replay as a CTE block ending in `allp`
     * (doc_id, kind, pos, image_url, caption) — shared verbatim by the
     * m14 oracle, m15's consolidation oracle and m16's caption-quality
@@ -913,6 +966,79 @@ object PipelineQueries {
           col("len_ok"), col("not_placeholder"), col("df_ok"),
           (col("len_ok") && col("not_placeholder") && col("df_ok"))
             .as("keep"))
+        .orderBy("doc_id", "kind", "pos")
+    }),
+
+    // M21: caption–image ALIGNMENT gate (round 17) — the final
+    // pairing gate of the DataComp/LAION recipe, completing
+    // m14 (extract) → m16 (curate) → ALIGN: each caption that
+    // SURVIVES m16's three rules is embedded, its image's embedding
+    // is derived from the REALLY-decoded pixels, and the pair keeps
+    // only when the cosine clears the threshold (the CLIP-score
+    // shape; the container has no CLIP, so both encoders are the
+    // deterministic replayable stand-ins the stub discipline
+    // prescribes). Text side: the caption's 16-bin character
+    // histogram (code-point mod 16 over the normalized [a-z0-9]
+    // chars) — chosen over the E2 embedder deliberately: E2 would
+    // bound the oracle to a dump-time inlined pool (the r1 pattern),
+    // the histogram keeps the oracle EXACT over the whole corpus.
+    // Vision side: the 16-bin luminance-bucket histogram of the real
+    // PNG encode→decode roundtrip (captionAlignedHists — the m5/m13
+    // discipline: pixels are a pure function of (caption, url,
+    // doc_id, pos), so the oracle recomputes the expected histogram
+    // and any codec/sampling loss hash-fails). Plants per class:
+    // %7==3 aligned (cosine exactly 1), %7==5 misaligned (cosine
+    // exactly 0); generic m14 captions score against the id-pure
+    // generic fill. Scale shape: extraction scan → one caption-keyed
+    // df aggregate + join back (m16's own shape) → ONE fused narrow
+    // map for encode/decode/histogram (bytes never shuffle) → pure
+    // column cosine; zero extra exchanges over m16.
+    "m21_caption_alignment" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), m14PlantExpr(col("doc_id")),
+            m16ExtraPlantExpr(col("doc_id")),
+            m21PlantExpr(col("doc_id"))).as("text"))
+      val pairs = graft.sources.Sources
+        .imageCaptionPairs(planted, "doc_id", "text")
+        .withColumn("caption_words",
+          expr("transform(regexp_extract_all(caption, '[A-Za-z0-9]+', 0)," +
+            " w -> lower(w))"))
+        .withColumn("caption_norm", array_join(col("caption_words"), " "))
+        .withColumn("n_words", size(col("caption_words")).cast("long"))
+      val dfx = pairs.groupBy("caption_norm")
+        .agg(countDistinct("image_url").as("img_df"))
+      val kept = pairs.join(dfx, "caption_norm")
+        .filter(col("n_words").between(2, 32) &&
+          !col("caption_norm").isin(M16Placeholders: _*) &&
+          col("img_df") <= 3)
+        .withColumn("cap_hist", array(M21BucketChars.map(cs =>
+          regexp_count(col("caption_norm"), lit(s"[$cs]"))
+            .cast("long")): _*))
+        .select("doc_id", "kind", "pos", "image_url", "caption_norm",
+          "cap_hist")
+      graft.multimodal.Multimodal.captionAlignedHists(kept)
+        .withColumn("cap_mass",
+          expr("aggregate(cap_hist, 0L, (a, v) -> a + v)"))
+        .withColumn("img_mass",
+          expr("aggregate(img_hist, 0L, (a, v) -> a + v)"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(cap_hist, img_hist, (x, y) -> x * y), " +
+            "0L, (a, v) -> a + v)"))
+        .withColumn("na",
+          expr("aggregate(cap_hist, 0L, (a, v) -> a + v * v)"))
+        .withColumn("nb",
+          expr("aggregate(img_hist, 0L, (a, v) -> a + v * v)"))
+        .withColumn("raw_cos",
+          when(col("na") > 0 && col("nb") > 0,
+            col("dot").cast("double") /
+              (sqrt(col("na").cast("double")) *
+                sqrt(col("nb").cast("double"))))
+            .otherwise(lit(0.0)))
+        .select(col("doc_id"), col("kind"), col("pos"), col("image_url"),
+          col("caption_norm"), col("cap_mass"), col("img_mass"),
+          round(col("raw_cos"), 6).as("cos_sim"),
+          (col("raw_cos") >= 0.8).as("aligned"))
         .orderBy("doc_id", "kind", "pos")
     }),
 
@@ -1600,6 +1726,70 @@ object PipelineQueries {
         |   AND img_df <= 3 AS keep
         | FROM wcs w JOIN dfx ON w.caption_norm = dfx.caption_norm
         | ORDER BY doc_id, kind, pos""".stripMargin.replaceAll("\n", ""),
+    // m21: the m14 extraction over the m14+m16+m21 plants, the m16
+    // keep rules, the 16 character-bucket counts (the engine's own
+    // generated classes, interpolated), then the EXPECTED image
+    // histogram per paint class (aligned = the caption histogram,
+    // misaligned = all mass in bucket 2, generic = the id-pure fill
+    // formula) and the same integer dot/norm cosine — any loss in
+    // the engine's real encode→PNG→decode→histogram chain or a
+    // drifted threshold hash-fails.
+    "m21_caption_alignment" ->
+      s"""WITH ${m14ExtractCtes(m16ExtraPlantSql + m21ExtraPlantSql)},
+        | nrm AS (SELECT doc_id, kind, pos, image_url,
+        |   list_transform(regexp_extract_all(caption, '[A-Za-z0-9]+', 0),
+        |    w -> lower(w)) AS cw FROM allp),
+        | wcs AS (SELECT doc_id, kind, pos, image_url,
+        |   array_to_string(cw, ' ') AS caption_norm,
+        |   CAST(len(cw) AS BIGINT) AS n_words FROM nrm),
+        | dfx AS (SELECT caption_norm,
+        |   CAST(COUNT(DISTINCT image_url) AS BIGINT) AS img_df
+        |  FROM wcs GROUP BY caption_norm),
+        | kpt AS (SELECT w.doc_id, w.kind, w.pos, w.image_url,
+        |   w.caption_norm
+        |  FROM wcs w JOIN dfx ON w.caption_norm = dfx.caption_norm
+        |  WHERE n_words BETWEEN 2 AND 32
+        |   AND w.caption_norm NOT IN (${
+            M16Placeholders.map(p => s"'$p'").mkString(", ")})
+        |   AND img_df <= 3),
+        | chx AS (SELECT *, $m21CapHistSql AS cap_hist FROM kpt),
+        | ihx AS (SELECT *, CASE
+        |   WHEN regexp_matches(image_url, 'm21[.]example/[0-9]+/a[.]png')
+        |    THEN CASE WHEN list_sum(cap_hist) = 0
+        |     THEN [CAST(1 AS BIGINT), 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        |       0, 0, 0, 0]
+        |     ELSE cap_hist END
+        |   WHEN regexp_matches(image_url, 'm21[.]example/[0-9]+/m[.]png')
+        |    THEN list_transform(range(1, 17), b -> CASE WHEN b = 3
+        |      THEN GREATEST(CAST(list_sum(cap_hist) AS BIGINT),
+        |       CAST(1 AS BIGINT))
+        |      ELSE CAST(0 AS BIGINT) END)
+        |   ELSE list_transform(range(1, 17), b ->
+        |     CAST(len(list_filter(range(0, 32),
+        |      i -> ((doc_id * 7 + pos * 11 + i * 13) % 256) // 16
+        |       = b - 1)) AS BIGINT))
+        |   END AS img_hist FROM chx),
+        | fin AS (SELECT doc_id, kind, pos, image_url, caption_norm,
+        |   CAST(list_sum(cap_hist) AS BIGINT) AS cap_mass,
+        |   CAST(list_sum(img_hist) AS BIGINT) AS img_mass,
+        |   CAST(list_sum(list_transform(range(1, 17),
+        |     i -> cap_hist[CAST(i AS INT)] * img_hist[CAST(i AS INT)]))
+        |    AS BIGINT) AS dot,
+        |   CAST(list_sum(list_transform(cap_hist, v -> v * v)) AS BIGINT)
+        |    AS na,
+        |   CAST(list_sum(list_transform(img_hist, v -> v * v)) AS BIGINT)
+        |    AS nb
+        |  FROM ihx)
+        | SELECT doc_id, kind, pos, image_url, caption_norm, cap_mass,
+        |  img_mass,
+        |  ROUND(CASE WHEN na > 0 AND nb > 0 THEN
+        |    dot::DOUBLE / (SQRT(na::DOUBLE) * SQRT(nb::DOUBLE))
+        |    ELSE 0.0::DOUBLE END, 6) AS cos_sim,
+        |  (CASE WHEN na > 0 AND nb > 0 THEN
+        |    dot::DOUBLE / (SQRT(na::DOUBLE) * SQRT(nb::DOUBLE))
+        |    ELSE 0.0::DOUBLE END) >= 0.8::DOUBLE AS aligned
+        | FROM fin ORDER BY doc_id, kind, pos"""
+        .stripMargin.replaceAll("\n", ""),
     // m6: every sampled frame's luminance sum recomputed from the
     // synthetic pixel function — integer-exact in both engines.
     "m6_video_frames" ->

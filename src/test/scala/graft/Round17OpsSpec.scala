@@ -310,4 +310,40 @@ class Round17OpsSpec extends AnyFunSuite {
       card.map(_.getAs[Long]("n_docs")).sum, "pii gate never fired")
     Caches.release(spark)
   }
+
+  // -------------------------------------------------------------
+  // m21 caption–image alignment: planted classes + curation compose
+  // -------------------------------------------------------------
+
+  test("m21: aligned plants score cosine 1, misaligned plants 0, and curation-dropped captions never reach the gate") {
+    val out = SparkEntry.queries("m21_caption_alignment")(spark, sfDir)
+      .collect()
+    def url(r: org.apache.spark.sql.Row) = r.getAs[String]("image_url")
+    val aligned = out.filter(r => url(r).contains("m21.example") &&
+      url(r).endsWith("/a.png"))
+    val mis = out.filter(r => url(r).contains("m21.example") &&
+      url(r).endsWith("/m.png"))
+    assert(aligned.nonEmpty && mis.nonEmpty, "both plant classes present")
+    aligned.foreach { r =>
+      // the decoded histogram EQUALS the caption histogram: mass
+      // identical, cosine 1 within the sqrt ulp, verdict true
+      assert(r.getAs[Long]("cap_mass") == r.getAs[Long]("img_mass"), r)
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-6, r)
+      assert(r.getAs[Boolean]("aligned"), r)
+    }
+    mis.foreach { r =>
+      // bucket-10 captions vs a bucket-2 image: exactly orthogonal
+      assert(r.getAs[Double]("cos_sim") == 0.0 &&
+        !r.getAs[Boolean]("aligned"), r)
+    }
+    // generic m14 captions flow through with the id-pure fill
+    assert(out.exists(r => !url(r).contains("m21.example")),
+      "generic pairs must be scored too")
+    // the m16 curation rules run FIRST: the placeholder and
+    // boilerplate plants never reach the alignment gate
+    assert(!out.exists(r => url(r).endsWith("/pl.png") ||
+      url(r).endsWith("/sb.png") || url(r).endsWith("/ui.png")),
+      "curation-dropped captions leaked into the alignment gate")
+    Caches.release(spark)
+  }
 }
