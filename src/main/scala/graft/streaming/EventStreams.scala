@@ -258,36 +258,70 @@ object EventStreams {
     * a pass the first qualifying event IS the min, so the fold stays
     * O(batch) with no history kept; ACROSS batches the usual
     * ordered-delivery contract of the sibling stateful rungs applies
-    * (a tie split across two micro-batches is out of contract). */
-  def streamingFunnel(events: Dataset[TypedEv]): Dataset[FunnelOut] = {
+    * (a tie split across two micro-batches is out of contract).
+    *
+    * State TTL (round 17): with `horizonSeconds > 0` the input gains
+    * a watermark and each user's state carries an EVENT-TIME timeout
+    * at last-activity + horizon — abandoned users (a view that never
+    * clicks) leave the state store once the watermark passes their
+    * horizon, so lifetime-distinct users no longer accumulate
+    * forever (the round-16 NoTimeout gap). A user whose next stage
+    * arrives within the horizon is unaffected; one who returns after
+    * expiry restarts the funnel — exactly the trade a horizon
+    * declares. The default 0 keeps the unbounded round-16 contract. */
+  def streamingFunnel(
+      events: Dataset[TypedEv],
+      horizonSeconds: Long = 0L,
+      watermarkDelay: String = "10 seconds"): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    events
+    val ttl = horizonSeconds > 0 && events.isStreaming
+    val src =
+      if (ttl)
+        events.withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", watermarkDelay)
+          .as[TypedEv]
+      else events
+    val timeout =
+      if (ttl) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (uid: Long, evs: Iterator[TypedEv], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
-          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          for (e <- sorted if e.event_type == "view")
-            if (st.viewUs < 0) {
-              st = st.copy(viewUs = e.ts_us)
-              out += FunnelOut(uid, 1L, e.ts_us, None, None)
-            }
-          for (e <- sorted if e.event_type == "click")
-            if (st.viewUs >= 0 && st.clickUs < 0 && e.ts_us >= st.viewUs) {
-              st = st.copy(clickUs = e.ts_us)
-              out += FunnelOut(uid, 2L, st.viewUs, Some(e.ts_us), None)
-            }
-          for (e <- sorted if e.event_type == "purchase")
-            if (st.clickUs >= 0 && st.purchaseUs < 0 &&
-                e.ts_us >= st.clickUs) {
-              st = st.copy(purchaseUs = e.ts_us)
-              out += FunnelOut(uid, 3L, st.viewUs, Some(st.clickUs),
-                Some(e.ts_us))
-            }
-          state.update(st)
-          out.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            for (e <- sorted if e.event_type == "view")
+              if (st.viewUs < 0) {
+                st = st.copy(viewUs = e.ts_us)
+                out += FunnelOut(uid, 1L, e.ts_us, None, None)
+              }
+            for (e <- sorted if e.event_type == "click")
+              if (st.viewUs >= 0 && st.clickUs < 0 && e.ts_us >= st.viewUs) {
+                st = st.copy(clickUs = e.ts_us)
+                out += FunnelOut(uid, 2L, st.viewUs, Some(e.ts_us), None)
+              }
+            for (e <- sorted if e.event_type == "purchase")
+              if (st.clickUs >= 0 && st.purchaseUs < 0 &&
+                  e.ts_us >= st.clickUs) {
+                st = st.copy(purchaseUs = e.ts_us)
+                out += FunnelOut(uid, 3L, st.viewUs, Some(st.clickUs),
+                  Some(e.ts_us))
+              }
+            state.update(st)
+            if (ttl && sorted.nonEmpty)
+              // never set a timeout at-or-before the current watermark
+              // (the state API rejects it for an already-late group)
+              state.setTimeoutTimestamp(math.max(
+                sorted.map(_.ts_us).max / 1000L + horizonSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
       }
   }
 
@@ -310,38 +344,76 @@ object EventStreams {
     * qualify at offset 0, but they fold through the same ≥-cohort
     * gate so an in-batch reorder cannot drop the signup-week
     * activity. Weeks are the same pure integer epoch-week indexes as
-    * the batch form (us div 604800·10⁶). */
+    * the batch form (us div 604800·10⁶).
+    *
+    * State TTL (round 17): with `horizonWeeks > 0` the report is
+    * horizon-bounded the way a production retention table is (a
+    * 12-week cohort report never emits offset 13): offsets past the
+    * horizon are not emitted, `preWks` keeps only weeks within the
+    * horizon of the newest seen (the round-16 gap: a user who never
+    * signs up otherwise accumulates one entry per distinct pre-signup
+    * week for the stream's lifetime), and each user's state carries
+    * an event-time timeout at the horizon past its last activity —
+    * signed-up users expire once their observation window closes,
+    * never-signup users once their pre-history can no longer qualify.
+    * The default 0 keeps the unbounded round-16 contract. */
   def streamingRetention(
       events: Dataset[TypedEv],
-      weekUs: Long = 604800000000L): Dataset[RetOut] = {
+      weekUs: Long = 604800000000L,
+      horizonWeeks: Long = 0L,
+      watermarkDelay: String = "10 seconds"): Dataset[RetOut] = {
     import events.sparkSession.implicits._
-    events
+    val ttl = horizonWeeks > 0 && events.isStreaming
+    val src =
+      if (ttl)
+        events.withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", watermarkDelay)
+          .as[TypedEv]
+      else events
+    val timeout =
+      if (ttl) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RetState, RetOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (uid: Long, evs: Iterator[TypedEv], state: GroupState[RetState]) =>
-          var st = state.getOption.getOrElse(RetState(-1L, Nil, Nil))
-          val out = scala.collection.mutable.ListBuffer.empty[RetOut]
-          for (e <- evs.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
-            val wk = Math.floorDiv(e.ts_us, weekUs)
-            if (st.cohortWk < 0) {
-              if (e.event_type == "signup") {
-                val offs = (wk :: st.preWks).filter(_ >= wk)
-                  .map(_ - wk).distinct
-                offs.foreach(o => out += RetOut(uid, wk, o))
-                st = RetState(wk, Nil, offs)
-              } else if (!st.preWks.contains(wk))
-                st = st.copy(preWks = wk :: st.preWks)
-            } else {
-              val o = wk - st.cohortWk
-              if (o >= 0 && !st.emitted.contains(o)) {
-                out += RetOut(uid, st.cohortWk, o)
-                st = st.copy(emitted = o :: st.emitted)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(RetState(-1L, Nil, Nil))
+            val out = scala.collection.mutable.ListBuffer.empty[RetOut]
+            var lastWk = -1L
+            for (e <- evs.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
+              val wk = Math.floorDiv(e.ts_us, weekUs)
+              lastWk = math.max(lastWk, wk)
+              if (st.cohortWk < 0) {
+                if (e.event_type == "signup") {
+                  val offs = (wk :: st.preWks).filter(_ >= wk)
+                    .map(_ - wk).distinct
+                    .filter(o => horizonWeeks <= 0 || o <= horizonWeeks)
+                  offs.foreach(o => out += RetOut(uid, wk, o))
+                  st = RetState(wk, Nil, offs)
+                } else if (!st.preWks.contains(wk))
+                  st = st.copy(preWks = (wk :: st.preWks).filter(w =>
+                    horizonWeeks <= 0 || w >= wk - horizonWeeks))
+              } else {
+                val o = wk - st.cohortWk
+                if (o >= 0 && !st.emitted.contains(o) &&
+                    (horizonWeeks <= 0 || o <= horizonWeeks)) {
+                  out += RetOut(uid, st.cohortWk, o)
+                  st = st.copy(emitted = o :: st.emitted)
+                }
               }
             }
+            state.update(st)
+            if (ttl && lastWk >= 0)
+              state.setTimeoutTimestamp(math.max(
+                (lastWk + horizonWeeks + 1L) * (weekUs / 1000L),
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

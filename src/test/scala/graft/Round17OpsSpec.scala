@@ -346,4 +346,93 @@ class Round17OpsSpec extends AnyFunSuite {
       "curation-dropped captions leaked into the alignment gate")
     Caches.release(spark)
   }
+
+  // -------------------------------------------------------------
+  // streaming state TTL: expired keys leave the state store
+  // -------------------------------------------------------------
+
+  import graft.streaming.EventStreams
+  import graft.streaming.EventStreams.TypedEv
+
+  private def lastStateRows(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal)
+      .getOrElse(-1L)
+
+  test("streamingFunnel TTL: abandoned users leave the state store after the horizon; in-horizon stages are unaffected") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TypedEv]
+    val q = EventStreams.streamingFunnel(ms.toDS(), horizonSeconds = 100L)
+      .toDF().writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode("append").start()
+    def sec(n: Long) = n * 1000000L
+    try {
+      // t=1000s: user 1 abandons after a view; user 2 views
+      ms.addData(TypedEv(1L, sec(1000), 1L, "view"),
+        TypedEv(2L, sec(1000), 2L, "view"))
+      q.processAllAvailable()
+      // t=1050s — inside user 2's horizon: the click still lands
+      ms.addData(TypedEv(3L, sec(1050), 2L, "click"))
+      q.processAllAvailable()
+      // far future: advances the watermark past both users' horizons
+      ms.addData(TypedEv(4L, sec(5000), 3L, "view"))
+      q.processAllAvailable()
+      // next batch evaluates timeouts against that watermark — users
+      // 1 and 2 are evicted, only users 3 and 4 keep state
+      ms.addData(TypedEv(5L, sec(5001), 4L, "view"))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 2L,
+        s"expected users 1/2 evicted, state=${lastStateRows(q)}")
+      val out = s.table("funnel_ttl").collect()
+      assert(out.exists(r => r.getAs[Long]("user_id") == 2L &&
+        r.getAs[Long]("stage") == 2L),
+        "in-horizon stage transition must still emit")
+      assert(out.count(_.getAs[Long]("user_id") == 1L) == 1,
+        "abandoned user keeps exactly its view row")
+    } finally q.stop()
+  }
+
+  test("streamingRetention TTL: offsets bound to the horizon; expired users leave the state store") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val weekUs = 604800000000L
+    def atWk(w: Long) = w * weekUs + 1000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TypedEv]
+    val q = EventStreams.streamingRetention(ms.toDS(),
+        horizonWeeks = 2L)
+      .toDF().writeStream.format("memory").queryName("ret_ttl")
+      .outputMode("append").start()
+    try {
+      // user 1: signup week 100, active weeks 100/101/103 — offset 3
+      // is PAST the 2-week horizon and must not emit; user 2 never
+      // signs up (pre-history only)
+      ms.addData(TypedEv(1L, atWk(100), 1L, "signup"),
+        TypedEv(2L, atWk(100), 2L, "view"))
+      q.processAllAvailable()
+      ms.addData(TypedEv(3L, atWk(101), 1L, "view"),
+        TypedEv(4L, atWk(101), 2L, "view"))
+      q.processAllAvailable()
+      ms.addData(TypedEv(5L, atWk(103), 1L, "view"))
+      q.processAllAvailable()
+      val cells = s.table("ret_ttl").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cohort_wk"),
+          r.getAs[Long]("week_offset"))).toSet
+      assert(cells == Set((1L, 100L, 0L), (1L, 100L, 1L)),
+        s"horizon must cap offsets: $cells")
+      // far future: watermark passes every horizon; the next batch
+      // evicts users 1 and 2 — only the fresh user remains
+      ms.addData(TypedEv(6L, atWk(200), 3L, "signup"))
+      q.processAllAvailable()
+      ms.addData(TypedEv(7L, atWk(200) + 1L, 4L, "view"))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 2L,
+        s"expected users 1/2 evicted, state=${lastStateRows(q)}")
+    } finally q.stop()
+  }
 }
