@@ -83,6 +83,14 @@ object TextQueries {
           "w -> array_contains(array('badword', 'gorefest', 'slurword')," +
           " w))) AS BIGINT)").as("n_bad"))
 
+  /** t50's keep verdict as a (doc_id, b_keep) table — the funnel's
+    * blocklist gate for the from-state face
+    * ([[graft.streaming.FunnelStreams.gateFlagBatch]]); derives from
+    * the ONE [[blocklistCounts]] definition. */
+  private[graft] def blocklistKeep(d: DataFrame): DataFrame =
+    blocklistCounts(d)
+      .select(col("doc_id"), (col("n_bad") === 0).as("b_keep"))
+
   /** Oracle twin of [[blocklistCounts]] — a CTE block ending in
     * `blc(doc_id, n_tok, n_bad)`, shared by the t50 and t52 oracles. */
   private lazy val t50CountCtes: String =
@@ -450,7 +458,20 @@ object TextQueries {
     * per-doc token counts pre-aggregate map-side, the five class
     * constants broadcast as one row. */
   private[graft] def qualityLogOdds(
-      d: DataFrame, tokcIn: DataFrame, doccIn: DataFrame): DataFrame = {
+      d: DataFrame, tokcIn: DataFrame, doccIn: DataFrame): DataFrame =
+    qualityLogOddsFromTokCounts(
+      d.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m")),
+      tokcIn, doccIn)
+
+  /** [[qualityLogOdds]] over PRE-AGGREGATED per-(doc, token) counts —
+    * the from-state scoring face: an ingest-time pipeline folds
+    * (doc_id, tok, m) as versioned state (the d18 posting-list
+    * precedent), and scoring then reads state only, zero corpus
+    * re-reads ([[graft.streaming.FunnelStreams]]). ONE tail shared
+    * with the batch form. */
+  private[graft] def qualityLogOddsFromTokCounts(
+      tokm: DataFrame, tokcIn: DataFrame, doccIn: DataFrame): DataFrame = {
     def q6(x: org.apache.spark.sql.Column) = round(x * 1e6).cast("long")
     def q6ln(x: org.apache.spark.sql.Column) = q6(log(x.cast("double")))
     val tokc = graft.Caches.shared(tokcIn)
@@ -466,8 +487,7 @@ object TextQueries {
         .as("bk6"),
       coalesce(max(when(!col("keep"), q6ln(col("c") + 1))), lit(0L))
         .as("bd6"))
-    d.select(col("doc_id"), explode(col("tk")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+    tokm
       .join(model, Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(sum("m").as("n_tokens"),
@@ -2391,44 +2411,7 @@ object TextQueries {
           coalesce(col("c_keep"), lit(true)).as("c_keep"),
           coalesce(col("pred_keep"), lit(false)).as("p_keep"),
           coalesce(col("n_tokens"), lit(0L)).as("nt"))
-      def cnt(p: org.apache.spark.sql.Column) =
-        sum(when(p, 1L).otherwise(0L))
-      def vol(p: org.apache.spark.sql.Column) =
-        sum(when(p, col("nt")).otherwise(0L))
-      val tot = flags.agg(
-        count(lit(1)).as("n0"), sum("nt").as("t0"),
-        cnt(col("g_keep")).as("n1"), vol(col("g_keep")).as("t1"),
-        cnt(col("g_keep") && col("b_keep")).as("n2"),
-        vol(col("g_keep") && col("b_keep")).as("t2"),
-        cnt(col("g_keep") && col("b_keep") && col("d_keep")).as("n3"),
-        vol(col("g_keep") && col("b_keep") && col("d_keep")).as("t3"),
-        cnt(col("g_keep") && col("b_keep") && col("d_keep") &&
-          col("c_keep")).as("n4"),
-        vol(col("g_keep") && col("b_keep") && col("d_keep") &&
-          col("c_keep")).as("t4"),
-        cnt(col("g_keep") && col("b_keep") && col("d_keep") &&
-          col("c_keep") && col("p_keep")).as("n5"),
-        vol(col("g_keep") && col("b_keep") && col("d_keep") &&
-          col("c_keep") && col("p_keep")).as("t5"))
-      def rate(in: org.apache.spark.sql.Column,
-          kept: org.apache.spark.sql.Column) =
-        when(in > 0, round((in - kept).cast("double") / in, 6))
-      def stage(ord: Long, name: String, nIn: String, nKept: String,
-          tIn: String, tKept: String) =
-        struct(lit(ord).as("ord"), lit(name).as("stage"),
-          col(nIn).as("docs_in"), col(nKept).as("docs_kept"),
-          rate(col(nIn), col(nKept)).as("doc_removal_rate"),
-          col(tIn).as("tokens_in"), col(tKept).as("tokens_kept"),
-          rate(col(tIn), col(tKept)).as("token_removal_rate"))
-      tot.select(explode(array(
-          stage(1L, "gopher_rules", "n0", "n1", "t0", "t1"),
-          stage(2L, "blocklist", "n1", "n2", "t1", "t2"),
-          stage(3L, "dedup", "n2", "n3", "t2", "t3"),
-          stage(4L, "decontaminate", "n3", "n4", "t3", "t4"),
-          stage(5L, "classifier", "n4", "n5", "t4", "t5")))
-          .as("r"))
-        .select(col("r.*"))
-        .orderBy("ord")
+      funnelFold(flags)
     }),
 
     // P9: curriculum phase assignment (round 14) — the easy→hard
@@ -2716,6 +2699,52 @@ object TextQueries {
         .orderBy("lang")
     }),
   )
+
+  /** t52's funnel fold — ONE definition for the batch query and the
+    * from-state face ([[graft.streaming.FunnelStreams]]): a
+    * (g_keep, b_keep, d_keep, c_keep, p_keep, nt) flag frame folds to
+    * ONE global 12-long row (partial map-side) and explodes into the
+    * 5 ordered stage rows with doc/token removal rates. */
+  private[graft] def funnelFold(flags: DataFrame): DataFrame = {
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    def vol(p: org.apache.spark.sql.Column) =
+      sum(when(p, col("nt")).otherwise(0L))
+    val tot = flags.agg(
+      count(lit(1)).as("n0"), sum("nt").as("t0"),
+      cnt(col("g_keep")).as("n1"), vol(col("g_keep")).as("t1"),
+      cnt(col("g_keep") && col("b_keep")).as("n2"),
+      vol(col("g_keep") && col("b_keep")).as("t2"),
+      cnt(col("g_keep") && col("b_keep") && col("d_keep")).as("n3"),
+      vol(col("g_keep") && col("b_keep") && col("d_keep")).as("t3"),
+      cnt(col("g_keep") && col("b_keep") && col("d_keep") &&
+        col("c_keep")).as("n4"),
+      vol(col("g_keep") && col("b_keep") && col("d_keep") &&
+        col("c_keep")).as("t4"),
+      cnt(col("g_keep") && col("b_keep") && col("d_keep") &&
+        col("c_keep") && col("p_keep")).as("n5"),
+      vol(col("g_keep") && col("b_keep") && col("d_keep") &&
+        col("c_keep") && col("p_keep")).as("t5"))
+    def rate(in: org.apache.spark.sql.Column,
+        kept: org.apache.spark.sql.Column) =
+      when(in > 0, round((in - kept).cast("double") / in, 6))
+    def stage(ord: Long, name: String, nIn: String, nKept: String,
+        tIn: String, tKept: String) =
+      struct(lit(ord).as("ord"), lit(name).as("stage"),
+        col(nIn).as("docs_in"), col(nKept).as("docs_kept"),
+        rate(col(nIn), col(nKept)).as("doc_removal_rate"),
+        col(tIn).as("tokens_in"), col(tKept).as("tokens_kept"),
+        rate(col(tIn), col(tKept)).as("token_removal_rate"))
+    tot.select(explode(array(
+        stage(1L, "gopher_rules", "n0", "n1", "t0", "t1"),
+        stage(2L, "blocklist", "n1", "n2", "t1", "t2"),
+        stage(3L, "dedup", "n2", "n3", "t2", "t3"),
+        stage(4L, "decontaminate", "n3", "n4", "t3", "t4"),
+        stage(5L, "classifier", "n4", "n5", "t4", "t5")))
+        .as("r"))
+      .select(col("r.*"))
+      .orderBy("ord")
+  }
 
   /** t54's detection + redaction body — ONE definition for the t54
     * query and the t55 data card's PII gate: plant, per-pattern
@@ -3143,6 +3172,17 @@ object TextQueries {
     val pairs = Dedup.sharedPassagePairs(d, "doc_id", "text",
         k = 8, w = 4, minShared = 2L, maxDocsPerFp = 64L)
       .select(col("a_id"), col("b_id"))
+    dupDecisionFromPairs(d.select("doc_id", "n_chars"), pairs)
+  }
+
+  /** The pair-graph → keep-decision collapse shared by the batch
+    * [[textDupDecision]] and the from-state funnel
+    * ([[graft.streaming.FunnelStreams]]): connected components over
+    * the pairs, keep the longest doc per cluster (n_chars desc, ties
+    * min id), singletons keep themselves. `d` = (doc_id, n_chars)
+    * for every document the decision must cover. */
+  private[graft] def dupDecisionFromPairs(
+      d: DataFrame, pairs: DataFrame): DataFrame = {
     // shared: the label table feeds BOTH the member rank and the
     // singleton anti-join below — unshared, the whole closure chain
     // would run twice
@@ -3194,6 +3234,17 @@ object TextQueries {
     * needs the corpus alphabet for its canon chain). */
   private[graft] def benchmarkDecontamination(
       s: SparkSession, dir: String): DataFrame = {
+    val (train, bench) = decontamInputs(s, dir)
+    Dedup.benchmarkContamination(train, bench, "doc_id", "text", k = 13)
+  }
+
+  /** d21's (train, bench) input pair — the %23 benchmark slice and
+    * the plant-mutated train frame — exposed so the STREAMING face
+    * ([[graft.streaming.FunnelStreams]]' screen-at-ingest fold) feeds
+    * the exact same planted inputs batch-at-a-time. Sets the
+    * dump-time oracle context. */
+  private[graft] def decontamInputs(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     lastDecontamCtx = Some((s, dir))
     val d = docs(s, dir)
     val bench = d.filter(col("doc_id") % 23 === 0)
@@ -3210,7 +3261,7 @@ object TextQueries {
             regexp_replace(col("passage"), " ", " , "),
             "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")))
           .otherwise(col("text")).as("text"))
-    Dedup.benchmarkContamination(train, bench, "doc_id", "text", k = 13)
+    (train, bench)
   }
 
   private[graft] lazy val textDedupCtes: String =

@@ -435,4 +435,66 @@ class Round17OpsSpec extends AnyFunSuite {
         s"expected users 1/2 evicted, state=${lastStateRows(q)}")
     } finally q.stop()
   }
+
+  // -------------------------------------------------------------
+  // t52-from-state: the funnel report with zero corpus re-reads
+  // -------------------------------------------------------------
+
+  test("funnelFromState: the report folded from committed states equals the oracle-checked batch t52") {
+    import graft.operators.Cdc
+    import graft.streaming.{DedupStreams, FunnelStreams, ModelStreams}
+    val s = spark
+    val dir = sfDir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fst").toString
+    try {
+      val docsDf = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "n_chars")
+      val (train, bench) = TextQueries.decontamInputs(s, dir)
+      // the benchmark stream folds FIRST (screen-at-ingest contract)
+      for (i <- 0 until 2)
+        Cdc.foldBatch(bench.filter(pmod(col("doc_id"), lit(2)) === i),
+          i.toLong, s"$tmp/bgrams", Seq("g"),
+          DedupStreams.benchGramBatch(13))
+      // the corpus arrives in 5 append batches; each state folds its
+      // own O(batch) delta
+      for (i <- 0 until 5) {
+        val slice = pmod(col("doc_id"), lit(5)) === i
+        val b = docsDf.filter(slice)
+        Cdc.foldBatch(b, i.toLong, s"$tmp/gates", Seq("doc_id"),
+          FunnelStreams.gateFlagBatch, FunnelStreams.mergeMin)
+        Cdc.foldBatch(b, i.toLong, s"$tmp/fps", Seq("id", "fp"),
+          DedupStreams.winnowFpBatch(8, 4))
+        Cdc.foldBatch(train.filter(slice), i.toLong, s"$tmp/contam",
+          Seq("doc_id"), FunnelStreams.contamFlagBatch(s"$tmp/bgrams"),
+          FunnelStreams.mergeMin)
+        // the classifier trains on the %3==0 slice (t48's convention)
+        Cdc.foldBatch(
+          b.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id",
+            "text"),
+          i.toLong, s"$tmp/quality", Seq("kind", "keep", "tok"),
+          ModelStreams.qualityCountBatch)
+        Cdc.foldBatch(b, i.toLong, s"$tmp/toks", Seq("doc_id", "tok"),
+          FunnelStreams.docTokBatch)
+      }
+      val got = FunnelStreams.funnelFromState(s, s"$tmp/gates",
+        s"$tmp/fps", s"$tmp/contam", s"$tmp/quality", s"$tmp/toks")
+      assert(got.isDefined, "all states committed — report must exist")
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)))
+      val fromState = got.get.collect().map(key).toSet
+      val batch = SparkEntry.queries("t52_filter_funnel")(s, dir)
+        .collect().map(key).toSet
+      assert(fromState == batch,
+        s"from-state funnel diverges:\n  state=$fromState\n  batch=$batch")
+      // non-vacuous: the funnel really removed something at each of
+      // the data-dependent stages
+      assert(batch.exists(r => r._1 == 3L && r._4 < r._3),
+        "dedup stage removed nothing")
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
 }
