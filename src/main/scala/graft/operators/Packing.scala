@@ -823,6 +823,40 @@ object Packing {
         .reduce(_ || _))
   }
 
+  /** Within-pack BOUNDARY metadata (round 17): per (phase, pack),
+    * the ordered (off, pos, doc_id, seg_tokens) list a trainer's
+    * loss-masking collator consumes — which token ranges of the ctx
+    * window belong to which document, so cross-document attention/
+    * loss can be masked at the boundaries. The shard rows sorted by
+    * (pack_id, pos) ARE this artifact (the writer sorts partitions
+    * that way on disk); this is the read-path fold that serves it
+    * pack-at-a-time: `off` is the segment's first token WITHIN its
+    * window (start_offset clamped to the window base), and the list
+    * is sorted by (off, pos) — contiguous, starting at 0, summing to
+    * ctx on every non-final pack (spec-pinned at 3 SFs).
+    *
+    * Scale shape: one keyed aggregation with map-side partials over
+    * the (phase, shard, pack) key; each pack's list is bounded by the
+    * window's document count (≤ ctx segments), output is one row per
+    * pack — distributed, never a driver materialization. A collator
+    * reading one shard directory gets exactly its packs' rows via
+    * partition pruning on (phase, shard_id). */
+  def packBoundaries(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String = "doc_id", phaseCol: String = "phase"): DataFrame = {
+    val ctx = spark.read.parquet(s"$path/$ParamsDir").head
+      .getAs[Long]("ctx_size")
+    readShardData(spark, path, phaseCol)
+      .withColumn("off",
+        greatest(col("start_offset"), col("pack_id") * ctx) -
+          col("pack_id") * ctx)
+      .groupBy(col(phaseCol), col("shard_id"), col("pack_id"))
+      .agg(
+        sort_array(collect_list(struct(col("off"), col("pos"),
+          col(idCol), col("seg_tokens")))).as("boundaries"),
+        sum(col("seg_tokens")).as("pack_tokens"))
+  }
+
   /** Per-pack roll-up: how many documents start in each ctx window,
     * their token volume, id range, and how many straddle into the next
     * window — the packing audit a data pipeline reports before

@@ -9,8 +9,11 @@ import graft.operators.{Packing, TextQueries}
 /** Round-17 operator specs: append BATCH IDENTITY (the id-disjointness
   * guard + the `_batches` replay ledger — a re-submitted
   * already-committed batch is refused loudly or no-ops cleanly, never
-  * double-packed), the new-phase crashed-append guard, and the
-  * missing-`_params` budget fallback. */
+  * double-packed), the new-phase crashed-append guard, the
+  * missing-`_params` budget fallback, the t55 data card's
+  * cell-by-cell recompute, the m21 alignment plant classes, the
+  * streaming state TTLs (expired keys leave the state store), the
+  * t52 from-state face, and the pack-boundary collator table. */
 class Round17OpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val sfDir = "/root/testdata/sf0.001"
@@ -496,5 +499,68 @@ class Round17OpsSpec extends AnyFunSuite {
       Caches.release(spark)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
+  }
+
+  // -------------------------------------------------------------
+  // pack boundaries: the collator's per-pack document-range table
+  // -------------------------------------------------------------
+
+  test("packBoundaries: boundaries equal the segment plan, are contiguous from 0, and fill every non-final pack — at 3 SFs") {
+    val ctx = 256
+    val pps = 4
+    for (dir <- AllSfs) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bnd").toString
+      try {
+        val phased = phasedDocs(dir)
+        Packing.writeCurriculumShards(phased, "doc_id", "n_tokens",
+          "phase", "-p9", ctx, pps, s"$tmp/shards")
+        val bnd = Packing.packBoundaries(spark, s"$tmp/shards").collect()
+        // 1) ≡ the segment plan: every (phase, pack, off, pos, doc,
+        // seg) cell matches perPhaseSegments over the same input
+        val segs = Packing.perPhaseSegments(
+          Packing.perPhasePackOffsets(
+            phased.withColumn("phase", col("phase").cast("long"))
+              .withColumn("n_tokens", col("n_tokens").cast("long"))
+              .filter(col("n_tokens") > 0),
+            "doc_id", "n_tokens", "phase", "-p9", ctx, pps),
+          "n_tokens", ctx, pps)
+          .withColumn("off",
+            greatest(col("start_offset"), col("pack_id") * ctx.toLong) -
+              col("pack_id") * ctx.toLong)
+          .select("phase", "pack_id", "off", "pos", "doc_id",
+            "seg_tokens")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+        val flat = bnd.flatMap { r =>
+          val ph = r.getAs[Long]("phase")
+          val pk = r.getAs[Long]("pack_id")
+          r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("boundaries").map(b =>
+            (ph, pk, b.getLong(0), b.getLong(1), b.getLong(2),
+              b.getLong(3)))
+        }.toSet
+        assert(flat == segs, s"$dir: boundaries diverge from segments")
+        // 2) collator invariants per pack: sorted, contiguous from 0,
+        // and non-final packs sum to exactly ctx
+        val lastPack = bnd.groupBy(_.getAs[Long]("phase"))
+          .map { case (p, rs) => p -> rs.map(_.getAs[Long]("pack_id")).max }
+        bnd.foreach { r =>
+          val bs = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("boundaries")
+          var expect = 0L
+          bs.foreach { b =>
+            assert(b.getLong(0) == expect,
+              s"$dir: gap in pack ${r.getAs[Long]("pack_id")}")
+            expect += b.getLong(3)
+          }
+          assert(expect == r.getAs[Long]("pack_tokens"))
+          if (r.getAs[Long]("pack_id") !=
+              lastPack(r.getAs[Long]("phase")))
+            assert(expect == ctx.toLong,
+              s"$dir: non-final pack not at budget: $expect")
+        }
+        Caches.release(spark)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
   }
 }
