@@ -386,6 +386,78 @@ object Packing {
       .drop("_rn", "gen")
   }
 
+  /** Trainer RESUME lookup over a written curriculum artifact (p14's
+    * artifact face) — METADATA ONLY: per-phase token totals fold from
+    * the `_manifest`, ctx/packs-per-shard come from the `_params`
+    * sidecar; shard data is never opened. For each checkpoint T
+    * (global consumed-token count, 0-indexed — tokens 0..T−1 are
+    * consumed), the (phase, shard_id, pack_id, offset_in_pack) of the
+    * first UNCONSUMED token under the artifact's consumption order:
+    * phases ascending, dense per-phase pack streams (every non-final
+    * pack holds exactly ctx tokens by construction, so the in-phase
+    * lookup is integer math). Checkpoints at or past the artifact's
+    * total token count drop out (training already completed) — the
+    * same inner-join semantics as the p14 query, which Round17OpsSpec
+    * pins this against on a written artifact. */
+  def resumePlan(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    // 1-row sidecar — the bounded-collect pattern every _params
+    // cross-check uses
+    val params = spark.read.parquet(s"$path/$ParamsDir").collect()(0)
+    val ctx = params.getAs[Long]("ctx_size")
+    val pps = params.getAs[Long]("packs_per_shard")
+    val pt = readManifest(spark, path)
+      .groupBy("phase").agg(sum("tokens").as("ptok"))
+    val wP = Window.orderBy("phase")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pb = pt.withColumn("base", sum("ptok").over(wP) - col("ptok"))
+    import spark.implicits._
+    checkpoints.toDF("t_global")
+      .join(broadcast(pb), col("t_global") >= col("base") &&
+        col("t_global") < col("base") + col("ptok"))
+      .withColumn("local", col("t_global") - col("base"))
+      .select(col("t_global"), col("phase"),
+        expr(s"local div $ctx div $pps").as("shard_id"),
+        expr(s"local div $ctx").as("pack_id"),
+        (col("local") % lit(ctx)).as("offset_in_pack"))
+      .orderBy("t_global")
+  }
+
+  /** The p15 epoch-shuffle body over a (phase, shard_id) universe —
+    * ONE definition for the p15 query (universe from the segment
+    * plan) and [[epochShardOrder]] (universe from the manifest):
+    * curriculum order fixes the PHASE sequence, so each epoch
+    * permutes the shards WITHIN each phase by rank of the 60-bit
+    * md5(phase|shard|'e'epoch) — deterministic across reruns,
+    * engines, partitionings and data-parallel workers; no RNG state
+    * to ship. The rank window partitions by (epoch, phase) over
+    * #shards × epochs rows — metadata scale, never corpus rows. */
+  private[graft] def epochShardOrderOf(
+      shards: DataFrame, epochs: Int): DataFrame = {
+    val w = Window.partitionBy("epoch", "phase").orderBy("h", "shard_id")
+    shards
+      .withColumn("epoch", explode(expr(s"sequence(1L, ${epochs}L)")))
+      .withColumn("h", Dedup.md5Long(concat_ws("|", col("phase"),
+        col("shard_id"), concat(lit("e"), col("epoch").cast("string")))))
+      .withColumn("order_pos", (row_number().over(w) - 1).cast("long"))
+      .select("epoch", "phase", "shard_id", "order_pos")
+      .orderBy("epoch", "phase", "order_pos")
+  }
+
+  /** Reproducible between-epoch shard order over a written curriculum
+    * artifact (p15's artifact face) — MANIFEST-ONLY: the shard
+    * universe reads from `_manifest`; shard data and the corpus are
+    * never opened. A trainer's dataloader streams epoch e's shards in
+    * this order (within-shard pack order stays the artifact's — the
+    * shard-level shuffle streaming loaders actually perform; a global
+    * sample shuffle would defeat sequential shard reads). */
+  def epochShardOrder(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      epochs: Int = 3): DataFrame =
+    epochShardOrderOf(
+      readManifest(spark, path).select("phase", "shard_id"), epochs)
+
   /** Incremental curriculum maintenance (round 16): append a new doc
     * batch into an existing artifact touching ONLY each phase's final
     * partial shard — closed shards stay byte-identical (spec-pinned).

@@ -67,29 +67,30 @@ object TextQueries {
   /** t50's plant + blocklist counts as a (doc_id, n_tok, n_bad) table
     * — ONE definition for t50's verdicts and the t52 funnel's
     * blocklist stage; the oracle twin is [[t50CountCtes]]. */
-  private def blocklistCounts(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
+  /** [[blocklistCounts]] in COLUMN-PRESERVING form: adds n_tok/n_bad
+    * to the input frame via underscore temps (the planted text and its
+    * word list never clobber caller columns) — the
+    * [[perDocGateFacts]] chain link. */
+  private def blocklistFacts(d: DataFrame): DataFrame =
+    d.withColumn("_blt",
         concat(col("text"),
           when(pmod(col("doc_id"), lit(7)) === 2, lit(" badword gorefest"))
             .when(pmod(col("doc_id"), lit(7)) === 5, lit(" badword"))
             .otherwise(lit("")),
           when(pmod(col("doc_id"), lit(13)) === 8, lit(" Slurword."))
-            .otherwise(lit(""))).as("text"))
-      .withColumn("words",
-        expr(s"transform(regexp_extract_all(text, '$WordRunPat', 0), " +
+            .otherwise(lit(""))))
+      .withColumn("_blw",
+        expr(s"transform(regexp_extract_all(_blt, '$WordRunPat', 0), " +
           "w -> lower(w))"))
-      .select(col("doc_id"), size(col("words")).cast("long").as("n_tok"),
-        expr("CAST(size(filter(words, " +
+      .withColumn("n_tok", size(col("_blw")).cast("long"))
+      .withColumn("n_bad",
+        expr("CAST(size(filter(_blw, " +
           "w -> array_contains(array('badword', 'gorefest', 'slurword')," +
-          " w))) AS BIGINT)").as("n_bad"))
+          " w))) AS BIGINT)"))
+      .drop("_blt", "_blw")
 
-  /** t50's keep verdict as a (doc_id, b_keep) table — the funnel's
-    * blocklist gate for the from-state face
-    * ([[graft.streaming.FunnelStreams.gateFlagBatch]]); derives from
-    * the ONE [[blocklistCounts]] definition. */
-  private[graft] def blocklistKeep(d: DataFrame): DataFrame =
-    blocklistCounts(d)
-      .select(col("doc_id"), (col("n_bad") === 0).as("b_keep"))
+  private def blocklistCounts(d: DataFrame): DataFrame =
+    blocklistFacts(d).select(col("doc_id"), col("n_tok"), col("n_bad"))
 
   /** Oracle twin of [[blocklistCounts]] — a CTE block ending in
     * `blc(doc_id, n_tok, n_bad)`, shared by the t50 and t52 oracles. */
@@ -393,34 +394,43 @@ object TextQueries {
     * compare in EXACT INTEGER arithmetic; words are whitespace tokens
     * (the rules are defined over delimiter-separated words by the
     * paper). Pure map work in the scan projection; zero shuffles. */
-  private[graft] def gopherRules(d: DataFrame): DataFrame = {
+  /** [[gopherRules]] in COLUMN-PRESERVING form: adds wc, the six r_*
+    * rule columns and the full-rule `keep` to the input frame (temps
+    * dropped), so the per-doc gate facts can chain over ONE scan
+    * ([[perDocGateFacts]]) instead of joining per-gate frames. The
+    * expressions are byte-identical to the t43 oracle's. */
+  private def gopherFacts(d: DataFrame): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    d.select(col("doc_id"), col("text"),
-        TextAnalysis.tokens(col("text")).as("tk"))
-      .select(
-        col("doc_id"),
-        size(col("tk")).cast("long").as("wc"),
-        length(col("text")).as("len"),
-        regexp_count(col("text"), lit("#")).as("hash_cnt"),
-        regexp_count(col("text"), lit("\\.\\.\\.")).as("ell_cnt"),
-        size(filter(col("tk"), w => w.rlike("\\p{L}"))).as("alpha_w"),
-        size(array_intersect(array_distinct(col("tk")),
-          typedLit(stops))).as("stop_hits"))
-      .select(
-        col("doc_id"), col("wc"),
-        col("wc").between(50, 100000).as("r_wordcount"),
-        // mean word length in [3, 10]: (len − (wc−1)) is the total
-        // word chars under single-space joining — integer bounds
-        ((col("len") - (col("wc") - 1)) >= col("wc") * 3 &&
-          (col("len") - (col("wc") - 1)) <= col("wc") * 10).as("r_meanwordlen"),
-        (col("hash_cnt") * 10 <= col("wc")).as("r_hash"),
-        (col("ell_cnt") * 10 <= col("wc")).as("r_ellipsis"),
-        (col("alpha_w") * 5 >= col("wc") * 4).as("r_alpha"),
-        (col("stop_hits") >= 2).as("r_stopwords"))
+    d.withColumn("_gtk", TextAnalysis.tokens(col("text")))
+      .withColumn("wc", size(col("_gtk")).cast("long"))
+      .withColumn("_glen", length(col("text")))
+      .withColumn("_ghash", regexp_count(col("text"), lit("#")))
+      .withColumn("_gell", regexp_count(col("text"), lit("\\.\\.\\.")))
+      .withColumn("_galpha",
+        size(filter(col("_gtk"), w => w.rlike("\\p{L}"))))
+      .withColumn("_gstop",
+        size(array_intersect(array_distinct(col("_gtk")),
+          typedLit(stops))))
+      .withColumn("r_wordcount", col("wc").between(50, 100000))
+      // mean word length in [3, 10]: (len − (wc−1)) is the total
+      // word chars under single-space joining — integer bounds
+      .withColumn("r_meanwordlen",
+        (col("_glen") - (col("wc") - 1)) >= col("wc") * 3 &&
+          (col("_glen") - (col("wc") - 1)) <= col("wc") * 10)
+      .withColumn("r_hash", col("_ghash") * 10 <= col("wc"))
+      .withColumn("r_ellipsis", col("_gell") * 10 <= col("wc"))
+      .withColumn("r_alpha", col("_galpha") * 5 >= col("wc") * 4)
+      .withColumn("r_stopwords", col("_gstop") >= 2)
       .withColumn("keep",
         col("r_wordcount") && col("r_meanwordlen") && col("r_hash") &&
           col("r_ellipsis") && col("r_alpha") && col("r_stopwords"))
+      .drop("_gtk", "_glen", "_ghash", "_gell", "_galpha", "_gstop")
   }
+
+  private[graft] def gopherRules(d: DataFrame): DataFrame =
+    gopherFacts(d).select(col("doc_id"), col("wc"),
+      col("r_wordcount"), col("r_meanwordlen"), col("r_hash"),
+      col("r_ellipsis"), col("r_alpha"), col("r_stopwords"), col("keep"))
 
   /** t48's training labels: the LANGUAGE-AGNOSTIC subset of the
     * Gopher rules over a (doc_id, text) frame — the stop-word rule is
@@ -429,9 +439,30 @@ object TextQueries {
     * which would collapse the keep class to empty and teach the
     * classifier nothing. → (doc_id, keep). */
   private[graft] def qualityLabels(d: DataFrame): DataFrame =
-    gopherRules(d).select(col("doc_id"),
-      (col("r_wordcount") && col("r_meanwordlen") && col("r_hash") &&
-        col("r_ellipsis") && col("r_alpha")).as("keep"))
+    gopherFacts(d).select(col("doc_id"), langAgnosticKeep.as("keep"))
+
+  /** The language-agnostic Gopher keep over [[gopherFacts]]' rule
+    * columns — ONE spelling shared by [[qualityLabels]] and
+    * [[perDocGateFacts]]' g_keep. */
+  private def langAgnosticKeep: org.apache.spark.sql.Column =
+    col("r_wordcount") && col("r_meanwordlen") && col("r_hash") &&
+      col("r_ellipsis") && col("r_alpha")
+
+  /** Every per-doc MAP-STAGE gate fact in ONE projection over one
+    * scan — ZERO joins: the Gopher rule columns (+ g_keep, the
+    * language-agnostic label rule), blocklist counts (+ b_keep), the
+    * t54 PII verdict and the FK readability columns (+ the p9 decibin)
+    * chain as column-preserving transforms of the SAME definitions
+    * their standalone queries hash-check. The t52/t55 composites and
+    * the ingest-time gate-flag state fold from this frame — joining
+    * the four per-gate frames on doc_id instead would pay four
+    * full-corpus exchanges at scale for facts the scan can compute in
+    * place. */
+  private[graft] def perDocGateFacts(d: DataFrame): DataFrame =
+    withReadability(piiFacts(blocklistFacts(gopherFacts(d))))
+      .withColumn("bin", round(col("fk") * 10).cast("long"))
+      .withColumn("g_keep", langAgnosticKeep)
+      .withColumn("b_keep", col("n_bad") === 0)
 
   /** t48 training state, token half: (keep, tok, c) seg-token counts
     * over a LABELED (doc_id, tk, keep) slice. Additive — per-batch
@@ -2385,15 +2416,16 @@ object TextQueries {
     "t52_filter_funnel" -> ((s, dir) => {
       val d = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
         TextAnalysis.segTokens(col("text")).as("tk")))
-      val labels = graft.Caches.shared(qualityLabels(docs(s, dir)))
+      // the two map-stage gates fuse into ONE projection over one
+      // scan (perDocGateFacts) — no label⋈blocklist exchange
+      val facts = graft.Caches.shared(perDocGateFacts(docs(s, dir))
+        .select(col("doc_id"), col("g_keep"), col("b_keep")))
       val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .join(labels, "doc_id")
+        .join(facts.select(col("doc_id"), col("g_keep").as("keep")),
+          "doc_id")
       val scored =
         qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
-      val flags = labels.withColumnRenamed("keep", "g_keep")
-        .join(blocklistCounts(docs(s, dir))
-          .select(col("doc_id"), (col("n_bad") === 0).as("b_keep")),
-          "doc_id")
+      val flags = facts
         .join(textDupDecision(s, dir)
           .select(col("asset_id").as("doc_id"), col("kept").as("d_keep")),
           "doc_id")
@@ -2621,6 +2653,68 @@ object TextQueries {
         .orderBy("phase", "shard_id")
     }),
 
+    // P14: trainer RESUME PLAN (round 17) — the restart lookup a
+    // crashed trainer actually performs: given consumed global token
+    // counts T (checkpoints), locate the exact (phase, shard, pack,
+    // offset-in-pack) of the first UNCONSUMED token under the
+    // artifact's consumption order (phase ASC, then the dense
+    // per-phase pack stream — every non-final pack holds exactly ctx
+    // tokens by construction, so within a phase the lookup is pure
+    // integer math: local = T − phase_base, pack = local div ctx,
+    // offset = local mod ctx, shard = pack div pps). Checkpoints here
+    // are the 10 evenly spaced global offsets k·(total div 11) —
+    // deterministic integers, so the oracle replays every row; the
+    // artifact face is [[Packing.resumePlan]], which reads only the
+    // `_manifest` + `_params` sidecars (metadata — ZERO shard or
+    // corpus reads; spec-pinned ≡ this query on a written artifact).
+    // Scale shape: per-phase totals fold from p10's offsets plan
+    // (partial map-side, #phases rows), then every join is a
+    // broadcast of that handful of rows against 10 checkpoint rows —
+    // the one corpus pass is the packing plan itself.
+    "p14_resume_plan" -> ((s, dir) => {
+      val pt = curriculumPacking(s, dir)
+        .groupBy("phase").agg(sum("n_tokens").as("ptok"))
+      val wP = org.apache.spark.sql.expressions.Window.orderBy("phase")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val pb = pt.withColumn("base", sum("ptok").over(wP) - col("ptok"))
+      val tot = pt.agg(sum("ptok").as("total"))
+      s.range(1, 11).toDF("k")
+        .crossJoin(broadcast(tot))
+        .withColumn("t_global", col("k") * expr("total div 11"))
+        .join(broadcast(pb), col("t_global") >= col("base") &&
+          col("t_global") < col("base") + col("ptok"))
+        .withColumn("local", col("t_global") - col("base"))
+        .select(col("k"), col("t_global"), col("phase"),
+          expr("local div 2048 div 64").as("shard_id"),
+          expr("local div 2048").as("pack_id"),
+          (col("local") % lit(2048L)).as("offset_in_pack"))
+        .orderBy("k")
+    }),
+
+    // P15: EPOCH SHARD SHUFFLE (round 17) — the reproducible
+    // between-epoch reshuffle a trainer's dataloader performs over
+    // the packed artifact: curriculum order fixes the PHASE sequence,
+    // so each epoch permutes the SHARDS WITHIN each phase (the
+    // shard-level shuffle streaming loaders actually do — a global
+    // sample shuffle would defeat sequential shard reads) by the p4
+    // md5 discipline: order = rank of md5(phase|shard|'e'epoch)
+    // within (epoch, phase) — deterministic across reruns, engines,
+    // partitionings and data-parallel workers; no RNG state to ship.
+    // Epochs 1..3 here; the artifact face is
+    // [[Packing.epochShardOrder]] (manifest-only — zero shard or
+    // corpus reads; spec-pinned against a plain-Scala permutation on
+    // a written artifact). Scale shape: the shard universe folds
+    // from the SAME segment plan p12's manifest folds from; the rank
+    // window runs over #shards × epochs rows — metadata scale.
+    "p15_epoch_shuffle" -> ((s, dir) =>
+      Packing.epochShardOrderOf(
+        Packing.perPhaseSegments(curriculumPacking(s, dir), "n_tokens",
+            ctxSize = 2048, packsPerShard = 64)
+          .select("phase", "shard_id").distinct(),
+        epochs = 3)),
+
     // T55: per-domain DATA CARD (round 17) — the per-language ×
     // per-gate breakdown a corpus release publishes (The Pile §2,
     // Dolma, FineWeb data cards): t52 gives the whole-corpus
@@ -2645,16 +2739,17 @@ object TextQueries {
       val dd = docs(s, dir)
       val d = graft.Caches.shared(dd.select(col("doc_id"),
         TextAnalysis.segTokens(col("text")).as("tk")))
-      val labels = graft.Caches.shared(qualityLabels(dd))
+      // every map-stage fact (labels, blocklist, PII, FK bin) in ONE
+      // fused projection — zero joins for the gates the scan computes
+      val facts = graft.Caches.shared(perDocGateFacts(dd)
+        .select(col("doc_id"), col("lang"), col("g_keep"),
+          col("b_keep"), col("pii_free"), col("bin")))
       val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .join(labels, "doc_id")
+        .join(facts.select(col("doc_id"), col("g_keep").as("keep")),
+          "doc_id")
       val scored =
         qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
-      val flags = dd.select(col("doc_id"), col("lang"))
-        .join(labels.withColumnRenamed("keep", "g_keep"), "doc_id")
-        .join(blocklistCounts(dd)
-          .select(col("doc_id"), (col("n_bad") === 0).as("b_keep")),
-          "doc_id")
+      val flags = facts
         .join(textDupDecision(s, dir)
           .select(col("asset_id").as("doc_id"), col("kept").as("d_keep")),
           "doc_id")
@@ -2663,42 +2758,47 @@ object TextQueries {
           Seq("doc_id"), "left")
         .join(scored.select(col("doc_id"), col("n_tokens"),
           col("pred_keep")), Seq("doc_id"), "left")
-        .join(piiCounts(dd).select(col("doc_id"), col("pii_free")),
-          "doc_id")
-        .join(withReadability(dd)
-          .select(col("doc_id"),
-            round(col("fk") * 10).cast("long").as("bin")), "doc_id")
         .select(col("lang"), col("g_keep"), col("b_keep"), col("d_keep"),
           coalesce(col("c_keep"), lit(true)).as("c_keep"),
           coalesce(col("pred_keep"), lit(false)).as("p_keep"),
           coalesce(col("n_tokens"), lit(0L)).as("nt"),
           col("pii_free"), col("bin"))
-      def cnt(p: org.apache.spark.sql.Column) =
-        sum(when(p, 1L).otherwise(0L))
-      val keepAll = col("g_keep") && col("b_keep") && col("d_keep") &&
-        col("c_keep") && col("pii_free") && col("p_keep")
-      flags.groupBy("lang").agg(
-          count(lit(1)).as("n_docs"),
-          sum("nt").as("n_tokens"),
-          cnt(col("g_keep")).as("gopher_pass"),
-          cnt(col("b_keep")).as("blocklist_pass"),
-          cnt(col("d_keep")).as("dedup_pass"),
-          cnt(col("c_keep")).as("decon_pass"),
-          cnt(col("pii_free")).as("pii_free_docs"),
-          cnt(col("p_keep")).as("classifier_pass"),
-          cnt(keepAll).as("docs_kept"),
-          sum(when(keepAll, col("nt")).otherwise(0L)).as("tokens_kept"),
-          sum("bin").as("fk_bin_sum"))
-        .withColumn("doc_keep_rate",
-          round(col("docs_kept").cast("double") / col("n_docs"), 6))
-        .withColumn("token_keep_rate",
-          when(col("n_tokens") > 0,
-            round(col("tokens_kept").cast("double") / col("n_tokens"), 6)))
-        .withColumn("mean_fk_bin",
-          round(col("fk_bin_sum").cast("double") / col("n_docs"), 4))
-        .orderBy("lang")
+      dataCardFold(flags)
     }),
   )
+
+  /** t55's per-lang fold — ONE definition for the batch query and the
+    * from-state face ([[graft.streaming.FunnelStreams.dataCardFromState]]):
+    * a (lang, g_keep, b_keep, d_keep, c_keep, p_keep, nt, pii_free,
+    * bin) flag frame folds to #languages rows with per-gate pass
+    * counts, the all-gates keep rates and the FK decibin sum — partial
+    * map-side, never corpus rows out. */
+  private[graft] def dataCardFold(flags: DataFrame): DataFrame = {
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    val keepAll = col("g_keep") && col("b_keep") && col("d_keep") &&
+      col("c_keep") && col("pii_free") && col("p_keep")
+    flags.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        cnt(col("g_keep")).as("gopher_pass"),
+        cnt(col("b_keep")).as("blocklist_pass"),
+        cnt(col("d_keep")).as("dedup_pass"),
+        cnt(col("c_keep")).as("decon_pass"),
+        cnt(col("pii_free")).as("pii_free_docs"),
+        cnt(col("p_keep")).as("classifier_pass"),
+        cnt(keepAll).as("docs_kept"),
+        sum(when(keepAll, col("nt")).otherwise(0L)).as("tokens_kept"),
+        sum("bin").as("fk_bin_sum"))
+      .withColumn("doc_keep_rate",
+        round(col("docs_kept").cast("double") / col("n_docs"), 6))
+      .withColumn("token_keep_rate",
+        when(col("n_tokens") > 0,
+          round(col("tokens_kept").cast("double") / col("n_tokens"), 6)))
+      .withColumn("mean_fk_bin",
+        round(col("fk_bin_sum").cast("double") / col("n_docs"), 4))
+      .orderBy("lang")
+  }
 
   /** t52's funnel fold — ONE definition for the batch query and the
     * from-state face ([[graft.streaming.FunnelStreams]]): a
@@ -2750,24 +2850,30 @@ object TextQueries {
     * query and the t55 data card's PII gate: plant, per-pattern
     * leftmost-first counts, the fixed-order global mask chain's md5
     * fingerprint, and the pii_free verdict. Pure scan projection. */
-  private def piiCounts(d: DataFrame): DataFrame = {
+  /** [[piiCounts]] in COLUMN-PRESERVING form: the planted text lives
+    * in an underscore temp so the caller's `text` is untouched — the
+    * [[perDocGateFacts]] chain link. */
+  private def piiFacts(d: DataFrame): DataFrame = {
     val masked = regexp_replace(regexp_replace(regexp_replace(
-      col("text"), EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"),
+      col("_ptext"), EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"),
       PhonePat, "<PHONE>")
     def cnt(pat: String) =
-      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      size(regexp_extract_all(col("_ptext"), lit(pat), lit(0)))
         .cast("long")
-    d.select(col("doc_id"),
-        piiPlantedText(col("doc_id"), col("text")).as("text"))
-      .select(col("doc_id"),
-        cnt(EmailPat).as("n_emails"),
-        cnt(Ipv4Pat).as("n_ips"),
-        cnt(PhonePat).as("n_phones"),
-        md5(masked).as("red_fp"))
+    d.withColumn("_ptext", piiPlantedText(col("doc_id"), col("text")))
+      .withColumn("n_emails", cnt(EmailPat))
+      .withColumn("n_ips", cnt(Ipv4Pat))
+      .withColumn("n_phones", cnt(PhonePat))
+      .withColumn("red_fp", md5(masked))
       .withColumn("pii_free",
         col("n_emails") === 0 && col("n_ips") === 0 &&
           col("n_phones") === 0)
+      .drop("_ptext")
   }
+
+  private[graft] def piiCounts(d: DataFrame): DataFrame =
+    piiFacts(d).select(col("doc_id"), col("n_emails"), col("n_ips"),
+      col("n_phones"), col("red_fp"), col("pii_free"))
 
   /** t53's planted line list: 10-word chunk lines (d19's convention)
     * plus the two repetition plants, each scaled WITH the document so
@@ -5121,6 +5227,52 @@ object TextQueries {
                " CAST(seg_tokens AS VARCHAR)")}) AS content_hash
         | FROM sg2 GROUP BY phase, shard_id
         | ORDER BY phase, shard_id""".stripMargin.replaceAll("\n", ""),
+    // p14: p10's replay chain folded to per-phase token totals, then
+    // the checkpoint lookup is pure integer math over that handful of
+    // rows — the same floor divisions both engines spell exactly.
+    "p14_resume_plan" ->
+      s"""WITH $p10CtesSql,
+        | pt AS (SELECT phase, CAST(SUM(n_tokens) AS BIGINT) AS ptok
+        |  FROM oo GROUP BY phase),
+        | pb AS (SELECT phase, ptok,
+        |   SUM(ptok) OVER (ORDER BY phase
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ptok
+        |    AS base FROM pt),
+        | tt AS (SELECT CAST(SUM(ptok) AS BIGINT) AS total FROM pt),
+        | ck AS (SELECT CAST(g.k AS BIGINT) AS k,
+        |   CAST(g.k * (total // 11) AS BIGINT) AS t_global
+        |  FROM generate_series(1, 10) AS g(k), tt)
+        | SELECT k, t_global, phase,
+        |  CAST((t_global - base) // 2048 // 64 AS BIGINT) AS shard_id,
+        |  CAST((t_global - base) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((t_global - base) % 2048 AS BIGINT) AS offset_in_pack
+        | FROM ck JOIN pb ON t_global >= base AND t_global < base + ptok
+        | ORDER BY k""".stripMargin.replaceAll("\n", ""),
+    // p15: p12's shard universe, then the same md5 rank both engines
+    // spell identically — the ONE shared md5Long over the ONE shared
+    // key string.
+    "p15_epoch_shuffle" ->
+      s"""WITH $p10CtesSql,
+        | oob AS (SELECT doc_id, phase, pos, n_tokens,
+        |   CAST(so AS BIGINT) AS so FROM oo),
+        | sg AS (SELECT phase, so // 2048 + u.i AS pack_id
+        |  FROM oob, UNNEST(range(0,
+        |    (so + n_tokens - 1) // 2048 - so // 2048 + 1)) AS u(i)
+        |  WHERE n_tokens > 0),
+        | sh AS (SELECT DISTINCT phase,
+        |   CAST(pack_id // 64 AS BIGINT) AS shard_id FROM sg),
+        | ep AS (SELECT CAST(g.e AS BIGINT) AS epoch
+        |  FROM generate_series(1, 3) AS g(e)),
+        | hx AS (SELECT epoch, phase, shard_id,
+        |   ${md5LongSql("CAST(phase AS VARCHAR) || '|' || " +
+             "CAST(shard_id AS VARCHAR) || '|' || 'e' || " +
+             "CAST(epoch AS VARCHAR)")} AS h
+        |  FROM sh, ep)
+        | SELECT epoch, phase, shard_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, phase
+        |    ORDER BY h, shard_id) - 1 AS BIGINT) AS order_pos
+        | FROM hx ORDER BY epoch, phase, order_pos""".stripMargin
+        .replaceAll("\n", ""),
   )
 
   /** p10's oracle CTE chain through `oo` (doc_id, phase, pos,

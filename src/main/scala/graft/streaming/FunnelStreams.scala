@@ -13,10 +13,14 @@ import graft.operators.{Cdc, Dedup, TextAnalysis, TextQueries}
   * re-reads (the boilerplateRemovalFromState precedent, applied to
   * the whole funnel). Four states compose:
   *
-  *  - GATE FLAGS — one row per doc (g_keep, b_keep, n_chars): pure
-  *    map work per batch (the t43-subset labels and t50's blocklist
-  *    counts), keyed on doc_id with an idempotent min-merge (flags
-  *    are deterministic per doc, so replays fold to themselves);
+  *  - GATE FLAGS — one row per doc (g_keep, b_keep, n_chars, lang,
+  *    pii_free, bin): EVERY per-doc map-stage fact, computed in ONE
+  *    fused projection per batch ([[TextQueries.perDocGateFacts]] —
+  *    the t43-subset labels, t50's blocklist verdict, t54's PII
+  *    verdict and p9's FK decibin; zero joins), keyed on doc_id with
+  *    an idempotent min-merge (flags are deterministic per doc, so
+  *    replays fold to themselves); one state serves both the funnel
+  *    and the t55 data card;
   *  - the d18 POSTING LIST ([[DedupStreams.streamingWinnowFps]],
   *    reused as-is) — the dedup stage's pair decisions;
   *  - CONTAMINATION FLAGS — each train batch screened at ingest
@@ -52,16 +56,18 @@ object FunnelStreams {
         valCols.tail.map(c => min(c).as(c)): _*)
   }
 
-  /** One batch's gate-flag delta: (doc_id, g_keep, b_keep, n_chars) —
-    * the funnel's two map-stage gates plus the dedup rank key. The
-    * batch must carry doc_id, text, n_chars. */
+  /** One batch's gate-flag delta: (doc_id, g_keep, b_keep, n_chars,
+    * lang, pii_free, bin) — every per-doc MAP-STAGE fact the funnel
+    * and the data card consume: the two map gates, the dedup rank
+    * key, the card's language key, the t54 PII verdict and the p9 FK
+    * decibin. All pure per-doc functions, so one state serves both
+    * reports. The batch must carry doc_id, text, n_chars, lang. */
   def gateFlagBatch(batch: DataFrame): DataFrame =
-    TextQueries.qualityLabels(batch.select(col("doc_id"), col("text")))
-      .withColumnRenamed("keep", "g_keep")
-      .join(TextQueries.blocklistKeep(batch.select(col("doc_id"),
-        col("text"))), "doc_id")
-      .join(batch.select(col("doc_id"),
-        col("n_chars").cast("long").as("n_chars")), "doc_id")
+    TextQueries.perDocGateFacts(batch.select(col("doc_id"), col("text"),
+        col("n_chars"), col("lang")))
+      .select(col("doc_id"), col("g_keep"), col("b_keep"),
+        col("n_chars").cast("long").as("n_chars"), col("lang"),
+        col("pii_free"), col("bin"))
 
   /** Fold an append document stream into the per-doc gate-flag
     * state. */
@@ -149,5 +155,52 @@ object FunnelStreams {
           coalesce(col("pred_keep"), lit(false)).as("p_keep"),
           coalesce(col("n_tokens"), lit(0L)).as("nt"))
       TextQueries.funnelFold(flags)
+    }
+
+  /** The t55 per-domain data card from the SAME five committed states
+    * — zero corpus re-reads. The gate-flag state already carries the
+    * card's extra per-doc map facts (lang, pii_free, FK bin), so the
+    * card is the funnel's state joins with three more projected
+    * columns, folded by the SAME [[TextQueries.dataCardFold]] the
+    * oracle-checked batch t55 runs — stream ≡ batch is pinned in
+    * Round17OpsSpec against t55 itself. None until every state has a
+    * committed version. */
+  def dataCardFromState(
+      spark: SparkSession,
+      gateState: String,
+      fpState: String,
+      contamState: String,
+      qualityState: String,
+      tokState: String): Option[DataFrame] =
+    for {
+      gates <- Cdc.readRollup(spark, gateState)
+      fps <- Cdc.readRollup(spark, fpState)
+      cons <- Cdc.readRollup(spark, contamState)
+      qual <- Cdc.readRollup(spark, qualityState)
+      toks <- Cdc.readRollup(spark, tokState)
+    } yield {
+      val pairs = Dedup.sharedPassagePairsFrom(fps.select("id", "fp"))
+        .select(col("a_id"), col("b_id"))
+      val ddec = TextQueries.dupDecisionFromPairs(
+        gates.select(col("doc_id"), col("n_chars")), pairs)
+      val scored = TextQueries.qualityLogOddsFromTokCounts(
+        toks.select("doc_id", "tok", "m"),
+        qual.filter(col("kind") === "tok").select("keep", "tok", "c"),
+        qual.filter(col("kind") === "doc")
+          .select(col("keep"), col("c").as("nd")))
+      val flags = gates.select(col("doc_id"), col("lang"), col("g_keep"),
+          col("b_keep"), col("pii_free"), col("bin"))
+        .join(ddec.select(col("asset_id").as("doc_id"),
+          col("kept").as("d_keep")), "doc_id")
+        .join(cons.select(col("doc_id"),
+          (col("contaminated") === 0L).as("c_keep")), Seq("doc_id"), "left")
+        .join(scored.select(col("doc_id"), col("n_tokens"),
+          col("pred_keep")), Seq("doc_id"), "left")
+        .select(col("lang"), col("g_keep"), col("b_keep"), col("d_keep"),
+          coalesce(col("c_keep"), lit(true)).as("c_keep"),
+          coalesce(col("pred_keep"), lit(false)).as("p_keep"),
+          coalesce(col("n_tokens"), lit(0L)).as("nt"),
+          col("pii_free"), col("bin"))
+      TextQueries.dataCardFold(flags)
     }
 }

@@ -443,7 +443,7 @@ class Round17OpsSpec extends AnyFunSuite {
   // t52-from-state: the funnel report with zero corpus re-reads
   // -------------------------------------------------------------
 
-  test("funnelFromState: the report folded from committed states equals the oracle-checked batch t52") {
+  test("funnelFromState + dataCardFromState: the reports folded from committed states equal the oracle-checked batch t52 and t55") {
     import graft.operators.Cdc
     import graft.streaming.{DedupStreams, FunnelStreams, ModelStreams}
     val s = spark
@@ -451,7 +451,7 @@ class Round17OpsSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fst").toString
     try {
       val docsDf = Tables.load(s, dir, "documents")
-        .select("doc_id", "text", "n_chars")
+        .select("doc_id", "text", "n_chars", "lang")
       val (train, bench) = TextQueries.decontamInputs(s, dir)
       // the benchmark stream folds FIRST (screen-at-ingest contract)
       for (i <- 0 until 2)
@@ -496,6 +496,18 @@ class Round17OpsSpec extends AnyFunSuite {
       // the data-dependent stages
       assert(batch.exists(r => r._1 == 3L && r._4 < r._3),
         "dedup stage removed nothing")
+      // the per-domain data card from the SAME five states — the
+      // gate-flag state already carries lang/pii_free/bin, so the
+      // card is three more projected columns into the shared fold
+      val gotCard = FunnelStreams.dataCardFromState(s, s"$tmp/gates",
+        s"$tmp/fps", s"$tmp/contam", s"$tmp/quality", s"$tmp/toks")
+      assert(gotCard.isDefined, "all states committed — card must exist")
+      val cardState = gotCard.get.collect().map(_.toString).toSeq
+      val cardBatch = SparkEntry.queries("t55_data_card")(s, dir)
+        .collect().map(_.toString).toSeq
+      assert(cardState == cardBatch,
+        s"from-state card diverges:\n  state=$cardState\n  batch=$cardBatch")
+      assert(cardBatch.size > 1, "card must cover multiple languages")
       Caches.release(spark)
     } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(tmp))
@@ -557,6 +569,128 @@ class Round17OpsSpec extends AnyFunSuite {
               lastPack(r.getAs[Long]("phase")))
             assert(expect == ctx.toLong,
               s"$dir: non-final pack not at budget: $expect")
+        }
+        Caches.release(spark)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  // -------------------------------------------------------------
+  // epochShardOrder: the trainer's between-epoch shard permutation
+  // -------------------------------------------------------------
+
+  test("epochShardOrder: manifest-only per-epoch within-phase permutations match a plain-Scala md5 rank, complete and reproducible — at 3 SFs") {
+    def md5Long15(x: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(15), 16)
+    for (dir <- AllSfs) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_eps").toString
+      try {
+        Packing.writeCurriculumShards(phasedDocs(dir), "doc_id",
+          "n_tokens", "phase", "-p9", 256, 4, s"$tmp/shards")
+        val manifestShards = Packing.readManifest(spark, s"$tmp/shards")
+          .select("phase", "shard_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = Packing.epochShardOrder(spark, s"$tmp/shards", 3)
+          .collect()
+          .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("phase"),
+            r.getAs[Long]("shard_id"), r.getAs[Long]("order_pos")))
+        // 1) ≡ the plain-Scala permutation: per (epoch, phase), rank
+        // of md5(phase|shard|'e'epoch) with the shard tie-break
+        for (e <- 1L to 3L) {
+          val want = manifestShards.toSeq.groupBy(_._1).flatMap {
+            case (ph, shs) =>
+              shs.map(_._2).sortBy(sh =>
+                  (md5Long15(s"$ph|$sh|e$e"), sh))
+                .zipWithIndex.map { case (sh, i) =>
+                  (e, ph, sh, i.toLong) }
+          }.toSet
+          assert(got.filter(_._1 == e).toSet == want,
+            s"$dir: epoch $e order diverges from the plain-Scala rank")
+        }
+        // 2) complete: every (epoch, phase) covers 0..n−1 over
+        // exactly the manifest's shard set (implied by 1 ∧ counts)
+        assert(got.length == manifestShards.size * 3,
+          s"$dir: row count != #shards × epochs")
+        // 3) reproducible: a second evaluation is identical
+        val again = Packing.epochShardOrder(spark, s"$tmp/shards", 3)
+          .collect()
+          .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("phase"),
+            r.getAs[Long]("shard_id"), r.getAs[Long]("order_pos")))
+        assert(got.toSeq == again.toSeq, s"$dir: rerun diverged")
+        // 4) epochs really reshuffle: some phase with ≥4 shards
+        // orders differently across epochs (deterministic for this
+        // fixed artifact)
+        val bigPhases = manifestShards.groupBy(_._1)
+          .filter(_._2.size >= 4).keySet
+        if (bigPhases.nonEmpty) {
+          val diverges = bigPhases.exists { ph =>
+            def order(e: Long) = got.filter(r => r._1 == e && r._2 == ph)
+              .sortBy(_._4).map(_._3).toSeq
+            order(1L) != order(2L) || order(2L) != order(3L)
+          }
+          assert(diverges, s"$dir: epochs produced identical orders")
+        }
+        Caches.release(spark)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  // -------------------------------------------------------------
+  // resumePlan: the trainer's restart lookup, metadata-only
+  // -------------------------------------------------------------
+
+  test("resumePlan: the metadata-only restart lookup matches a plain-Scala fold of the consumption order — at 3 SFs") {
+    val ctx = 256L
+    val pps = 4L
+    for (dir <- AllSfs) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rsm").toString
+      try {
+        val phased = phasedDocs(dir)
+        Packing.writeCurriculumShards(phased, "doc_id", "n_tokens",
+          "phase", "-p9", ctx.toInt, pps.toInt, s"$tmp/shards")
+        // ground truth: per-phase totals under the writer's input
+        // contract (zero-token docs excluded), folded in plain Scala
+        val totals = phased.filter(col("n_tokens") > 0)
+          .groupBy("phase").agg(sum("n_tokens").as("ptok"))
+          .orderBy("phase").collect()
+          .map(r => (r.getAs[Number]("phase").longValue(),
+            r.getAs[Long]("ptok")))
+        val bases = totals.scanLeft(0L)(_ + _._2).init
+        val total = totals.map(_._2).sum
+        def expectAt(t: Long): (Long, Long, Long, Long) = {
+          val i = totals.indices.findLast(j => bases(j) <= t).get
+          val local = t - bases(i)
+          (totals(i)._1, local / ctx / pps, local / ctx, local % ctx)
+        }
+        // checkpoints: the first token, a mid-phase point per phase,
+        // every PHASE BOUNDARY (resume must land on the next phase's
+        // pack 0 offset 0), the last token, and two past-the-end
+        // offsets (training done — they must drop out)
+        val mids = totals.indices.map(j => bases(j) + totals(j)._2 / 2)
+        val cks = (Seq(0L, total - 1, total, total + 5) ++
+          bases.tail ++ mids).distinct
+        val got = Packing.resumePlan(spark, s"$tmp/shards", cks)
+          .collect()
+          .map(r => r.getAs[Long]("t_global") ->
+            (r.getAs[Long]("phase"), r.getAs[Long]("shard_id"),
+              r.getAs[Long]("pack_id"), r.getAs[Long]("offset_in_pack")))
+          .toMap
+        val live = cks.filter(_ < total)
+        assert(got.keySet == live.toSet,
+          s"$dir: past-the-end checkpoints must drop, live ones stay")
+        live.foreach { t =>
+          assert(got(t) == expectAt(t), s"$dir: resume at $t diverges: " +
+            s"got=${got(t)} want=${expectAt(t)}")
+        }
+        // the boundary rows really are next-phase pack-0 starts
+        bases.tail.filter(_ < total).foreach { t =>
+          assert(got(t)._3 == 0L && got(t)._4 == 0L,
+            s"$dir: phase-boundary resume not at pack 0 offset 0")
         }
         Caches.release(spark)
       } finally org.apache.commons.io.FileUtils
