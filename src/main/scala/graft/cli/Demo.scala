@@ -31,7 +31,10 @@ import graft.store.Catalog
   * docs phased by the artifact's frozen schedule, only partial tail
   * shards reopen), `pack-verify` (manifest-vs-data integrity diff,
   * nonzero exit on divergence), `pack-compact` (collapse the
-  * manifest's append log), `export-keyframes` (m20 PNGs
+  * manifest's append log), `pack-resume` (p14's restart lookup:
+  * `--tokens t1,t2,...` → phase/shard/pack/offset, manifest-only),
+  * `pack-epochs` (p15's reproducible per-epoch shard order,
+  * manifest-only), `export-keyframes` (m20 PNGs
   * partitionBy(asset) + manifest), `scan`, `compact`, `purge`.
   *
   * `--embedder http(s)://host` routes chunk and query embedding
@@ -409,6 +412,47 @@ object Demo {
             s"$nb shard-budget violations")
         }
 
+      case "pack-resume" =>
+        // p14's artifact face from the CLI: the restart lookup a
+        // crashed trainer runs — reads only _manifest/_params
+        // (metadata; shard data never opens)
+        val out = flags.getOrElse("out",
+          sys.error("pack-resume needs --out <artifact dir>"))
+        val cks = flags.getOrElse("tokens",
+          sys.error("pack-resume needs --tokens <t1,t2,...> " +
+            "(consumed global token counts)"))
+          .split(",").map(_.trim.toLong).toSeq
+        // #checkpoints rows — bounded by the flag the caller typed
+        val plan = graft.operators.Packing.resumePlan(spark, out, cks)
+          .collect()
+        plan.foreach { r =>
+          println(s"[pack-resume] t=${r.getAs[Long]("t_global")} -> " +
+            s"phase=${r.getAs[Long]("phase")} " +
+            s"shard=${r.getAs[Long]("shard_id")} " +
+            s"pack=${r.getAs[Long]("pack_id")} " +
+            s"offset=${r.getAs[Long]("offset_in_pack")}")
+        }
+        val dropped = cks.toSet --
+          plan.map(_.getAs[Long]("t_global")).toSet
+        if (dropped.nonEmpty)
+          println("[pack-resume] past-the-end (training complete): " +
+            dropped.toSeq.sorted.mkString(","))
+
+      case "pack-epochs" =>
+        // p15's artifact face: the reproducible per-epoch shard order
+        // a dataloader streams — manifest-only, bounded report
+        val out = flags.getOrElse("out",
+          sys.error("pack-epochs needs --out <artifact dir>"))
+        val n = flags.getOrElse("epochs", "3").toInt
+        val ord = graft.operators.Packing.epochShardOrder(spark, out, n)
+        ord.limit(20).collect().foreach { r =>
+          println(s"[pack-epochs] epoch=${r.getAs[Long]("epoch")} " +
+            s"phase=${r.getAs[Long]("phase")} " +
+            s"pos=${r.getAs[Long]("order_pos")} " +
+            s"shard=${r.getAs[Long]("shard_id")}")
+        }
+        println(s"[pack-epochs] ${ord.count()} rows (#shards × $n epochs)")
+
       case "export-keyframes" =>
         // m20 as an artifact (round 16): the detect → select → extract
         // chain's PNGs written partitionBy(asset_id) with a bounded
@@ -458,7 +502,8 @@ object Demo {
       case other => sys.error(
         s"unknown mode '$other' (expected import|import-dir|search|" +
           "generate|scan|compact|purge|audit|report|pack|pack-append|" +
-          "pack-verify|pack-compact|export-keyframes|demo)")
+          "pack-verify|pack-compact|pack-resume|pack-epochs|" +
+          "export-keyframes|demo)")
     }
   }
 

@@ -407,6 +407,8 @@ object Packing {
     val params = spark.read.parquet(s"$path/$ParamsDir").collect()(0)
     val ctx = params.getAs[Long]("ctx_size")
     val pps = params.getAs[Long]("packs_per_shard")
+    require(ctx > 0 && pps > 0,
+      s"corrupt _params sidecar: ctx_size=$ctx packs_per_shard=$pps")
     val pt = readManifest(spark, path)
       .groupBy("phase").agg(sum("tokens").as("ptok"))
     val wP = Window.orderBy("phase")
@@ -435,6 +437,7 @@ object Packing {
     * #shards × epochs rows — metadata scale, never corpus rows. */
   private[graft] def epochShardOrderOf(
       shards: DataFrame, epochs: Int): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
     val w = Window.partitionBy("epoch", "phase").orderBy("h", "shard_id")
     shards
       .withColumn("epoch", explode(expr(s"sequence(1L, ${epochs}L)")))

@@ -640,6 +640,42 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pack-resume / pack-epochs CLI: the artifact faces drive end-to-end and report the library's answers") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    try {
+      Packing.writeCurriculumShards(phasedDocs(sfDir), "doc_id",
+        "n_tokens", "phase", "-p9", 256, 4, s"$tmp/shards")
+      val total = Packing.readManifest(spark, s"$tmp/shards")
+        .agg(sum("tokens")).head.getLong(0)
+      val mid = total / 2
+      val want = Packing.resumePlan(spark, s"$tmp/shards", Seq(mid))
+        .collect()(0)
+      val out1 = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out1)) {
+        graft.cli.Demo.run(spark, "pack-resume", Map(
+          "out" -> s"$tmp/shards", "tokens" -> s"$mid,${total + 7}"))
+      }
+      val res = out1.toString
+      assert(res.contains(s"t=$mid -> phase=${want.getAs[Long]("phase")} " +
+        s"shard=${want.getAs[Long]("shard_id")} " +
+        s"pack=${want.getAs[Long]("pack_id")} " +
+        s"offset=${want.getAs[Long]("offset_in_pack")}"),
+        s"resume line missing:\n$res")
+      assert(res.contains(s"past-the-end (training complete): ${total + 7}"),
+        s"past-the-end note missing:\n$res")
+      val out2 = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out2)) {
+        graft.cli.Demo.run(spark, "pack-epochs", Map(
+          "out" -> s"$tmp/shards", "epochs" -> "2"))
+      }
+      val nShards = Packing.readManifest(spark, s"$tmp/shards").count()
+      assert(out2.toString.contains(s"${nShards * 2} rows"),
+        s"epoch-order row count missing:\n${out2.toString}")
+      Caches.release(spark)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
   // -------------------------------------------------------------
   // resumePlan: the trainer's restart lookup, metadata-only
   // -------------------------------------------------------------
