@@ -118,7 +118,8 @@ object Bench {
     "t55_data_card", // per-lang × per-gate release report: 1 lang fold
     "m21_caption_alignment", // curate→align gate: fused encode/decode map
     "p14_resume_plan", // trainer restart lookup: p10 plan + metadata math
-    "p15_epoch_shuffle") // per-epoch shard permutation: md5 rank, metadata
+    "p15_epoch_shuffle", // per-epoch shard permutation: md5 rank, metadata
+    "t56_gate_drift") // pass-rate drift monitor: fused facts + 24-row EWMA
   // m15 stays out of the headline: its extraction scan is m14's
   // (headlined) and its decision input is m9's chain (excluded below)
   // — the consolidation itself is one keyed join + one keyed fold, no

@@ -742,7 +742,7 @@ object EventQueries {
     * as [[cusumScan]]. s₀ = 16·x₀; sₜ = (3·sₜ₋₁ + 16·xₜ) div 4. All
     * terms stay non-negative, so Scala's truncating `/` IS the SQL
     * `div` floor — no float ever enters the recursion. */
-  private val ewmaScan =
+  private[graft] val ewmaScan =
     udf { (cnts: Seq[Long]) =>
       var run = -1L
       cnts.map { c =>

@@ -94,12 +94,17 @@ object TextQueries {
 
   /** Oracle twin of [[blocklistCounts]] — a CTE block ending in
     * `blc(doc_id, n_tok, n_bad)`, shared by the t50 and t52 oracles. */
-  private lazy val t50CountCtes: String =
+  private lazy val t50CountCtes: String = t50CountCtesFrom("documents")
+
+  /** [[t50CountCtes]] parameterized by its source relation (the t56
+    * drift monitor counts over its degraded-text CTE) — ONE spelling
+    * of the plant, the word extract and the blocklist filter. */
+  private def t50CountCtesFrom(src: String): String =
     s"""t50p AS (SELECT doc_id, text ||
       |   CASE WHEN doc_id % 7 = 2 THEN ' badword gorefest'
       |        WHEN doc_id % 7 = 5 THEN ' badword' ELSE '' END ||
       |   CASE WHEN doc_id % 13 = 8 THEN ' Slurword.' ELSE '' END AS text
-      |  FROM documents),
+      |  FROM $src),
       | t50w AS (SELECT doc_id,
       |   list_transform(regexp_extract_all(text, '$WordRunPat', 0),
       |    w -> lower(w)) AS words
@@ -2715,6 +2720,80 @@ object TextQueries {
           .select("phase", "shard_id").distinct(),
         epochs = 3)),
 
+    // T56: gate DRIFT monitor (round 17) — the data-quality dashboard
+    // a production ingest watches: an upstream crawler/extractor
+    // regression shows up as a sudden shift in a gate's pass rate
+    // long before anyone reads a data card. Arrival order is modeled
+    // as 24 equal doc_id ranges (deterministic; the oracle replays
+    // the same integer split); from batch 20 on, a PLANTED
+    // degradation (hash spam scaled with the document — m tokens of
+    // '#### ' with m = n_chars div 50 + 1, so the Gopher hash rule
+    // flips at every SF and every doc shape: 40m hashes vs wc0 + m ≤
+    // (n_chars+1)/2 + m words) simulates the regression. Per batch:
+    // exact-integer pass rates (×10⁶) for the gopher, blocklist and
+    // PII gates from the SAME fused perDocGateFacts projection every
+    // report uses; then s24's 16ths-scaled integer EWMA (ONE
+    // definition — EventQueries.ewmaScan; the oracle replays the
+    // recursion as a recursive CTE) and an alert when a batch's rate
+    // deviates from the PREVIOUS EWMA by more than 15 pp — the
+    // planted batches fire the gopher alert, the untouched gates
+    // show the monitor staying quiet. Scale shape: one corpus pass
+    // (the fused facts scan) + a 24-row fold — the EWMA/alert chain
+    // runs on the batch table, never the corpus; the 24-row window
+    // is the bounded-window class the histogram patterns use.
+    "t56_gate_drift" -> ((s, dir) => {
+      val dd = docs(s, dir)
+      val withB = dd
+        .crossJoin(broadcast(dd.agg((max("doc_id") + 1L).as("nid"))))
+        .withColumn("batch",
+          least(lit(23L), expr("doc_id * 24 div nid")))
+      val degraded = withB.withColumn("text",
+        when(col("batch") >= 20,
+          concat(col("text"), lit(" "),
+            expr("repeat('#### ', CAST(n_chars div 50 + 1 AS INT))")))
+          .otherwise(col("text")))
+      val facts = perDocGateFacts(degraded
+        .select(col("doc_id"), col("text"), col("batch")))
+      def cnt(p: org.apache.spark.sql.Column) =
+        sum(when(p, 1L).otherwise(0L))
+      val rates = facts.groupBy("batch").agg(
+          count(lit(1)).as("n_docs"),
+          cnt(col("g_keep")).as("gp"),
+          cnt(col("b_keep")).as("bp"),
+          cnt(col("pii_free")).as("pp"))
+        .select(col("batch"), col("n_docs"),
+          expr("gp * 1000000 div n_docs").as("g_rate6"),
+          expr("bp * 1000000 div n_docs").as("b_rate6"),
+          expr("pp * 1000000 div n_docs").as("p_rate6"))
+      val folded = rates
+        .agg(sort_array(collect_list(struct(col("batch"), col("n_docs"),
+          col("g_rate6"), col("b_rate6"), col("p_rate6")))).as("ser"))
+        .withColumn("ge",
+          EventQueries.ewmaScan(expr("transform(ser, x -> x.g_rate6)")))
+        .withColumn("be",
+          EventQueries.ewmaScan(expr("transform(ser, x -> x.b_rate6)")))
+        .withColumn("pe",
+          EventQueries.ewmaScan(expr("transform(ser, x -> x.p_rate6)")))
+        .select(explode(arrays_zip(col("ser"), col("ge"), col("be"),
+          col("pe"))).as("z"))
+        .select(col("z.ser.batch").as("batch"),
+          col("z.ser.n_docs").as("n_docs"),
+          col("z.ser.g_rate6").as("g_rate6"),
+          col("z.ser.b_rate6").as("b_rate6"),
+          col("z.ser.p_rate6").as("p_rate6"),
+          col("z.ge").as("g_ewma16"), col("z.be").as("b_ewma16"),
+          col("z.pe").as("p_ewma16"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("batch")
+      def alert(r: String, e: String) = coalesce(
+        abs(lit(16L) * col(r) - lag(e, 1).over(w)) > lit(2400000L),
+        lit(false))
+      folded
+        .withColumn("g_alert", alert("g_rate6", "g_ewma16"))
+        .withColumn("b_alert", alert("b_rate6", "b_ewma16"))
+        .withColumn("p_alert", alert("p_rate6", "p_ewma16"))
+        .orderBy("batch")
+    }),
+
     // T55: per-domain DATA CARD (round 17) — the per-language ×
     // per-gate breakdown a corpus release publishes (The Pile §2,
     // Dolma, FineWeb data cards): t52 gives the whole-corpus
@@ -3494,8 +3573,13 @@ object TextQueries {
   /** Oracle twin of [[piiPlantedText]] over `documents` — the body of
     * the plant CTE, ONE spelling shared by the t54 and t55 oracles
     * (two copies of the plant surgery could drift independently). */
-  private lazy val piiPlantSql: String =
-    """SELECT doc_id, text ||
+  private lazy val piiPlantSql: String = piiPlantSqlFrom("documents")
+
+  /** [[piiPlantSql]] parameterized by its source relation — the t56
+    * drift monitor plants PII onto its degraded-text CTE, everything
+    * else onto `documents`; ONE spelling of the plant. */
+  private def piiPlantSqlFrom(src: String): String =
+    s"""SELECT doc_id, text ||
       |   CASE WHEN doc_id % 6 = 1 THEN ' Reach me at user' ||
       |     CAST(doc_id AS VARCHAR) || '@Example.org for details.'
       |    ELSE '' END ||
@@ -3505,7 +3589,26 @@ object TextQueries {
       |   CASE WHEN doc_id % 8 = 5 THEN ' Call 555-867-' ||
       |     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'
       |    ELSE '' END AS text
-      |  FROM documents""".stripMargin
+      |  FROM $src""".stripMargin
+
+  /** Oracle twin of [[gopherFacts]]' rule inputs — a CTE block ending
+    * in `c(doc_id, wc, len, hash_cnt, ell_cnt, alpha_w, stop_hits)`,
+    * parameterized by its source relation (t43 reads `documents`; the
+    * t56 drift monitor reads its degraded-text CTE) — ONE spelling of
+    * the tokenization and the six rule inputs. */
+  private def gopherRuleCtesSql(src: String): String = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(s => s"'$s'").mkString("[", ",", "]")
+    s"""m AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+       |  FROM $src),
+       | c AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS wc, length(text) AS len,
+       |  len(regexp_extract_all(text, '#')) AS hash_cnt,
+       |  len(regexp_extract_all(text, '\\.\\.\\.')) AS ell_cnt,
+       |  len(list_filter(tk, w -> regexp_matches(w, '\\p{L}'))) AS alpha_w,
+       |  len(list_intersect(list_distinct(tk), $stops)) AS stop_hits
+       |  FROM m)""".stripMargin
+  }
 
   /** Oracle-side spelling of [[Dedup.md5Long]]: parse the first 15 hex
     * digits of md5(expr) back to a BIGINT with a strpos fold — 60 bits,
@@ -4292,18 +4395,8 @@ object TextQueries {
         .stripMargin.replaceAll("\n", ""),
     // d21's oracle is emitted dump-time (d21OracleSql — the canon
     // chain needs the corpus alphabet, the t42 inlining pattern),
-    "t43_gopher_rules" -> {
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        .map(s => s"'$s'").mkString("[", ",", "]")
-      s"""WITH m AS (SELECT doc_id, text, string_split(text, ' ') AS tk
-         |  FROM documents),
-         | c AS (SELECT doc_id,
-         |  CAST(len(tk) AS BIGINT) AS wc, length(text) AS len,
-         |  len(regexp_extract_all(text, '#')) AS hash_cnt,
-         |  len(regexp_extract_all(text, '\\.\\.\\.')) AS ell_cnt,
-         |  len(list_filter(tk, w -> regexp_matches(w, '\\p{L}'))) AS alpha_w,
-         |  len(list_intersect(list_distinct(tk), $stops)) AS stop_hits
-         |  FROM m)
+    "t43_gopher_rules" ->
+      s"""WITH ${gopherRuleCtesSql("documents")}
          | SELECT doc_id, wc,
          |  wc BETWEEN 50 AND 100000 AS r_wordcount,
          |  (len - (wc - 1)) >= wc * 3 AND (len - (wc - 1)) <= wc * 10
@@ -4316,8 +4409,7 @@ object TextQueries {
          |   AND ((len - (wc - 1)) >= wc * 3 AND (len - (wc - 1)) <= wc * 10)
          |   AND hash_cnt * 10 <= wc AND ell_cnt * 10 <= wc
          |   AND alpha_w * 5 >= wc * 4 AND stop_hits >= 2 AS keep
-         | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
-    },
+         | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
     // t44: full LM replay — same %3 train slice, same Laplace
     // smoothing, same per-cell micro-nat quantization (a6/b6 computed
     // by the SAME decomposition the engine uses, so the two sides'
@@ -5273,6 +5365,68 @@ object TextQueries {
         |    ORDER BY h, shard_id) - 1 AS BIGINT) AS order_pos
         | FROM hx ORDER BY epoch, phase, order_pos""".stripMargin
         .replaceAll("\n", ""),
+    // t56: the same 24-range split, the same scaled hash-spam plant,
+    // the gate CTE blocks re-sourced from the degraded text (ONE
+    // spelling each), exact-integer rates, and s24's EWMA recursion
+    // replayed as a recursive CTE with the same 15 pp alert rule.
+    "t56_gate_drift" ->
+      s"""WITH RECURSIVE mx AS (SELECT MAX(doc_id) + 1 AS nid
+        |  FROM documents),
+        | t56src AS (SELECT d.doc_id,
+        |   CASE WHEN LEAST(23, d.doc_id * 24 // mx.nid) >= 20
+        |    THEN d.text || ' ' ||
+        |      repeat('#### ', CAST(d.n_chars // 50 + 1 AS INT))
+        |    ELSE d.text END AS text,
+        |   CAST(LEAST(23, d.doc_id * 24 // mx.nid) AS BIGINT) AS batch
+        |  FROM documents d, mx),
+        | ${gopherRuleCtesSql("t56src")},
+        | gk AS (SELECT doc_id, (wc BETWEEN 50 AND 100000)
+        |   AND ((len - (wc - 1)) >= wc * 3 AND (len - (wc - 1)) <= wc * 10)
+        |   AND hash_cnt * 10 <= wc AND ell_cnt * 10 <= wc
+        |   AND alpha_w * 5 >= wc * 4 AS g_keep FROM c),
+        | ${t50CountCtesFrom("t56src")},
+        | pt AS (${piiPlantSqlFrom("t56src")}),
+        | pii AS (SELECT doc_id,
+        |   len(regexp_extract_all(text, '$EmailPat')) = 0
+        |    AND len(regexp_extract_all(text, '$Ipv4Pat')) = 0
+        |    AND len(regexp_extract_all(text, '$PhonePat')) = 0
+        |    AS pii_free
+        |  FROM pt),
+        | j AS (SELECT s.batch, gk.g_keep, blc.n_bad = 0 AS b_keep,
+        |   pii.pii_free
+        |  FROM t56src s JOIN gk USING (doc_id) JOIN blc USING (doc_id)
+        |   JOIN pii USING (doc_id)),
+        | rt AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |   CAST(SUM(CASE WHEN g_keep THEN 1 ELSE 0 END) * 1000000
+        |     // COUNT(*) AS BIGINT) AS g_rate6,
+        |   CAST(SUM(CASE WHEN b_keep THEN 1 ELSE 0 END) * 1000000
+        |     // COUNT(*) AS BIGINT) AS b_rate6,
+        |   CAST(SUM(CASE WHEN pii_free THEN 1 ELSE 0 END) * 1000000
+        |     // COUNT(*) AS BIGINT) AS p_rate6
+        |  FROM j GROUP BY batch),
+        | pl AS (SELECT *, ROW_NUMBER() OVER (ORDER BY batch) AS i
+        |  FROM rt),
+        | r AS (
+        |  SELECT i, batch, n_docs, g_rate6, b_rate6, p_rate6,
+        |    CAST(16 * g_rate6 AS BIGINT) AS ge,
+        |    CAST(16 * b_rate6 AS BIGINT) AS be,
+        |    CAST(16 * p_rate6 AS BIGINT) AS pe,
+        |    false AS g_alert, false AS b_alert, false AS p_alert
+        |   FROM pl WHERE i = 1
+        |  UNION ALL
+        |  SELECT p.i, p.batch, p.n_docs, p.g_rate6, p.b_rate6,
+        |    p.p_rate6,
+        |    CAST((3 * r.ge + 16 * p.g_rate6) // 4 AS BIGINT),
+        |    CAST((3 * r.be + 16 * p.b_rate6) // 4 AS BIGINT),
+        |    CAST((3 * r.pe + 16 * p.p_rate6) // 4 AS BIGINT),
+        |    abs(16 * p.g_rate6 - r.ge) > 2400000,
+        |    abs(16 * p.b_rate6 - r.be) > 2400000,
+        |    abs(16 * p.p_rate6 - r.pe) > 2400000
+        |   FROM r JOIN pl p ON p.i = r.i + 1)
+        | SELECT batch, n_docs, g_rate6, b_rate6, p_rate6,
+        |  ge AS g_ewma16, be AS b_ewma16, pe AS p_ewma16,
+        |  g_alert, b_alert, p_alert
+        | FROM r ORDER BY batch""".stripMargin.replaceAll("\n", ""),
   )
 
   /** p10's oracle CTE chain through `oo` (doc_id, phase, pos,

@@ -640,6 +640,49 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------------
+  // t56: the gate-drift monitor's recursion, plant, and alerts
+  // -------------------------------------------------------------
+
+  test("t56 gate drift: EWMA and alerts replay in plain Scala; the planted degradation zeroes the gopher rate and fires its alert — at 3 SFs") {
+    for (dir <- AllSfs) {
+      val rows = SparkEntry.queries("t56_gate_drift")(spark, dir)
+        .collect()
+        .map(r => (r.getAs[Long]("batch"), r.getAs[Long]("n_docs"),
+          Seq("g", "b", "p").map(g => (r.getAs[Long](s"${g}_rate6"),
+            r.getAs[Long](s"${g}_ewma16"),
+            r.getAs[Boolean](s"${g}_alert")))))
+        .sortBy(_._1)
+      assert(rows.map(_._1).toSeq == (0L until 24L).toSeq,
+        s"$dir: expected all 24 arrival batches")
+      // 1) the 16ths EWMA recursion and the 15 pp alert rule recompute
+      // from the emitted rates alone
+      for (gi <- 0 until 3) {
+        var e = -1L
+        rows.foreach { case (b, _, gs) =>
+          val (x, e16, alert) = gs(gi)
+          val wantAlert = e >= 0 && math.abs(16L * x - e) > 2400000L
+          assert(alert == wantAlert,
+            s"$dir: batch $b series $gi alert diverges")
+          e = if (e < 0) 16L * x else (3L * e + 16L * x) / 4L
+          assert(e16 == e, s"$dir: batch $b series $gi ewma diverges")
+        }
+      }
+      // 2) the plant: every degraded batch's gopher rate is exactly 0
+      // (the scaled hash spam flips r_hash for every doc shape) and
+      // the onset batch fires the gopher alert; the untouched gates
+      // stay quiet there
+      rows.filter(_._1 >= 20).foreach { case (b, _, gs) =>
+        assert(gs(0)._1 == 0L, s"$dir: batch $b gopher rate not zeroed")
+      }
+      val onset = rows.find(_._1 == 20L).get._3
+      assert(onset(0)._3, s"$dir: gopher alert did not fire at onset")
+      assert(!onset(1)._3 && !onset(2)._3,
+        s"$dir: untouched gates alerted at the plant onset")
+      Caches.release(spark)
+    }
+  }
+
   test("pack-resume / pack-epochs CLI: the artifact faces drive end-to-end and report the library's answers") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cli").toString
     try {
