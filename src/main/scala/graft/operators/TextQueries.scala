@@ -16,6 +16,18 @@ import graft.ingest.Chunker
 object TextQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** The documents scan rebalanced to the session's parallelism when
+    * the file layout under-parallelizes it (Tables.balanced — a
+    * provable no-op on multi-split scans at cluster scale). Round-17
+    * optimization: the heavy per-row map work of the text family
+    * (tokenization, gram folds, regex gates) otherwise runs on ONE
+    * core under the local one-file layout, because the scan stage —
+    * not the post-shuffle stages — is where those expressions
+    * evaluate. Row placement never affects these callers' semantics
+    * (they aggregate by contained keys and order their output). */
+  private def docsBalanced(s: SparkSession, dir: String) =
+    Tables.balanced(docs(s, dir))
+
   /** Word unit for t50/t51/p9: ASCII letter runs, lowercased AFTER
     * extraction. A blocklist match and the Flesch–Kincaid
     * word/syllable counts are defined over plain English words, so
@@ -1166,7 +1178,7 @@ object TextQueries {
     // term-for-term in the oracle; ln on both engines (the t11
     // precedent); top-50 fuses to TakeOrderedAndProject.
     "t34_pmi_pairs" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsBalanced(s, dir)
       // unigram counts and n_tok come from the SAME script-aware
       // segmentation the pair window runs over (round 11): PMI
       // numerators and denominators share one tokenization, and
@@ -1686,7 +1698,7 @@ object TextQueries {
     // fp-keyed exchange + one pair-keyed agg, int64 fp keys (4×
     // narrower than round-8's md5-hex strings).
     "d18_shared_passages" -> ((s, dir) => {
-      Dedup.sharedPassagePairs(docs(s, dir), "doc_id", "text",
+      Dedup.sharedPassagePairs(docsBalanced(s, dir), "doc_id", "text",
           k = 8, w = 4, minShared = 2L, maxDocsPerFp = 64L)
         .orderBy("a_id", "b_id")
     }),
@@ -1725,7 +1737,8 @@ object TextQueries {
     // per-doc hash-set rebuild (array_except) — linear per row; the
     // corpus never self-joins.
     "d20_substring_removal" -> ((s, dir) => {
-      Dedup.exactSubstringRemoval(docs(s, dir), "doc_id", "text", k = 8)
+      Dedup.exactSubstringRemoval(docsBalanced(s, dir), "doc_id", "text",
+          k = 8)
         .orderBy("doc_id")
     }),
 
@@ -1786,7 +1799,7 @@ object TextQueries {
     // bounded-histogram prefix sum (the rounded score domain caps the
     // window input at ~10⁶ rows), never an ntile over the corpus.
     "t44_lm_perplexity" -> ((s, dir) => {
-      val d = graft.Caches.shared(docs(s, dir)
+      val d = graft.Caches.shared(docsBalanced(s, dir)
         .select(col("doc_id"), TextAnalysis.segTokens(col("text")).as("tk")))
       val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
       lmPerplexity(d, lmUniCounts(train), lmBigCounts(train))
@@ -1797,8 +1810,8 @@ object TextQueries {
     // scaladoc for why the single-LM terciles are a language detector
     // on a mixed corpus, not a quality signal).
     "t47_perlang_perplexity" -> ((s, dir) => {
-      lmPerplexityByLang(docs(s, dir).select(col("doc_id"), col("lang"),
-        TextAnalysis.segTokens(col("text")).as("tk")))
+      lmPerplexityByLang(docsBalanced(s, dir).select(col("doc_id"),
+        col("lang"), TextAnalysis.segTokens(col("text")).as("tk")))
     }),
 
     // T48: MODEL-BASED quality filtering — the fastText/LR-classifier
@@ -1819,10 +1832,10 @@ object TextQueries {
     // counts pre-aggregate map-side, and the five class constants
     // broadcast as one row; docs shuffle once, on doc_id.
     "t48_quality_classifier" -> ((s, dir) => {
-      val d = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
+      val d = graft.Caches.shared(docsBalanced(s, dir).select(col("doc_id"),
         TextAnalysis.segTokens(col("text")).as("tk")))
       val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .join(qualityLabels(docs(s, dir)), "doc_id")
+        .join(qualityLabels(docsBalanced(s, dir)), "doc_id")
       qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
     }),
 
@@ -2382,7 +2395,7 @@ object TextQueries {
     // flops on integer-derived doubles, written in the same shape in
     // both engines.
     "t51_readability" -> ((s, dir) => {
-      withReadability(docs(s, dir))
+      withReadability(docsBalanced(s, dir))
         .select(col("doc_id"), col("n_words"), col("n_sent"),
           col("n_syll"), round(col("fk"), 4).as("fk_grade"))
         .orderBy("doc_id")
@@ -2419,11 +2432,11 @@ object TextQueries {
     // fold — partial map-side; the 5 output rows are built from that
     // single row.
     "t52_filter_funnel" -> ((s, dir) => {
-      val d = graft.Caches.shared(docs(s, dir).select(col("doc_id"),
+      val d = graft.Caches.shared(docsBalanced(s, dir).select(col("doc_id"),
         TextAnalysis.segTokens(col("text")).as("tk")))
       // the two map-stage gates fuse into ONE projection over one
       // scan (perDocGateFacts) — no label⋈blocklist exchange
-      val facts = graft.Caches.shared(perDocGateFacts(docs(s, dir))
+      val facts = graft.Caches.shared(perDocGateFacts(docsBalanced(s, dir))
         .select(col("doc_id"), col("g_keep"), col("b_keep")))
       val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
         .join(facts.select(col("doc_id"), col("g_keep").as("keep")),
@@ -2539,10 +2552,10 @@ object TextQueries {
     // projection — zero shuffles before the output sort; at 100 TB a
     // map-only pass with the patterns inlined in the plan.
     "t54_pii_redaction" -> ((s, dir) =>
-      piiCounts(docs(s, dir)).orderBy("doc_id")),
+      piiCounts(docsBalanced(s, dir)).orderBy("doc_id")),
 
     "t53_repetition_filter" -> ((s, dir) => {
-      val lined = graft.Caches.shared(docs(s, dir)
+      val lined = graft.Caches.shared(docsBalanced(s, dir)
         .select(col("doc_id"), t53PlantedLines(col("doc_id"), col("text"))
           .as("ls"))
         .withColumn("text", array_join(col("ls"), "\n"))
@@ -2742,7 +2755,7 @@ object TextQueries {
     // runs on the batch table, never the corpus; the 24-row window
     // is the bounded-window class the histogram patterns use.
     "t56_gate_drift" -> ((s, dir) => {
-      val dd = docs(s, dir)
+      val dd = docsBalanced(s, dir)
       val withB = dd
         .crossJoin(broadcast(dd.agg((max("doc_id") + 1L).as("nid"))))
         .withColumn("batch",
@@ -2815,7 +2828,7 @@ object TextQueries {
     // with map-side partials — output is #languages rows, never
     // corpus rows; rates are exact-integer ratios rounded at the end.
     "t55_data_card" -> ((s, dir) => {
-      val dd = docs(s, dir)
+      val dd = docsBalanced(s, dir)
       val d = graft.Caches.shared(dd.select(col("doc_id"),
         TextAnalysis.segTokens(col("text")).as("tk")))
       // every map-stage fact (labels, blocklist, PII, FK bin) in ONE
@@ -2979,10 +2992,29 @@ object TextQueries {
     * packs per shard — the p5 context size. */
   private[graft] def curriculumPacking(
       s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    // ONE fused scan (round-17 optimization): the FK decibin AND the
+    // token count come out of the same projection, so the phase
+    // assignment and n_tokens never meet through a corpus-wide doc_id
+    // join (the previous shape ran two document scans and glued them
+    // with a shuffle join — two corpus exchanges for columns one scan
+    // computes in place). `balanced` spreads the regex-heavy
+    // projection across cores under the local one-file layout
+    // (provable no-op on multi-split scans at cluster scale).
+    val binned = Tables.balanced(docs(s, dir))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .transform(withReadability)
+      .withColumn("bin", round(col("fk") * 10).cast("long"))
+      .select(col("doc_id"), col("bin"), col("n_tokens"))
+    // the JOINED frame is what gets cached: the prefix sum reads it on
+    // three branches (boundary sample, local window, per-bucket
+    // subtotals) — uncached, each branch re-runs the histogram +
+    // broadcast join (measured 2× the p10/p12/p14 wall at sf0.1). The
+    // binned input stays uncached on this path (cacheInput = false):
+    // its two consumers (histogram, join-back) are parallel map scans,
+    // cheaper than a third cache materialization job.
     val phased = graft.Caches.shared(
-      curriculumPhases(docs(s, dir)).select("doc_id", "phase").join(d, "doc_id"))
+      curriculumPhasesOver(binned, cacheInput = false)
+        .select("doc_id", "phase", "n_tokens"))
     Packing.perPhasePackOffsets(phased, "doc_id", "n_tokens",
       phaseCol = "phase", salt = "-p9", ctxSize = 2048, packsPerShard = 64)
   }
@@ -2992,16 +3024,29 @@ object TextQueries {
     * quartile of the bin distribution via t18's bounded-histogram
     * prefix sum (the window runs on the HISTOGRAM, never the corpus),
     * broadcast-joined back. Returns (doc_id, fk, bin, phase). */
-  private[graft] def curriculumPhases(d: DataFrame): DataFrame = {
-    val binned = withReadability(d)
+  private[graft] def curriculumPhases(d: DataFrame): DataFrame =
+    curriculumPhasesOver(Tables.balanced(d)
+      .transform(withReadability)
       .withColumn("bin", round(col("fk") * 10).cast("long"))
-      .select(col("doc_id"), col("fk"), col("bin"))
+      .select(col("doc_id"), col("fk"), col("bin")))
+
+  /** The quartile-of-bin-histogram phase assignment over an
+    * already-binned frame (any columns + `bin`) — the shared body of
+    * [[curriculumPhases]] and [[curriculumPacking]]'s fused scan. The
+    * binned frame is cached (round-17 optimization: it feeds the
+    * histogram AND the broadcast join back — unshared, the readability
+    * scan ran 3×: histogram, count, join), and the corpus count
+    * derives from the histogram instead of a second corpus pass. */
+  private def curriculumPhasesOver(
+      binnedIn: DataFrame, cacheInput: Boolean = true): DataFrame = {
+    val binned =
+      if (cacheInput) graft.Caches.shared(binnedIn) else binnedIn
     val hist = binned.groupBy("bin").agg(count(lit(1)).as("c"))
     val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val n = broadcast(binned.agg(count(lit(1)).as("n")))
+    val n = broadcast(hist.agg(sum("c").as("n")))
     val phases = hist
       .withColumn("before", sum("c").over(wCum) - col("c"))
       .crossJoin(n)
@@ -3354,8 +3399,11 @@ object TextQueries {
   private[graft] def textDupDecision(
       s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.sharedPassagePairs(d, "doc_id", "text",
-        k = 8, w = 4, minShared = 2L, maxDocsPerFp = 64L)
+    // the winnowing fingerprint pass is the heavy map work — feed it
+    // the balanced scan (round-17 optimization; the narrow (doc_id,
+    // n_chars) decision projection stays on the plain scan)
+    val pairs = Dedup.sharedPassagePairs(docsBalanced(s, dir), "doc_id",
+        "text", k = 8, w = 4, minShared = 2L, maxDocsPerFp = 64L)
       .select(col("a_id"), col("b_id"))
     dupDecisionFromPairs(d.select("doc_id", "n_chars"), pairs)
   }
@@ -3431,7 +3479,9 @@ object TextQueries {
   private[graft] def decontamInputs(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     lastDecontamCtx = Some((s, dir))
-    val d = docs(s, dir)
+    // balanced: the train side's normalized 13-gram pass is the heavy
+    // map work of d21 — single-core under the local one-file layout
+    val d = docsBalanced(s, dir)
     val bench = d.filter(col("doc_id") % 23 === 0)
     val pass = bench.select(col("doc_id").as("b_id"),
       concat_ws(" ",
