@@ -2432,19 +2432,26 @@ object TextQueries {
     // fold — partial map-side; the 5 output rows are built from that
     // single row.
     "t52_filter_funnel" -> ((s, dir) => {
-      val d = graft.Caches.shared(docsBalanced(s, dir).select(col("doc_id"),
-        TextAnalysis.segTokens(col("text")).as("tk")))
-      // the two map-stage gates fuse into ONE projection over one
-      // scan (perDocGateFacts) — no label⋈blocklist exchange
-      val facts = graft.Caches.shared(perDocGateFacts(docsBalanced(s, dir))
-        .select(col("doc_id"), col("g_keep"), col("b_keep")))
-      val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .join(facts.select(col("doc_id"), col("g_keep").as("keep")),
-          "doc_id")
+      // ONE fused, cached base projection (round-17 optimization):
+      // the seg-token array AND the two map-stage gate facts come out
+      // of the SAME balanced scan — the round-16 shape materialized
+      // two separate caches (tokens; facts), paying the corpus scan +
+      // balancing exchange twice, then joined them corpus-wide to
+      // label the training slice. Here the label rides the row (zero
+      // train join) and the winnowing dedup pass reads the cached
+      // tokens instead of re-scanning + re-tokenizing the corpus
+      // (textDupDecisionFromTokens) — guide §2.4 / §1.2 step 1.
+      val base = graft.Caches.shared(perDocGateFacts(docsBalanced(s, dir))
+        .select(col("doc_id"), TextAnalysis.segTokens(col("text")).as("tk"),
+          col("g_keep"), col("b_keep")))
+      val d = base.select(col("doc_id"), col("tk"))
+      val facts = base.select(col("doc_id"), col("g_keep"), col("b_keep"))
+      val train = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("tk"), col("g_keep").as("keep"))
       val scored =
         qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
       val flags = facts
-        .join(textDupDecision(s, dir)
+        .join(textDupDecisionFromTokens(s, dir, d)
           .select(col("asset_id").as("doc_id"), col("kept").as("d_keep")),
           "doc_id")
         // decontamination (round 16 — stage 4): d21's benchmark-
@@ -2828,21 +2835,24 @@ object TextQueries {
     // with map-side partials — output is #languages rows, never
     // corpus rows; rates are exact-integer ratios rounded at the end.
     "t55_data_card" -> ((s, dir) => {
-      val dd = docsBalanced(s, dir)
-      val d = graft.Caches.shared(dd.select(col("doc_id"),
-        TextAnalysis.segTokens(col("text")).as("tk")))
-      // every map-stage fact (labels, blocklist, PII, FK bin) in ONE
-      // fused projection — zero joins for the gates the scan computes
-      val facts = graft.Caches.shared(perDocGateFacts(dd)
-        .select(col("doc_id"), col("lang"), col("g_keep"),
-          col("b_keep"), col("pii_free"), col("bin")))
-      val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .join(facts.select(col("doc_id"), col("g_keep").as("keep")),
-          "doc_id")
+      // ONE fused, cached base: seg-tokens + every map-stage fact
+      // (labels, blocklist, PII, FK bin) from the SAME balanced scan;
+      // the training label rides the row and the winnowing dedup pass
+      // reads the cached tokens — the t52 fusion, one level finer
+      // (round-17 optimization; guide §2.4 / §1.2 step 1)
+      val base = graft.Caches.shared(perDocGateFacts(docsBalanced(s, dir))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.segTokens(col("text")).as("tk"),
+          col("g_keep"), col("b_keep"), col("pii_free"), col("bin")))
+      val d = base.select(col("doc_id"), col("tk"))
+      val facts = base.select(col("doc_id"), col("lang"), col("g_keep"),
+        col("b_keep"), col("pii_free"), col("bin"))
+      val train = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("tk"), col("g_keep").as("keep"))
       val scored =
         qualityLogOdds(d, qualityTokCounts(train), qualityDocCounts(train))
       val flags = facts
-        .join(textDupDecision(s, dir)
+        .join(textDupDecisionFromTokens(s, dir, d)
           .select(col("asset_id").as("doc_id"), col("kept").as("d_keep")),
           "doc_id")
         .join(benchmarkDecontamination(s, dir)
@@ -3406,6 +3416,27 @@ object TextQueries {
         "text", k = 8, w = 4, minShared = 2L, maxDocsPerFp = 64L)
       .select(col("a_id"), col("b_id"))
     dupDecisionFromPairs(d.select("doc_id", "n_chars"), pairs)
+  }
+
+  /** [[textDupDecision]] over an ALREADY-TOKENIZED (doc_id, tk) frame —
+    * the shared-scan form for t52/t55, whose cached seg-token
+    * projection is exactly the winnowing pass's input: the fingerprint
+    * selection, pair pruning and keep decision are the SAME definitions
+    * (winnowFps / sharedPassagePairsFrom / dupDecisionFromPairs), only
+    * the corpus re-scan + re-tokenize is skipped (round-17
+    * optimization — guide §1.2 step 1, "don't compute things twice").
+    * `s`/`dir` feed the narrow (doc_id, n_chars) decision projection,
+    * which never touches `text`. */
+  private[graft] def textDupDecisionFromTokens(
+      s: SparkSession, dir: String, toks: DataFrame): DataFrame = {
+    val pairs = Dedup.sharedPassagePairsFrom(
+      graft.Caches.shared(
+        Dedup.winnowFingerprintsFromTokens(toks, "doc_id", "tk",
+            k = 8, w = 4)
+          .select(col("doc_id").cast("long").as("id"), col("fp"))),
+      minShared = 2L, maxDocsPerFp = 64L)
+      .select(col("a_id"), col("b_id"))
+    dupDecisionFromPairs(docs(s, dir).select("doc_id", "n_chars"), pairs)
   }
 
   /** The pair-graph → keep-decision collapse shared by the batch

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Generic per-stage profiler for a declared query (round 17): run the
+  * query once (warm-up) then once measured, with a listener recording
+  * every stage's wall time, task time, and the first line of its call
+  * site — the local substitute for the Spark UI's stage table (UI is
+  * disabled in this sandbox). Usage:
+  *   runMain graft.tools.ProfileQ <sfDir> <query> [cpus]
+  */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val cpus = if (args.length > 2) args(2) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.quietBoundedWindowWarnings()
+
+    // warm-up run (JIT + codegen), not recorded
+    graft.SparkEntry.queries(name)(spark, sfDir).collect()
+    graft.Caches.release(spark)
+    spark.catalog.clearCache()
+
+    case class St(id: Int, name: String, submitted: Long, completed: Long,
+        taskTimeMs: Long, tasks: Int)
+    val stages = mutable.ArrayBuffer.empty[St]
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        stages += St(si.stageId, si.name,
+          si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
+          si.taskMetrics.executorRunTime, si.numTasks)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, sfDir).collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let the listener bus drain
+    println(f"TOTAL $name $wall%.3f s, ${stages.size} stages")
+    val t0ms = stages.map(_.submitted).filter(_ > 0).minOption.getOrElse(0L)
+    stages.sortBy(_.submitted).foreach { s =>
+      val wallMs = s.completed - s.submitted
+      println(f"STAGE ${s.id}%4d +${s.submitted - t0ms}%6dms wall=${wallMs}%5dms taskSum=${s.taskTimeMs}%6dms tasks=${s.tasks}%3d  ${s.name.linesIterator.next().take(110)}")
+    }
+    spark.stop()
+  }
+}
