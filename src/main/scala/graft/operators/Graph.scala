@@ -41,30 +41,34 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
-    // deg is O(V) and has THREE consumers (N count, uniform start,
-    // weighted-edge build) — cached, or each one re-aggregates the
-    // O(E) edge list
-    val deg = graft.Caches.shared(
-      edges.groupBy(col(srcCol).as("id"))
-        .agg(count(lit(1)).as("_deg")))
-    // one-time O(E) build: per-edge contribution weight 1/outdeg,
-    // pre-partitioned on src so every iteration's rank join lands on
-    // this partitioning (only the O(V) rank side moves per step)
-    // No forced repartition: AQE picks the join strategy per step —
-    // broadcast while the rank table is small (it usually is; no edge
-    // shuffle at all), shuffle join keyed on _src when it isn't. A
-    // cluster deployment iterating many steps over a V too big to
-    // broadcast should pre-partition this frame on _src once instead.
-    // MEASURED at sf0.1 (round 7, tools.ProfileG1): forcing the rank
-    // join to shuffle_hash or merge is 1.2–1.3× SLOWER than the AQE
-    // broadcast at this V (~20k nodes) — the pre-partition advice is
-    // a cluster-scale V story, not a local win, so the shipped plan
-    // deliberately stays AQE-chosen.
-    val edgesW = graft.Caches.shared(
+    // One-time O(E) build — restructured round 18 (ProfileQ-measured;
+    // the round-17 verdict item): plain (src, dst) pairs,
+    // hash-partitioned on _dst and cached, so every iteration's
+    // contribution aggregate REUSES this partitioning — zero exchange
+    // of any per-edge data per step (before: each step's dst-keyed
+    // mass agg paid its own exchange of O(V) partials plus a whole
+    // extra query stage). The 1/outdeg weight no longer rides the
+    // edges: rank·(1.0/outdeg) is computed per NODE on the O(V)
+    // broadcast side — the same float ops as the old per-edge
+    // rank·_w (V multiplies instead of E), which also drops the
+    // weighted-edge JOIN build and a double column from the cache
+    // (2 longs/row); per-edge step work is hash-probe + add.
+    // Partition count = defaultParallelism (scale-adaptive, not a
+    // local constant); ANY hash partitioning on _dst satisfies the
+    // aggregate's ClusteredDistribution, so the count is a width
+    // choice, not a correctness one.
+    val edgesP = graft.Caches.shared(
       edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
-        .join(deg.withColumnRenamed("id", "_src"), "_src")
-        .withColumn("_w", lit(1.0) / col("_deg"))
-        .select("_src", "_dst", "_w"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+          col("_dst")))
+    // deg is O(V) with many consumers (N count, uniform start, one
+    // rank-weight build per step) — cached, and derived from the
+    // cached edgesP (round 18) so the caller's edge derivation (often
+    // a union over an expensive pair build) is scanned ONCE, by the
+    // edgesP build, not once more here
+    val deg = graft.Caches.shared(
+      edgesP.groupBy(col("_src").as("id"))
+        .agg(count(lit(1)).as("_deg")))
     // N is a scalar (one small count job over the degree table); the
     // uniform start vector and teleport term need it as a literal
     val n = deg.count()
@@ -72,11 +76,22 @@ object Graph {
     if (n == 0) return deg.select(col("id"), lit(0.0).as("rank"))
     var ranks = deg.select(col("id"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iterations) {
-      val next = edgesW
-        .join(ranks.withColumnRenamed("id", "_src"), "_src")
-        .groupBy(col("_dst").as("id"))
-        .agg(sum(col("rank") * col("_w")).as("_mass"))
-        .select(col("id"),
+      // the O(V) rank-weight side rides an EXPLICIT broadcast: the
+      // zero-exchange step shape requires the probe side to stay the
+      // dst-partitioned cache (an AQE demotion to sort-merge would
+      // re-shuffle O(E) per step). Broadcast bounds V at the 8 GB /
+      // 512M-row relation cap — a deployment iterating over a V past
+      // that pre-partitions the edges on _src and drops the hint, or
+      // uses pageRankConverged's checkpointed form.
+      val rankw = ranks
+        .join(broadcast(deg), "id")
+        .select(col("id").as("_src"),
+          (col("rank") * (lit(1.0) / col("_deg"))).as("_rw"))
+      val next = edgesP
+        .join(broadcast(rankw), "_src")
+        .groupBy(col("_dst"))
+        .agg(sum(col("_rw")).as("_mass"))
+        .select(col("_dst").as("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("_mass")).as("rank"))
       // each iteration's O(V) rank table is cached but NOT forced:
       // AQE materializes every query stage exactly once and reuses
@@ -135,17 +150,19 @@ object Graph {
       tol: Double = 0.0, checkpointEvery: Int = 20): (DataFrame, Int) = {
     require(maxIterations >= 0, "maxIterations must be non-negative")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // dst-partitioned like [[pageRank]]'s round-18 shape: the per-step
+    // mass aggregate reuses this partitioning (zero per-edge exchange
+    // per step) and the 1/outdeg weight rides the O(V) broadcast side
+    // instead of a weighted-edge build
     val e = graft.Caches.shared(
-      edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")))
+      edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+          col("_dst")))
     val nodes = graft.Caches.shared(
       e.select(col("_src").as("id"))
         .union(e.select(col("_dst").as("id"))).distinct())
     val deg = graft.Caches.shared(
       e.groupBy(col("_src").as("id")).agg(count(lit(1)).as("_deg")))
-    val edgesW = graft.Caches.shared(
-      e.join(deg.withColumnRenamed("id", "_src"), "_src")
-        .withColumn("_w", lit(1.0) / col("_deg"))
-        .select("_src", "_dst", "_w"))
     // dangling = nodes with no out-edges; O(V), two consumers per step
     val dangling = graft.Caches.shared(
       nodes.join(deg.select("id"), Seq("id"), "left_anti"))
@@ -188,10 +205,15 @@ object Graph {
         else ranks.join(dangling, "id")
           .agg(coalesce(sum("rank"), lit(0.0)))
           .head().getDouble(0) / n
-      val contribs = edgesW
-        .join(ranks.withColumnRenamed("id", "_src"), "_src")
-        .groupBy(col("_dst").as("id"))
-        .agg(sum(col("rank") * col("_w")).as("_mass"))
+      val rankw = ranks
+        .join(broadcast(deg), "id")
+        .select(col("id").as("_src"),
+          (col("rank") * (lit(1.0) / col("_deg"))).as("_rw"))
+      val contribs = e
+        .join(broadcast(rankw), "_src")
+        .groupBy(col("_dst"))
+        .agg(sum(col("_rw")).as("_mass"))
+        .select(col("_dst").as("id"), col("_mass"))
       val stepped = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
@@ -248,17 +270,17 @@ object Graph {
       tol: Double = 0.0, checkpointEvery: Int = 20): DataFrame = {
     require(maxIterations >= 0, "maxIterations must be non-negative")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // dst-partitioned like [[pageRank]]'s round-18 shape (zero
+    // per-edge exchange per step; 1/outdeg on the broadcast side)
     val e = graft.Caches.shared(
-      edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst")))
+      edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+          col("_dst")))
     val nodes = graft.Caches.shared(
       e.select(col("_src").as("id"))
         .union(e.select(col("_dst").as("id"))).distinct())
     val deg = graft.Caches.shared(
       e.groupBy(col("_src").as("id")).agg(count(lit(1)).as("_deg")))
-    val edgesW = graft.Caches.shared(
-      e.join(deg.withColumnRenamed("id", "_src"), "_src")
-        .withColumn("_w", lit(1.0) / col("_deg"))
-        .select("_src", "_dst", "_w"))
     val dangling = graft.Caches.shared(
       nodes.join(deg.select("id"), Seq("id"), "left_anti"))
     val inGraph = graft.Caches.shared(
@@ -286,10 +308,15 @@ object Graph {
         else ranks.join(dangling, "id")
           .agg(coalesce(sum("rank"), lit(0.0)))
           .head().getDouble(0)
-      val contribs = edgesW
-        .join(ranks.withColumnRenamed("id", "_src"), "_src")
-        .groupBy(col("_dst").as("id"))
-        .agg(sum(col("rank") * col("_w")).as("_mass"))
+      val rankw = ranks
+        .join(broadcast(deg), "id")
+        .select(col("id").as("_src"),
+          (col("rank") * (lit(1.0) / col("_deg"))).as("_rw"))
+      val contribs = e
+        .join(broadcast(rankw), "_src")
+        .groupBy(col("_dst"))
+        .agg(sum(col("_rw")).as("_mass"))
+        .select(col("_dst").as("id"), col("_mass"))
       val stepped = nodesP
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
@@ -645,6 +672,19 @@ object GraphQueries {
     * the correctness prerequisite for the count consumer). */
   private def packedOrderPairs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      // Round 18 (measured, ProfileQ): AQE byte-coalesced the groupBy
+      // exchange (compact packed lists) to ~4 partitions at sf0.1, so
+      // the list combine AND the O(k²)-per-order pair EXPANSION below
+      // ran on 4 cores — ~1.7s wall for ~6s of CPU. Byte-based
+      // coalescing is blind to per-row CPU in the consuming stage
+      // (guide §2.5's input-skew shape one exchange later). A
+      // user-pinned repartition on the grouping key BEFORE the groupBy
+      // fixes it twice over: user-specified counts are exempt from AQE
+      // coalescing, and the aggregate REUSES the partitioning (zero
+      // further exchange), so the whole agg+expand+pack pipeline runs
+      // at the session's width in one stage. (collect_list partials
+      // don't shrink data, so the shuffled bytes are unchanged.)
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(collect_list(col("l_partkey")).as("ps"))
       .select(explode(array_distinct(
@@ -701,14 +741,19 @@ object GraphQueries {
     // rank_scaled = rank × N (mean 1.0 — stable 6dp resolution);
     // rounded BEFORE the sort so both engines cut the same top 100.
     "g1_part_pagerank" -> ((s, dir) => {
-      // cache the PAIRS, not the symmetrized union: the union reads
-      // its input twice (one branch per direction), so caching a level
-      // down halves the expensive build; pageRank's own consumers
-      // (degree table + weighted-edge build) then re-run only the
-      // cheap map-side union over cached pairs
-      val pairs = graft.Caches.shared(copurchasePairs(s, dir))
-      val edges = pairs.union(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // Round 18: the symmetrized edge list is built in ONE pass — an
+      // explode emitting both orientations per pair — instead of a
+      // union over a cached pairs table. pageRank now consumes its
+      // edge input exactly once (its dst-partitioned cache is the
+      // only materialization), so the pairs cache write and the
+      // second union scan of it were pure overhead (ProfileQ: the
+      // 64-task union scan was 480ms wall / 13.7s CPU at sf0.1).
+      val pairs = copurchasePairs(s, dir)
+      val edges = pairs
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       // the O(V) result is cached: the N-recovery aggregate and the
       // output projection are TWO consumers, and without this the
       // whole 5-iteration join lineage executes once per consumer

@@ -18,7 +18,9 @@ object TextQueries {
 
   /** The documents scan rebalanced to the session's parallelism when
     * the file layout under-parallelizes it (Tables.balanced — a
-    * provable no-op on multi-split scans at cluster scale). Round-17
+    * no-op whenever the scan already has >= parallelism splits; a
+    * corpus-scale scan qualifies, a table with fewer splits than
+    * cluster cores would pay the full round-robin exchange). Round-17
     * optimization: the heavy per-row map work of the text family
     * (tokenization, gram folds, regex gates) otherwise runs on ONE
     * core under the local one-file layout, because the scan stage —
@@ -3056,7 +3058,9 @@ object TextQueries {
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val n = broadcast(hist.agg(sum("c").as("n")))
+    // coalesce: on an empty input sum aggregates to one NULL row where
+    // count(lit(1)) yielded 0 — keep the old count semantics (ADVICE r17)
+    val n = broadcast(hist.agg(coalesce(sum("c"), lit(0L)).as("n")))
     val phases = hist
       .withColumn("before", sum("c").over(wCum) - col("c"))
       .crossJoin(n)

@@ -47,12 +47,20 @@ object ProfileQ {
     val t0 = System.nanoTime()
     graft.SparkEntry.queries(name)(spark, sfDir).collect()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500) // let the listener bus drain
+    // deterministic drain (ADVICE r17): a sleep drops late-posted
+    // stage-completed events on a loaded box
+    org.apache.spark.sql.GraftShim.flushListenerBus(spark)
     println(f"TOTAL $name $wall%.3f s, ${stages.size} stages")
     val t0ms = stages.map(_.submitted).filter(_ > 0).minOption.getOrElse(0L)
     stages.sortBy(_.submitted).foreach { s =>
-      val wallMs = s.completed - s.submitted
-      println(f"STAGE ${s.id}%4d +${s.submitted - t0ms}%6dms wall=${wallMs}%5dms taskSum=${s.taskTimeMs}%6dms tasks=${s.tasks}%3d  ${s.name.linesIterator.next().take(110)}")
+      // skipped/reused stages carry no submission/completion time —
+      // mark them instead of printing garbage offsets (ADVICE r17)
+      if (s.submitted == 0 || s.completed == 0)
+        println(f"STAGE ${s.id}%4d (skipped/reused)                 taskSum=${s.taskTimeMs}%6dms tasks=${s.tasks}%3d  ${s.name.linesIterator.next().take(110)}")
+      else {
+        val wallMs = s.completed - s.submitted
+        println(f"STAGE ${s.id}%4d +${s.submitted - t0ms}%6dms wall=${wallMs}%5dms taskSum=${s.taskTimeMs}%6dms tasks=${s.tasks}%3d  ${s.name.linesIterator.next().take(110)}")
+      }
     }
     spark.stop()
   }

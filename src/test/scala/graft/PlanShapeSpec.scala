@@ -764,16 +764,17 @@ class PlanShapeSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
-  test("g1 pagerank step: edge side never re-exchanges — one shuffle (the dst agg) + a broadcast rank per step") {
+  test("g1 pagerank step: ZERO exchanges — the step reuses the cached dst partitioning, rank rides a broadcast") {
     // One unrolled step of the iteration (step plans are identical in
-    // form: each reads the cached edgesW and the previous cached rank
-    // table): the weighted-edge table must come straight off its
-    // InMemoryRelation with NO exchange on the edge side, the rank
-    // side must ride a broadcast (the sf0.1-measured AQE choice —
-    // ProfileG1 round 7: forcing shuffle/merge is 1.2–1.3× slower at
-    // this V), and the ONLY shuffle in the step is the O(V) dst-keyed
-    // mass aggregation. A second exchange here means AQE demoted the
-    // join and every iteration re-shuffles O(E) — the round-15 audit
+    // form: each reads the cached dst-partitioned edge table and the
+    // previous cached rank table): the edges must come straight off
+    // their InMemoryRelation with NO exchange anywhere in the step —
+    // the dst-keyed mass aggregate REUSES the cache's hash
+    // partitioning (round-18 restructure; before, each step paid an
+    // exchange of the agg partials), and the O(V) rank-weight side
+    // rides a broadcast. ANY ShuffleExchange here means either AQE
+    // demoted the join (re-shuffling O(E) per step) or the aggregate
+    // stopped recognizing the cached partitioning — both regressions
     // this test pins.
     val s = spark
     import s.implicits._
@@ -786,8 +787,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val shuffles = deepCollect(plan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(shuffles.size == 1,
-      s"exactly one exchange per step (the dst agg), got ${shuffles.size}:\n" +
+    assert(shuffles.isEmpty,
+      s"zero exchanges per step (dst partitioning reused), got ${shuffles.size}:\n" +
         plan.toString.take(2000))
     val bhj = deepCollect(plan) {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
