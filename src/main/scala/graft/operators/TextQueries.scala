@@ -242,6 +242,13 @@ object TextQueries {
         explode(TextAnalysis.segTokens(col("text"))).as("tok"))
       .groupBy("cls", "tok").agg(count(lit(1)).as("c"))
 
+  /** [[nbTokCounts]] over an ALREADY-TOKENIZED (doc_id, lang, tk)
+    * frame — the shared-projection form for t36's tk cache (round 18):
+    * identical counts, the corpus is tokenized once. */
+  private[graft] def nbTokCountsFromTk(train: DataFrame): DataFrame =
+    train.select(col("lang").as("cls"), explode(col("tk")).as("tok"))
+      .groupBy("cls", "tok").agg(count(lit(1)).as("c"))
+
   /** NB training state, document half: (cls, nd) document counts —
     * the prior's numerator. Additive like [[nbTokCounts]]. */
   private[graft] def nbDocCounts(train: DataFrame): DataFrame =
@@ -249,7 +256,9 @@ object TextQueries {
 
   /** The t36 scoring pipeline from its two TRAINING-STATE tables
     * (token counts + doc counts): derive the quantized model, pivot it
-    * wide, score every doc of `d`, emit the confusion matrix. Batch
+    * wide, score every doc of `d` — a (doc_id, lang, tk)
+    * ALREADY-TOKENIZED frame (round 18: tokenize once, in the caller's
+    * shared projection) — and emit the confusion matrix. Batch
     * t36 passes counts computed directly from the training slice; the
     * streaming face passes counts folded incrementally across append
     * batches — identical state in, identical matrix out (spec-pinned
@@ -292,7 +301,7 @@ object TextQueries {
       .groupBy("tok").pivot("cls", clsConst.map(_._1))
       .agg(first("w6")))
     val sums = d.select(col("doc_id"), col("lang"),
-        explode(TextAnalysis.segTokens(col("text"))).as("tok"))
+        explode(col("tk")).as("tok"))
       .join(wide, Seq("tok"), "left")
       .groupBy("doc_id", "lang")
       .agg(
@@ -1279,10 +1288,15 @@ object TextQueries {
     // corpus ONCE map-side, probes the broadcast model, and partial-
     // aggregates to (doc, cls) rows before the single keyed shuffle.
     "t36_nb_langid" -> ((s, dir) => {
+      // cache the TOKEN ARRAY, not the text (round 18 — the t44/t48
+      // pattern): with text cached, segTokens ran twice (the %3 train
+      // slice for the model AND every doc at scoring); the tk cache
+      // tokenizes each doc exactly once. Same tokens, same counts.
       val d = graft.Caches.shared(Tables.balanced(docs(s, dir))
-        .select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.segTokens(col("text")).as("tk")))
       val train = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-      nbConfusion(d, nbTokCounts(train), nbDocCounts(train))
+      nbConfusion(d, nbTokCountsFromTk(train), nbDocCounts(train))
     }),
 
     // T37: REAL iterative BPE training — k rounds of "count adjacent
@@ -3514,14 +3528,20 @@ object TextQueries {
   private[graft] def decontamInputs(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     lastDecontamCtx = Some((s, dir))
-    // balanced: the train side's normalized 13-gram pass is the heavy
-    // map work of d21 — single-core under the local one-file layout
-    val d = docsBalanced(s, dir)
-    val bench = d.filter(col("doc_id") % 23 === 0)
+    // balanced: the gram passes are the heavy map work of d21 —
+    // single-core under the local one-file layout. Round 18: balance
+    // AFTER each leg's %23 filter, not before — the shared
+    // docsBalanced frame fed two consumers, so the corpus text rode
+    // the round-robin exchange TWICE (once per leg); filtering first
+    // exchanges each leg's slice exactly once (4% + 96% instead of
+    // 100% + 100%). Row placement only — leg contents are identical.
+    val bench = Tables.balanced(docs(s, dir)
+      .filter(col("doc_id") % 23 === 0))
     val pass = bench.select(col("doc_id").as("b_id"),
       concat_ws(" ",
         slice(TextAnalysis.segTokens(col("text")), 1, 16)).as("passage"))
-    val train = d.filter(col("doc_id") % 23 =!= 0)
+    val train = Tables.balanced(docs(s, dir)
+      .filter(col("doc_id") % 23 =!= 0))
       .withColumn("b_id", col("doc_id") - (col("doc_id") % 23))
       .join(broadcast(pass), Seq("b_id"), "left")
       .select(col("doc_id"),

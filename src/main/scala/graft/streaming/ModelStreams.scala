@@ -62,7 +62,9 @@ object ModelStreams {
   def nbConfusionFromState(
       spark: SparkSession, statePath: String, d: DataFrame): Option[DataFrame] =
     Cdc.readRollup(spark, statePath).map { st =>
-      TextQueries.nbConfusion(d,
+      TextQueries.nbConfusion(
+        d.select(col("doc_id"), col("lang"),
+          graft.operators.TextAnalysis.segTokens(col("text")).as("tk")),
         st.filter(col("kind") === "tok").select("cls", "tok", "c"),
         st.filter(col("kind") === "doc")
           .select(col("cls"), col("c").as("nd")))
