@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...},
+  * followed by one non-contract provenance line (per-trial times and
+  * loadavg samples) so a truncated capture can never eat the headline.
   *
   * Each query is run three times and the fastest run reported: the
   * first run pays JVM/codegen warmup that a long-lived cluster
@@ -305,7 +307,15 @@ object Bench {
     // plan is spec-pinned — Round9OpsSpec "s21 bench override")
     val ov = Headline.filter(BenchOverrides.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","overrides":$ov,"loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"java_procs":${javaProcs()},"loadavg_per_query":$loads,"loadavg_per_trial":$trialLoads,"trials":$ts}""")
+    // CONTRACT line first, kept SHORT (round 18, verdict item: round
+    // 16's capture was truncated mid-JSON and the driver lost the whole
+    // round-over-round comparison because the one line had grown to
+    // ~10 KB of provenance arrays). The headline metric + per-query
+    // seconds stay on line 1; the trials / per-trial loadavg
+    // provenance moves to a SECOND, non-contract line so a truncated
+    // capture can never eat the headline again.
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","overrides":$ov,"loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"java_procs":${javaProcs()}}""")
+    println(f"""{"metric":"headline_provenance","loadavg_per_query":$loads,"loadavg_per_trial":$trialLoads,"trials":$ts}""")
     spark.stop()
   }
 }

@@ -811,8 +811,10 @@ object PipelineQueries {
     // over the same cosine machinery).
     "r1_rag_retrieval" -> ((s, dir) => {
       lastRagCtx = Some((s, dir))
+      // balanced (round 18): same rationale as r3 — embed in the scan
       val chunks = Rag.buildChunks(
-        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        Tables.balanced(Tables.load(s, dir, "documents")
+          .select("doc_id", "text")),
         modelId = 1L, maxTokens = MaxTokens, dim = Dim)
       Rag.searchChunks(chunks, Rag.embedQuery(Query, Dim),
           topK = 10, threshold = 0.0)
@@ -1344,8 +1346,13 @@ object PipelineQueries {
     // no cache is needed).
     "r3_hybrid_retrieval" -> ((s, dir) => {
       lastRagCtx = Some((s, dir))
+      // balanced (round 18): chunk+embed run inside the scan
+      // projection, and the documents table is one local file — the
+      // shared cache's materialization otherwise embeds on 1-3 cores
+      // (no-op on a multi-split corpus at scale; placement only)
       val chunks = graft.Caches.shared(Rag.buildChunks(
-        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        Tables.balanced(Tables.load(s, dir, "documents")
+          .select("doc_id", "text")),
         modelId = 1L, maxTokens = MaxTokens, dim = Dim))
       Rag.searchChunksHybrid(chunks, Query, topK = 10, dim = Dim)
     }),

@@ -2186,8 +2186,13 @@ object TextQueries {
         s"${graft.store.AnnIndexes.root}/semcb_${graft.store.AnnIndexes.keyOf(dir)}" +
           s"_${graft.store.AnnIndexes.fingerprint(s, s"$dir/embeddings.parquet")}" +
           s"_n$nCells"
+      // balanced (round 18): the multi-probe cell assignment (nCells
+      // centroid distances per vector) is the heavy map work and the
+      // embeddings table is one local file — spread it (no-op on a
+      // multi-split table at scale; placement only)
       Dedup.semanticDedupMapWithCodebook(
-          Tables.load(s, dir, "embeddings").select("vec_id", "embedding"),
+          Tables.balanced(Tables.load(s, dir, "embeddings")
+            .select("vec_id", "embedding")),
           "vec_id", "embedding", nCells = nCells, threshold = 0.45, modelPath)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")

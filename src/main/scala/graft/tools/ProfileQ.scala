@@ -33,14 +33,17 @@ object ProfileQ {
     spark.catalog.clearCache()
 
     case class St(id: Int, name: String, submitted: Long, completed: Long,
-        taskTimeMs: Long, tasks: Int)
+        taskTimeMs: Long, tasks: Int, spillMem: Long, spillDisk: Long,
+        peakExec: Long)
     val stages = mutable.ArrayBuffer.empty[St]
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
         stages += St(si.stageId, si.name,
           si.submissionTime.getOrElse(0L), si.completionTime.getOrElse(0L),
-          si.taskMetrics.executorRunTime, si.numTasks)
+          si.taskMetrics.executorRunTime, si.numTasks,
+          si.taskMetrics.memoryBytesSpilled, si.taskMetrics.diskBytesSpilled,
+          si.taskMetrics.peakExecutionMemory)
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -50,7 +53,18 @@ object ProfileQ {
     // deterministic drain (ADVICE r17): a sleep drops late-posted
     // stage-completed events on a loaded box
     org.apache.spark.sql.GraftShim.flushListenerBus(spark)
-    println(f"TOTAL $name $wall%.3f s, ${stages.size} stages")
+    // spill + storage provenance (round 18): the §5 check for the
+    // corpus-wide caches — whether MEMORY_AND_DISK blocks actually
+    // spill at the measured SF, and how much execution memory peaks
+    val storage = spark.sparkContext.getRDDStorageInfo
+    val memUsed = storage.map(_.memSize).sum
+    val diskUsed = storage.map(_.diskSize).sum
+    println(f"TOTAL $name $wall%.3f s, ${stages.size} stages; " +
+      f"cached mem=${memUsed / 1e6}%.1f MB disk=${diskUsed / 1e6}%.1f MB " +
+      f"(disk > 0 means the cache spilled); " +
+      f"spill mem=${stages.map(_.spillMem).sum / 1e6}%.1f MB " +
+      f"disk=${stages.map(_.spillDisk).sum / 1e6}%.1f MB, " +
+      f"peakExec(max stage)=${stages.map(_.peakExec).maxOption.getOrElse(0L) / 1e6}%.1f MB")
     val t0ms = stages.map(_.submitted).filter(_ > 0).minOption.getOrElse(0L)
     stages.sortBy(_.submitted).foreach { s =>
       // skipped/reused stages carry no submission/completion time —
